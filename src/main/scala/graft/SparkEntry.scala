@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the per-module catalogs; each key has a
+  * DuckDB oracle twin in `oracleSql` unless the operator is not
+  * SQL-expressible (then the driver records a weaker rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * "Revenue by market segment" — the Spark twin of the reference's
+    * "billed vs allowed by plan" report (Claims & Encounters.sql:381-392):
+    * fact ⋈ header ⋈ dim, range filter, null-safe money rollup, order.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import Tables._
+    val d = "/root/testdata/sf0.001"
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .join(orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("billed_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("discounted_cents"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ [EXT]). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracle
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (see TESTDATA.md) plus shared expression helpers used across the
+  * query catalog.
+  *
+  * Numeric policy (oracle determinism): money columns are doubles that
+  * always carry exactly 2 decimal digits (verified against the data:
+  * max |x*100 - round(x*100)| < 1e-8 on every money column). Summing
+  * doubles is order-dependent and would break the driver's
+  * Spark-vs-DuckDB hash compare, so every SUM/AVG goes through exact
+  * integer cents: CAST(ROUND(x*100) AS BIGINT). Final money results are
+  * emitted as cents (BIGINT) or as double via a fixed-shape expression
+  * (CAST(cents AS DOUBLE)/100.0) that both engines evaluate bit-identically.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact integer cents from a 2-decimal double (order-independent sums). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Cents back to a double amount — fixed shape `CAST(x AS DOUBLE)/100.0`
+    * mirrored verbatim in the oracle SQL so both engines produce the same bits. */
+  def money(centsCol: Column): Column = centsCol.cast("double") / 100.0
+
+  /** yyyymmdd surrogate date key (reference DimDate pattern,
+    * StarSchemaForHealthcare.sql:167). */
+  def dateSk(c: Column): Column =
+    (year(c) * 10000 + month(c) * 100 + dayofmonth(c)).cast("int")
+}
