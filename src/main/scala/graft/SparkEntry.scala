@@ -34,10 +34,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ [EXT]). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.Windows.queries ++
+      graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.Windows.oracle ++
+      graft.queries.Events.oracle
 }

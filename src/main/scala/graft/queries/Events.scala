@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** [EXT] Batch time-series queries on the events table (SURVEY §2.10 —
+  * the reference models time series as batch snapshots; these are the
+  * oracle-checkable batch twins of the Structured Streaming module in
+  * graft.streaming). Timestamps are emitted as formatted strings so both
+  * engines hash identically.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val hourFmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling-window hourly rollup per event type.
+    "e1_hourly_rollup" -> ((s, d) => events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), hourFmt).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_cnt"),
+        sum(cents(col("value"))).as("value_cents"))
+      .orderBy("hour", "event_type")),
+
+    // Sessionization: 30-min inactivity gap starts a new session (lag window).
+    "e2_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"),
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+               > 1800L, 1).otherwise(0).as("is_new_session"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new_session")).as("session_cnt"),
+          count(lit(1)).as("event_cnt"))
+        .orderBy("user_id")
+    }),
+
+    // Latest event per user (argmax via row_number — dedup-keep-last idiom).
+    "e3_latest_per_user" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Daily active users + event mix (distinct agg on a time bucket).
+    "e4_daily_active" -> ((s, d) => events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("event_cnt"))
+      .orderBy("day"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS event_cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "e2_sessionize" ->
+      """SELECT user_id, CAST(sum(is_new_session) AS BIGINT) AS session_cnt,
+        |  count(*) AS event_cnt
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |         OR date_diff('second',
+        |              lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |              ts) > 1800
+        |         THEN 1 ELSE 0 END AS is_new_session
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e3_latest_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e4_daily_active" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS active_users, count(*) AS event_cnt
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  )
+}

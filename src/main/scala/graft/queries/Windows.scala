@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** [EXT] Window-function catalog (SURVEY §2.5 — absent from the reference,
+  * added as planned extensions). Every ordering inside a window uses a
+  * unique tiebreak so results are deterministic for the oracle compare.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // row_number: per-customer order sequence (IDENTITY-emulation shape, §7.4).
+    "w1_row_number" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // lag: days since the customer's previous order (null on the first).
+    "w2_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(w).cast("date"))
+            .as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // running sum with an explicit ROWS frame.
+    "w3_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // top-n per group via row_number (the TOP-k-per-key idiom).
+    "w4_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // rank vs dense_rank with real ties (customers ranked within nation).
+    "w5_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc)
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("bal_rank"),
+          dense_rank().over(w).as("bal_dense_rank"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // ntile quartiles (unique ordering → deterministic tile assignment).
+    "w6_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .select(col("c_custkey"), ntile(4).over(w).as("bal_quartile"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "w2_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w4_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "w5_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT)
+        |    AS bal_rank,
+        |  CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT)
+        |    AS bal_dense_rank
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "w6_ntile" ->
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bal_quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}
