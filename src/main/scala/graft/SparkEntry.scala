@@ -36,12 +36,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.ext.Dedup.queries ++
+      graft.ext.TextAnalysis.queries ++
+      graft.ext.Similarity.queries ++
+      graft.ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Windows.oracle ++
-      graft.queries.Events.oracle
+      graft.queries.Events.oracle ++
+      graft.ext.Dedup.oracle ++
+      graft.ext.TextAnalysis.oracle ++
+      graft.ext.Similarity.oracle ++
+      graft.ext.Multimodal.oracle
 }

@@ -1,0 +1,203 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** [EXT] Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, each fully distributed (no driver-side loops, no UDFs —
+  * everything is Catalyst expressions, so whole-stage codegen applies):
+  *
+  *  - exact:   hash-groupBy on the raw text (one shuffle on the text hash);
+  *  - minhash: 3-token shingles → 64-perm MinHash → banded LSH (b=16, r=4)
+  *             → bucket self-join for candidates → exact-Jaccard verify;
+  *  - simhash: 64-bit SimHash over tokens → 4×16-bit band join → Hamming
+  *             verify via bit_count(xor);
+  *  - ngram:   exact n-gram Jaccard via shingle inverted index (posexplode
+  *             + self-join + group), the oracle-checkable ground truth the
+  *             sketch variants approximate.
+  *
+  * 100 TB notes: every join here keys on a sketch/band hash, so it shuffles
+  * once on uniformly-distributed keys; candidate verification re-joins the
+  * (small) candidate pair list back to shingle sets rather than carrying
+  * shingle arrays through the LSH shuffle. Band-bucket skew (a degenerate
+  * shingle shared by millions of docs) is bounded by `maxBucket`, dropping
+  * pathological buckets exactly like production MinHash pipelines do.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val maxBucket = 100 // drop degenerate LSH buckets bigger than this
+
+  /** tokens + distinct 3-shingles for a documents DF (doc_id, text). */
+  private def withShingles(df: DataFrame): DataFrame = df
+    .withColumn("tokens", split(col("text"), " "))
+    .withColumn("shingles", expr(
+      """array_distinct(transform(
+        |  sequence(0, greatest(size(tokens) - 3, 0)),
+        |  i -> concat_ws(' ', slice(tokens, i + 1, 3))))""".stripMargin))
+
+  /** 64-perm MinHash signature: sig[p] = min over shingles of murmur3(sh, p). */
+  private def withMinhash(df: DataFrame): DataFrame = df
+    .withColumn("sig", expr(
+      """transform(sequence(0, 63),
+        |  p -> array_min(transform(shingles, sh -> hash(sh, p))))""".stripMargin))
+
+  /** Candidate near-dup pairs from banded LSH over the MinHash signature. */
+  private def lshCandidates(docs: DataFrame): DataFrame = {
+    val banded = withMinhash(withShingles(docs))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band_idx", "band_hash")))
+    val pruned = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a pair list, re-joined to shingle sets. */
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: canonical doc per distinct text (hash-groupBy, one shuffle).
+    "x_dedup_exact" -> ((s, d) => documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("keep_id"), col("dup_cnt"), length(col("text")).as("n_chars"))
+      .orderBy("keep_id")),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified at >= 0.5.
+    "x_dedup_minhash" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      verifyJaccard(lshCandidates(docs), docs)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup pairs: 64-bit signature, 4x16-bit bands, Hamming <= 8.
+    "x_dedup_simhash" -> ((s, d) => {
+      val sigs = documents(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("bits", expr(
+          """aggregate(tokens, array_repeat(0, 64),
+            |  (acc, t) -> zip_with(acc,
+            |    transform(sequence(0, 63),
+            |      i -> IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)),
+            |    (x, y) -> x + y))""".stripMargin))
+        .withColumn("simhash", expr(
+          """aggregate(transform(sequence(0, 63),
+            |    i -> IF(element_at(bits, i + 1) > 0, shiftleft(CAST(1 AS BIGINT), i),
+            |            CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .select(col("doc_id"), col("simhash"))
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          """transform(sequence(0, 3),
+            |  b -> shiftright(simhash, b * 16) & 65535)""".stripMargin))
+          .as(Seq("band_idx", "band_val")))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_val") === col("b.band_val")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact n-gram Jaccard via shingle inverted index (oracle ground truth
+    // for the sketches above). Quadratic only within shared-shingle groups.
+    "x_dedup_ngram" -> ((s, d) => {
+      val sets = withShingles(documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"),
+          size(col("shingles")).as("n_sh"))
+      val pairs = sets.as("a")
+        .join(sets.as("b"),
+          col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding near-dup: top-20 most-similar pairs by exact cosine.
+    // (Brute force here; the LSH-bucketed scale path is x_ann_lsh.)
+    "x_dedup_embed" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("norm", expr(
+          """sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+            |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        col("norm").as("norm_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", expr(
+          """aggregate(zip_with(v_a, v_b,
+            |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (norm_a * norm_b)"""
+            .stripMargin))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_dedup_ngram" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS shingles
+        |  FROM (
+        |    SELECT doc_id,
+        |      [array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS ngrams
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        |  FROM sets
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE)
+        |      / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

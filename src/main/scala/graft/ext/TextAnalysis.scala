@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** [EXT] Text analysis for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), quality scoring (length / stopword /
+  * diversity ratios), language ID (marker-n-gram heuristic), and document
+  * fingerprinting (rolling hash + winnowing).
+  *
+  * Everything is Catalyst built-ins (split / regexp_extract_all / higher-
+  * order array functions) — codegen-friendly, no UDFs, scales linearly in
+  * tokens with zero shuffles (all per-row projections).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in")
+  private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Tiny per-language marker profiles (n-gram heuristic). Real pipelines
+    * use fastText-style models; the Spark plumbing is identical. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "de", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq() // handled by CJK codepoint detection below
+  )
+
+  val queries: Map[String, Q] = Map(
+    // Token + length statistics (whitespace tokenizer).
+    "x_text_stats" -> ((s, d) => documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_uniq_tokens"),
+        ((length(col("text")) - size(col("tokens")) + 1).cast("double")
+          / size(col("tokens"))).as("avg_token_len"))
+      .orderBy("doc_id")),
+
+    // BPE-ish regex tokenizer: letter runs, digit runs, single punctuation.
+    "x_text_tokens_bpe" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")),
+
+    // Quality scoring: stopword ratio + lexical diversity (type/token ratio).
+    "x_text_quality" -> ((s, d) => documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("n_stop", expr(
+        s"size(filter(tokens, t -> t IN $stopList))"))
+      .withColumn("n_uniq", size(array_distinct(col("tokens"))))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
+        (col("n_uniq").cast("double") / col("n_tok")).as("type_token_ratio"))
+      .orderBy("doc_id")),
+
+    // Language ID: CJK codepoint check, else argmax over marker-word hits.
+    // (Markers are scored deterministically; ties break by language code.)
+    "x_text_langid" -> ((s, d) => {
+      val scored = Seq("en", "de", "es", "fr").foldLeft(
+        documents(s, d).withColumn("tokens", split(col("text"), " "))) {
+        case (df, lang) =>
+          val markers = langMarkers(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+          df.withColumn(s"score_$lang",
+            expr(s"size(filter(tokens, t -> t IN $markers))"))
+      }
+      val best = Seq("en", "de", "es", "fr")
+        .map(l => struct(col(s"score_$l").as("score"),
+          lit(mapLangOrd(l)).as("ord"), lit(l).as("lang")))
+      scored
+        .withColumn("has_cjk", col("text").rlike("[\\u4e00-\\u9fff]"))
+        .withColumn("best", greatest(best: _*))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          when(col("has_cjk"), "zh")
+            .when(col("best.score") === 0, "unknown")
+            .otherwise(col("best.lang")).as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Fingerprinting: winnowing — min rolling-hash over 4-token windows.
+    "x_text_fingerprint" -> ((s, d) => documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """array_min(transform(
+          |  sequence(0, greatest(size(tokens) - 4, 0)),
+          |  i -> xxhash64(concat_ws(' ', slice(tokens, i + 1, 4)))))"""
+          .stripMargin).as("fingerprint"))
+      .orderBy("doc_id"))
+  )
+
+  /** Tie-break ordinal: later languages win only on strictly higher score. */
+  private def mapLangOrd(l: String): Int =
+    Seq("fr", "es", "de", "en").indexOf(l)
+
+  val oracle: Map[String, String] = Map(
+    "x_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      s"""SELECT doc_id, n_tok, n_stop,
+         |  CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+         |  CAST(n_uniq AS DOUBLE) / n_tok AS type_token_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tok,
+         |    CAST(len(list_filter(toks, t -> t IN $stopList)) AS INT) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin
+  )
+}
