@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [EXT] Structured Streaming over the events schema (SURVEY §2.10 — absent
+  * from the reference, which batch-models its time series; these are the
+  * streaming twins of the oracle-checked batch queries in queries/Events).
+  *
+  * All transforms take a DataFrame so they run identically on a batch frame
+  * (tested against the batch twin) or a `readStream` source. State size at
+  * scale: the tumbling agg keeps one row per (window × event_type) until the
+  * watermark closes it; sessionization keeps one [[SessionState]] per active
+  * user, evicted by processing-time timeout — both bounded, both safe at
+  * 100 TB/day ingest with keyed state partitioned across executors.
+  */
+object StreamingEvents {
+
+  /** Tumbling 1-hour rollup per event type with a 2-hour watermark.
+    * (Streaming twin of batch query e1_hourly_rollup.) */
+  def hourlyRollup(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "2 hours")
+    .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+    .agg(count(lit(1)).as("event_cnt"),
+      sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    .select(col("win.start").as("hour"), col("event_type"),
+      col("event_cnt"), col("value_cents"))
+
+  /** Sliding 1-hour window every 15 minutes (late data handled by watermark). */
+  def slidingActivity(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "2 hours")
+    .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"))
+    .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      count(lit(1)).as("event_cnt"))
+    .select(col("win.start").as("win_start"), col("approx_users"), col("event_cnt"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "2 hours")
+    .dropDuplicates("event_id")
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(count: Long, start: Long, lastSeen: Long)
+  case class SessionOut(user_id: Long, events: Long, duration_secs: Long)
+
+  /** Custom stateful sessionization: 30-min inactivity gap closes a session
+    * (mapGroupsWithState analog of batch e2_sessionize). Emits one row per
+    * closed session; open sessions close via processing-time timeout. */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.count, (s.lastSeen - s.start) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(count = s.count + 1, lastSeen = t))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.count, (s.lastSeen - s.start) / 1000)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Wire a parquet-directory stream source with the events schema —
+    * the production entry (`readStream` → transform → `writeStream`). */
+  def readEventStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.events(s, dir).schema
+    s.readStream.schema(schema).parquet(dir)
+  }
+}

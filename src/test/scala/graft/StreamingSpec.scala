@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingEvents
+import graft.streaming.StreamingEvents.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming tests via MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming hourly rollup matches batch computation on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.00),
+      Event(2, ts("2024-01-01 10:40:00"), 2, "click", 2.50),
+      Event(3, ts("2024-01-01 11:10:00"), 1, "view", 3.00),
+      Event(4, ts("2024-01-01 11:59:00"), 3, "click", 0.50))
+    input.addData(events: _*)
+    val q = StreamingEvents.hourlyRollup(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select(date_format($"hour", "HH").as("h"), $"event_type",
+          $"event_cnt", $"value_cents")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === Set(("10", "click", 2L, 350L), ("11", "view", 1L, 300L),
+        ("11", "click", 1L, 50L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+    val q = StreamingEvents.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions separated by >30min; user 2: one session
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+      Event(3, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+      Event(4, ts("2024-01-01 10:00:00"), 2, "click", 1.0))
+    val q = StreamingEvents.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // ProcessingTimeTimeout keeps scheduling no-data batches, so the query
+      // never quiesces for processAllAvailable — poll the sink instead.
+      val deadline = System.currentTimeMillis() + 60000
+      var closed = Array.empty[SessionOut]
+      while (closed.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        closed = spark.table("sessions").as[SessionOut].collect()
+      }
+      // the 10:00-10:10 session closed when the 11:00 event arrived
+      assert(closed.toSet === Set(SessionOut(1, 2, 600)))
+    } finally q.stop()
+  }
+
+  test("file-source stream wiring reads the events schema") {
+    val src = StreamingEvents.readEventStream(spark, "/root/testdata/sf0.001")
+    assert(src.isStreaming)
+    assert(src.schema.fieldNames.contains("event_type"))
+  }
+}
