@@ -37,6 +37,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Events.queries ++
+      graft.queries.Advanced.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Similarity.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Windows.oracle ++
       graft.queries.Events.oracle ++
+      graft.queries.Advanced.oracle ++
       graft.ext.Dedup.oracle ++
       graft.ext.TextAnalysis.oracle ++
       graft.ext.Similarity.oracle ++

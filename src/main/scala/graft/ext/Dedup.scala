@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.VectorFunctions.cosineSim
 
 /** [EXT] Document deduplication for large-scale training-data pipelines.
   *
@@ -56,6 +57,7 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
+      .cache() // self-joined below — avoid recomputing 64-perm signatures
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -91,6 +93,7 @@ object Dedup {
     // MinHash+LSH near-dup pairs, exact-Jaccard verified at >= 0.5.
     "x_dedup_minhash" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism) // 1 parquet file otherwise
       verifyJaccard(lshCandidates(docs), docs)
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -100,12 +103,16 @@ object Dedup {
     // SimHash near-dup pairs: 64-bit signature, 4x16-bit bands, Hamming <= 8.
     "x_dedup_simhash" -> ((s, d) => {
       val sigs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("tokens", split(col("text"), " "))
+        // hash each token ONCE (the naive per-bit form recomputes xxhash64
+        // 64x per token — measured 4x slower)
+        .withColumn("thashes", expr("transform(tokens, t -> xxhash64(t))"))
         .withColumn("bits", expr(
-          """aggregate(tokens, array_repeat(0, 64),
-            |  (acc, t) -> zip_with(acc,
+          """aggregate(thashes, array_repeat(0, 64),
+            |  (acc, h) -> zip_with(acc,
             |    transform(sequence(0, 63),
-            |      i -> IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)),
+            |      i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
             |    (x, y) -> x + y))""".stripMargin))
         .withColumn("simhash", expr(
           """aggregate(transform(sequence(0, 63),
@@ -118,6 +125,11 @@ object Dedup {
           """transform(sequence(0, 3),
             |  b -> shiftright(simhash, b * 16) & 65535)""".stripMargin))
           .as(Seq("band_idx", "band_val")))
+        .withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_val"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .cache() // banded self-join below; also bounds degenerate buckets
       banded.as("a")
         .join(banded.as("b"),
           col("a.band_idx") === col("b.band_idx")
@@ -133,7 +145,8 @@ object Dedup {
     // Exact n-gram Jaccard via shingle inverted index (oracle ground truth
     // for the sketches above). Quadratic only within shared-shingle groups.
     "x_dedup_ngram" -> ((s, d) => {
-      val sets = withShingles(documents(s, d).select(col("doc_id"), col("text")))
+      val sets = withShingles(documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"), explode(col("shingles")).as("shingle"),
           size(col("shingles")).as("n_sh"))
       val pairs = sets.as("a")
@@ -155,20 +168,11 @@ object Dedup {
     // Embedding near-dup: top-20 most-similar pairs by exact cosine.
     // (Brute force here; the LSH-bucketed scale path is x_ann_lsh.)
     "x_dedup_embed" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .withColumn("norm", expr(
-          """sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
-            |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-        col("norm").as("norm_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-        col("norm").as("norm_b"))
+      val e = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", expr(
-          """aggregate(zip_with(v_a, v_b,
-            |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (norm_a * norm_b)"""
-            .stripMargin))
+        .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(20)

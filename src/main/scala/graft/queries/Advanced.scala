@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** [EXT] Operators beyond the reference's surface that Spark gives (nearly)
+  * free and a 100 TB warehouse needs: multi-dimensional aggregates
+  * (rollup/cube/grouping sets), approximate aggregates (HLL, quantiles),
+  * as-of and range joins (the point-in-time lookup SURVEY §2.3 flags for
+  * CoveragePeriod), and explicit skew-salting (the manual fallback when AQE
+  * skew-join can't help, e.g. skewed aggregation keys).
+  */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ROLLUP over (year, priority). Grouping nulls are labeled 'ALL' so the
+    // oracle compare never depends on engine null-ordering.
+    "g1_rollup" -> ((s, d) => orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .rollup(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total_cents"))
+      .orderBy("yr", "priority")),
+
+    // CUBE over (returnflag, linestatus).
+    "g2_cube" -> ((s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"))
+      .orderBy("returnflag", "linestatus")),
+
+    // GROUPING SETS ((segment), (nation), ()) via SQL.
+    "g3_grouping_sets" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("gs_customer")
+      s.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+          |  coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+          |  count(*) AS cnt
+          |FROM gs_customer
+          |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          |ORDER BY segment, nationkey""".stripMargin)
+    }),
+
+    // Approximate distinct (HLL) + exact, side by side, plus approximate
+    // quantiles — the sketches a 100 TB pipeline uses instead of exact
+    // distincts. Approx values are engine-specific → rows-only check.
+    "x_approx_agg" -> ((s, d) => orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("p50_price"))
+      .orderBy("o_orderpriority")),
+
+    // As-of join: each purchase matched to the user's latest prior-or-equal
+    // click. Implemented shuffle-once: union both event kinds, one window
+    // pass carrying the last click timestamp forward (no per-row range
+    // probe; at 100 TB this is one sort-merge per user partition).
+    "x_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts",
+          last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase"
+          && col("last_click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("last_click_ts")))
+            .as("secs_since_click"))
+        .orderBy("event_id")
+    }),
+
+    // Range join: orders matched into derived quarter windows
+    // [start, end) — the CoveragePeriod point-in-time shape. The range
+    // table is tiny → broadcast nested-loop; at scale you'd bucket by
+    // coarse time first (the standard banding trick).
+    "x_range_join" -> ((s, d) => {
+      val quarters = orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("yr"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"))
+        .distinct()
+        .withColumn("q_start",
+          make_date(col("yr"), (col("qtr") - 1) * 3 + 1, lit(1)))
+        .withColumn("q_end", add_months(col("q_start"), 3))
+      orders(s, d)
+        .join(broadcast(quarters),
+          col("o_orderdate").cast("date") >= col("q_start")
+            && col("o_orderdate").cast("date") < col("q_end"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(count(lit(1)).as("order_cnt"))
+        .orderBy("yr", "qtr")
+    }),
+
+    // Explicit skew salting: two-phase aggregation through a salted key.
+    // Result is identical to the direct groupBy (oracle = plain GROUP BY);
+    // the shape is what matters — partial aggregation fans the hot key over
+    // 16 salts before the final combine.
+    "x_salted_agg" -> ((s, d) => lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pcnt"),
+        sum(cents(col("l_extendedprice"))).as("pcents"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pcnt")).as("cnt"), sum(col("pcents")).as("total_cents"))
+      .orderBy("l_returnflag"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_rollup" ->
+      """SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+        |        o_totalprice FROM orders)
+        |GROUP BY ROLLUP (yr, o_orderpriority)
+        |ORDER BY yr, priority""".stripMargin,
+    "g2_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "g3_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+        |  count(*) AS cnt
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY segment, nationkey""".stripMargin,
+    "x_asof_join" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts))
+        |    - epoch(date_trunc('second', last_click_ts)) AS BIGINT)
+        |    AS secs_since_click
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "x_range_join" ->
+      """SELECT yr, qtr, count(*) AS order_cnt FROM (
+        |  SELECT o.*, q.yr, q.qtr
+        |  FROM orders o
+        |  JOIN (
+        |    SELECT yr, qtr,
+        |      make_date(yr, (qtr - 1) * 3 + 1, 1) AS q_start,
+        |      make_date(yr, (qtr - 1) * 3 + 1, 1) + INTERVAL 3 MONTH AS q_end
+        |    FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+        |            CAST(quarter(o_orderdate) AS INT) AS qtr FROM orders)) q
+        |  ON CAST(o.o_orderdate AS DATE) >= q.q_start
+        |    AND CAST(o.o_orderdate AS DATE) < CAST(q.q_end AS DATE))
+        |GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin,
+    "x_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
