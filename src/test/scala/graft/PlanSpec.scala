@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates: the properties that decide whether these
+  * operators survive a 100 TB scale-up. Each assertion pins a plan shape —
+  * filters pushed into the parquet scan, columns pruned at the reader,
+  * dimension joins broadcast, aggregates map-side partial — so a regression
+  * that silently de-optimizes a query fails CI, not the cluster. */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("half-open range filter is pushed down to the parquet scan") {
+    val p = plan(q("p8_halfopen"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters:.*l_shipdate.*"), p)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = plan(q("p1_project"))
+    // customer has 5 columns; only the 3 projected ones may be read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("c_custkey"))
+    assert(!readSchema.contains("c_acctbal"), readSchema)
+    assert(!readSchema.contains("c_nationkey"), readSchema)
+  }
+
+  test("star join broadcasts the small dimensions") {
+    val p = plan(q("j2_star"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semi/anti joins plan as left-semi / left-anti hash joins") {
+    assert(plan(q("j9_semi")).contains("LeftSemi"))
+    assert(plan(q("j10_anti")).contains("LeftAnti"))
+  }
+
+  test("global aggregate is partial+final (map-side combine)") {
+    val p = plan(q("a1_global_agg"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(q("o2_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("custom cosine expression participates in whole-stage codegen") {
+    assert(plan(q("x_ann_bruteforce")).contains("cosine_similarity"))
+    // prove doGenCode is used: the generated java contains our fused loop
+    import graft.functions.VectorFunctions.cosineSim
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.embeddings(spark, sf)
+      .select(cosineSim(col("embedding"), col("embedding")).as("c"))
+    val gen = df.queryExecution
+      .explainString(ExplainMode.fromString("codegen"))
+    assert(gen.contains("WholeStageCodegen subtrees"), gen.take(500))
+    assert(gen.contains("Math.sqrt"), gen.take(2000))
+  }
+
+  test("fact loads in the star ETL are all broadcast joins") {
+    val facts = graft.model.Star.buildFacts(spark, graft.model.Star.buildDims(spark))
+    val p = plan(facts.factClaimsLine)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cosine_similarity is callable from SQL after registration") {
+    // config-time path is spark.sql.extensions=graft.GraftExtensions; the
+    // injector itself must populate a SparkSessionExtensions without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // live-session path: register + run from SQL
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
