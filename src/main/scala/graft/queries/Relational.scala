@@ -88,6 +88,21 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")),
 
+    // P7 IS NULL / IS NOT NULL over outer-join-produced nulls — the
+    // reference's literal anti-join formulation (LEFT JOIN … WHERE right
+    // IS NULL), planned differently from j10's left_anti.
+    "p7_null_check" -> ((s, d) => {
+      val o96 = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderkey"))
+      customer(s, d)
+        .join(o96, col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_orderkey").isNull)
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- J: joins (SURVEY §2.3) ----
     "j1_inner" -> ((s, d) => orders(s, d)
       .filter(col("o_orderstatus") === "F")
@@ -398,6 +413,13 @@ object Relational {
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "p7_null_check" ->
+      """SELECT c_custkey FROM customer
+        |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01') o
+        |ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin,
     "j1_inner" ->
       """SELECT o_orderkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
