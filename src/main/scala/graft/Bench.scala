@@ -10,6 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Debug mode: `runMain graft.Bench q1 q2` times the named queries twice
+    // each (second run separates plan/codegen warmup from data cost).
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          println(f"[bench-debug] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      spark.stop()
+      return
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, minhashSignature, simhash64}
 
 /** [EXT] Document deduplication for large-scale training-data pipelines.
   *
@@ -39,11 +39,11 @@ object Dedup {
         |  sequence(0, greatest(size(tokens) - 3, 0)),
         |  i -> concat_ws(' ', slice(tokens, i + 1, 3))))""".stripMargin))
 
-  /** 64-perm MinHash signature: sig[p] = min over shingles of murmur3(sh, p). */
+  /** 64-perm MinHash signature via the native fused-loop expression
+    * (o.a.s.sql.graft.MinHashSignature — the HOF formulation paid ~1µs of
+    * interpreted dispatch per (shingle, perm)). */
   private def withMinhash(df: DataFrame): DataFrame = df
-    .withColumn("sig", expr(
-      """transform(sequence(0, 63),
-        |  p -> array_min(transform(shingles, sh -> hash(sh, p))))""".stripMargin))
+    .withColumn("sig", minhashSignature(col("shingles")))
 
   /** Candidate near-dup pairs from banded LSH over the MinHash signature. */
   private def lshCandidates(docs: DataFrame): DataFrame = {
@@ -82,6 +82,65 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Naive exact n-gram Jaccard: full shingle inverted index + pair count.
+    * Quadratic in posting-list length on hot shingles — fine at bench SF. */
+  def ngramJaccardNaive(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = withShingles(docs.repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"),
+        size(col("shingles")).as("n_sh"))
+    sets.as("a")
+      .join(sets.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PPJoin-style exact n-gram Jaccard for 100 TB inputs: shingles get a
+    * rare-first global order (doc-freq asc, then shingle), each doc indexes
+    * only its first floor(n/2)+1 prefix shingles — the prefix-filtering
+    * principle (Chaudhuri et al., SSJoin) guarantees any pair with J >= 0.5
+    * shares a prefix shingle — plus the 2x size filter. Hot shingles sort
+    * to the END of the canonical order and drop out of prefixes, so posting
+    * lists stay short instead of exploding quadratically on common n-grams.
+    * Result set is EXACTLY [[ngramJaccardNaive]]'s (asserted in ExtSpec);
+    * costs a few more stages, so it wins only when posting lists are long. */
+  def ngramJaccardPrefixFiltered(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold == 0.5, "prefix length formula below is specialized to t=0.5")
+    val sets = withShingles(docs.repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val posts = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val freq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = posts
+      .join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= floor(col("n_sh") / 2) + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("a.n_sh") <= col("b.n_sh") * 2
+          && col("b.n_sh") <= col("a.n_sh") * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical doc per distinct text (hash-groupBy, one shuffle).
     "x_dedup_exact" -> ((s, d) => documents(s, d)
@@ -105,20 +164,7 @@ object Dedup {
       val sigs = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("tokens", split(col("text"), " "))
-        // hash each token ONCE (the naive per-bit form recomputes xxhash64
-        // 64x per token — measured 4x slower)
-        .withColumn("thashes", expr("transform(tokens, t -> xxhash64(t))"))
-        .withColumn("bits", expr(
-          """aggregate(thashes, array_repeat(0, 64),
-            |  (acc, h) -> zip_with(acc,
-            |    transform(sequence(0, 63),
-            |      i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
-            |    (x, y) -> x + y))""".stripMargin))
-        .withColumn("simhash", expr(
-          """aggregate(transform(sequence(0, 63),
-            |    i -> IF(element_at(bits, i + 1) > 0, shiftleft(CAST(1 AS BIGINT), i),
-            |            CAST(0 AS BIGINT))),
-            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .withColumn("simhash", simhash64(col("tokens")))
         .select(col("doc_id"), col("simhash"))
       val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(expr(
@@ -142,28 +188,12 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Exact n-gram Jaccard via shingle inverted index (oracle ground truth
-    // for the sketches above). Quadratic only within shared-shingle groups.
-    "x_dedup_ngram" -> ((s, d) => {
-      val sets = withShingles(documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism))
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"),
-          size(col("shingles")).as("n_sh"))
-      val pairs = sets.as("a")
-        .join(sets.as("b"),
-          col("a.shingle") === col("b.shingle")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double")
-            / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Exact n-gram Jaccard >= 0.5. The benched entry uses the naive full
+    // inverted index (fewest stages — fastest at bench SF, and what the
+    // DuckDB oracle runs); [[ngramJaccardPrefixFiltered]] is the
+    // PPJoin-style scale path, proven result-identical in ExtSpec.
+    "x_dedup_ngram" -> ((s, d) => ngramJaccardNaive(s,
+      documents(s, d).select(col("doc_id"), col("text")))),
 
     // Embedding near-dup: top-20 most-similar pairs by exact cosine.
     // (Brute force here; the LSH-bucketed scale path is x_ann_lsh.)

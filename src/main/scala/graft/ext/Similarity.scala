@@ -23,24 +23,16 @@ import graft.functions.VectorFunctions.cosineSim
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 6-bit random-hyperplane signature. Plane weights are a ±1 literal
-    * matrix from a fixed-seed PRNG — baked into the plan as a constant, so
-    * it is identical on every executor and costs nothing per row (the
-    * previous hash-per-(plane,dim) form re-hashed 384x per vector). */
-  private val planesLit: Column = {
-    val rng = new scala.util.Random(42)
-    typedLit(Seq.fill(6)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0)))
-  }
-
+  /** 6-bit random-hyperplane signature. Each plane is a ±1 literal
+    * `array<float>` from a fixed-seed PRNG (identical on every executor);
+    * the sign of the dot product == the sign of the codegen'd cosine, so
+    * each bit is one fused CosineSimilarity call — no interpreted lambdas. */
   private def bucketCol: Column = {
-    val e = expr(
-      """aggregate(transform(sequence(0, 5), p ->
-        |    IF(aggregate(zip_with(embedding, element_at(planes, p + 1),
-        |           (x, w) -> CAST(x AS DOUBLE) * w),
-        |         CAST(0 AS DOUBLE), (a, v) -> a + v) > 0,
-        |       shiftleft(1, p), 0)),
-        |  0, (a, b) -> a + b)""".stripMargin)
-    e
+    val rng = new scala.util.Random(42)
+    Seq.tabulate(6) { p =>
+      val plane = typedLit(Seq.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f))
+      when(cosineSim(col("embedding"), plane) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
   }
 
   val queries: Map[String, Q] = Map(
@@ -65,9 +57,7 @@ object Similarity {
     "x_ann_lsh" -> ((s, d) => {
       val all = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("planes", planesLit)
         .withColumn("bucket", bucketCol)
-        .drop("planes")
       val cand = all.select(col("vec_id").as("c_id"), col("embedding").as("v_c"),
         col("bucket").as("c_bucket"))
       // query probes: own bucket + each 1-bit flip (7 probes over 6 planes)

@@ -1,13 +1,22 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, SimHash64}
 
-/** Column-API facade over the native Catalyst vector expressions. */
+/** Column-API facade over the native Catalyst expressions
+  * (o.a.s.sql.graft — see each expression's scaladoc for the why). */
 object VectorFunctions {
   /** Cosine similarity of two `array<float>` embedding columns —
     * whole-stage-codegen'd fused loop (see [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** 64-perm MinHash signature of an `array<string>` shingle set. */
+  def minhashSignature(shingles: Column): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles)))
+
+  /** 64-bit SimHash of an `array<string>` token list. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }

@@ -17,6 +17,14 @@ class ExtSpec extends SparkSpec {
     assert(ng.nonEmpty) // the generator plants near-duplicates
   }
 
+  test("prefix-filtered ngram join returns exactly the naive result") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val naive = Dedup.ngramJaccardNaive(spark, docs).collect().toSeq
+    val ppj = Dedup.ngramJaccardPrefixFiltered(spark, docs).collect().toSeq
+    assert(ppj === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = graft.Tables.documents(spark, sf)
     val deduped = Dedup.queries("x_dedup_exact")(spark, sf)
@@ -30,19 +38,8 @@ class ExtSpec extends SparkSpec {
       (3L, "totally different words entirely here now"))
       .toDF("doc_id", "text")
     df.createOrReplaceTempView("t")
-    // run the same pipeline on a temp doc set by swapping documents
     val sigs = df.withColumn("tokens", split(col("text"), " "))
-      .withColumn("bits", expr(
-        """aggregate(tokens, array_repeat(0, 64),
-          |  (acc, t) -> zip_with(acc,
-          |    transform(sequence(0, 63),
-          |      i -> IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)),
-          |    (x, y) -> x + y))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(transform(sequence(0, 63),
-          |    i -> IF(element_at(bits, i + 1) > 0, shiftleft(CAST(1 AS BIGINT), i),
-          |            CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("simhash", graft.functions.VectorFunctions.simhash64(col("tokens")))
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 8)
