@@ -79,8 +79,61 @@ object Similarity {
         .select(col("q_id"), col("rank"), col("c_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("q_id", "rank")
-    })
+    }),
+
+    // IVF coarse-quantizer ANN (see ivfTopK).
+    "x_ann_ivf" -> ((s, d) => ivfTopK(s, d))
   )
+
+  /** IVF (inverted-file) ANN: a 16-cell coarse quantizer — deterministic
+    * seeds (vec_id < 16) refined by one Lloyd assignment step through the
+    * typed [[graft.functions.CentroidAggregator]] (partial+final agg, one
+    * shuffle of 64 doubles per cell) — then queries probe their 2 nearest
+    * cells and rerank exactly inside them. The scale path: assignment is a
+    * broadcast of 16 centroids, search touches ~2/16 of the data. */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val seeds = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    // one Lloyd step: assign every vector to its nearest seed...
+    val assigned0 = all
+      .join(broadcast(seeds), col("vec_id") =!= lit(-1))
+      .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("sim"), col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    // ...then recompute centroids with the typed Aggregator
+    val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
+    val centroids = assigned0.groupBy(col("cell"))
+      .agg(centroidUdaf(col("embedding")).as("c_vec"))
+    val assigned = all
+      .join(broadcast(centroids), col("vec_id") =!= lit(-1))
+      .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("sim"), col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
+    // queries probe their 2 nearest cells
+    val qProbe = all.filter(col("vec_id") < 10)
+      .join(broadcast(centroids), col("vec_id") =!= lit(-1))
+      .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    assigned.as("a").join(broadcast(qProbe.as("q")),
+        col("q.cell") === col("a.cell"))
+      .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
 
   /** Not SQL-expressible portably → driver records rows-only checks. */
   val oracle: Map[String, String] = Map()

@@ -83,6 +83,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Distinctive terms: per doc, the 3 terms with lowest corpus document
+    // frequency (tf-idf shape kept in integers so the oracle is exact —
+    // no float log). Inverted index + two window passes.
+    "x_text_topterms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+          .as("term"))
+      val docFreq = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("term"))
+      terms.join(docFreq, "term")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("df"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Fingerprinting: winnowing — min rolling-hash over 4-token windows.
     "x_text_fingerprint" -> ((s, d) => documents(s, d)
       .withColumn("tokens", split(col("text"), " "))
@@ -106,6 +125,19 @@ object TextAnalysis {
         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM terms GROUP BY term
+        |)
+        |SELECT doc_id, rk, term, df FROM (
+        |  SELECT t.doc_id, t.term, df.df,
+        |    CAST(row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY df.df, t.term) AS INT) AS rk
+        |  FROM terms t JOIN df USING (term))
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "x_text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)

