@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Physical-layout helpers (SURVEY §2.1 S4 sink + 100 TB partitioning
   * strategy): hive-style partitioned parquet for partition pruning, and
@@ -14,18 +15,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Layout {
 
-  /** Write hive-style partitioned parquet (dynamic partitions). */
+  /** Write hive-style partitioned parquet. Dynamic partition overwrite:
+    * only the partitions present in `df` are replaced — Spark's default
+    * static mode would wipe the whole dataset path on incremental loads. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
 
-  /** Write a bucketed+sorted managed table (bucket pruning + shuffle-free
-    * joins between tables bucketed on the same key/count). */
+  /** Write a bucketed+sorted managed table. The repartition on the bucket
+    * key yields exactly one file per bucket — without it each writer task
+    * emits a file per bucket (tasks×buckets small files). Co-bucketed joins
+    * then plan with NO shuffle Exchange; the read-side Sort remains unless
+    * spark.sql.legacy.bucketedTableScan.outputOrdering is enabled (Spark
+    * >=3.0 ignores bucket sort metadata by default). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       key: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
-
-  def readPartitioned(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
 }

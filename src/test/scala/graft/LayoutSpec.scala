@@ -2,26 +2,21 @@ package graft
 
 import java.nio.file.Files
 import graft.sources.Layout
-import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
 /** Storage-layout gates: partition pruning on partitioned writes and
   * shuffle-free joins between co-bucketed tables — the two layout choices
   * that carry the 100 TB design (see Layout scaladoc). */
 class LayoutSpec extends SparkSpec {
-  private def explain(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("partitioned write enables partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     Layout.writePartitioned(li, dir, "l_returnflag")
-    val back = Layout.readPartitioned(spark, dir)
-      .filter(col("l_returnflag") === "R")
+    val back = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
     val p = explain(back)
-    assert(p.contains("PartitionFilters"), p)
-    assert(p.matches("(?s).*PartitionFilters: \\[.*l_returnflag.*\\].*"), p)
-    // pruned read returns exactly the R rows
+    // non-greedy within the bracket so an empty PartitionFilters: [] fails
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*l_returnflag[^\\]]*\\].*"), p)
     assert(back.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
@@ -47,6 +42,10 @@ class LayoutSpec extends SparkSpec {
         col("l_orderkey") === col("o_orderkey"))
     val p = explain(joined)
     assert(!p.contains("Exchange"), p)
+    // Sort nodes remain: Spark >=3.0 ignores bucket sort metadata unless
+    // spark.sql.legacy.bucketedTableScan.outputOrdering is set; the win
+    // that matters (and that we pin) is the missing shuffle Exchange.
+    assert(p.contains("SortMergeJoin"), p)
     assert(joined.count() === li.count())
   }
 }

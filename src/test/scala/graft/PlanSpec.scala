@@ -11,20 +11,17 @@ import org.apache.spark.sql.execution.ExplainMode
 class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(df: DataFrame): String =
-    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf)
 
   test("half-open range filter is pushed down to the parquet scan") {
-    val p = plan(q("p8_halfopen"))
+    val p = explain(q("p8_halfopen"))
     assert(p.contains("PushedFilters"), p)
     assert(p.matches("(?s).*PushedFilters:.*l_shipdate.*"), p)
   }
 
   test("projection prunes the parquet read schema") {
-    val p = plan(q("p1_project"))
+    val p = explain(q("p1_project"))
     // customer has 5 columns; only the 3 projected ones may be read
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(readSchema.contains("c_custkey"))
@@ -33,28 +30,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("star join broadcasts the small dimensions") {
-    val p = plan(q("j2_star"))
+    val p = explain(q("j2_star"))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("semi/anti joins plan as left-semi / left-anti hash joins") {
-    assert(plan(q("j9_semi")).contains("LeftSemi"))
-    assert(plan(q("j10_anti")).contains("LeftAnti"))
+    assert(explain(q("j9_semi")).contains("LeftSemi"))
+    assert(explain(q("j10_anti")).contains("LeftAnti"))
   }
 
   test("global aggregate is partial+final (map-side combine)") {
-    val p = plan(q("a1_global_agg"))
+    val p = explain(q("a1_global_agg"))
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
-    val p = plan(q("o2_topk"))
+    val p = explain(q("o2_topk"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("custom cosine expression participates in whole-stage codegen") {
-    assert(plan(q("x_ann_bruteforce")).contains("cosine_similarity"))
+    assert(explain(q("x_ann_bruteforce")).contains("cosine_similarity"))
     // prove doGenCode is used: the generated java contains our fused loop
     import graft.functions.VectorFunctions.cosineSim
     import org.apache.spark.sql.functions._
@@ -68,7 +65,7 @@ class PlanSpec extends SparkSpec {
 
   test("fact loads in the star ETL are all broadcast joins") {
     val facts = graft.model.Star.buildFacts(spark, graft.model.Star.buildDims(spark))
-    val p = plan(facts.factClaimsLine)
+    val p = explain(facts.factClaimsLine)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }

@@ -7,6 +7,11 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local SparkSession for all suites. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Formatted physical-plan string (shared by the plan-gate suites). */
+  def explain(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 }
 
 object SparkSpec {
