@@ -57,7 +57,10 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
-      .cache() // self-joined below — avoid recomputing 64-perm signatures
+      // Self-joined below — avoids recomputing 64-perm signatures. Held for
+      // the session (can't unpersist a lazy result); bounded at 16 ints/doc,
+      // and the cache manager dedupes identical plans across re-runs.
+      .cache()
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -175,7 +178,9 @@ object Dedup {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("band_idx"), col("band_val"))))
         .filter(col("bucket_n") <= maxBucket)
-        .cache() // banded self-join below; also bounds degenerate buckets
+        // Banded self-join below; also bounds degenerate buckets. Session-
+        // lifetime cache, bounded at 4 longs/doc (see minhash note above).
+        .cache()
       banded.as("a")
         .join(banded.as("b"),
           col("a.band_idx") === col("b.band_idx")

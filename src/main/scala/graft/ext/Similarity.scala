@@ -14,8 +14,9 @@ import graft.functions.VectorFunctions.cosineSim
   *    expression (a fused one-pass loop; the interpreted zip_with/aggregate
   *    formulation was 5-10× slower); query side is broadcast so the big
   *    side never shuffles.
-  *  - LSH: random-hyperplane signatures (planes derived from murmur3, so
-  *    fully deterministic with no driver-side RNG state) → bucket join →
+  *  - LSH: random-hyperplane signatures (planes from a fixed-seed PRNG,
+  *    baked into the plan as literals so every executor sees the same
+  *    constants) → bucket join →
   *    exact rerank inside the bucket. At 100 TB the bucket join replaces
   *    the O(N·Q) nested loop with a shuffle on bucket ids; recall is tuned
   *    by plane count + multi-probe (flip-1-bit probing implemented below).

@@ -20,10 +20,10 @@ object CentroidAggregator {
 
       override def reduce(b: Buf, v: Array[Float]): Buf = {
         if (b.sums.length == 0) b.sums = new Array[Double](v.length)
+        require(v.length == b.sums.length,
+          s"ragged embedding dims: ${v.length} vs ${b.sums.length}")
         var i = 0
-        while (i < v.length && i < b.sums.length) {
-          b.sums(i) += v(i); i += 1
-        }
+        while (i < v.length) { b.sums(i) += v(i); i += 1 }
         b.n += 1
         b
       }
@@ -32,6 +32,8 @@ object CentroidAggregator {
         if (a.sums.length == 0) b
         else if (b.sums.length == 0) a
         else {
+          require(a.sums.length == b.sums.length,
+            s"ragged embedding dims: ${a.sums.length} vs ${b.sums.length}")
           var i = 0
           while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
           a.n += b.n

@@ -19,17 +19,10 @@ object Snowflake {
       dimLocation: DataFrame, dimSpecialty: DataFrame,
       bridgeProviderSpecialty: DataFrame)
 
-  private def withSk(df: DataFrame, skName: String, orderCol: String,
-      unknown: DataFrame): DataFrame = {
-    val numbered = df.withColumn(skName,
-      row_number().over(Window.orderBy(col(orderCol))))
-    unknown.unionByName(numbered.select(unknown.columns.map(col): _*))
-  }
-
   def buildDims(s: SparkSession, star: Star.Dims): SnowDims = {
     import s.implicits._
 
-    val dimPayer = withSk(
+    val dimPayer = Sk.withSk(
       Fixtures.payer(s).select($"PayerID", $"PayerName", $"PayerType"),
       "PayerSK", "PayerID",
       Seq((0, -1, "Unknown Payer", "Unknown"))
@@ -37,7 +30,7 @@ object Snowflake {
 
     // Normalized DimPlan: PayerSK lookup instead of denormalized payer cols
     // (SnowflakeSchemaForHealthcare.sql:226-230).
-    val dimPlan = withSk(
+    val dimPlan = Sk.withSk(
       Fixtures.insuranceplan(s).as("p")
         .join(broadcast(dimPayer).as("dpy"), $"dpy.PayerID" === $"p.PayerID")
         .select($"p.PlanID", $"p.PlanName", $"p.PlanType", $"dpy.PayerSK"),
@@ -45,14 +38,14 @@ object Snowflake {
       Seq((0, -1, "Unknown Plan", "Unknown", 0))
         .toDF("PlanSK", "PlanID", "PlanName", "PlanType", "PayerSK"))
 
-    val dimOrg = withSk(
+    val dimOrg = Sk.withSk(
       Fixtures.organization(s).select($"OrgID", $"OrgName", $"TaxID"),
       "OrgSK", "OrgID",
       Seq((0, -1, "Unknown Org", null: String))
         .toDF("OrgSK", "OrgID", "OrgName", "TaxID"))
 
     // DimLocation: OrgSK lookup (SnowflakeSchemaForHealthcare.sql:238-242).
-    val dimLocation = withSk(
+    val dimLocation = Sk.withSk(
       Fixtures.location(s).as("l")
         .join(broadcast(dimOrg).as("do"), $"do.OrgID" === $"l.OrgID")
         .select($"l.LocationID", $"do.OrgSK", $"l.LocationName",
@@ -62,7 +55,7 @@ object Snowflake {
         .toDF("LocationSK", "LocationID", "OrgSK", "LocationName",
           "City", "State", "Zip"))
 
-    val dimSpecialty = withSk(
+    val dimSpecialty = Sk.withSk(
       Fixtures.specialty(s).select($"SpecialtyCode", $"SpecialtyName"),
       "SpecialtySK", "SpecialtyCode",
       Seq((0, "UNK", "Unknown Specialty"))

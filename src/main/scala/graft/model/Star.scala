@@ -29,14 +29,6 @@ object Star {
       .otherwise(year(c) * 10000 + month(c) * 100 + dayofmonth(c))
       .cast("int")
 
-  /** Assign 1..n surrogate keys in natural-key order after an SK=0 Unknown row. */
-  private def withSk(df: DataFrame, skName: String, orderCol: String,
-      unknown: DataFrame): DataFrame = {
-    val numbered = df.withColumn(skName,
-      row_number().over(Window.orderBy(col(orderCol))))
-    unknown.unionByName(numbered.select(unknown.columns.map(col): _*))
-  }
-
   case class Dims(
       dimDate: DataFrame, dimMember: DataFrame, dimPlan: DataFrame,
       dimProvider: DataFrame, dimDiagnosis: DataFrame, dimProcedure: DataFrame,
@@ -73,14 +65,14 @@ object Star {
         year($"Date").as("Year"), month($"Date").as("Month"),
         dayofmonth($"Date").as("Day"))
 
-    val dimMember = withSk(
+    val dimMember = Sk.withSk(
       Fixtures.member(s),
       "MemberSK", "MemberID",
       Seq((0, -1, "UNK", "Unknown", "Member", null: java.sql.Date, null: String))
         .toDF("MemberSK", "MemberID", "MemberBK", "FirstName", "LastName",
           "DOB", "Gender"))
 
-    val dimPlan = withSk(
+    val dimPlan = Sk.withSk(
       Fixtures.insuranceplan(s).as("p")
         .join(Fixtures.payer(s).as("py"), $"p.PayerID" === $"py.PayerID")
         .select($"p.PlanID", $"p.PlanName", $"p.PlanType",
@@ -90,30 +82,30 @@ object Star {
         .toDF("PlanSK", "PlanID", "PlanName", "PlanType", "PayerID",
           "PayerName", "PayerType"))
 
-    val dimProvider = withSk(
+    val dimProvider = Sk.withSk(
       Fixtures.provider(s).select($"NPI", $"ProviderName", $"ProviderType"),
       "ProviderSK", "NPI",
       Seq((0, "0000000000", "Unknown Provider", "Unknown"))
         .toDF("ProviderSK", "NPI", "ProviderName", "ProviderType"))
 
-    val dimDiagnosis = withSk(
+    val dimDiagnosis = Sk.withSk(
       Fixtures.ref_icd10(s),
       "DiagnosisSK", "ICD10Code",
       Seq((0, "UNK", "Unknown Diagnosis", null: String, null: String))
         .toDF("DiagnosisSK", "ICD10Code", "ShortDesc", "Chapter", "Category"))
 
-    val dimProcedure = withSk(
+    val dimProcedure = Sk.withSk(
       Fixtures.ref_cpt_hcpcs(s),
       "ProcedureSK", "CPTCode",
       Seq((0, "UNK", "Unknown Procedure", null: String))
         .toDF("ProcedureSK", "CPTCode", "ShortDesc", "Category"))
 
-    val dimPOS = withSk(
+    val dimPOS = Sk.withSk(
       Fixtures.ref_pos(s),
       "POSSK", "POSCode",
       Seq((0, "000", "Unknown POS")).toDF("POSSK", "POSCode", "POSDescription"))
 
-    val dimQualityMeasure = withSk(
+    val dimQualityMeasure = Sk.withSk(
       Fixtures.ref_qualitymeasure(s),
       "MeasureSK", "MeasureID",
       Seq((0, "UNK", "Unknown Measure", "Unknown"))

@@ -36,10 +36,12 @@ object StreamingEvents {
       count(lit(1)).as("event_cnt"))
     .select(col("win.start").as("win_start"), col("approx_users"), col("event_cnt"))
 
-  /** Streaming dedup on event_id within the watermark horizon. */
+  /** Streaming dedup within the watermark horizon. The event-time column
+    * must be part of the key set or Spark never evicts dedup state (the
+    * id-only form grows the state store unboundedly). */
   def dedupEvents(events: DataFrame): DataFrame = events
     .withWatermark("ts", "2 hours")
-    .dropDuplicates("event_id")
+    .dropDuplicates("event_id", "ts")
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -86,9 +88,19 @@ object StreamingEvents {
   }
 
   /** Wire a parquet-directory stream source with the events schema —
-    * the production entry (`readStream` → transform → `writeStream`). */
+    * the production entry (`readStream` → transform → `writeStream`).
+    * The raw parquet ts is TIMESTAMP(NANOS), which Spark only reads as a
+    * long (legacy conf) — the stream must declare the RAW schema and apply
+    * the same nanos→micros transform as the batch loader, or the first
+    * micro-batch dies on schema conversion. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(s, dir).schema
-    s.readStream.schema(schema).parquet(dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory to watch; glob-filter to the
+    // events file so sibling tables' parquet never enters the stream.
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -81,9 +81,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("file-source stream wiring reads the events schema") {
+  test("file-source stream actually processes the events parquet end-to-end") {
     val src = StreamingEvents.readEventStream(spark, "/root/testdata/sf0.001")
     assert(src.isStreaming)
-    assert(src.schema.fieldNames.contains("event_type"))
+    val q = StreamingEvents.hourlyRollup(src)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_hourly").count()
+      assert(n > 0, "no micro-batch output from the parquet stream source")
+    } finally q.stop()
   }
 }
