@@ -92,6 +92,48 @@ object Multimodal {
     }
   }
 
+  /** One decoded frame sampled from a video payload. */
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_ms: Long,
+      payload: Array[Byte])
+
+  object Transforms {
+    import MultimodalPipeline._
+
+    /** Image resize stage. The resample itself is the STUB (payload kept,
+      * deterministic); the real part is the metadata contract: target dims
+      * recorded, aspect handling decided here, non-images passed through. */
+    def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+      import ds.sparkSession.implicits._
+      ds.map { r =>
+        if (r.kind == "image")
+          // real impl: decode → resample to (w, h) → re-encode payload
+          r.copy(width = Some(w), height = Some(h))
+        else r
+      }
+    }
+
+    /** Video frame sampling: one row per sampled frame every `everyMs` of
+      * duration (row-expanding, like mapInPandas yielding multiple rows).
+      * Frame payloads are deterministic byte slices standing in for the
+      * decoded frames; emitted WITHOUT the source payload so the expansion
+      * never amplifies raw video bytes through the shuffle. */
+    def sampleFrames(ds: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[FrameRow] = {
+      import ds.sparkSession.implicits._
+      ds.filter(_.kind == "video").flatMap { r =>
+        val dur = r.duration_ms.getOrElse(0L)
+        val n = math.min((dur / everyMs).toInt + 1, 8)
+        (0 until n).iterator.map { i =>
+          // real impl: codec seek + decode at t = i*everyMs
+          val start = if (r.payload.length == 0) 0
+            else (i * everyMs % math.max(r.payload.length, 1)).toInt
+          val len = math.min(16, r.payload.length - start)
+          FrameRow(r.media_id, i, i * everyMs,
+            r.payload.slice(start, start + math.max(len, 0)))
+        }
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // End-to-end: documents → typed media rows → batched stub decode →
     // per-kind feature aggregates (payloads never cross a shuffle).
@@ -102,6 +144,22 @@ object Multimodal {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 2), 6).as("f1"))
+        .orderBy("media_id")
+    }),
+
+    // Full pipeline: resize images, frame-sample videos, decode features
+    // for every sampled frame, aggregate per media row.
+    "x_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = MultimodalPipeline.fromDocuments(s, d)
+      val frames = Transforms.sampleFrames(Transforms.resize(media, 224, 224))
+      frames.map { f =>
+        (f.media_id, f.frame_idx,
+          MultimodalPipeline.decodeStub(f.payload, "video").sum)
+      }.toDF("media_id", "frame_idx", "feat_sum")
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("frame_cnt"),
+          round(sum(col("feat_sum")), 6).as("feat_total"))
         .orderBy("media_id")
     })
   )

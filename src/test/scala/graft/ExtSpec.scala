@@ -95,6 +95,26 @@ class ExtSpec extends SparkSpec {
     assert(kinds === Set("image", "audio", "video"))
   }
 
+  test("multimodal transforms: resize only touches images; frame sampling expands videos") {
+    import spark.implicits._
+    val media = Multimodal.MultimodalPipeline.fromDocuments(spark, sf)
+    val resized = Multimodal.Transforms.resize(media, 224, 224)
+    resized.collect().foreach { r =>
+      if (r.kind == "image") assert(r.width.contains(224) && r.height.contains(224))
+      else assert(!r.width.contains(224) || r.kind == "video")
+    }
+    val frames = Multimodal.Transforms.sampleFrames(resized)
+    val perVideo = frames.groupByKey(_.media_id).count().collect().toMap
+    val videos = media.filter(_.kind == "video").count()
+    assert(perVideo.size === videos)
+    assert(perVideo.values.forall(n => n >= 1 && n <= 8))
+    // deterministic across runs
+    val again = Multimodal.Transforms.sampleFrames(resized)
+      .collect().map(f => (f.media_id, f.frame_idx, f.payload.toSeq)).sortBy(x => (x._1, x._2))
+    val first = frames.collect().map(f => (f.media_id, f.frame_idx, f.payload.toSeq)).sortBy(x => (x._1, x._2))
+    assert(again.toSeq === first.toSeq)
+  }
+
   test("multimodal decode stub: feature vector has fixed dim and bounded values") {
     val f = Multimodal.MultimodalPipeline.decodeStub("hello world".getBytes, "image")
     assert(f.length === Multimodal.MultimodalPipeline.featureDim)
