@@ -350,6 +350,36 @@ object Relational {
         (sum(col("lag_days")).cast("double") / count(lit(1))).as("avg_lag_days"))
       .orderBy("o_orderpriority")),
 
+    // J11 NOT-EXISTS dedupe-on-insert: append only the 1996 customers not
+    // already in the 1995 "target" (the reference's incremental dim-load
+    // shape, StarSchemaForHealthcare.sql:177-180).
+    "j11_insert_dedupe" -> ((s, d) => {
+      val target = activeCustkeys(s, d, "1995")
+      val incoming = activeCustkeys(s, d, "1996")
+      target.select(col("custkey"), lit("existing").as("src"))
+        .union(incoming.join(target, Seq("custkey"), "left_anti")
+          .select(col("custkey"), lit("inserted").as("src")))
+        .orderBy("custkey")
+    }),
+
+    // F: string expressions [EXT] (absent from the reference beyond LIKE).
+    "f8_string_funcs" -> ((s, d) => supplier(s, d)
+      .select(col("s_suppkey"),
+        upper(col("s_name")).as("name_upper"),
+        substring(col("s_name"), 1, 8).as("name_prefix"),
+        concat_ws("-", col("s_name"), col("s_nationkey")).as("name_key"),
+        length(col("s_name")).as("name_len"))
+      .orderBy("s_suppkey")),
+
+    // F9 exact-decimal money path: cast to DECIMAL(12,2) before summing —
+    // the reference's currency discipline (SURVEY §1.2); Spark widens the
+    // sum to DECIMAL(22,2), pinned to (38,2) on both engines.
+    "f9_decimal_money" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)").as("total_price"))
+      .orderBy("l_returnflag")),
+
     // ---- D: DML-equivalents as recompute (SURVEY §2.9) ----
     // D2 DELETE…JOIN → anti-join filter (drop lines of 'F'-status orders).
     "d2_delete_anti" -> ((s, d) => {
@@ -588,6 +618,31 @@ object Relational {
         |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j11_insert_dedupe" ->
+      """WITH target AS (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |), incoming AS (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |)
+        |SELECT custkey, src FROM (
+        |  SELECT custkey, 'existing' AS src FROM target
+        |  UNION ALL
+        |  SELECT custkey, 'inserted' AS src FROM incoming
+        |  WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.custkey = incoming.custkey)
+        |) ORDER BY custkey""".stripMargin,
+    "f8_string_funcs" ->
+      """SELECT s_suppkey, upper(s_name) AS name_upper,
+        |  substring(s_name, 1, 8) AS name_prefix,
+        |  concat_ws('-', s_name, s_nationkey) AS name_key,
+        |  CAST(length(s_name) AS INT) AS name_len
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "f9_decimal_money" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |    AS total_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "d2_delete_anti" ->
       """SELECT l_returnflag, count(*) AS remaining_cnt FROM lineitem
         |WHERE NOT EXISTS (SELECT 1 FROM orders
