@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.Events.queries ++
       graft.queries.Advanced.queries ++
+      graft.queries.TpchLike.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Similarity.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.queries.Windows.oracle ++
       graft.queries.Events.oracle ++
       graft.queries.Advanced.oracle ++
+      graft.queries.TpchLike.oracle ++
       graft.ext.Dedup.oracle ++
       graft.ext.TextAnalysis.oracle ++
       graft.ext.Similarity.oracle ++

@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(gen.contains("Math.sqrt"), gen.take(2000))
   }
 
+  test("tpch q5 six-table star: hash joins only, region filter pushed down") {
+    val p = explain(q("tpch_q5"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.matches("(?s).*PushedFilters:.*r_name.*"), p)
+  }
+
   test("fact loads in the star ETL are all broadcast joins") {
     val facts = graft.model.Star.buildFacts(spark, graft.model.Star.buildDims(spark))
     val p = explain(facts.factClaimsLine)
