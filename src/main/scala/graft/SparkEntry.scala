@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Advanced.queries ++
       graft.queries.TpchLike.queries ++
+      graft.queries.Extras.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Similarity.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.Events.oracle ++
       graft.queries.Advanced.oracle ++
       graft.queries.TpchLike.oracle ++
+      graft.queries.Extras.oracle ++
       graft.ext.Dedup.oracle ++
       graft.ext.TextAnalysis.oracle ++
       graft.ext.Similarity.oracle ++
