@@ -74,6 +74,66 @@ object Analytics {
       .orderBy($"MemberID")
   }
 
+  /** "Tasks & interventions completed per care manager"
+    * (CareManagementCCA.sql:319-326). Both LEFT JOINs fan out per user —
+    * intervention counts multiply by task rows. Replicated, not fixed. */
+  def tasksPerCareManager(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Fixtures.cca_user(s).as("u")
+      .join(Fixtures.caretask(s).as("t"),
+        $"t.AssignedUserID" === $"u.UserID", "left")
+      .join(Fixtures.intervention(s).as("i"), $"i.UserID" === $"u.UserID", "left")
+      .groupBy($"u.UserName")
+      .agg(sum(when($"t.Status" === "Done", 1).otherwise(0)).as("TasksDone"),
+        count($"i.InterventionID").as("InterventionsCount"))
+      .orderBy($"UserName")
+  }
+
+  /** "Provider in/out network by month & plan" (ProviderNetwork.sql:274-283). */
+  def providerNetworkByMonth(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Fixtures.provider(s).as("p")
+      .join(Fixtures.providerlocation(s).as("plm"),
+        $"plm.ProviderID" === $"p.ProviderID", "left")
+      .join(Fixtures.location(s).as("pl"),
+        $"pl.LocationID" === $"plm.LocationID", "left")
+      .join(Fixtures.networkstatus(s).as("ns"),
+        $"ns.ProviderID" === $"p.ProviderID", "left")
+      .select($"p.ProviderName", $"p.NPI", $"pl.LocationName",
+        $"ns.PlanID", $"ns.Yyyymm", $"ns.Status")
+      .orderBy($"ProviderName", $"Yyyymm")
+  }
+
+  /** "Which orgs/providers have contracts per plan" (ProviderNetwork.sql:286-293). */
+  def contractsPerPlan(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Fixtures.contract(s).as("c")
+      .join(Fixtures.insuranceplan(s).as("plans"),
+        $"plans.PlanID" === $"c.PlanID", "left")
+      .join(Fixtures.organization(s).as("org"), $"org.OrgID" === $"c.OrgID", "left")
+      .join(Fixtures.provider(s).as("prov"),
+        $"prov.ProviderID" === $"c.ProviderID", "left")
+      .select($"plans.PlanName", $"c.ContractName", $"c.ContractScope",
+        $"org.OrgName", $"prov.ProviderName", $"c.EffectiveDate", $"c.EndDate")
+      .orderBy($"PlanName", $"ContractName")
+  }
+
+  /** [EXT] Point-in-time coverage lookup over CoveragePeriod's open-ended
+    * intervals (StartDate..EndDate, NULL = still open) — the as-of shape
+    * SURVEY §2.3 flags as the natural extension the reference stores data
+    * for but never queries. */
+  def coverageAsOf(s: SparkSession, asOf: String): DataFrame = {
+    import s.implicits._
+    Fixtures.coverageperiod(s).as("cp")
+      .filter($"cp.StartDate" <= lit(asOf)
+        && coalesce($"cp.EndDate", lit("9999-12-31").cast("date")) >= lit(asOf))
+      .join(broadcast(Fixtures.member(s).as("m")), $"m.MemberID" === $"cp.MemberID")
+      .join(broadcast(Fixtures.insuranceplan(s).as("p")), $"p.PlanID" === $"cp.PlanID")
+      .select($"m.MemberID", $"m.FirstName", $"m.LastName", $"p.PlanName",
+        $"cp.StartDate", $"cp.EndDate")
+      .orderBy($"MemberID", $"PlanName")
+  }
+
   /** "Encounters summary with LOS" (Claims & Encounters.sql:395-401). */
   def encounterSummary(s: SparkSession): DataFrame = {
     import s.implicits._

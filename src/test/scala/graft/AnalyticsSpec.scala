@@ -44,6 +44,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.forall(r => Set(0, 1).contains(r.getAs[Int]("A1cGapClosed"))))
   }
 
+  test("tasks per care manager: one row per user, fan-out preserved") {
+    val rows = Analytics.tasksPerCareManager(spark).collect()
+    assert(rows.length === 6)
+    // fan-out: intervention count sums exceed the raw 19 interventions
+    assert(rows.map(_.getAs[Long]("InterventionsCount")).sum >= 19)
+  }
+
+  test("provider network by month covers all providers") {
+    val df = Analytics.providerNetworkByMonth(spark)
+    assert(df.select("NPI").distinct().count() === 12)
+  }
+
+  test("contracts per plan lists all 5 contracts") {
+    assert(Analytics.contractsPerPlan(spark).count() === 5)
+  }
+
+  test("coverage as-of: open-ended periods match, ended ones respect EndDate") {
+    val active = Analytics.coverageAsOf(spark, "2025-03-15").collect()
+    assert(active.nonEmpty)
+    active.foreach { r =>
+      val end = r.getAs[java.sql.Date]("EndDate")
+      assert(end == null || !end.before(java.sql.Date.valueOf("2025-03-15")))
+    }
+    // far future: only NULL-ended (still open) coverage remains
+    val future = Analytics.coverageAsOf(spark, "2030-01-01").collect()
+    assert(future.forall(_.getAs[java.sql.Date]("EndDate") == null))
+  }
+
   test("encounter summary has LOS only for admitted encounters") {
     val rows = Analytics.encounterSummary(spark).collect()
     assert(rows.length === 10)

@@ -13,15 +13,32 @@ class StarEtlSpec extends SparkSpec {
 
   test("source fixture row counts match reference seed data") {
     val expected = Map(
+      // s1_elig
       "member" -> 12L, "payer" -> 3L, "insuranceplan" -> 5L,
-      "enrollment" -> 36L, "claimheader" -> 10L, "claimline" -> 17L,
+      "enrollment" -> 36L, "memberaddress" -> 12L, "membercontact" -> 12L,
+      "coverageperiod" -> 13L, "dualstatus" -> 2L, "subsidylis" -> 3L,
+      "memberlanguagepref" -> 12L,
+      // s2_claims
+      "placeofservice" -> 6L, "claimheader" -> 10L, "claimline" -> 17L,
       "claimdiagnosis" -> 11L, "claimprocedure" -> 17L, "claimpayment" -> 17L,
-      "encounter" -> 10L, "encounterdiagnosis" -> 10L,
-      "encounterprocedure" -> 11L, "caregap" -> 16L, "careplan" -> 9L,
-      "intervention" -> 19L, "provider" -> 12L, "organization" -> 5L,
-      "location" -> 8L, "specialty" -> 6L, "providerspecialty" -> 13L,
-      "contract" -> 5L, "contractrate" -> 11L, "ref_icd10" -> 11L,
-      "ref_cpt_hcpcs" -> 13L, "ref_pos" -> 6L, "ref_qualitymeasure" -> 6L)
+      "claimadjustment" -> 5L, "encounter" -> 10L, "encounterdiagnosis" -> 10L,
+      "encounterprocedure" -> 11L,
+      // s3_cca
+      "qualitymeasure" -> 6L, "cca_user" -> 6L, "careprogram" -> 3L,
+      "caregoal" -> 14L, "caretask" -> 23L, "assessment" -> 16L,
+      "riskscore" -> 12L, "caregap" -> 16L, "careplan" -> 9L,
+      "intervention" -> 19L,
+      // s4_provider
+      "provider" -> 12L, "organization" -> 5L, "location" -> 8L,
+      "specialty" -> 6L, "providerspecialty" -> 13L, "providerlocation" -> 15L,
+      "networkstatus" -> 6L, "affiliation" -> 10L, "contract" -> 5L,
+      "contractrate" -> 11L,
+      // s5_ref
+      "ref_icd10" -> 11L, "ref_cpt_hcpcs" -> 13L, "ref_pos" -> 6L,
+      "ref_qualitymeasure" -> 6L, "ref_ndc" -> 5L, "ref_loinc" -> 5L,
+      "ref_benefit" -> 7L, "ref_planbenefit" -> 10L, "ref_geo_zipfips" -> 12L,
+      "ref_adjustmentcode" -> 5L)
+    assert(expected.size === 50) // the reference's full 5 schemas x 10 tables
     Fixtures.registerAll(spark)
     expected.foreach { case (t, n) =>
       assert(spark.table(t).count() === n, s"table $t")

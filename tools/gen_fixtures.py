@@ -22,6 +22,19 @@ SPEC = {
                       [("PayerID","i"),("PlanName","s"),("PlanType","s"),("CoverageLevel","s")]),
     "Enrollment":    ("Members&EligibilitySource.sql", "EnrollmentID",
                       [("MemberID","i"),("PlanID","i"),("EnrollmentMonth","d"),("IsActive","b")]),
+    "MemberAddress": ("Members&EligibilitySource.sql", "AddressID",
+                      [("MemberID","i"),("AddressLine1","s"),("AddressLine2","s"),("City","s"),
+                       ("State","s"),("ZipCode","s")]),
+    "MemberContact": ("Members&EligibilitySource.sql", "ContactID",
+                      [("MemberID","i"),("Phone","s"),("Email","s")]),
+    "CoveragePeriod":("Members&EligibilitySource.sql", "CoverageID",
+                      [("MemberID","i"),("PlanID","i"),("StartDate","d"),("EndDate","d")]),
+    "DualStatus":    ("Members&EligibilitySource.sql", "DualID",
+                      [("MemberID","i"),("StatusCode","s"),("EffectiveDate","d")]),
+    "SubsidyLIS":    ("Members&EligibilitySource.sql", "LISID",
+                      [("MemberID","i"),("SubsidyLevel","s"),("EffectiveDate","d")]),
+    "MemberLanguagePref": ("Members&EligibilitySource.sql", "PrefID",
+                      [("MemberID","i"),("Language","s"),("EffectiveDate","d")]),
     # s2_claims
     "PlaceOfService":("Claims & Encounters.sql", None,
                       [("POSCode","s"),("POSDescription","s")]),
@@ -36,6 +49,9 @@ SPEC = {
     "ClaimProcedure":("Claims & Encounters.sql", None,
                       [("ClaimID","i"),("ClaimLineNo","i"),("ProcSeq","i"),("CPTCode","s"),
                        ("Modifier1","s"),("Modifier2","s")]),
+    "ClaimAdjustment": ("Claims & Encounters.sql", "AdjustmentID",
+                      [("ClaimID","i"),("ClaimLineNo","i"),("AdjGroupCode","s"),("AdjReasonCode","s"),
+                       ("AdjAmount","m"),("RemarkCode","s")]),
     "ClaimPayment":  ("Claims & Encounters.sql", "PaymentID",
                       [("ClaimID","i"),("ClaimLineNo","i"),("AllowedAmount","m"),("PaidAmount","m"),
                        ("PatientLiability","m"),("PaymentDate","d")]),
@@ -49,6 +65,21 @@ SPEC = {
     # s3_cca
     "QualityMeasure":("CareManagementCCA.sql", None,
                       [("MeasureID","s"),("MeasureName","s"),("Owner","s")]),
+    "CCA_User":      ("CareManagementCCA.sql", "UserID",
+                      [("UserName","s"),("Role","s")]),
+    "CareProgram":   ("CareManagementCCA.sql", "ProgramID",
+                      [("ProgramName","s"),("Description","s")]),
+    "CareGoal":      ("CareManagementCCA.sql", "GoalID",
+                      [("CarePlanID","i"),("GoalText","s"),("TargetDate","d"),("Status","s")]),
+    "CareTask":      ("CareManagementCCA.sql", "TaskID",
+                      [("CarePlanID","i"),("GoalID","i"),("TaskText","s"),("DueDate","d"),
+                       ("Status","s"),("AssignedUserID","i")]),
+    "Assessment":    ("CareManagementCCA.sql", "AssessmentID",
+                      [("MemberID","i"),("ProgramID","i"),("AssessmentDate","d"),
+                       ("AssessmentType","s"),("Score","u"),("Notes","s")]),
+    "RiskScore":     ("CareManagementCCA.sql", "RiskID",
+                      [("MemberID","i"),("RiskModel","s"),("Score","u"),("RiskTier","s"),
+                       ("EffectiveDate","d")]),
     "CarePlan":      ("CareManagementCCA.sql", "CarePlanID",
                       [("MemberID","i"),("ProgramID","i"),("PlanID","i"),("StartDate","d"),
                        ("EndDate","d"),("Status","s"),("AssignedUserID","i")]),
@@ -70,6 +101,12 @@ SPEC = {
                       [("SpecialtyCode","s"),("SpecialtyName","s")]),
     "ProviderSpecialty": ("ProviderNetwork.sql", None,
                       [("ProviderID","i"),("SpecialtyCode","s")]),
+    "ProviderLocation": ("ProviderNetwork.sql", None,
+                      [("ProviderID","i"),("LocationID","i"),("StartDate","d"),("EndDate","d")]),
+    "NetworkStatus": ("ProviderNetwork.sql", None,
+                      [("ProviderID","i"),("PlanID","i"),("Yyyymm","s"),("Status","s")]),
+    "Affiliation":   ("ProviderNetwork.sql", None,
+                      [("ProviderID","i"),("OrgID","i"),("StartDate","d"),("EndDate","d")]),
     "Contract":      ("ProviderNetwork.sql", "ContractID",
                       [("PayerID","i"),("PlanID","i"),("ContractName","s"),("EffectiveDate","d"),
                        ("EndDate","d"),("ContractScope","s"),("OrgID","i"),("ProviderID","i")]),
@@ -84,6 +121,22 @@ SPEC = {
                       [("POSCode","s"),("POSDescription","s")]),
     "Ref_QualityMeasure": ("ReferenceData.sql", None,
                       [("MeasureID","s"),("MeasureName","s"),("Owner","s")]),
+    "Ref_NDC":       ("ReferenceData.sql", None,
+                      [("NDC","s"),("Generic","s"),("Brand","s"),("Strength","s"),
+                       ("DosageForm","s"),("Route","s")]),
+    "Ref_LOINC":     ("ReferenceData.sql", None,
+                      [("LOINCCode","s"),("Component","s"),("Property","s"),("Scale","s"),
+                       ("Method","s"),("CommonName","s")]),
+    "Ref_Benefit":   ("ReferenceData.sql", "BenefitID",
+                      [("BenefitName","s"),("BenefitType","s")]),
+    "Ref_PlanBenefit": ("ReferenceData.sql", None,
+                      [("PlanID","i"),("BenefitID","i"),("Yyyymm","s"),("Copay","m"),
+                       ("CoinsurancePct","p"),("LimitAmount","m")]),
+    "Ref_Geo_ZipFips": ("ReferenceData.sql", None,
+                      [("Zip","s"),("CountyFIPS","s"),("CountyName","s"),("State","s"),
+                       ("Region","s")]),
+    "Ref_AdjustmentCode": ("ReferenceData.sql", None,
+                      [("GroupCode","s"),("ReasonCode","s"),("Description","s"),("IsRARC","b")]),
 }
 
 def strip_comments(sql):
