@@ -87,6 +87,43 @@ object StreamingEvents {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding hour (the streaming as-of shape). Both sides
+    * carry watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state from both sides — unbounded-state-safe
+    * at 100 TB/day. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Production sink shape: stream → foreachBatch → partitioned parquet via
+    * [[graft.sources.Layout.writePartitioned]] (dynamic partition overwrite
+    * per micro-batch, date-partitioned so downstream scans prune). */
+  def sinkHourlyToPartitionedParquet(rollup: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rollup
+      .withColumn("day", date_format(col("hour"), "yyyy-MM-dd"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Layout.writePartitioned(batch.toDF(), path, "day")
+      }
+      .start()
+
   /** Wire a parquet-directory stream source with the events schema —
     * the production entry (`readStream` → transform → `writeStream`).
     * The raw parquet ts is TIMESTAMP(NANOS), which Spark only reads as a

@@ -81,6 +81,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:30:00"), 1, "purchase", 9.99),
+      Event(3, ts("2024-01-01 08:00:00"), 2, "click", 0.0),
+      Event(4, ts("2024-01-01 10:30:00"), 2, "purchase", 5.0), // click too old
+      Event(5, ts("2024-01-01 10:29:00"), 3, "purchase", 1.0)) // no click
+    val q = StreamingEvents.clickToPurchase(input.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((2L, 1L))) // only user 1's in-window pair survives
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink lands date-partitioned parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-02 11:05:00"), 2, "view", 2.0))
+    val q = StreamingEvents.sinkHourlyToPartitionedParquet(
+      StreamingEvents.hourlyRollup(input.toDF()), s"$dir/out", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.select("day").distinct().count() === 2)
+    assert(new java.io.File(s"$dir/out/day=2024-01-01").exists())
+  }
+
   test("file-source stream actually processes the events parquet end-to-end") {
     val src = StreamingEvents.readEventStream(spark, "/root/testdata/sf0.001")
     assert(src.isStreaming)
