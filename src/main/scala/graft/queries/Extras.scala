@@ -40,6 +40,75 @@ object Extras {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")),
 
+    // Data-quality profile: per-column null counts + distinct cardinality —
+    // the pipeline-health operator every large ingest runs first.
+    "x_dq_profile" -> ((s, d) => {
+      val o = orders(s, d)
+      o.agg(
+        count(lit(1)).as("row_cnt"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_custkey"),
+        sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("null_orderdate"),
+        countDistinct(col("o_custkey")).as("distinct_custkey"),
+        countDistinct(col("o_orderstatus")).as("distinct_status"),
+        min(cents(col("o_totalprice"))).as("min_price_cents"),
+        max(cents(col("o_totalprice"))).as("max_price_cents"))
+    }),
+
+    // Funnel: per user, did a purchase follow the first click? (conversion)
+    "e6_funnel" -> ((s, d) => {
+      val e = events(s, d)
+      val firstClick = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click_ts"))
+      val converted = e.filter(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .filter(col("ts") >= col("first_click_ts"))
+        .select(col("user_id")).distinct()
+        .withColumn("converted", lit(1))
+      firstClick.join(converted, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("converted"), lit(0)).as("converted"))
+        .orderBy("user_id")
+    }),
+
+    // Deterministic sampling by key modulo (reproducible across runs and
+    // engines, unlike rand()-based sampling).
+    "a14_sample_mod" -> ((s, d) => lineitem(s, d)
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("sample_cnt"))
+      .orderBy("l_returnflag")),
+
+    // Multiset set ops (bag semantics).
+    "u5_intersect_all" -> ((s, d) => {
+      val a = lineitem(s, d).select(col("l_suppkey").as("k"))
+        .filter(col("l_returnflag") === "R")
+      val b = lineitem(s, d).select(col("l_suppkey").as("k"))
+        .filter(col("l_returnflag") === "A")
+      a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    }),
+    "u6_except_all" -> ((s, d) => {
+      val a = lineitem(s, d).select(col("l_suppkey").as("k"))
+        .filter(col("l_returnflag") === "R")
+      val b = lineitem(s, d).select(col("l_suppkey").as("k"))
+        .filter(col("l_returnflag") === "A")
+      a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): keys made
+    // nullable via NULLIF so null==null genuinely matches.
+    "j16_nullsafe_eq" -> ((s, d) => {
+      val a = orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("k"))
+      val b = orders(s, d)
+        .select(nullif(col("o_orderstatus"), lit("P")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("status_cnt"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(col("status_cnt"))
+        .agg(count(lit(1)).as("order_cnt"))
+        .orderBy("status_cnt")
+    }),
+
     // Scalar subquery: orders priced above the global average. The average
     // goes through exact cents so both engines compute the same threshold.
     "j15_scalar_subquery" -> ((s, d) => {
@@ -73,6 +142,51 @@ object Extras {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
         |GROUP BY word ORDER BY word""".stripMargin,
+    "x_dq_profile" ->
+      """SELECT count(*) AS row_cnt,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+        |  count(DISTINCT o_custkey) AS distinct_custkey,
+        |  count(DISTINCT o_orderstatus) AS distinct_status,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price_cents,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price_cents
+        |FROM orders""".stripMargin,
+    "e6_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS first_click_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id
+        |), conv AS (
+        |  SELECT DISTINCT e.user_id FROM events e JOIN fc USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click_ts
+        |)
+        |SELECT fc.user_id,
+        |  CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |FROM fc LEFT JOIN conv ON fc.user_id = conv.user_id
+        |ORDER BY fc.user_id""".stripMargin,
+    "a14_sample_mod" ->
+      """SELECT l_returnflag, count(*) AS sample_cnt FROM lineitem
+        |WHERE l_orderkey % 10 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "u5_intersect_all" ->
+      """SELECT k, count(*) AS cnt FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        |) GROUP BY k ORDER BY k""".stripMargin,
+    "u6_except_all" ->
+      """SELECT k, count(*) AS cnt FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        |) GROUP BY k ORDER BY k""".stripMargin,
+    "j16_nullsafe_eq" ->
+      """SELECT status_cnt, count(*) AS order_cnt FROM (
+        |  SELECT a.o_orderkey, b.status_cnt
+        |  FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders) a
+        |  JOIN (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS status_cnt
+        |        FROM orders GROUP BY 1) b
+        |  ON a.k IS NOT DISTINCT FROM b.k)
+        |GROUP BY status_cnt ORDER BY status_cnt""".stripMargin,
     "j15_scalar_subquery" ->
       """SELECT o_orderkey FROM orders
         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > (
