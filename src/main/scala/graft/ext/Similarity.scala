@@ -106,8 +106,11 @@ object Similarity {
         first(col("embedding")).as("embedding"))
     // ...then recompute centroids with the typed Aggregator
     val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
+    // tiny (16 rows) but derived from a full assignment pass — cached so the
+    // two consumers below don't each recompute the Lloyd step
     val centroids = assigned0.groupBy(col("cell"))
       .agg(centroidUdaf(col("embedding")).as("c_vec"))
+      .cache()
     val assigned = all
       .join(broadcast(centroids), col("vec_id") =!= lit(-1))
       .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
