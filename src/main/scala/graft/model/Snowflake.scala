@@ -19,11 +19,15 @@ object Snowflake {
       dimLocation: DataFrame, dimSpecialty: DataFrame,
       bridgeProviderSpecialty: DataFrame)
 
-  def buildDims(s: SparkSession, star: Star.Dims): SnowDims = {
+  def buildDims(s: SparkSession, star: Star.Dims): SnowDims =
+    buildDims(s, star, Sources.fixtures(s))
+
+  def buildDims(s: SparkSession, star: Star.Dims,
+      src: Sources.Sources): SnowDims = {
     import s.implicits._
 
     val dimPayer = Sk.withSk(
-      Fixtures.payer(s).select($"PayerID", $"PayerName", $"PayerType"),
+      src("payer").select($"PayerID", $"PayerName", $"PayerType"),
       "PayerSK", "PayerID",
       Seq((0, -1, "Unknown Payer", "Unknown"))
         .toDF("PayerSK", "PayerID", "PayerName", "PayerType"))
@@ -31,7 +35,7 @@ object Snowflake {
     // Normalized DimPlan: PayerSK lookup instead of denormalized payer cols
     // (SnowflakeSchemaForHealthcare.sql:226-230).
     val dimPlan = Sk.withSk(
-      Fixtures.insuranceplan(s).as("p")
+      src("insuranceplan").as("p")
         .join(broadcast(dimPayer).as("dpy"), $"dpy.PayerID" === $"p.PayerID")
         .select($"p.PlanID", $"p.PlanName", $"p.PlanType", $"dpy.PayerSK"),
       "PlanSK", "PlanID",
@@ -39,14 +43,14 @@ object Snowflake {
         .toDF("PlanSK", "PlanID", "PlanName", "PlanType", "PayerSK"))
 
     val dimOrg = Sk.withSk(
-      Fixtures.organization(s).select($"OrgID", $"OrgName", $"TaxID"),
+      src("organization").select($"OrgID", $"OrgName", $"TaxID"),
       "OrgSK", "OrgID",
       Seq((0, -1, "Unknown Org", null: String))
         .toDF("OrgSK", "OrgID", "OrgName", "TaxID"))
 
     // DimLocation: OrgSK lookup (SnowflakeSchemaForHealthcare.sql:238-242).
     val dimLocation = Sk.withSk(
-      Fixtures.location(s).as("l")
+      src("location").as("l")
         .join(broadcast(dimOrg).as("do"), $"do.OrgID" === $"l.OrgID")
         .select($"l.LocationID", $"do.OrgSK", $"l.LocationName",
           $"l.City", $"l.State", $"l.Zip"),
@@ -56,15 +60,15 @@ object Snowflake {
           "City", "State", "Zip"))
 
     val dimSpecialty = Sk.withSk(
-      Fixtures.specialty(s).select($"SpecialtyCode", $"SpecialtyName"),
+      src("specialty").select($"SpecialtyCode", $"SpecialtyName"),
       "SpecialtySK", "SpecialtyCode",
       Seq((0, "UNK", "Unknown Specialty"))
         .toDF("SpecialtySK", "SpecialtyCode", "SpecialtyName"))
 
     // Bridge: provider NPI → ProviderSK, specialty code → SpecialtySK
     // (4-way join, SnowflakeSchemaForHealthcare.sql:256-265).
-    val bridge = Fixtures.providerspecialty(s).as("ps")
-      .join(Fixtures.provider(s).as("pr"), $"pr.ProviderID" === $"ps.ProviderID")
+    val bridge = src("providerspecialty").as("ps")
+      .join(src("provider").as("pr"), $"pr.ProviderID" === $"ps.ProviderID")
       .join(broadcast(star.dimProvider.select("ProviderSK", "NPI")).as("dpr"),
         $"dpr.NPI" === $"pr.NPI")
       .join(broadcast(dimSpecialty).as("dsp"),

@@ -38,20 +38,22 @@ object Star {
       factClaimsLine: DataFrame, factEncounters: DataFrame,
       factCareGaps: DataFrame, factEligibilityMonthly: DataFrame)
 
-  def buildDims(s: SparkSession): Dims = {
+  def buildDims(s: SparkSession): Dims = buildDims(s, Sources.fixtures(s))
+
+  def buildDims(s: SparkSession, src: Sources.Sources): Dims = {
     import s.implicits._
 
     // DimDate: harvest the 9 date columns that appear in the data
     // (StarSchemaForHealthcare.sql:143-173) + the 1900-01-01 Unknown.
-    val enc = Fixtures.encounter(s)
-    val gap = Fixtures.caregap(s)
+    val enc = src("encounter")
+    val gap = src("caregap")
     val dates = Seq(
-      Fixtures.claimheader(s).select($"ClaimDate".as("d")),
-      Fixtures.claimline(s).select($"ServiceDate".as("d")),
+      src("claimheader").select($"ClaimDate".as("d")),
+      src("claimline").select($"ServiceDate".as("d")),
       enc.select($"EncounterDate".as("d")),
       enc.select($"AdmitDate".as("d")),
       enc.select($"DischargeDate".as("d")),
-      Fixtures.enrollment(s).select($"EnrollmentMonth".as("d")),
+      src("enrollment").select($"EnrollmentMonth".as("d")),
       gap.select($"PeriodStart".as("d")),
       gap.select($"PeriodEnd".as("d")),
       gap.select($"ClosedDate".as("d"))
@@ -66,15 +68,15 @@ object Star {
         dayofmonth($"Date").as("Day"))
 
     val dimMember = Sk.withSk(
-      Fixtures.member(s),
+      src("member"),
       "MemberSK", "MemberID",
       Seq((0, -1, "UNK", "Unknown", "Member", null: java.sql.Date, null: String))
         .toDF("MemberSK", "MemberID", "MemberBK", "FirstName", "LastName",
           "DOB", "Gender"))
 
     val dimPlan = Sk.withSk(
-      Fixtures.insuranceplan(s).as("p")
-        .join(Fixtures.payer(s).as("py"), $"p.PayerID" === $"py.PayerID")
+      src("insuranceplan").as("p")
+        .join(src("payer").as("py"), $"p.PayerID" === $"py.PayerID")
         .select($"p.PlanID", $"p.PlanName", $"p.PlanType",
           $"py.PayerID", $"py.PayerName", $"py.PayerType"),
       "PlanSK", "PlanID",
@@ -83,30 +85,30 @@ object Star {
           "PayerName", "PayerType"))
 
     val dimProvider = Sk.withSk(
-      Fixtures.provider(s).select($"NPI", $"ProviderName", $"ProviderType"),
+      src("provider").select($"NPI", $"ProviderName", $"ProviderType"),
       "ProviderSK", "NPI",
       Seq((0, "0000000000", "Unknown Provider", "Unknown"))
         .toDF("ProviderSK", "NPI", "ProviderName", "ProviderType"))
 
     val dimDiagnosis = Sk.withSk(
-      Fixtures.ref_icd10(s),
+      src("ref_icd10"),
       "DiagnosisSK", "ICD10Code",
       Seq((0, "UNK", "Unknown Diagnosis", null: String, null: String))
         .toDF("DiagnosisSK", "ICD10Code", "ShortDesc", "Chapter", "Category"))
 
     val dimProcedure = Sk.withSk(
-      Fixtures.ref_cpt_hcpcs(s),
+      src("ref_cpt_hcpcs"),
       "ProcedureSK", "CPTCode",
       Seq((0, "UNK", "Unknown Procedure", null: String))
         .toDF("ProcedureSK", "CPTCode", "ShortDesc", "Category"))
 
     val dimPOS = Sk.withSk(
-      Fixtures.ref_pos(s),
+      src("ref_pos"),
       "POSSK", "POSCode",
       Seq((0, "000", "Unknown POS")).toDF("POSSK", "POSCode", "POSDescription"))
 
     val dimQualityMeasure = Sk.withSk(
-      Fixtures.ref_qualitymeasure(s),
+      src("ref_qualitymeasure"),
       "MeasureSK", "MeasureID",
       Seq((0, "UNK", "Unknown Measure", "Unknown"))
         .toDF("MeasureSK", "MeasureID", "MeasureName", "Owner"))
@@ -115,7 +117,10 @@ object Star {
       dimProcedure, dimPOS, dimQualityMeasure)
   }
 
-  def buildFacts(s: SparkSession, dims: Dims): Facts = {
+  def buildFacts(s: SparkSession, dims: Dims): Facts =
+    buildFacts(s, dims, Sources.fixtures(s))
+
+  def buildFacts(s: SparkSession, dims: Dims, src: Sources.Sources): Facts = {
     import s.implicits._
     val dm = broadcast(dims.dimMember.select("MemberSK", "MemberID")).as("dm")
     val dp = broadcast(dims.dimPlan.select("PlanSK", "PlanID")).as("dp")
@@ -127,11 +132,11 @@ object Star {
     val dd = broadcast(dims.dimDate.select("DateSK"))
 
     // 6.1 FactClaimsLine (grain = billed line; first-proc/first-dx lookups)
-    val cl = Fixtures.claimline(s).as("cl")
-    val ch = Fixtures.claimheader(s).as("ch")
-    val pay = Fixtures.claimpayment(s).as("pay")
-    val cp = Fixtures.claimprocedure(s).filter($"ProcSeq" === 1).as("cp")
-    val cd = Fixtures.claimdiagnosis(s).filter($"DxSeq" === 1).as("cd")
+    val cl = src("claimline").as("cl")
+    val ch = src("claimheader").as("ch")
+    val pay = src("claimpayment").as("pay")
+    val cp = src("claimprocedure").filter($"ProcSeq" === 1).as("cp")
+    val cd = src("claimdiagnosis").filter($"DxSeq" === 1).as("cd")
     val factClaimsLine = cl
       .join(ch, $"ch.ClaimID" === $"cl.ClaimID")
       .join(pay, $"pay.ClaimID" === $"cl.ClaimID"
@@ -160,7 +165,7 @@ object Star {
         $"pay.AllowedAmount", $"pay.PaidAmount", $"pay.PatientLiability")
 
     // 6.2 FactEncounters (LOS = DATEDIFF(day, admit, discharge))
-    val e = Fixtures.encounter(s).as("e")
+    val e = src("encounter").as("e")
     val dd1 = dims.dimDate.select($"DateSK".as("EncDateSK"))
     val dd2 = dims.dimDate.select($"DateSK".as("AdmDateSK"))
     val dd3 = dims.dimDate.select($"DateSK".as("DisDateSK"))
@@ -185,7 +190,7 @@ object Star {
         $"e.EncounterID")
 
     // 6.3 FactCareGaps (status → open/closed flags)
-    val cg = Fixtures.caregap(s).as("cg")
+    val cg = src("caregap").as("cg")
     val ds2 = dims.dimDate.select($"DateSK".as("StartDateSK"))
     val de2 = dims.dimDate.select($"DateSK".as("EndDateSK"))
     val factCareGaps = cg
@@ -203,7 +208,7 @@ object Star {
         dateSk($"cg.ClosedDate").as("ClosedDateSK"))
 
     // 6.4 FactEligibilityMonthly
-    val en = Fixtures.enrollment(s).as("en")
+    val en = src("enrollment").as("en")
     val factEligibilityMonthly = en
       .join(dm, $"dm.MemberID" === $"en.MemberID", "left")
       .join(dp, $"dp.PlanID" === $"en.PlanID", "left")

@@ -149,7 +149,8 @@ object Advanced {
         |FROM (
         |  SELECT event_id, user_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY date_trunc('microseconds', ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS last_click_ts
         |  FROM events WHERE event_type IN ('click', 'purchase'))

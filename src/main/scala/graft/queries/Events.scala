@@ -71,10 +71,12 @@ object Events {
         |  count(*) AS event_cnt
         |FROM (
         |  SELECT user_id,
-        |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id
+        |             ORDER BY date_trunc('microseconds', ts), event_id)
         |           IS NULL
         |         OR date_diff('second',
-        |              lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |              lag(ts, 1) OVER (PARTITION BY user_id
+        |                ORDER BY date_trunc('microseconds', ts), event_id),
         |              ts) > 1800
         |         THEN 1 ELSE 0 END AS is_new_session
         |  FROM events)
@@ -82,7 +84,8 @@ object Events {
     "e3_latest_per_user" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC)
         |      AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,

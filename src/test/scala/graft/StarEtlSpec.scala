@@ -114,6 +114,19 @@ class StarEtlSpec extends SparkSpec {
     assert(audit("CareGaps Unknowns") === 0)
   }
 
+  test("same ETL runs off a parquet lake with identical golden counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    graft.model.Sources.writeFixtureLake(spark, dir)
+    val src = graft.model.Sources.parquet(spark, dir)
+    val pDims = Star.buildDims(spark, src)
+    val pFacts = Star.buildFacts(spark, pDims, src)
+    assert(pDims.dimMember.count() === 13)
+    assert(pFacts.factClaimsLine.count() === 17)
+    assert(pFacts.factEligibilityMonthly.count() === 36)
+    val pSnow = Snowflake.buildDims(spark, pDims, src)
+    assert(pSnow.bridgeProviderSpecialty.count() === 13)
+  }
+
   test("row count audit runs over all DW tables") {
     val counts = Audit.rowCounts(Seq(
       "DimMember" -> dims.dimMember, "FactClaimsLine" -> facts.factClaimsLine))
