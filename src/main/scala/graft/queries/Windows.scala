@@ -68,6 +68,43 @@ object Windows {
         .orderBy("c_nationkey", "c_custkey")
     }),
 
+    // lead + first/last value over an explicit full-partition frame.
+    "w7_lead_first_last" -> ((s, d) => {
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(ord).as("next_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_orderkey"),
+          last(col("o_orderkey")).over(full).as("last_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // percent_rank / cume_dist (deterministic: rank arithmetic over ints).
+    "w8_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          percent_rank().over(w).as("bal_pct_rank"),
+          cume_dist().over(w).as("bal_cume_dist"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // explicit NULLS FIRST/LAST ordering over an outer-join-produced null.
+    "o6_nulls_ordering" -> ((s, d) => {
+      val o95 = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(max(cents(col("o_totalprice"))).as("max_cents"))
+      customer(s, d).join(o95, col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"), col("max_cents"))
+        .orderBy(col("max_cents").desc_nulls_last, col("c_custkey"))
+        .limit(50)
+    }),
+
     // ntile quartiles (unique ordering → deterministic tile assignment).
     "w6_ntile" -> ((s, d) => {
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
@@ -111,6 +148,32 @@ object Windows {
         |  CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT)
         |    AS bal_dense_rank
         |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "w7_lead_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  first_value(o_orderkey) OVER wf AS first_orderkey,
+        |  last_value(o_orderkey) OVER wf AS last_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w8_percent_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  percent_rank() OVER w AS bal_pct_rank,
+        |  cume_dist() OVER w AS bal_cume_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "o6_nulls_ordering" ->
+      """SELECT c_custkey, max_cents FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey AS k,
+        |    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+        |  GROUP BY o_custkey) o ON c_custkey = k
+        |ORDER BY max_cents DESC NULLS LAST, c_custkey LIMIT 50""".stripMargin,
     "w6_ntile" ->
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bal_quartile
