@@ -70,6 +70,14 @@ class PlanSpec extends SparkSpec {
     assert(p.matches("(?s).*PushedFilters:.*r_name.*"), p)
   }
 
+  test("as-of join is a window pass, not a join: no join operator, one data shuffle") {
+    val p = explain(q("x_asof_join"))
+    assert(!p.contains("Join"), p) // the range probe is gone entirely
+    // exactly: the per-user window repartition + the final presentation sort
+    val exchangeNodes = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchangeNodes === 2, p)
+  }
+
   test("fact loads in the star ETL are all broadcast joins") {
     val facts = graft.model.Star.buildFacts(spark, graft.model.Star.buildDims(spark))
     val p = explain(facts.factClaimsLine)

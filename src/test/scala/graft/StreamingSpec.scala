@@ -81,6 +81,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign events to every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts("2024-01-01 10:20:00"), 1, "click", 1.0))
+    val q = StreamingEvents.slidingActivity(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      // 1h window sliding every 15min → the event lands in 4 windows
+      assert(spark.table("sliding").count() === 4)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
