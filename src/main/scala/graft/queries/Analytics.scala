@@ -74,6 +74,32 @@ object Analytics {
       .orderBy($"MemberID")
   }
 
+  /** "Claims with member & plan (header level)"
+    * (Claims & Encounters.sql:358-366). */
+  def claimsWithMemberPlan(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Fixtures.claimheader(s).as("ch")
+      .join(broadcast(Fixtures.member(s).as("m")), $"ch.MemberID" === $"m.MemberID")
+      .join(broadcast(Fixtures.insuranceplan(s).as("p")), $"ch.PlanID" === $"p.PlanID")
+      .select($"ch.ClaimID", $"ch.ClaimNumber", $"ch.ClaimDate", $"ch.ClaimStatus",
+        $"m.MemberBK", $"m.FirstName", $"m.LastName",
+        $"p.PlanName", $"p.PlanType", $"ch.POSCode")
+      .orderBy($"ClaimID")
+  }
+
+  /** "Providers used in claims with their names" (ProviderNetwork.sql:246-251):
+    * left join on the natural NPI key — unmatched NPIs surface as nulls. */
+  def providersUsedInClaims(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Fixtures.claimheader(s).as("ch")
+      .join(broadcast(Fixtures.provider(s).as("p")),
+        $"p.NPI" === $"ch.RenderingProviderNPI", "left")
+      .select($"ch.ClaimID", $"ch.ClaimNumber", $"ch.RenderingProviderNPI",
+        $"p.ProviderName", $"p.ProviderType")
+      .distinct()
+      .orderBy($"ClaimID")
+  }
+
   /** "Tasks & interventions completed per care manager"
     * (CareManagementCCA.sql:319-326). Both LEFT JOINs fan out per user —
     * intervention counts multiply by task rows. Replicated, not fixed. */

@@ -44,6 +44,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(df.forall(r => Set(0, 1).contains(r.getAs[Int]("A1cGapClosed"))))
   }
 
+  test("claims with member & plan: one row per claim header") {
+    assert(Analytics.claimsWithMemberPlan(spark).count() === 10)
+  }
+
+  test("providers used in claims resolve by NPI (left join keeps unmatched)") {
+    val rows = Analytics.providersUsedInClaims(spark).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[String]("RenderingProviderNPI") != null))
+  }
+
   test("tasks per care manager: one row per user, fan-out preserved") {
     val rows = Analytics.tasksPerCareManager(spark).collect()
     assert(rows.length === 6)
