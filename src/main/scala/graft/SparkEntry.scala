@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.Advanced.queries ++
       graft.queries.TpchLike.queries ++
       graft.queries.Extras.queries ++
+      graft.queries.Depth.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Similarity.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.Advanced.oracle ++
       graft.queries.TpchLike.oracle ++
       graft.queries.Extras.oracle ++
+      graft.queries.Depth.oracle ++
       graft.ext.Dedup.oracle ++
       graft.ext.TextAnalysis.oracle ++
       graft.ext.Similarity.oracle ++

@@ -237,6 +237,23 @@ object Dedup {
         |      / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // Mirrors the native CosineSimilarity accumulation exactly (see the
+    // x_ann_bruteforce oracle note in Similarity.scala); the Spark side
+    // rounds BEFORE ordering, so the oracle orders by the rounded value too.
+    "x_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT * FROM (SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pr)
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin
   )
 }

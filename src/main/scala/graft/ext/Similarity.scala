@@ -139,6 +139,32 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Not SQL-expressible portably → driver records rows-only checks. */
-  val oracle: Map[String, String] = Map()
+  /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors
+    * the native CosineSimilarity accumulation shape exactly — sequential
+    * float→double products summed in list order, denom = sqrt(nx)*sqrt(ny),
+    * then dot/denom — so the doubles (and hence the ranking and the rounded
+    * output) are bit-identical across engines. The LSH/IVF variants stay
+    * rows-only: their results depend on probe/quantizer internals that a
+    * portable SQL oracle cannot replicate (their recall vs this exact
+    * baseline is asserted in ExtSpec instead). */
+  val oracle: Map[String, String] = Map(
+    "x_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pr AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, CAST(rk AS INT) AS "rank", c_id, round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT q_id, c_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM pr)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  )
 }

@@ -102,13 +102,16 @@ object TextAnalysis {
         .orderBy("doc_id", "rk")
     }),
 
-    // Fingerprinting: winnowing — min rolling-hash over 4-token windows.
+    // Fingerprinting: winnowing — lexicographic-min md5 over 4-token
+    // windows. md5 (not xxhash64) because both engines expose the same
+    // digest, making the winnowed fingerprint oracle-checkable; the digest
+    // choice is irrelevant to the algorithm (any uniform hash works).
     "x_text_fingerprint" -> ((s, d) => documents(s, d)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"), expr(
         """array_min(transform(
           |  sequence(0, greatest(size(tokens) - 4, 0)),
-          |  i -> xxhash64(concat_ws(' ', slice(tokens, i + 1, 4)))))"""
+          |  i -> md5(concat_ws(' ', slice(tokens, i + 1, 4)))))"""
           .stripMargin).as("fingerprint"))
       .orderBy("doc_id"))
   )
@@ -153,6 +156,35 @@ object TextAnalysis {
          |    CAST(len(list_filter(toks, t -> t IN $stopList)) AS INT) AS n_stop,
          |    CAST(len(list_distinct(toks)) AS INT) AS n_uniq
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // Same tie semantics as the Spark greatest-over-struct argmax: highest
+    // score wins; on ties the CASE chain prefers en > de > es > fr (the
+    // struct ordinal). CJK detection overrides; zero markers -> unknown.
+    "x_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','que','de','los'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN has_cjk THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS predicted_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(
+        |    generate_series(0, greatest(len(toks) - 4, 0)),
+        |    i -> md5(array_to_string(toks[i+1:i+4], ' '))), 'min') AS fingerprint
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }
