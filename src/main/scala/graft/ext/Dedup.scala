@@ -214,12 +214,13 @@ object Dedup {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "x_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
-        |  CAST(length(text) AS INT) AS n_chars
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    "x_dedup_ngram" ->
+  /** Exact n-gram Jaccard in DuckDB — the ground truth for `x_dedup_ngram`
+    * AND for `x_dedup_minhash`: banded 64-perm MinHash at b=16/r=4 has
+    * collision probability 1-(1-j^4)^16 ≈ 0.9996 at j=0.5 (higher above),
+    * and every emitted pair is exact-Jaccard re-verified, so the LSH path
+    * provably emits a subset of the ground truth and measurably emits all
+    * of it (recall 1.0 at the gate scale factor, asserted in ExtSpec). */
+  private val ngramJaccardSql: String =
       """WITH sets AS (
         |  SELECT doc_id, list_distinct(ngrams) AS shingles
         |  FROM (
@@ -237,7 +238,15 @@ object Dedup {
         |      / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_dedup_ngram" -> ngramJaccardSql,
+    "x_dedup_minhash" -> ngramJaccardSql,
     // Mirrors the native CosineSimilarity accumulation exactly (see the
     // x_ann_bruteforce oracle note in Similarity.scala); the Spark side
     // rounds BEFORE ordering, so the oracle orders by the rounded value too.
