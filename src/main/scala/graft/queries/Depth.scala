@@ -140,6 +140,39 @@ object Depth {
         .cast("long")).as("revenue_x10000"),
         count(lit(1)).as("line_cnt"))),
 
+    // UNPIVOT (melt): wide per-group metrics back to (group, metric, value)
+    // rows — the inverse of a12_pivot, needed whenever a wide gold table
+    // feeds a long-format consumer.
+    "a18_unpivot" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        min(cents(col("l_extendedprice"))).as("min_price_cents"),
+        max(cents(col("l_extendedprice"))).as("max_price_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_price_cents"), col("min_price_cents"),
+          col("max_price_cents")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")),
+
+    // Correlated LATERAL join: top-2 nations by customer balance per
+    // region — the per-row-subquery shape (TOP-N per outer row) that plain
+    // joins can't express without a window re-shuffle.
+    "j17_lateral" -> ((s, d) => {
+      region(s, d).createOrReplaceTempView("lat_region")
+      nation(s, d).createOrReplaceTempView("lat_nation")
+      customer(s, d).createOrReplaceTempView("lat_customer")
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.bal_cents
+          |FROM lat_region r, LATERAL (
+          |  SELECT n.n_name,
+          |    sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS bal_cents
+          |  FROM lat_nation n JOIN lat_customer c
+          |    ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name ORDER BY bal_cents DESC, n_name LIMIT 2) t
+          |ORDER BY r.r_name, t.bal_cents DESC, t.n_name""".stripMargin)
+    }),
+
     // TPC-H Q12 shape: join + dual conditional counts per class (shipmode
     // column absent from the synthetic schema -> l_returnflag stands in).
     "tpch_q12" -> ((s, d) => lineitem(s, d)
@@ -250,6 +283,29 @@ object Depth {
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "a18_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_cents,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
+        |    max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, metric, value
+        |FROM a UNPIVOT (value FOR metric IN
+        |  (sum_price_cents, min_price_cents, max_price_cents))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "j17_lateral" ->
+      """SELECT r.r_name, t.n_name, t.bal_cents
+        |FROM region r, LATERAL (
+        |  SELECT n.n_name,
+        |    CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS bal_cents
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name ORDER BY bal_cents DESC, n_name LIMIT 2) t
+        |ORDER BY r.r_name, t.bal_cents DESC, t.n_name""".stripMargin,
     "tpch_q12" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
