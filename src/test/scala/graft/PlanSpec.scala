@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("correlated LATERAL decorrelates to WindowGroupLimit, no per-row subquery") {
+    val p = explain(q("j17_lateral"))
+    // Catalyst must rewrite the per-region top-2 subquery into a windowed
+    // group-limit over one join — not a nested-loop re-execution per row
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("merge-upsert full outer join is sort-merge, never nested-loop") {
+    val p = explain(q("d1_merge_upsert"))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // source delta is pre-aggregated map-side before the join
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
   test("cosine_similarity is callable from SQL after registration") {
     // config-time path is spark.sql.extensions=graft.GraftExtensions; the
     // injector itself must populate a SparkSessionExtensions without error
