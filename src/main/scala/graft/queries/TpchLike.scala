@@ -80,6 +80,65 @@ object TpchLike {
         .agg(sum(rev).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // Q7 volume shipping: bidirectional trade between two nations — a
+    // fact-to-fact join chain with two role-playing copies of the nation
+    // dim (supplier side vs customer side), grouped by flow direction+year.
+    "tpch_q7" -> ((s, d) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val n1 = nation(s, d).select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).select(col("n_nationkey").as("c_nkey"),
+        col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1995-01-01")
+          && col("l_shipdate") < ts("1997-01-01"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(rev).as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q14 promo revenue share: conditional-aggregate ratio in one pass.
+    // The ratio is one fixed double expression over two exact cent sums.
+    "tpch_q14" -> ((s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1995-09-01")
+        && col("l_shipdate") < ts("1995-10-01"))
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .otherwise(0L)).as("promo_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        (lit(100.0) * col("promo_cents").cast("double")
+          / col("total_cents").cast("double")).as("promo_pct"))),
+
+    // Q18 large-volume customers: join back against a grouped-HAVING
+    // derived table (the aggregate-then-rejoin shape), top-100 report.
+    "tpch_q18" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+        .filter(col("sum_qty_cents") > 20000L)
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          cents(col("o_totalprice")).as("totalprice_cents"),
+          col("sum_qty_cents"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -131,6 +190,48 @@ object TpchLike {
          |  AND o_orderdate >= TIMESTAMP '1995-10-01'
          |  AND o_orderdate < TIMESTAMP '1996-01-01'
          |GROUP BY c_custkey, c_name, n_name
-         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin
+         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  CAST(sum($revSql) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q14" ->
+      s"""SELECT promo_cents, total_cents,
+         |  100.0 * CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+         |    AS promo_pct
+         |FROM (
+         |  SELECT
+         |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revSql ELSE 0 END)
+         |      AS BIGINT) AS promo_cents,
+         |    CAST(sum($revSql) AS BIGINT) AS total_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+         |    AND l_shipdate < TIMESTAMP '1995-10-01')""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  sum_qty_cents
+        |FROM orders
+        |JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty_cents
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum_qty_cents > 20000) big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin
   )
 }
