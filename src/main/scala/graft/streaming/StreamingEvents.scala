@@ -43,6 +43,15 @@ object StreamingEvents {
     .withWatermark("ts", "2 hours")
     .dropDuplicates("event_id", "ts")
 
+  /** Id-only dedup with watermark-bounded state: catches re-deliveries whose
+    * retransmitted timestamp DIFFERS (at-least-once sources re-stamping on
+    * retry), which the (id, ts) key form misses. State for an id is evicted
+    * once the watermark passes its first-seen event time, so the store stays
+    * bounded without putting ts in the key. */
+  def dedupEventsById(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "2 hours")
+    .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(count: Long, start: Long, lastSeen: Long)

@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded id dedup drops re-deliveries with drifted timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:03:00"), 1, "click", 1.0), // retry, re-stamped
+      Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+    val q = StreamingEvents.dedupEventsById(input.toDF())
+      .writeStream.format("memory").queryName("dedup_id")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // the (id, ts) key form would keep 3 rows; id-only keeps 2
+      assert(spark.table("dedup_id").count() === 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
