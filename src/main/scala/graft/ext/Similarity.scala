@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions.cosineSim
 
-/** [EXT] Approximate-nearest-neighbor search over the embeddings table
-  * (embedding: array<float>, 64-dim).
+/** [EXT] Approximate-nearest-neighbor search over embedding tables
+  * (`(vec_id: long, embedding: array<float>)`, 64-dim in the testdata).
+  *
+  * Public API is DataFrame-in/DataFrame-out (candidates + queries frames);
+  * the `queries` map binds it to the driver testdata.
   *
   *  - brute force: exact cosine top-k — the correctness baseline. Cosine is
   *    the native codegen'd [[org.apache.spark.sql.graft.CosineSimilarity]]
@@ -16,10 +19,10 @@ import graft.functions.VectorFunctions.cosineSim
   *    side never shuffles.
   *  - LSH: random-hyperplane signatures (planes from a fixed-seed PRNG,
   *    baked into the plan as literals so every executor sees the same
-  *    constants) → bucket join →
-  *    exact rerank inside the bucket. At 100 TB the bucket join replaces
-  *    the O(N·Q) nested loop with a shuffle on bucket ids; recall is tuned
-  *    by plane count + multi-probe (flip-1-bit probing implemented below).
+  *    constants) → bucket join → exact rerank inside the bucket. At 100 TB
+  *    the bucket join replaces the O(N·Q) nested loop with a shuffle on
+  *    bucket ids; recall is tuned by plane count + multi-probe
+  *    (flip-1-bit probing implemented below).
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
@@ -36,66 +39,59 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  val queries: Map[String, Q] = Map(
-    // Exact cosine top-5 for the first 10 vectors (the ANN baseline).
-    "x_ann_bruteforce" -> ((s, d) => {
-      val all = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
-      val q = all.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
-      val c = all.select(col("vec_id").as("c_id"), col("embedding").as("v_c"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("c_id"))
-      c.join(broadcast(q), col("q_id") =!= col("c_id"))
-        .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("c_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("q_id", "rank")
-    }),
+  private def topKSelect(joined: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 
-    // LSH-bucketed ANN with flip-1-bit multi-probe, exact rerank in-bucket.
-    "x_ann_lsh" -> ((s, d) => {
-      val all = embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("bucket", bucketCol)
-      val cand = all.select(col("vec_id").as("c_id"), col("embedding").as("v_c"),
-        col("bucket").as("c_bucket"))
-      // query probes: own bucket + each 1-bit flip (7 probes over 6 planes)
-      val q = all.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
-          explode(expr(
-            """array_union(array(bucket),
-              |  transform(sequence(0, 5), p -> int(bucket ^ shiftleft(1, p))))"""
-              .stripMargin)).as("probe"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("c_id"))
+  /** Exact cosine top-k: every (query, candidate) pair scored with the
+    * fused native expression; queries broadcast. O(N·Q) — the baseline
+    * ANN variants are measured against. */
+  def exactTopK(candidates: DataFrame, queryVecs: DataFrame, k: Int = 5): DataFrame = {
+    val q = queryVecs.select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("v_c"))
+    topKSelect(
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
+  }
+
+  /** LSH-bucketed ANN with flip-1-bit multi-probe, exact rerank in-bucket. */
+  def lshTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
+    val all = candidates.withColumn("bucket", bucketCol)
+    val cand = all.select(col("vec_id").as("c_id"), col("embedding").as("v_c"),
+      col("bucket").as("c_bucket"))
+    // query probes: own bucket + each 1-bit flip (7 probes over 6 planes)
+    val q = all.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
+        explode(expr(
+          """array_union(array(bucket),
+            |  transform(sequence(0, 5), p -> int(bucket ^ shiftleft(1, p))))"""
+            .stripMargin)).as("probe"))
+    topKSelect(
       cand.join(broadcast(q),
           col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
         .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
         .select(col("q_id"), col("c_id"), col("cosine"))
-        .dropDuplicates("q_id", "c_id") // same candidate via several probes
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("c_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("q_id", "rank")
-    }),
+        .dropDuplicates("q_id", "c_id"), // same candidate via several probes
+      k)
+  }
 
-    // IVF coarse-quantizer ANN (see ivfTopK).
-    "x_ann_ivf" -> ((s, d) => ivfTopK(s, d))
-  )
-
-  /** IVF (inverted-file) ANN: a 16-cell coarse quantizer — deterministic
-    * seeds (vec_id < 16) refined by one Lloyd assignment step through the
-    * typed [[graft.functions.CentroidAggregator]] (partial+final agg, one
-    * shuffle of 64 doubles per cell) — then queries probe their 2 nearest
-    * cells and rerank exactly inside them. The scale path: assignment is a
-    * broadcast of 16 centroids, search touches ~2/16 of the data. */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val all = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
-    val seeds = all.filter(col("vec_id") < 16)
+  /** IVF (inverted-file) ANN: a `cells`-cell coarse quantizer —
+    * deterministic seeds (vec_id < cells) refined by one Lloyd assignment
+    * step through the typed [[graft.functions.CentroidAggregator]]
+    * (partial+final agg, one shuffle of 64 doubles per cell) — then queries
+    * probe their `probes` nearest cells and rerank exactly inside them. The
+    * scale path: assignment is a broadcast of `cells` centroids, search
+    * touches ~probes/cells of the data. */
+  def ivfTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
+      cells: Int = 16, probes: Int = 2): DataFrame = {
+    val all = candidates
+    val seeds = all.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
     // one Lloyd step: assign every vector to its nearest seed...
     val assigned0 = all
@@ -106,8 +102,8 @@ object Similarity {
         first(col("embedding")).as("embedding"))
     // ...then recompute centroids with the typed Aggregator
     val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
-    // tiny (16 rows) but derived from a full assignment pass — cached so the
-    // two consumers below don't each recompute the Lloyd step
+    // tiny (`cells` rows) but derived from a full assignment pass — cached
+    // so the two consumers below don't each recompute the Lloyd step
     val centroids = assigned0.groupBy(col("cell"))
       .agg(centroidUdaf(col("embedding")).as("c_vec"))
       .cache()
@@ -118,26 +114,37 @@ object Similarity {
       .agg(max_by(col("cell"), struct(col("sim"), col("cell"))).as("cell"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
-    // queries probe their 2 nearest cells
-    val qProbe = all.filter(col("vec_id") < 10)
+    // queries probe their `probes` nearest cells
+    val qProbe = all.filter(queryFilter)
       .join(broadcast(centroids), col("vec_id") =!= lit(-1))
       .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
       .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= probes)
       .select(col("vec_id").as("q_id"), col("embedding").as("v_q"), col("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    assigned.as("a").join(broadcast(qProbe.as("q")),
-        col("q.cell") === col("a.cell"))
-      .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("c_id"),
-        round(col("cosine"), 6).as("cosine"))
-      .orderBy("q_id", "rank")
+    topKSelect(
+      assigned.as("a").join(broadcast(qProbe.as("q")),
+          col("q.cell") === col("a.cell"))
+        .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
+        .filter(col("q_id") =!= col("c_id")), k)
   }
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  val queries: Map[String, Q] = Map(
+    // Exact cosine top-5 for the first 10 vectors (the ANN baseline).
+    "x_ann_bruteforce" -> ((s, d) => {
+      val all = emb(s, d)
+      exactTopK(all, all.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
+    }),
+    // LSH-bucketed ANN with multi-probe.
+    "x_ann_lsh" -> ((s, d) =>
+      lshTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+    // IVF coarse-quantizer ANN.
+    "x_ann_ivf" -> ((s, d) =>
+      ivfTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank"))
+  )
 
   /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors
     * the native CosineSimilarity accumulation shape exactly — sequential

@@ -1,17 +1,19 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** [EXT] Text analysis for training-data pipelines: token counting
   * (whitespace + BPE-ish regex), quality scoring (length / stopword /
   * diversity ratios), language ID (marker-n-gram heuristic), and document
-  * fingerprinting (rolling hash + winnowing).
+  * fingerprinting (winnowing over rolling windows).
   *
-  * Everything is Catalyst built-ins (split / regexp_extract_all / higher-
-  * order array functions) — codegen-friendly, no UDFs, scales linearly in
-  * tokens with zero shuffles (all per-row projections).
+  * Public API is DataFrame-in/DataFrame-out over any frame with
+  * `(doc_id, text)` columns; the `queries` map binds them to the driver
+  * testdata. Everything is Catalyst built-ins (split / regexp_extract_all /
+  * higher-order array functions) — codegen-friendly, no UDFs, scales
+  * linearly in tokens with zero shuffles (all per-row projections).
   */
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
@@ -29,91 +31,97 @@ object TextAnalysis {
     "zh" -> Seq() // handled by CJK codepoint detection below
   )
 
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Token + length statistics (whitespace tokenizer). */
+  def textStats(docs: DataFrame): DataFrame = docs
+    .withColumn("tokens", tokens)
+    .select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(col("tokens")).as("n_tokens"),
+      size(array_distinct(col("tokens"))).as("n_uniq_tokens"),
+      ((length(col("text")) - size(col("tokens")) + 1).cast("double")
+        / size(col("tokens"))).as("avg_token_len"))
+
+  /** BPE-ish regex tokenizer count: letter runs, digit runs, single punct. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .as("n_bpe_tokens"))
+
+  /** Quality scoring: stopword ratio + lexical diversity (type/token). */
+  def qualityScores(docs: DataFrame): DataFrame = docs
+    .withColumn("tokens", tokens)
+    .withColumn("n_tok", size(col("tokens")))
+    .withColumn("n_stop", expr(s"size(filter(tokens, t -> t IN $stopList))"))
+    .withColumn("n_uniq", size(array_distinct(col("tokens"))))
+    .select(col("doc_id"), col("n_tok"), col("n_stop"),
+      (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
+      (col("n_uniq").cast("double") / col("n_tok")).as("type_token_ratio"))
+
+  /** Language ID: CJK codepoint check, else argmax over marker-word hits
+    * (deterministic tie-break by language ordinal). Keeps every input
+    * column needed downstream plus `predicted_lang`. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val scored = Seq("en", "de", "es", "fr").foldLeft(
+      docs.withColumn("tokens", tokens)) {
+      case (df, lang) =>
+        val markers = langMarkers(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(tokens, t -> t IN $markers))"))
+    }
+    val best = Seq("en", "de", "es", "fr")
+      .map(l => struct(col(s"score_$l").as("score"),
+        lit(mapLangOrd(l)).as("ord"), lit(l).as("lang")))
+    scored
+      .withColumn("has_cjk", col("text").rlike("[\\u4e00-\\u9fff]"))
+      .withColumn("best", greatest(best: _*))
+      .withColumn("predicted_lang",
+        when(col("has_cjk"), "zh")
+          .when(col("best.score") === 0, "unknown")
+          .otherwise(col("best.lang")))
+  }
+
+  /** Per-doc top-k most-distinctive terms (lowest corpus document
+    * frequency; tf-idf shape kept in integers so oracles are exact).
+    * Inverted index + two window passes; one shuffle on term. */
+  def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
+    val docFreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    terms.join(docFreq, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("df"))
+  }
+
+  /** Winnowed fingerprint: lexicographic-min md5 over `window`-token
+    * rolling windows. md5 (not xxhash64) so the digest is engine-portable
+    * (oracle-checkable); the choice is irrelevant to the algorithm. */
+  def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = docs
+    .withColumn("tokens", tokens)
+    .select(col("doc_id"), expr(
+      s"""array_min(transform(
+         |  sequence(0, greatest(size(tokens) - $window, 0)),
+         |  i -> md5(concat_ws(' ', slice(tokens, i + 1, $window)))))"""
+        .stripMargin).as("fingerprint"))
+
   val queries: Map[String, Q] = Map(
-    // Token + length statistics (whitespace tokenizer).
-    "x_text_stats" -> ((s, d) => documents(s, d)
-      .withColumn("tokens", split(col("text"), " "))
-      .select(col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(col("tokens")).as("n_tokens"),
-        size(array_distinct(col("tokens"))).as("n_uniq_tokens"),
-        ((length(col("text")) - size(col("tokens")) + 1).cast("double")
-          / size(col("tokens"))).as("avg_token_len"))
+    "x_text_stats" -> ((s, d) => textStats(documents(s, d)).orderBy("doc_id")),
+    "x_text_tokens_bpe" -> ((s, d) =>
+      bpeTokenCounts(documents(s, d)).orderBy("doc_id")),
+    "x_text_quality" -> ((s, d) =>
+      qualityScores(documents(s, d)).orderBy("doc_id")),
+    "x_text_langid" -> ((s, d) => languageId(documents(s, d))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("predicted_lang"))
       .orderBy("doc_id")),
-
-    // BPE-ish regex tokenizer: letter runs, digit runs, single punctuation.
-    "x_text_tokens_bpe" -> ((s, d) => documents(s, d)
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
-          .as("n_bpe_tokens"))
-      .orderBy("doc_id")),
-
-    // Quality scoring: stopword ratio + lexical diversity (type/token ratio).
-    "x_text_quality" -> ((s, d) => documents(s, d)
-      .withColumn("tokens", split(col("text"), " "))
-      .withColumn("n_tok", size(col("tokens")))
-      .withColumn("n_stop", expr(
-        s"size(filter(tokens, t -> t IN $stopList))"))
-      .withColumn("n_uniq", size(array_distinct(col("tokens"))))
-      .select(col("doc_id"), col("n_tok"), col("n_stop"),
-        (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
-        (col("n_uniq").cast("double") / col("n_tok")).as("type_token_ratio"))
-      .orderBy("doc_id")),
-
-    // Language ID: CJK codepoint check, else argmax over marker-word hits.
-    // (Markers are scored deterministically; ties break by language code.)
-    "x_text_langid" -> ((s, d) => {
-      val scored = Seq("en", "de", "es", "fr").foldLeft(
-        documents(s, d).withColumn("tokens", split(col("text"), " "))) {
-        case (df, lang) =>
-          val markers = langMarkers(lang).map(w => s"'$w'").mkString("(", ", ", ")")
-          df.withColumn(s"score_$lang",
-            expr(s"size(filter(tokens, t -> t IN $markers))"))
-      }
-      val best = Seq("en", "de", "es", "fr")
-        .map(l => struct(col(s"score_$l").as("score"),
-          lit(mapLangOrd(l)).as("ord"), lit(l).as("lang")))
-      scored
-        .withColumn("has_cjk", col("text").rlike("[\\u4e00-\\u9fff]"))
-        .withColumn("best", greatest(best: _*))
-        .select(col("doc_id"), col("lang").as("labeled_lang"),
-          when(col("has_cjk"), "zh")
-            .when(col("best.score") === 0, "unknown")
-            .otherwise(col("best.lang")).as("predicted_lang"))
-        .orderBy("doc_id")
-    }),
-
-    // Distinctive terms: per doc, the 3 terms with lowest corpus document
-    // frequency (tf-idf shape kept in integers so the oracle is exact —
-    // no float log). Inverted index + two window passes.
-    "x_text_topterms" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val terms = documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
-          .as("term"))
-      val docFreq = terms.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("term"))
-      terms.join(docFreq, "term")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("term"), col("df"))
-        .orderBy("doc_id", "rk")
-    }),
-
-    // Fingerprinting: winnowing — lexicographic-min md5 over 4-token
-    // windows. md5 (not xxhash64) because both engines expose the same
-    // digest, making the winnowed fingerprint oracle-checkable; the digest
-    // choice is irrelevant to the algorithm (any uniform hash works).
-    "x_text_fingerprint" -> ((s, d) => documents(s, d)
-      .withColumn("tokens", split(col("text"), " "))
-      .select(col("doc_id"), expr(
-        """array_min(transform(
-          |  sequence(0, greatest(size(tokens) - 4, 0)),
-          |  i -> md5(concat_ws(' ', slice(tokens, i + 1, 4)))))"""
-          .stripMargin).as("fingerprint"))
-      .orderBy("doc_id"))
+    "x_text_topterms" -> ((s, d) =>
+      distinctiveTerms(documents(s, d)).orderBy("doc_id", "rk")),
+    "x_text_fingerprint" -> ((s, d) =>
+      fingerprints(documents(s, d)).orderBy("doc_id"))
   )
 
   /** Tie-break ordinal: later languages win only on strictly higher score. */
