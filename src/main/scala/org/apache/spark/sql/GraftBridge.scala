@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, SimHash64}
 
 /** Minimal bridge into `private[sql]` surface — Spark 4's Connect refactor
   * hid `ExpressionUtils` and `sessionState`; wrapping a custom Catalyst
@@ -13,12 +13,24 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Every graft native expression as a SQL function, one definition shared
+    * by the live-session path below and the config-time injector
+    * ([[graft.GraftExtensions]]). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => MinHashSignature(children(0))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
+
   /** Register graft's SQL functions on an already-created session (the
     * config-time path is `spark.sql.extensions=graft.GraftExtensions`). */
-  def registerFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -114,5 +114,13 @@ class PlanSpec extends SparkSpec {
         |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
       .collect().head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
+    // sketch expressions registered on the same surface
+    val row = spark.sql(
+      """SELECT size(minhash_signature(array('a', 'b'))) AS n,
+        |  simhash64(array('a', 'b')) AS h,
+        |  simhash64(array('a', 'b')) = simhash64(array('a', 'b')) AS stable"""
+        .stripMargin).collect().head
+    assert(row.getInt(0) === 64)
+    assert(row.getBoolean(2))
   }
 }
