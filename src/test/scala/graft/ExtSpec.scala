@@ -54,6 +54,50 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("languageId on hand-built texts: markers, CJK, unknown, tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "der hund ist und das", "de"),
+      (1L, "el perro que de los", "es"),
+      (2L, "机器 学习", "zh"),
+      (3L, "qqq zzz", "unknown"),
+      // 'la' scores 1 for both es and fr -> ordinal tie-break picks es
+      (4L, "la", "es"))
+      .toDF("doc_id", "text", "expect")
+    val got = ext.TextAnalysis.languageId(docs)
+      .select("doc_id", "expect", "predicted_lang").collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}"))
+  }
+
+  test("exactTopK on hand-built embeddings returns the known neighbor order") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.exactTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1, 1L, 0.8), (2, 2L, 0.0)))
+  }
+
+  test("fingerprints: window parameter respected; equal texts collide") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"), (2L, "z y x w v"))
+      .toDF("doc_id", "text")
+    val fp = ext.TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(2L))
+    // window=2 over 2 tokens: one window, md5 of the whole bigram
+    val one = ext.TextAnalysis.fingerprints(
+      Seq((9L, "a b")).toDF("doc_id", "text"), window = 2).collect().head
+    assert(one.getString(1) === java.security.MessageDigest.getInstance("MD5")
+      .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("langid: CJK text classified zh; marker text classified en") {
     import spark.implicits._
     // piggyback on the real query by pointing it at a temp dir is overkill;
