@@ -144,6 +144,42 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over near-dup pairs — the clustering step every
+    * production dedup pipeline runs after pairwise similarity: a component
+    * is a duplicate cluster, its min doc_id the canonical survivor.
+    *
+    * Iterative min-label propagation (the join-based CC used at scale when
+    * a graph engine is overkill): each round, every vertex takes the min
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (pairs/triangles), so
+    * 1-3 rounds in practice. Each round is one shuffle-join + one
+    * aggregation; labels are re-cached and the previous round unpersisted,
+    * so lineage and memory stay bounded. Deterministic: min over Long. */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = vertices
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical doc per distinct text (hash-groupBy, one shuffle).
     "x_dedup_exact" -> ((s, d) => documents(s, d)
@@ -200,6 +236,17 @@ object Dedup {
     "x_dedup_ngram" -> ((s, d) => ngramJaccardNaive(s,
       documents(s, d).select(col("doc_id"), col("text")))),
 
+    // Dedup clustering: connected components over the exact n-gram near-dup
+    // pairs; every document gets a cluster_id (= min doc_id reachable),
+    // singletons cluster as themselves.
+    "x_dedup_cluster" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val edges = ngramJaccardNaive(s, docs).select(col("doc_a"), col("doc_b"))
+      connectedComponents(edges, docs.select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by exact cosine.
     // (Brute force here; the LSH-bucketed scale path is x_ann_lsh.)
     "x_dedup_embed" -> ((s, d) => {
@@ -247,6 +294,21 @@ object Dedup {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "x_dedup_ngram" -> ngramJaccardSql,
     "x_dedup_minhash" -> ngramJaccardSql,
+    // Transitive closure via recursive CTE (DuckDB's native way to express
+    // what the Spark side computes with iterative min-label propagation).
+    "x_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |r(id, rid) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON r.rid = e.a
+         |)
+         |SELECT id AS doc_id, CAST(min(rid) AS BIGINT) AS cluster_id
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     // Mirrors the native CosineSimilarity accumulation exactly (see the
     // x_ann_bruteforce oracle note in Similarity.scala); the Spark side
     // rounds BEFORE ordering, so the oracle orders by the rounded value too.

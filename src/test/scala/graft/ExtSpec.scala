@@ -54,6 +54,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains collapse to min label, singletons survive") {
+    import spark.implicits._
+    // 0-1-2-3 is a path (diameter 3 -> needs several propagation rounds),
+    // 5-6 a pair, 9 isolated
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val vertices = Seq(0L, 1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("languageId on hand-built texts: markers, CJK, unknown, tie-break") {
     import spark.implicits._
     val docs = Seq(
