@@ -165,16 +165,16 @@ object Dedup {
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // carry the old label through the propagation join so convergence
+      // detection is a filter on the cached frame, not a second join
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
+      changed = next.filter(col("cluster_id") < col("old_id")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
     }
     sym.unpersist()
     labels
