@@ -54,6 +54,17 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("approx aggregates land within documented error of their exact twins") {
+    val rows = SparkEntry.queries("x_approx_agg")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      // HLL++ at default rsd=0.05: allow 3 sigma
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("connectedComponents: chains collapse to min label, singletons survive") {
     import spark.implicits._
     // 0-1-2-3 is a path (diameter 3 -> needs several propagation rounds),
