@@ -371,6 +371,39 @@ object Relational {
         length(col("s_name")).as("name_len"))
       .orderBy("s_suppkey")),
 
+    // F: scalar-function battery [EXT] — regex replace (Spark replaces all
+    // matches; DuckDB needs the 'g' flag to agree), translate, padding,
+    // reverse, integer math, n-ary greatest/least.
+    "f10_scalar_funcs" -> ((s, d) => supplier(s, d)
+      .select(col("s_suppkey"),
+        regexp_replace(col("s_name"), "[0-9]+", "#").as("name_masked"),
+        translate(col("s_name"), "#_", "--").as("name_trans"),
+        lpad(col("s_suppkey").cast("string"), 8, "0").as("key_padded"),
+        reverse(col("s_name")).as("name_rev"),
+        abs(col("s_nationkey") - 12).as("dist_from_12"),
+        pmod(col("s_suppkey"), lit(7)).as("key_mod7"),
+        greatest(col("s_suppkey"), col("s_nationkey") * 100).as("g"),
+        least(col("s_suppkey"), col("s_nationkey") * 100).as("l"))
+      .orderBy("s_suppkey")),
+
+    // F: calendar arithmetic [EXT] — day/month offsets (month addition
+    // clamps to month end identically on both engines), last-day,
+    // month truncation, Monday-0 weekday.
+    "f13_date_funcs" -> ((s, d) => orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("d"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+          .as("plus_30d"),
+        date_format(add_months(to_date(col("o_orderdate")), 2), "yyyy-MM-dd")
+          .as("plus_2m"),
+        date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        weekday(col("o_orderdate")).as("weekday_mon0"))
+      .orderBy("o_orderkey")),
+
     // F9 exact-decimal money path: cast to DECIMAL(12,2) before summing —
     // the reference's currency discipline (SURVEY §1.2); Spark widens the
     // sum to DECIMAL(22,2), pinned to (38,2) on both engines.
@@ -643,6 +676,29 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
         |    AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f10_scalar_funcs" ->
+      """SELECT s_suppkey,
+        |  regexp_replace(s_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  translate(s_name, '#_', '--') AS name_trans,
+        |  lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+        |  reverse(s_name) AS name_rev,
+        |  CAST(abs(s_nationkey - 12) AS BIGINT) AS dist_from_12,
+        |  s_suppkey % 7 AS key_mod7,
+        |  greatest(s_suppkey, s_nationkey * 100) AS g,
+        |  least(s_suppkey, s_nationkey * 100) AS l
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "f13_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+        |    AS plus_30d,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+        |    AS plus_2m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+        |    AS month_start,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_mon0
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
     "d2_delete_anti" ->
       """SELECT l_returnflag, count(*) AS remaining_cnt FROM lineitem
         |WHERE NOT EXISTS (SELECT 1 FROM orders

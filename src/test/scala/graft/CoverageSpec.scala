@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 104/110 split") {
-    assert(SparkEntry.queries.size === 110)
-    assert(SparkEntry.oracleSql.size === 104)
+  test("oracle coverage matches the documented 106/112 split") {
+    assert(SparkEntry.queries.size === 112)
+    assert(SparkEntry.oracleSql.size === 106)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 6 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_approx_agg",
