@@ -111,7 +111,32 @@ object Windows {
       customer(s, d)
         .select(col("c_custkey"), ntile(4).over(w).as("bal_quartile"))
         .orderBy("c_custkey")
-    })
+    }),
+
+    // ratio-to-report: each order's share of its priority class's total
+    // (window sum with no frame = whole partition; one fixed double shape
+    // over exact cents on both engines).
+    "w10_ratio_to_report" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+      orders(s, d)
+        .withColumn("price_cents", cents(col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
+          (col("price_cents").cast("double")
+            / sum(col("price_cents")).over(w).cast("double")).as("share"))
+        .orderBy("o_orderkey")
+    }),
+
+    // fixed-width histogram: bucket index by pure integer arithmetic
+    // (engine-portable, unlike engine-native histogram aggregates).
+    "a19_histogram" -> ((s, d) => orders(s, d)
+      .withColumn("price_cents", cents(col("o_totalprice")))
+      .withColumn("bucket",
+        expr("least(greatest((price_cents - 100000) div 5000000, 0L), 9L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("price_cents")).as("lo_cents"),
+        max(col("price_cents")).as("hi_cents"))
+      .orderBy("bucket"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +202,24 @@ object Windows {
     "w6_ntile" ->
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bal_quartile
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "w10_ratio_to_report" ->
+      """SELECT o_orderkey, o_orderpriority, price_cents,
+        |  CAST(price_cents AS DOUBLE) /
+        |    CAST(sum(price_cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+        |    AS share
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "a19_histogram" ->
+      """SELECT bucket, count(*) AS cnt,
+        |  min(price_cents) AS lo_cents, max(price_cents) AS hi_cents
+        |FROM (
+        |  SELECT least(greatest((price_cents - 100000) // 5000000, 0), 9) AS bucket,
+        |    price_cents
+        |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |        FROM orders))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }
