@@ -57,7 +57,29 @@ object Events {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(countDistinct(col("user_id")).as("active_users"),
         count(lit(1)).as("event_cnt"))
-      .orderBy("day"))
+      .orderBy("day")),
+
+    // Cohort retention: users grouped by first-seen day; how many of each
+    // cohort return exactly 1 and 7 days later. One (user, day) distinct
+    // activity set joined back to the cohort assignment — the standard
+    // product-analytics shape.
+    "e7_retention" -> ((s, d) => {
+      val activity = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      cohort
+        .join(activity, "user_id")
+        .groupBy(col("cohort_day"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"),
+          countDistinct(when(datediff(col("day"), col("cohort_day")) === 1,
+            col("user_id"))).as("d1_retained"),
+          countDistinct(when(datediff(col("day"), col("cohort_day")) === 7,
+            col("user_id"))).as("d7_retained"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("cohort_size"), col("d1_retained"), col("d7_retained"))
+        .orderBy("cohort_day")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +114,20 @@ object Events {
     "e4_daily_active" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS active_users, count(*) AS event_cnt
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "e7_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+        |)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  count(DISTINCT a.user_id) AS cohort_size,
+        |  count(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 1
+        |    THEN a.user_id END) AS d1_retained,
+        |  count(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 7
+        |    THEN a.user_id END) AS d7_retained
+        |FROM cohort c JOIN activity a USING (user_id)
+        |GROUP BY c.cohort_day ORDER BY cohort_day""".stripMargin
   )
 }
