@@ -79,6 +79,27 @@ object Events {
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("cohort_size"), col("d1_retained"), col("d7_retained"))
         .orderBy("cohort_day")
+    }),
+
+    // Time-weighted average: each event's value holds until the user's
+    // next event; TWA = Σ(value·duration)/Σ(duration). Weights stay in
+    // exact integer micros so the weighted sums are order-independent;
+    // the final ratio is one fixed double shape.
+    "e8_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("v_cents", round(col("value") * 100).cast("long"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("v_cents") * col("dur_us")).as("wsum"),
+          sum(col("dur_us")).as("total_us"))
+        .select(col("user_id"), col("n_intervals"), col("wsum"), col("total_us"),
+          (col("wsum").cast("double") / col("total_us")).as("twa_cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -128,6 +149,22 @@ object Events {
         |  count(DISTINCT CASE WHEN date_diff('day', cohort_day, day) = 7
         |    THEN a.user_id END) AS d7_retained
         |FROM cohort c JOIN activity a USING (user_id)
-        |GROUP BY c.cohort_day ORDER BY cohort_day""".stripMargin
+        |GROUP BY c.cohort_day ORDER BY cohort_day""".stripMargin,
+    "e8_time_weighted" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |    lead(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts), event_id) AS next_ts
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(v_cents * (epoch_us(next_ts) - epoch_us(ts))) AS BIGINT) AS wsum,
+        |  CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS total_us,
+        |  CAST(CAST(sum(v_cents * (epoch_us(next_ts) - epoch_us(ts))) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS twa_cents
+        |FROM seq WHERE next_ts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

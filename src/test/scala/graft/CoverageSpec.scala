@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 109/115 split") {
-    assert(SparkEntry.queries.size === 115)
-    assert(SparkEntry.oracleSql.size === 109)
+  test("oracle coverage matches the documented 110/116 split") {
+    assert(SparkEntry.queries.size === 116)
+    assert(SparkEntry.oracleSql.size === 110)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 6 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_approx_agg",
