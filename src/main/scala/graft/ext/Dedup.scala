@@ -198,17 +198,31 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash near-dup pairs: 64-bit signature, 4x16-bit bands, Hamming <= 8.
+    // SimHash near-dup pairs: 60-bit signature, 4x15-bit bands, Hamming <= 8.
+    // The per-token hash is the low 60 bits of md5 (engine-portable — the
+    // DuckDB oracle replicates the whole pipeline bit-for-bit; the faster
+    // XXH64-based native expression remains available as simhash64() for
+    // engine-internal use). Bit-majority sums are 60 codegen'd conditional
+    // aggregates in ONE hash-aggregate pass over the exploded tokens — no
+    // interpreted lambdas, one shuffle on doc_id.
     "x_dedup_simhash" -> ((s, d) => {
-      val sigs = documents(s, d)
+      val toks = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("tokens", split(col("text"), " "))
-        .withColumn("simhash", simhash64(col("tokens")))
-        .select(col("doc_id"), col("simhash"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h",
+          expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
+      val bitSums = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$b"))
+      val sigExpr = (0 until 60).map(b =>
+        when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+      val sigs = toks.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sigExpr.as("simhash"))
       val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           """transform(sequence(0, 3),
-            |  b -> shiftright(simhash, b * 16) & 65535)""".stripMargin))
+            |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
           .as(Seq("band_idx", "band_val")))
         .withColumn("bucket_n",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -287,7 +301,46 @@ object Dedup {
         |  GROUP BY a.doc_id, b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB twin of the md5-simhash pipeline above, bit-for-bit: same
+    * 60-bit per-token hash (hex-prefix cast), same ±1 bit-majority sums,
+    * same banding, bucket cap, and Hamming verify. The 60 aggregate
+    * columns are generated, not hand-written. */
+  private val simhashSql: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sig = (0 until 60).map(b => s"(CAST(s$b > 0 AS BIGINT) << $b)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+       |), sb AS (
+       |  SELECT doc_id, $bitSums FROM hs GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, $sig AS simhash FROM sb
+       |), banded AS (
+       |  SELECT doc_id, simhash, band_idx,
+       |    (simhash >> (band_idx * 15)) & 32767 AS band_val
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+       |), pruned AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, simhash, band_idx, band_val,
+       |      count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+       |    FROM banded)
+       |  WHERE bucket_n <= $maxBucket
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM pruned a JOIN pruned b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_dedup_simhash" -> simhashSql,
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
         |  CAST(length(text) AS INT) AS n_chars

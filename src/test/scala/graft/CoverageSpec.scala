@@ -18,12 +18,12 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 110/116 split") {
+  test("oracle coverage matches the documented 111/116 split") {
     assert(SparkEntry.queries.size === 116)
-    assert(SparkEntry.oracleSql.size === 110)
+    assert(SparkEntry.oracleSql.size === 111)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 6 intrinsically non-oracle-able operators, and only those
+    // the 5 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_approx_agg",
-      "x_dedup_simhash", "x_multimodal_features", "x_multimodal_frames"))
+      "x_multimodal_features", "x_multimodal_frames"))
   }
 }
