@@ -199,26 +199,18 @@ object Dedup {
     }),
 
     // SimHash near-dup pairs: 60-bit signature, 4x15-bit bands, Hamming <= 8.
-    // The per-token hash is the low 60 bits of md5 (engine-portable — the
-    // DuckDB oracle replicates the whole pipeline bit-for-bit; the faster
-    // XXH64-based native expression remains available as simhash64() for
-    // engine-internal use). Bit-majority sums are 60 codegen'd conditional
-    // aggregates in ONE hash-aggregate pass over the exploded tokens — no
-    // interpreted lambdas, one shuffle on doc_id.
+    // The per-token hash is the top 60 bits of md5 (engine-portable — the
+    // DuckDB oracle replicates the whole pipeline bit-for-bit), computed by
+    // the fused native [[Md5SimHash60]] expression: one pass per document,
+    // no token explode, no 60-aggregate shuffle. The faster XXH64-based
+    // simhash64() remains available for engine-internal use.
     "x_dedup_simhash" -> ((s, d) => {
-      val toks = documents(s, d)
+      val sigs = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h",
-          expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
-      val bitSums = (0 until 60).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$b"))
-      val sigExpr = (0 until 60).map(b =>
-        when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
-      val sigs = toks.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sigExpr.as("simhash"))
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.md5Simhash60(col("tokens"))
+            .as("simhash"))
       val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           """transform(sequence(0, 3),

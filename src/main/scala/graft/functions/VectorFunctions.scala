@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, SimHash64}
 
 /** Column-API facade over the native Catalyst expressions
   * (o.a.s.sql.graft — see each expression's scaladoc for the why). */
@@ -19,4 +19,9 @@ object VectorFunctions {
   /** 64-bit SimHash of an `array<string>` token list. */
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** 60-bit md5-based SimHash (engine-portable: oracle-checkable vs the
+    * equivalent DuckDB SQL — see [[Md5SimHash60]]). */
+  def md5Simhash60(tokens: Column): Column =
+    GraftBridge.column(Md5SimHash60(GraftBridge.expression(tokens)))
 }

@@ -94,3 +94,61 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** 60-bit md5-based SimHash of an array<string> token list — the fused
+  * native form of the engine-portable simhash pipeline (the per-token hash
+  * is the first 15 hex chars of md5, i.e. the big-endian top 60 bits of the
+  * digest, exactly what DuckDB's `('0x' || substr(md5(t),1,15))::BIGINT`
+  * computes — so results stay oracle-checkable while avoiding the
+  * explode + 60-aggregate shuffle formulation entirely). */
+case class Md5SimHash60(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val digest = Md5SimHash60.localMd5.get()
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        digest.reset()
+        val d = digest.digest(s.getBytes)
+        // big-endian first 8 bytes >>> 4 == the first 15 hex nibbles
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60 =
+    copy(child = newChild)
+}
+
+object Md5SimHash60 {
+  /** Expression instances can be shared across tasks — digest per thread. */
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}

@@ -122,5 +122,11 @@ class PlanSpec extends SparkSpec {
         .stripMargin).collect().head
     assert(row.getInt(0) === 64)
     assert(row.getBoolean(2))
+    // md5_simhash60 of a single token == that token's 60-bit md5 prefix
+    // (every bit's majority is the bit itself) — pins the digest-bytes
+    // shortcut against the hex-string formulation the oracle uses
+    val m = spark.sql("SELECT md5_simhash60(array('hello')) AS h")
+      .collect().head.getLong(0)
+    assert(m === 419982666956583591L) // == int(md5('hello')[:15], 16)
   }
 }
