@@ -112,6 +112,20 @@ object Multimodal {
       }
     }
 
+    /** Audio resample stage. The PCM resample itself is the STUB (payload
+      * kept, deterministic); the real part is the metadata contract:
+      * sample_rate rewritten, duration preserved (resampling changes rate,
+      * not length), non-audio rows passed through untouched. */
+    def resample(ds: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+      import ds.sparkSession.implicits._
+      ds.map { r =>
+        if (r.kind == "audio")
+          // real impl: decode PCM → polyphase resample → re-encode payload
+          r.copy(sample_rate = Some(targetRate))
+        else r
+      }
+    }
+
     /** Video frame sampling: one row per sampled frame every `everyMs` of
       * duration (row-expanding, like mapInPandas yielding multiple rows).
       * Frame payloads are deterministic byte slices standing in for the

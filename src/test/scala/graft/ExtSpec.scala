@@ -183,6 +183,21 @@ class ExtSpec extends SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
+  test("multimodal resample: rewrites audio sample_rate, preserves duration, skips others") {
+    val media = Multimodal.MultimodalPipeline.fromDocuments(spark, sf)
+    val before = media.collect().map(r => r.media_id -> r).toMap
+    Multimodal.Transforms.resample(media, 44100).collect().foreach { r =>
+      val orig = before(r.media_id)
+      if (r.kind == "audio") {
+        assert(r.sample_rate.contains(44100))
+        assert(r.duration_ms === orig.duration_ms) // rate changes, length doesn't
+      } else {
+        assert(r.sample_rate === orig.sample_rate)
+      }
+      assert(r.payload.toSeq === orig.payload.toSeq)
+    }
+  }
+
   test("multimodal decode stub: feature vector has fixed dim and bounded values") {
     val f = Multimodal.MultimodalPipeline.decodeStub("hello world".getBytes, "image")
     assert(f.length === Multimodal.MultimodalPipeline.featureDim)
