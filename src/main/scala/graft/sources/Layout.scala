@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Physical-layout helpers (SURVEY §2.1 S4 sink + 100 TB partitioning
@@ -35,4 +36,28 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ceil(totalBytes / targetFileBytes) evenly-sized files. Streaming
+    * sinks and fine-grained incremental loads accrete thousands of tiny
+    * files; at 100 TB that turns scan planning and NameNode/listing into
+    * the bottleneck, so periodic compaction is part of the write path, not
+    * an afterthought. Round-robin repartition (one shuffle) buys even
+    * output sizes — `coalesce` would be shuffle-free but inherits input
+    * skew. Writes to a NEW path (compact-then-swap); compacting in place
+    * over the files being read is not safe. Returns the file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listFiles(p, true)
+    val total = Iterator.continually(bytes)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(n).write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
 }

@@ -20,6 +20,20 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("compaction collapses a small-file dataset, preserving rows") {
+    val in = Files.createTempDirectory("graft_small").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    li.repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 40)
+    val n = Layout.compact(spark, in, s"$out/data", targetFileBytes = 512 * 1024)
+    assert(parquetFiles(s"$out/data") === n)
+    assert(n < 40, s"expected fewer than 40 files, got $n")
+    assert(spark.read.parquet(s"$out/data").count() === li.count())
+  }
+
   test("co-bucketed join plans without a shuffle exchange") {
     // clean any orphan warehouse dirs from interrupted runs
     Seq("b_lineitem", "b_orders").foreach { t =>
