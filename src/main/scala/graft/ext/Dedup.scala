@@ -153,14 +153,18 @@ object Dedup {
     * label among itself and its neighbors; converges in O(component
     * diameter) rounds — near-dup clusters are shallow (pairs/triangles), so
     * 1-3 rounds in practice. Each round is one shuffle-join + one
-    * aggregation; labels are re-cached and the previous round unpersisted,
-    * so lineage and memory stay bounded. Deterministic: min over Long. */
+    * aggregation. Unpersist must target the exact cached plan, so a handle
+    * to each round's cached frame is kept and released at the start of the
+    * next round (unpersisting a projection of it is a no-op); only the
+    * final round's cache — which backs the returned frame — stays resident.
+    * Deterministic: min over Long. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = vertices
+    var prevCached = vertices
       .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var labels = prevCached
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
@@ -173,7 +177,8 @@ object Dedup {
             .as("cluster_id"))
         .cache()
       changed = next.filter(col("cluster_id") < col("old_id")).count()
-      labels.unpersist()
+      prevCached.unpersist()
+      prevCached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
     sym.unpersist()
