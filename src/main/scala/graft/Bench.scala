@@ -55,7 +55,9 @@ object Bench {
     val pool = Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
-    def runAll(): Map[String, Double] = {
+    // A failed query is None → emitted as JSON null (never a numeric
+    // sentinel a round-over-round comparator could misread as a latency).
+    def runAll(): Map[String, Option[Double]] = {
       val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
         Future {
           val t0 = System.nanoTime()
@@ -64,8 +66,7 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
           }
-          // failures are marked -1 so a crashing query can never read as fast
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
         }
       }
       futures.map(Await.result(_, Duration.Inf)).toMap
@@ -78,11 +79,11 @@ object Bench {
     pool.shutdown()
 
     def f3(v: Double): String = f"$v%.3f"
-    def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def jsonMap(m: Seq[(String, Option[Double])]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(f3) }
+        .mkString("{", ",", "}")
     val sorted = results.toSeq.sortBy(_._1)
-    // failures are -1 sentinels: exclude from the latency sum, count separately
-    val ok = results.values.filter(_ >= 0)
+    val ok = results.values.flatten
     val sum = ok.sum
     val failed = results.size - ok.size
     // Representative subset printed inline; everything in the detail file.
@@ -92,12 +93,17 @@ object Bench {
       "x_asof_join", "x_range_join", "x_dedup_exact", "x_dedup_minhash",
       "x_dedup_ngram", "x_dedup_simhash", "x_ann_bruteforce", "x_ann_ivf",
       "x_text_quality", "x_text_tokens_bpe")
+    // Guard against registry drift: a renamed/removed query must not silently
+    // vanish from the headline map and break round-over-round comparability.
+    val missing = headline.filterNot(results.contains)
+    if (missing.nonEmpty)
+      System.err.println(s"[bench] WARNING: headline queries missing from registry: ${missing.mkString(", ")}")
     val detailPath = java.nio.file.Paths.get("target/bench_queries.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
       jsonMap(sorted).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
-    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"queries":$hs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
