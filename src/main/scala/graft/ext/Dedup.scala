@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.VectorFunctions.{cosineSim, minhashSignature, simhash64}
+import graft.functions.VectorFunctions.{cosineSim, minhashSignature, shingleSet, simhash64}
 
 /** [EXT] Document deduplication for large-scale training-data pipelines.
   *
@@ -31,13 +31,13 @@ object Dedup {
 
   private val maxBucket = 100 // drop degenerate LSH buckets bigger than this
 
-  /** tokens + distinct 3-shingles for a documents DF (doc_id, text). */
+  /** tokens + distinct 3-shingles for a documents DF (doc_id, text) via the
+    * fused native [[org.apache.spark.sql.graft.ShingleSet]] expression (the
+    * equivalent array_distinct∘transform∘slice HOF chain is interpreted and
+    * was the hottest step of every shingle-based pipeline here). */
   private def withShingles(df: DataFrame): DataFrame = df
     .withColumn("tokens", split(col("text"), " "))
-    .withColumn("shingles", expr(
-      """array_distinct(transform(
-        |  sequence(0, greatest(size(tokens) - 3, 0)),
-        |  i -> concat_ws(' ', slice(tokens, i + 1, 3))))""".stripMargin))
+    .withColumn("shingles", shingleSet(col("tokens")))
 
   /** 64-perm MinHash signature via the native fused-loop expression
     * (o.a.s.sql.graft.MinHashSignature — the HOF formulation paid ~1µs of

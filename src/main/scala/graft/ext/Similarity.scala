@@ -83,48 +83,52 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: a `cells`-cell coarse quantizer —
     * deterministic seeds (vec_id < cells) refined by one Lloyd assignment
-    * step through the typed [[graft.functions.CentroidAggregator]]
-    * (partial+final agg, one shuffle of 64 doubles per cell) — then queries
-    * probe their `probes` nearest cells and rerank exactly inside them. The
-    * scale path: assignment is a broadcast of `cells` centroids, search
-    * touches ~probes/cells of the data. */
+    * step — then queries probe their `probes` nearest cells and rerank
+    * exactly inside them; search touches ~probes/cells of the data.
+    *
+    * The coarse quantizer is DRIVER-RESIDENT, exactly as in FAISS/ScaNN:
+    * `cells` centroids (cells × dim floats, a few KB) collect to the driver
+    * and re-enter each plan as literals, so cell assignment is a pure
+    * projection — argmax over `cells` fused cosine calls inside one codegen
+    * stage — with no join and NO shuffle of the table. (A previous
+    * formulation broadcast-joined centroids against the table and ran
+    * groupBy(vec_id)+max_by, shuffling the full embedding column twice; at
+    * 100 TB that shuffle is the whole job.) Centroid recompute stays
+    * distributed: the typed [[graft.functions.CentroidAggregator]] runs
+    * partial+final, shuffling only `cells` × dim-double partials. */
   def ivfTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
       cells: Int = 16, probes: Int = 2): DataFrame = {
-    val all = candidates
-    val seeds = all.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
-    // one Lloyd step: assign every vector to its nearest seed...
-    val assigned0 = all
-      .join(broadcast(seeds), col("vec_id") =!= lit(-1))
-      .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("sim"), col("cell"))).as("cell"),
-        first(col("embedding")).as("embedding"))
-    // ...then recompute centroids with the typed Aggregator
+    // literal (sim, cell) structs — struct compare does argmax with a
+    // deterministic larger-cell tie-break, matching max_by(struct(sim,cell))
+    def cellStructs(cents: Seq[(Int, Seq[Float])]): Seq[Column] =
+      cents.map { case (id, v) =>
+        struct(cosineSim(col("embedding"), typedLit(v)).as("sim"),
+          lit(id).as("cell"))
+      }
+    def nearestCell(cents: Seq[(Int, Seq[Float])]): Column =
+      greatest(cellStructs(cents): _*).getField("cell")
+    def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
+      df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+
+    val seeds = collectCentroids(candidates.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding")))
+    // one Lloyd step: assign to nearest seed, recompute per-cell means
     val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
-    // tiny (`cells` rows) but derived from a full assignment pass — cached
-    // so the two consumers below don't each recompute the Lloyd step
-    val centroids = assigned0.groupBy(col("cell"))
-      .agg(centroidUdaf(col("embedding")).as("c_vec"))
-      .cache()
-    val assigned = all
-      .join(broadcast(centroids), col("vec_id") =!= lit(-1))
-      .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("sim"), col("cell"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    val centroids = collectCentroids(candidates
+      .withColumn("cell", nearestCell(seeds))
+      .groupBy(col("cell")).agg(centroidUdaf(col("embedding")).as("c_vec")))
+    val assigned = candidates
+      .withColumn("cell", nearestCell(centroids))
       .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
-    // queries probe their `probes` nearest cells
-    val qProbe = all.filter(queryFilter)
-      .join(broadcast(centroids), col("vec_id") =!= lit(-1))
-      .withColumn("sim", cosineSim(col("embedding"), col("c_vec")))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rk") <= probes)
-      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"), col("cell"))
+    // queries probe their `probes` nearest cells (struct sort desc ==
+    // sim desc with larger-cell tie-break — deterministic)
+    val qProbe = candidates.filter(queryFilter)
+      .withColumn("probe_cells", slice(
+        sort_array(array(cellStructs(centroids): _*), asc = false), 1, probes))
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
+        explode(col("probe_cells").getField("cell")).as("cell"))
     topKSelect(
-      assigned.as("a").join(broadcast(qProbe.as("q")),
-          col("q.cell") === col("a.cell"))
+      assigned.join(broadcast(qProbe), Seq("cell"))
         .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
         .filter(col("q_id") =!= col("c_id")), k)
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, ShingleSet, SimHash64}
 
 /** Column-API facade over the native Catalyst expressions
   * (o.a.s.sql.graft — see each expression's scaladoc for the why). */
@@ -24,4 +24,9 @@ object VectorFunctions {
     * equivalent DuckDB SQL — see [[Md5SimHash60]]). */
   def md5Simhash60(tokens: Column): Column =
     GraftBridge.column(Md5SimHash60(GraftBridge.expression(tokens)))
+
+  /** Distinct space-joined `width`-token shingles of an `array<string>`
+    * token list, one fused pass (see [[ShingleSet]]). */
+  def shingleSet(tokens: Column, width: Int = 3): Column =
+    GraftBridge.column(ShingleSet(GraftBridge.expression(tokens), width))
 }

@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, ShingleSet, SimHash64}
 
 /** Minimal bridge into `private[sql]` surface — Spark 4's Connect refactor
   * hid `ExpressionUtils` and `sessionState`; wrapping a custom Catalyst
@@ -28,7 +28,10 @@ object GraftBridge {
       (children: Seq[Expression]) => SimHash64(children(0))),
     (new FunctionIdentifier("md5_simhash60"),
       new ExpressionInfo(classOf[Md5SimHash60].getName, "md5_simhash60"),
-      (children: Seq[Expression]) => Md5SimHash60(children(0))))
+      (children: Seq[Expression]) => Md5SimHash60(children(0))),
+    (new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (children: Seq[Expression]) => ShingleSet(children(0))))
 
   /** Register graft's SQL functions on an already-created session (the
     * config-time path is `spark.sql.extensions=graft.GraftExtensions`). */

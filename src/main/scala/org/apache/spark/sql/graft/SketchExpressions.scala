@@ -152,3 +152,54 @@ object Md5SimHash60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 }
+
+/** Distinct `width`-token shingles of an array<string> token list, joined
+  * by single spaces, first-occurrence order — semantically identical to
+  *
+  * {{{ array_distinct(transform(
+  *       sequence(0, greatest(size(tokens) - width, 0)),
+  *       i -> concat_ws(' ', slice(tokens, i + 1, width)))) }}}
+  *
+  * (including the short-input edge: < width tokens yield ONE shingle of
+  * whatever exists), but as one fused loop. The HOF formulation is
+  * interpreted per-lambda-call AND gets duplicated wholesale by
+  * CollapseProject when the shingle column feeds two downstream
+  * expressions (e.g. `explode(sh)` + `size(sh)`), which made it the
+  * single hottest step of the ngram-dedup pipeline. */
+case class ShingleSet(child: Expression, width: Int = 3)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(width >= 1, "shingle width must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val last = math.max(n - width, 0)
+    // LinkedHashSet keeps first-occurrence order, matching array_distinct
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= last) {
+      val parts = new Array[UTF8String](math.min(width, n - i))
+      var j = 0
+      while (j < parts.length) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      // concatWs skips nulls, exactly like the concat_ws SQL function
+      seen.add(UTF8String.concatWs(ShingleSet.space, parts: _*))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  private val space = UTF8String.fromString(" ")
+}

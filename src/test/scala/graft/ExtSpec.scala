@@ -17,6 +17,23 @@ class ExtSpec extends SparkSpec {
     assert(ng.nonEmpty) // the generator plants near-duplicates
   }
 
+  test("native shingle_set == array_distinct/transform/slice HOF formulation") {
+    import spark.implicits._
+    // real testdata + short-input edges (0/1/2/3 tokens, repeats, empty str)
+    val edges = Seq((9001L, "a"), (9002L, "a b"), (9003L, "a b c"),
+      (9004L, "a b c d"), (9005L, "x x x x x"), (9006L, "")).toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .union(edges)
+      .withColumn("tokens", split(col("text"), " "))
+    val both = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.shingleSet(col("tokens")).as("native"),
+      expr("""array_distinct(transform(
+        |  sequence(0, greatest(size(tokens) - 3, 0)),
+        |  i -> concat_ws(' ', slice(tokens, i + 1, 3))))""".stripMargin).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0L)
+    assert(both.filter(size(col("native")) > 0).count() === both.count())
+  }
+
   test("prefix-filtered ngram join returns exactly the naive result") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val naive = Dedup.ngramJaccardNaive(spark, docs).collect().toSeq
