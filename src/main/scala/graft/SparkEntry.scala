@@ -44,7 +44,8 @@ object SparkEntry {
       graft.ext.Dedup.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Similarity.queries ++
-      graft.ext.Multimodal.queries
+      graft.ext.Multimodal.queries ++
+      graft.ext.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.ext.Dedup.oracle ++
       graft.ext.TextAnalysis.oracle ++
       graft.ext.Similarity.oracle ++
-      graft.ext.Multimodal.oracle
+      graft.ext.Multimodal.oracle ++
+      graft.ext.Pipeline.oracle
 }

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** [EXT] End-to-end training-data corpus preparation — the composition the
+  * individual [EXT] operators exist for, as one declarative plan:
+  *
+  *   1. exact dedup (keep the min doc_id per distinct text);
+  *   2. language ID ([[TextAnalysis.languageId]] — CJK check + marker argmax);
+  *   3. quality gate (min length for all; min stopword ratio for docs
+  *      predicted en — the stopword list is English, so applying it to
+  *      other languages would reject them wholesale; per-language gate
+  *      lists are how production pipelines generalize this);
+  *   4. per-language corpus stats (docs, whitespace + BPE-ish token totals,
+  *      type/token ratio).
+  *
+  * 100 TB notes: stages 2-3 are pure projections fused by Catalyst into the
+  * scan of stage 1's output, so the whole pipeline is TWO shuffles — the
+  * dedup groupBy(text) and the final groupBy(predicted_lang) — regardless
+  * of corpus size, with partial aggregation on both. The ratio aggregate is
+  * derived from integer token sums with a single final division, so it is
+  * bit-exact and engine-independent (the oracle-determinism policy used
+  * throughout; see ROUND1_NOTES.md).
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Minimum whitespace-token count for a doc to survive the gate. */
+  private val minTokens = 20
+  /** Minimum stopword ratio for docs predicted English (the only language
+    * the stopword list covers). */
+  private val minStopRatio = 0.04
+
+  def corpusPrep(docs: DataFrame): DataFrame = {
+    val deduped = docs.select(col("doc_id"), col("text"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val scored = TextAnalysis.languageId(deduped) // keeps text + tokens
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("n_stop",
+        expr(s"size(filter(tokens, t -> t IN ${TextAnalysis.stopList}))"))
+      .withColumn("n_uniq", size(array_distinct(col("tokens"))))
+      .withColumn("n_bpe",
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.bpeRegex), lit(0))))
+      .withColumn("stopword_ratio",
+        col("n_stop").cast("double") / col("n_tok"))
+    scored
+      .filter(col("n_tok") >= minTokens
+        && (col("predicted_lang") =!= "en"
+          || col("stopword_ratio") >= minStopRatio))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        (sum(col("n_uniq")).cast("double") / sum(col("n_tok")).cast("double"))
+          .as("uniq_token_ratio"))
+      .orderBy("predicted_lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_pipeline_corpus" -> ((s, d) => corpusPrep(documents(s, d)))
+  )
+
+  /** The DuckDB twin composes the already-proven langid / quality / BPE
+    * oracle fragments over the deduped corpus. */
+  val oracle: Map[String, String] = Map(
+    "x_pipeline_corpus" ->
+      s"""WITH dd AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+         |), sc AS (
+         |  SELECT doc_id, text, toks,
+         |    CASE WHEN has_cjk THEN 'zh'
+         |         WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+         |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |         ELSE 'fr' END AS predicted_lang
+         |  FROM (
+         |    SELECT doc_id, text, toks,
+         |      len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS s_en,
+         |      len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS s_de,
+         |      len(list_filter(toks, t -> t IN ('el','la','que','de','los'))) AS s_es,
+         |      len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+         |      regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM dd))
+         |), q AS (
+         |  SELECT predicted_lang,
+         |    len(toks) AS n_tok,
+         |    len(list_filter(toks, t -> t IN ${TextAnalysis.stopList})) AS n_stop,
+         |    len(list_distinct(toks)) AS n_uniq,
+         |    len(regexp_extract_all(text, '${TextAnalysis.bpeRegex}')) AS n_bpe
+         |  FROM sc
+         |)
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(n_uniq) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+         |    AS uniq_token_ratio
+         |FROM q
+         |WHERE n_tok >= $minTokens
+         |  AND (predicted_lang <> 'en'
+         |    OR CAST(n_stop AS DOUBLE) / n_tok >= $minStopRatio)
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+  )
+}

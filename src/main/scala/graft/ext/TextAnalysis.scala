@@ -19,7 +19,8 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in")
-  private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[ext] val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[ext] val bpeRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   /** Tiny per-language marker profiles (n-gram heuristic). Real pipelines
     * use fastText-style models; the Spark plumbing is identical. */
@@ -46,7 +47,7 @@ object TextAnalysis {
   /** BPE-ish regex tokenizer count: letter runs, digit runs, single punct. */
   def bpeTokenCounts(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
         .as("n_bpe_tokens"))
 
   /** Quality scoring: stopword ratio + lexical diversity (type/token). */

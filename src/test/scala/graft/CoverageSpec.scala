@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 111/116 split") {
-    assert(SparkEntry.queries.size === 116)
-    assert(SparkEntry.oracleSql.size === 111)
+  test("oracle coverage matches the documented 112/117 split") {
+    assert(SparkEntry.queries.size === 117)
+    assert(SparkEntry.oracleSql.size === 112)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 5 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_approx_agg",

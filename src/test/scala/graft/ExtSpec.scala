@@ -42,6 +42,16 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("corpus-prep pipeline keeps multiple languages and drops short docs") {
+    val out = graft.ext.Pipeline.queries("x_pipeline_corpus")(spark, sf).collect()
+    val langs = out.map(_.getAs[String]("predicted_lang")).toSet
+    assert(out.length > 1, "gate must not collapse the corpus to one language")
+    assert(langs.contains("en"))
+    val docs = graft.Tables.documents(spark, sf).count()
+    val kept = out.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0 && kept < docs, "gate must drop something and keep something")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = graft.Tables.documents(spark, sf)
     val deduped = Dedup.queries("x_dedup_exact")(spark, sf)
