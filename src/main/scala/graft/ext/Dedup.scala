@@ -153,28 +153,58 @@ object Dedup {
     * label among itself and its neighbors; converges in O(component
     * diameter) rounds — near-dup clusters are shallow (pairs/triangles), so
     * 1-3 rounds in practice. Each round is one shuffle-join + one
-    * aggregation. Unpersist must target the exact cached plan, so a handle
-    * to each round's cached frame is kept and released at the start of the
-    * next round (unpersisting a projection of it is a no-op); only the
-    * final round's cache — which backs the returned frame — stays resident.
+    * aggregation.
+    *
+    * The iteration runs ONLY over edge-touched vertices: after near-dup
+    * detection the overwhelming majority of a corpus is singletons (no
+    * incident edge), and a singleton's label never changes — so propagating
+    * over them every round would shuffle the whole vertex set per round for
+    * nothing. Singletons rejoin as `cluster_id = doc_id` in one final
+    * union; per-round cost is proportional to the EDGE count, not the
+    * corpus size — the difference between O(rounds·E) and O(rounds·V)
+    * shuffled bytes at 100 TB.
+    *
+    * Unpersist must target the exact cached plan, so a handle to each
+    * round's cached frame is kept and released at the start of the next
+    * round (unpersisting a projection of it is a no-op); only the final
+    * round's cache — which backs the returned frame — stays resident.
     * Deterministic: min over Long. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Release the previous invocation's final-label cache NOW, not at the
+    // end: the CacheManager dedupes by canonical plan, so a re-run of the
+    // same query maps to the SAME cache entry — unpersisting the old handle
+    // after this run built its result would evict the cache backing the
+    // new result too (forcing a full lineage recompute on consumption).
+    // At entry, nothing of this run exists yet, so eviction is safe; this
+    // run's loop re-caches and refills as part of its convergence counts.
+    synchronized {
+      lastCcResult.foreach(_.unpersist())
+      lastCcResult = None
+    }
+    // both directions from ONE pass over the (expensive) edge lineage — a
+    // union of two selects would compute that lineage twice
+    val sym = edges.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    var prevCached = vertices
+    // Materialize the (expensive) edge pipeline exactly once: the seed
+    // labels AND the round-1 neighbor join both derive from sym, and two
+    // branches of one job each compute an unfilled cache independently.
+    sym.count()
+    var prevCached = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var labels = prevCached
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      // carry the old label through the propagation join so convergence
-      // detection is a filter on the cached frame, not a second join
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      // every loop vertex has >= 1 neighbor (it came from an edge), so the
+      // propagation join is inner; the old label is carried through it so
+      // convergence detection is a filter on the cached frame, not a join
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"))
         .select(labels("doc_id"), col("cluster_id").as("old_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
         .cache()
       changed = next.filter(col("cluster_id") < col("old_id")).count()
       prevCached.unpersist()
@@ -182,16 +212,19 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
     sym.unpersist()
-    // Bound resident caches to one per session: the final round's cache backs
-    // the returned frame (uncaching it would force a full lineage recompute
-    // on consumption), so instead the PREVIOUS invocation's final cache is
-    // released here. Repeated calls (warmup + measured bench + tests) hold at
+    // Bound resident caches to one per session: the final round's cache
+    // backs the returned frame (uncaching it here would force a recompute
+    // on consumption), so keep a handle for the NEXT invocation's entry
+    // eviction. Repeated calls (warmup + measured bench + tests) hold at
     // most one resident cache instead of accumulating one per invocation.
     synchronized {
-      lastCcResult.foreach(_.unpersist())
       lastCcResult = Some(prevCached)
     }
-    labels
+    // singletons (no incident edge) cluster as themselves, outside the loop
+    val singletons = vertices.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.union(singletons)
   }
 
   /** Handle to the last connectedComponents result's cache (see above). */
