@@ -118,6 +118,27 @@ object StreamingEvents {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Streaming near-dup document filter: key = the winnowed fingerprint
+    * ([[graft.ext.TextAnalysis.fingerprints]] — lexicographic-min md5 over
+    * rolling token windows), which is stable under small edits away from
+    * the minimal window, so re-crawled/near-identical docs collapse to one
+    * representative inside the watermark horizon. The state store holds one
+    * fingerprint per surviving doc until the watermark passes it — the
+    * streaming complement of the batch MinHash/SimHash pipelines (those
+    * find ALL near-dup pairs; this cheaply suppresses re-arrivals at
+    * ingest time, the standard first line of defense in a crawl pipeline). */
+  def dedupDocsByFingerprint(docs: DataFrame, window: Int = 4): DataFrame = {
+    val fp = docs.withColumn("tokens", split(col("text"), " "))
+      .withColumn("fingerprint", expr(
+        s"""array_min(transform(
+           |  sequence(0, greatest(size(tokens) - $window, 0)),
+           |  i -> md5(concat_ws(' ', slice(tokens, i + 1, $window)))))"""
+          .stripMargin))
+      .drop("tokens")
+    fp.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
   /** Production sink shape: stream → foreachBatch → partitioned parquet via
     * [[graft.sources.Layout.writePartitioned]] (dynamic partition overwrite
     * per micro-batch, date-partitioned so downstream scans prune). */

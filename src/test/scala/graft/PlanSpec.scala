@@ -102,6 +102,35 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("corpus-prep pipeline fuses to three shuffles and zero joins") {
+    val p = explain(q("x_pipeline_corpus"))
+    // dedup groupBy(text), stats groupBy(predicted_lang), final sort — the
+    // langid/quality/BPE scoring stages must fuse into projections, never
+    // materialize as joins or extra shuffles
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 3, p)
+    // both aggs are partial+final (map-side combine)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("IVF assignment is a pure projection: hash joins only, no table shuffle for argmax") {
+    val p = explain(q("x_ann_ivf"))
+    // driver-resident centroids enter as literals: cell assignment must not
+    // plan as a join or an aggregation over the table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cosine_similarity"), p)
+  }
+
+  test("ngram dedup uses the native shingle expression and a partial+final pair count") {
+    val p = explain(q("x_dedup_ngram"))
+    assert(p.contains("shingle_set"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
   test("cosine_similarity is callable from SQL after registration") {
     // config-time path is spark.sql.extensions=graft.GraftExtensions; the
     // injector itself must populate a SparkSessionExtensions without error

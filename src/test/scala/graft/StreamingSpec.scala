@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup collapses near-identical docs, keeps distinct ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), base),
+      // same text, re-crawled later -> same fingerprint -> dropped
+      (2L, ts("2024-01-01 10:05:00"), base),
+      // one token edited far from the minimal window ("eta theta iota
+      // kappa", verified) -> fingerprint unchanged -> near-dup, dropped
+      (3L, ts("2024-01-01 10:06:00"), base.replace("alpha", "omega")),
+      // genuinely different text -> kept
+      (4L, ts("2024-01-01 10:07:00"), "completely different words without overlap whatsoever in any window"))
+    val q = StreamingEvents.dedupDocsByFingerprint(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("fpdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("fpdedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
