@@ -133,6 +133,51 @@ object Similarity {
         .filter(col("q_id") =!= col("c_id")), k)
   }
 
+  /** Product-quantization ANN — the memory-bound scale path: vectors
+    * compress to `m` packed 4-bit codes + a norm (~12 bytes), the heavy
+    * query×candidate scan scores via `m` lookups into a per-query ADC
+    * table, and only a `rerank`-deep shortlist ever touches the full
+    * vectors again (via a join back to the vector table — the codes scan
+    * itself never carries embeddings). Codebooks are seeded from the first
+    * `k` vectors' subvectors (k-means seeding; production Lloyd-iterates
+    * per subspace — the encode/ADC machinery is what changes the scale
+    * economics, not seed quality). Shortlist ranking = ADC-approximate
+    * cosine (adc_dot / candidate norm; the query norm is constant within
+    * a query and cannot change its ranking). */
+  def pqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
+      m: Int = 8, pqCodes: Int = 16, rerank: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.{pqAdc, pqEncode, pqLut, vecNorm}
+    val seedRows = candidates.filter(col("vec_id") < pqCodes)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val dim = seedRows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val codebooks = new Array[Float](m * pqCodes * subDim)
+    for (((_, v), ki) <- seedRows.zipWithIndex; mi <- 0 until m; d <- 0 until subDim)
+      codebooks((mi * pqCodes + ki) * subDim + d) = v(mi * subDim + d)
+
+    val enc = candidates.select(col("vec_id").as("c_id"),
+      pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
+      vecNorm(col("embedding")).as("norm_c"))
+    val q = candidates.filter(queryFilter)
+      .select(col("vec_id").as("q_id"),
+        pqLut(col("embedding"), codebooks, m, pqCodes).as("lut"))
+    val shortlist = enc.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("adc", pqAdc(col("pq"), col("lut"), m, pqCodes) / col("norm_c"))
+      .withColumn("srk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("c_id"))))
+      .filter(col("srk") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    // exact rerank touches full vectors only for the shortlist
+    val cVecs = candidates.select(col("vec_id").as("c_id"), col("embedding").as("v_c"))
+    val qVecs = candidates.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
+    topKSelect(
+      shortlist.join(cVecs, "c_id").join(broadcast(qVecs), "q_id")
+        .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
+  }
+
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
@@ -147,7 +192,10 @@ object Similarity {
       lshTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
     // IVF coarse-quantizer ANN.
     "x_ann_ivf" -> ((s, d) =>
-      ivfTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank"))
+      ivfTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+    // Product-quantization ANN (ADC shortlist + exact rerank).
+    "x_ann_pq" -> ((s, d) =>
+      pqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank"))
   )
 
   /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors
@@ -157,7 +205,7 @@ object Similarity {
     * output) are bit-identical across engines. The LSH/IVF variants stay
     * rows-only: their results depend on probe/quantizer internals that a
     * portable SQL oracle cannot replicate (their recall vs this exact
-    * baseline is asserted in ExtSpec instead). */
+    * baseline is asserted in ExtSpec instead, as is PQ's). */
   val oracle: Map[String, String] = Map(
     "x_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, ShingleSet, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, PqAdc, PqEncode, PqLut, ShingleSet, SimHash64, VecNorm}
 
 /** Column-API facade over the native Catalyst expressions
   * (o.a.s.sql.graft — see each expression's scaladoc for the why). */
@@ -29,4 +29,17 @@ object VectorFunctions {
     * token list, one fused pass (see [[ShingleSet]]). */
   def shingleSet(tokens: Column, width: Int = 3): Column =
     GraftBridge.column(ShingleSet(GraftBridge.expression(tokens), width))
+
+  /** Product-quantization primitives (see [[PqEncode]]/[[PqLut]]/[[PqAdc]]). */
+  def pqEncode(vec: Column, codebooks: Array[Float], m: Int, k: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks, m, k))
+  def pqLut(vec: Column, codebooks: Array[Float], m: Int, k: Int): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(vec), codebooks, m, k))
+  def pqAdc(codes: Column, lut: Column, m: Int, k: Int): Column =
+    GraftBridge.column(PqAdc(
+      GraftBridge.expression(codes), GraftBridge.expression(lut), m, k))
+
+  /** L2 norm of an `array<float>` vector (see [[VecNorm]]). */
+  def vecNorm(vec: Column): Column =
+    GraftBridge.column(VecNorm(GraftBridge.expression(vec)))
 }

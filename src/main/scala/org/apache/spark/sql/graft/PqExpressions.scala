@@ -1,0 +1,152 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization primitives (SURVEY §2.11 [EXT]) — the memory-bound
+  * ANN scale path: a 64-dim float vector (256 bytes) compresses to `m`
+  * 4-bit codes (one int), and query-candidate scoring becomes `m` lookups
+  * into a per-query table instead of a full dot product. At 100 TB the
+  * pair-scoring scan carries ~12 bytes per candidate instead of the
+  * embedding column — that compression, not FLOPs, is what PQ buys.
+  *
+  * Codebooks ride inside the expression as a flat literal float array
+  * (`m` subspaces × `k` codes × `subDim` floats — a few KB serialized with
+  * the plan to every executor, FAISS's driver-resident-quantizer shape).
+  * All loops are fused JVM (CodegenFallback — called once per row, the
+  * eval IS the tight loop; see SketchExpressions for the rationale).
+  */
+
+/** Encode an array<float> vector as `m` packed 4-bit codes (k must be 16):
+  * per subspace, the code of the L2-nearest codebook centroid; strict `<`
+  * keeps the LOWEST minimal code — deterministic. */
+case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k == 16, "4-bit packing requires exactly 16 codes per subspace")
+  require(m <= 8, "packed codes must fit one int (8 subspaces x 4 bits)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val subDim = codebooks.length / (m * k)
+    var packed = 0
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestDist = Double.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val base = (mi * k + ki) * subDim
+        var dist = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = v.getFloat(mi * subDim + d).toDouble - codebooks(base + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = ki }
+        ki += 1
+      }
+      packed |= best << (4 * mi)
+      mi += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: lut[mi*k + ki] = dot(query_sub_mi, c_{mi,ki})
+  * as double — computed ONCE per query row, amortized over every candidate
+  * it scores. */
+case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val subDim = codebooks.length / (m * k)
+    val lut = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        val base = (mi * k + ki) * subDim
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) {
+          dot += v.getFloat(mi * subDim + d).toDouble * codebooks(base + d)
+          d += 1
+        }
+        lut(mi * k + ki) = dot
+        ki += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance score of one (packed codes, query LUT) pair:
+  * sum over subspaces of lut[mi*k + code_mi] ≈ dot(query, candidate). */
+case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(IntegerType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(codes: Any, lutAny: Any): Any = {
+    val packed = codes.asInstanceOf[Int]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var mi = 0
+    while (mi < m) {
+      sum += lut.getDouble(mi * k + ((packed >>> (4 * mi)) & 15))
+      mi += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an array<float> vector (sequential float→double squares —
+  * the same accumulation shape as [[CosineSimilarity]]). */
+case class VecNorm(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < v.numElements()) {
+      val x = v.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}

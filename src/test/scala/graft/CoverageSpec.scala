@@ -18,12 +18,12 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 112/117 split") {
-    assert(SparkEntry.queries.size === 117)
+  test("oracle coverage matches the documented 112/118 split") {
+    assert(SparkEntry.queries.size === 118)
     assert(SparkEntry.oracleSql.size === 112)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 5 intrinsically non-oracle-able operators, and only those
-    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_approx_agg",
+    // the 6 intrinsically non-oracle-able operators, and only those
+    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg",
       "x_multimodal_features", "x_multimodal_frames"))
   }
 }

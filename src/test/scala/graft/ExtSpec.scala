@@ -169,6 +169,18 @@ class ExtSpec extends SparkSpec {
     assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
   }
 
+  test("pq ann returns full top-5 per query with decent recall vs brute force") {
+    val pq = Similarity.queries("x_ann_pq")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    val bf = Similarity.queries("x_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    assert(pq.groupBy(_._1).forall(_._2.length === 5))
+    // 4-bit x 8-subspace codes + 50-deep exact rerank: most true neighbors
+    // must survive the ADC shortlist (exact threshold is data-dependent)
+    val recall = pq.toSet.intersect(bf.toSet).size.toDouble / bf.length
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("centroid aggregator: mean of identical vectors is the vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
