@@ -65,6 +65,64 @@ object Stress {
         .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
       li.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2).count()
     }
+
+    // [EXT] dedup at K×, two corpus regimes:
+    //  - "dup-heavy": one appended replica token keeps cross-replica copies
+    //    ABOVE the Jaccard threshold → every doc has ~K(K-1)/2 true near-dup
+    //    copies (45 at K=10; ~250k emitted pairs) — the adversarial case for
+    //    prefix filtering, since truly-similar copies share their prefix
+    //    shingles and cannot be pruned;
+    //  - "distinct": every token gets a replica suffix — an isomorphic
+    //    token mapping, so each replica's shingle/posting distribution is
+    //    IDENTICAL to the original corpus while cross-replica J=0: pairs
+    //    and postings scale linearly in K — the regime a growing real
+    //    corpus lives in. (An interleaved marker token was tried first and
+    //    manufactured pathological hot shingles like "r0 the r0" shared by
+    //    most of a replica — quadratic join blowup from the test fixture
+    //    itself, not the operator.)
+    val docsDup = (0 until k).map { i =>
+      Tables.documents(spark, d).select(
+        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        concat(col("text"), lit(s" r$i")).as("text"))
+    }.reduce(_ union _).repartition(64).cache()
+    println(s"[stress] documents=${docsDup.count()} (k=$k, dup-heavy)")
+    time("ngram_pairs_dup_heavy") {
+      graft.ext.Dedup.ngramJaccardNaive(spark, docsDup).count()
+    }
+    time("ngram_pairs_dup_heavy_prefix_filtered") {
+      graft.ext.Dedup.ngramJaccardPrefixFiltered(spark, docsDup).count()
+    }
+    docsDup.unpersist()
+    val docsDistinct = (0 until k).map { i =>
+      Tables.documents(spark, d).select(
+        (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')")
+          .as("text"))
+    }.reduce(_ union _).repartition(64).cache()
+    println(s"[stress] documents=${docsDistinct.count()} (k=$k, distinct)")
+    time("ngram_pairs_distinct") {
+      graft.ext.Dedup.ngramJaccardNaive(spark, docsDistinct).count()
+    }
+    time("ngram_pairs_distinct_prefix_filtered") {
+      graft.ext.Dedup.ngramJaccardPrefixFiltered(spark, docsDistinct).count()
+    }
+    docsDistinct.unpersist()
+
+    val emb = (0 until k).map { i =>
+      Tables.embeddings(spark, d).select(
+        (col("vec_id") + lit(i * 100000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _).repartition(64).cache()
+    println(s"[stress] embeddings=${emb.count()} (k=$k)")
+    time("pq_topk") {
+      graft.ext.Similarity.pqTopK(emb, col("vec_id") < 10).count()
+    }
+    time("ivf_topk") {
+      graft.ext.Similarity.ivfTopK(emb, col("vec_id") < 10).count()
+    }
+    time("bruteforce_topk") {
+      graft.ext.Similarity.exactTopK(emb,
+        emb.filter(col("vec_id") < 10)).count()
+    }
     spark.stop()
   }
 }
