@@ -1,0 +1,121 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck invariants over the native Catalyst expressions: the fused
+  * implementations must agree with their declarative/HOF formulations on
+  * arbitrary inputs, and the PQ primitives must satisfy their algebraic
+  * contracts. 10 cases per property — each case runs real Spark jobs. */
+object NativeExprProps extends Properties("graft.nativeexprs") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFunctions._
+
+  private val token: Gen[String] = Gen.oneOf(
+    "a", "b", "c", "dd", "ee", "xyz", "", "tok1", "tok2", "Zz")
+  private val tokenLists: Gen[List[List[String]]] =
+    Gen.listOfN(8, Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token)))
+
+  property("native shingle_set == HOF formulation on arbitrary token lists") =
+    forAll(tokenLists) { lists =>
+      import spark.implicits._
+      val df = lists.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("id", "tokens")
+      df.select(
+        shingleSet(col("tokens")).as("native"),
+        expr("""array_distinct(transform(
+          |  sequence(0, greatest(size(tokens) - 3, 0)),
+          |  i -> concat_ws(' ', slice(tokens, i + 1, 3))))""".stripMargin)
+          .as("hof"))
+        .filter(col("native") =!= col("hof")).count() == 0L
+    }
+
+  private val vec: Gen[List[Float]] =
+    Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f))
+  private val vecs: Gen[List[List[Float]]] = Gen.listOfN(6, vec)
+
+  property("vec_norm == sqrt(cosine-denominator identity): |v|^2 == dot(v,v)") =
+    forAll(vec) { v =>
+      import spark.implicits._
+      val df = Seq(Tuple1(v.toArray)).toDF("v")
+      val Array(norm, cos) = df.select(
+          vecNorm(col("v")).as("n"), cosineSim(col("v"), col("v")).as("c"))
+        .collect().flatMap(r => Array(r.getDouble(0), r.getDouble(1)))
+      // self-cosine is 1 for nonzero vectors; norm agrees with manual sum
+      val manual = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      math.abs(norm - manual) < 1e-9 &&
+        (norm == 0.0 || math.abs(cos - 1.0) < 1e-12)
+    }
+
+  property("pq encode/lut/adc satisfy their contracts against a Scala reference") =
+    forAll(vecs) { base =>
+      import spark.implicits._
+      val m = 4
+      val k = 16
+      val dim = 16
+      val subDim = dim / m
+      val rng = new scala.util.Random(7)
+      val codebooks = Array.fill(m * k * subDim)((rng.nextInt(200) - 100) / 10.0f)
+      val data = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val df = data.toDF("id", "v")
+      val out = df.select(col("v"),
+          pqEncode(col("v"), codebooks, m, k).as("codes"),
+          pqLut(col("v"), codebooks, m, k).as("lut"))
+        .select(col("v"), col("codes"), col("lut"),
+          pqAdc(col("codes"), col("lut"), m, k).as("adc"))
+        .collect()
+      out.forall { r =>
+        val v = r.getSeq[Float](0)
+        val codes = r.getInt(1)
+        val lut = r.getSeq[Double](2)
+        val adc = r.getDouble(3)
+        // adc == sum of the lut entries the codes select
+        val manual = (0 until m)
+          .map(mi => lut(mi * k + ((codes >>> (4 * mi)) & 15))).sum
+        // each 4-bit code is the L2-argmin centroid (lowest index on ties)
+        val codesOk = (0 until m).forall { mi =>
+          val dists = (0 until k).map { ki =>
+            (0 until subDim).map { d =>
+              val diff = v(mi * subDim + d).toDouble -
+                codebooks((mi * k + ki) * subDim + d)
+              diff * diff
+            }.sum
+          }
+          dists.indexOf(dists.min) == ((codes >>> (4 * mi)) & 15)
+        }
+        // each lut entry is the subspace dot product
+        val lutOk = (0 until m).forall { mi =>
+          (0 until k).forall { ki =>
+            val dot = (0 until subDim).map { d =>
+              v(mi * subDim + d).toDouble *
+                codebooks((mi * k + ki) * subDim + d)
+            }.sum
+            math.abs(lut(mi * k + ki) - dot) < 1e-9
+          }
+        }
+        math.abs(adc - manual) < 1e-12 && codesOk && lutOk
+      }
+    }
+
+  property("pq encode is deterministic and codes fit 4 bits per subspace") =
+    forAll(vecs) { base =>
+      import spark.implicits._
+      val m = 4
+      val k = 16
+      val subDim = 4
+      val rng = new scala.util.Random(11)
+      val codebooks = Array.fill(m * k * subDim)((rng.nextInt(200) - 100) / 10.0f)
+      val df = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+      val a = df.select(pqEncode(col("v"), codebooks, m, k).as("c"))
+        .collect().map(_.getInt(0)).toSeq
+      val b = df.select(pqEncode(col("v"), codebooks, m, k).as("c"))
+        .collect().map(_.getInt(0)).toSeq
+      a == b && a.forall(c => (c & 0xffff0000) == 0 || m > 4) &&
+        a.forall(c => (0 until m).forall(mi => ((c >>> (4 * mi)) & 15) < k))
+    }
+}
