@@ -122,6 +122,11 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
     val posts = sets.select(col("doc_id"), col("n_sh"),
       explode(col("shingles")).as("shingle"))
+    // doc frequency via hash-aggregate + join, NOT a count-over-window:
+    // a window partitioned by shingle must SORT the full posting set inside
+    // each partition, and that sort costs more than the second posting
+    // shuffle the join formulation pays (measured 1.7x slower at the 10x
+    // stress scale — see ROUND4_NOTES)
     val freq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val prefix = posts
       .join(freq, "shingle")
