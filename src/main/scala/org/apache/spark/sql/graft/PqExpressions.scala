@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -100,9 +100,13 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
 }
 
 /** Asymmetric-distance score of one (packed codes, query LUT) pair:
-  * sum over subspaces of lut[mi*k + code_mi] ≈ dot(query, candidate). */
+  * sum over subspaces of lut[mi*k + code_mi] ≈ dot(query, candidate).
+  * Unlike the per-row encode/LUT expressions, this one sits in the
+  * query×candidate PAIR scan — the hot path — so it has real `doGenCode`
+  * (a CodegenFallback here would break the whole-stage-codegen span of
+  * the scoring stage and pay interpreted dispatch per pair). */
 case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
-  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(IntegerType, ArrayType(DoubleType))
@@ -121,15 +125,29 @@ case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
     sum
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val sum = ctx.freshName("sum")
+      val mi = ctx.freshName("mi")
+      s"""
+         |double $sum = 0.0;
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  $sum += $lut.getDouble($mi * $k + (($codes >>> (4 * $mi)) & 15));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
 
 /** L2 norm of an array<float> vector (sequential float→double squares —
-  * the same accumulation shape as [[CosineSimilarity]]). */
+  * the same accumulation shape as [[CosineSimilarity]], with the same
+  * whole-stage codegen). */
 case class VecNorm(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
@@ -146,6 +164,21 @@ case class VecNorm(child: Expression)
     }
     math.sqrt(s)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  double $x = (double) $v.getFloat($i);
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
