@@ -157,5 +157,9 @@ class PlanSpec extends SparkSpec {
     val m = spark.sql("SELECT md5_simhash60(array('hello')) AS h")
       .collect().head.getLong(0)
     assert(m === 419982666956583591L) // == int(md5('hello')[:15], 16)
+    // shingle_set registered on the same surface
+    val sh = spark.sql("SELECT shingle_set(array('a','b','c','d')) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
   }
 }
