@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -58,8 +58,63 @@ object Pipeline {
       .orderBy("predicted_lang")
   }
 
+  /** Tokenizer vocabulary build: corpus-wide token counts, ids assigned by
+    * frequency (ties broken lexicographically), truncated to `maxVocab`.
+    * 100 TB notes: the count is a distributed partial+final groupBy; the
+    * global row_number runs over the AGGREGATED vocabulary (≤ a few million
+    * rows at web scale), not the corpus — one narrow single-partition pass
+    * at the very end, the standard shape for vocab building. */
+  def buildVocab(docs: DataFrame, maxVocab: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("token_id") <= maxVocab)
+      .select(col("token_id"), col("token"), col("cnt"))
+      .orderBy("token_id")
+  }
+
+  /** Benchmark decontamination: flag training docs sharing >= `minShared`
+    * distinct 3-gram shingles with any doc of the held-out eval set (here:
+    * doc_id % 100 == 0 stands in for the benchmark suite). The eval shingle
+    * set is small by construction (benchmarks are), so it BROADCASTS and
+    * the training corpus is scanned once with a broadcast hash join — no
+    * shuffle of the corpus at any size. */
+  def decontaminate(docs: DataFrame, evalFilter: Column,
+      minShared: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.shingleSet
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(
+        shingleSet(split(col("text"), " "))).as("shingle"))
+    val evalSh = shingles(docs.filter(evalFilter))
+      .select(col("shingle")).distinct()
+    shingles(docs.filter(!evalFilter))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
+  /** Stable reproducible train/val split: bucket = first 8 hex digits of
+    * md5(doc_id) mod 100 — engine-portable (the DuckDB twin computes the
+    * identical bucket), independent of row order, partitioning, and corpus
+    * growth (a doc keeps its split forever). Pure projection: zero
+    * shuffles at any scale. */
+  def stableSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = docs
+    .select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int").as("bucket"))
+    .withColumn("split",
+      when(col("bucket") < trainPct, "train").otherwise("val"))
+    .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
-    "x_pipeline_corpus" -> ((s, d) => corpusPrep(documents(s, d)))
+    "x_pipeline_corpus" -> ((s, d) => corpusPrep(documents(s, d))),
+    "x_text_vocab" -> ((s, d) => buildVocab(documents(s, d))),
+    "x_decontaminate" -> ((s, d) =>
+      decontaminate(documents(s, d), col("doc_id") % 100 === 0)),
+    "x_split_stable" -> ((s, d) => stableSplit(documents(s, d)))
   )
 
   /** The DuckDB twin composes the already-proven langid / quality / BPE
@@ -101,6 +156,33 @@ object Pipeline {
          |WHERE n_tok >= $minTokens
          |  AND (predicted_lang <> 'en'
          |    OR CAST(n_stop AS DOUBLE) / n_tok >= $minStopRatio)
-         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+    "x_text_vocab" ->
+      """SELECT CAST(rk AS INT) AS token_id, token, cnt FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |WHERE rk <= 500 ORDER BY token_id""".stripMargin,
+    "x_decontaminate" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), ev AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sets WHERE doc_id % 100 = 0
+        |), tr AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sets WHERE doc_id % 100 <> 0
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+    "x_split_stable" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 AS INT) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
