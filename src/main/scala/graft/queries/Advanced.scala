@@ -85,9 +85,14 @@ object Advanced {
     }),
 
     // Range join: orders matched into derived quarter windows
-    // [start, end) — the CoveragePeriod point-in-time shape. The range
-    // table is tiny → broadcast nested-loop; at scale you'd bucket by
-    // coarse time first (the standard banding trick).
+    // [start, end) — the CoveragePeriod point-in-time shape, via the
+    // standard BANDING trick: both sides derive a coarse band key (here
+    // the calendar quarter, which tiles the intervals exactly; overlapping
+    // intervals would explode into every band they touch), the join is an
+    // EQUI-join on the band with the range predicate kept as residual —
+    // a broadcast hash join probing one bucket per row instead of a
+    // nested loop over every (row, interval) pair. PlanSpec pins the
+    // BroadcastHashJoin.
     "x_range_join" -> ((s, d) => {
       val quarters = orders(s, d)
         .select(year(col("o_orderdate")).cast("int").as("yr"),
@@ -97,8 +102,11 @@ object Advanced {
           make_date(col("yr"), (col("qtr") - 1) * 3 + 1, lit(1)))
         .withColumn("q_end", add_months(col("q_start"), 3))
       orders(s, d)
+        .withColumn("b_yr", year(col("o_orderdate")).cast("int"))
+        .withColumn("b_qtr", quarter(col("o_orderdate")).cast("int"))
         .join(broadcast(quarters),
-          col("o_orderdate").cast("date") >= col("q_start")
+          col("b_yr") === col("yr") && col("b_qtr") === col("qtr")
+            && col("o_orderdate").cast("date") >= col("q_start")
             && col("o_orderdate").cast("date") < col("q_end"))
         .groupBy(col("yr"), col("qtr"))
         .agg(count(lit(1)).as("order_cnt"))

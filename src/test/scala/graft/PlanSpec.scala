@@ -102,6 +102,12 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("banded range join is a broadcast HASH join, not a nested loop") {
+    val p = explain(q("x_range_join"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("corpus-prep pipeline fuses to three shuffles and zero joins") {
     val p = explain(q("x_pipeline_corpus"))
     // dedup groupBy(text), stats groupBy(predicted_lang), final sort — the
