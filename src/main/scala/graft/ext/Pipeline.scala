@@ -109,12 +109,52 @@ object Pipeline {
       when(col("bucket") < trainPct, "train").otherwise("val"))
     .orderBy("doc_id")
 
+  /** Stratified per-class sample: `perClass` docs per language, chosen by
+    * md5(doc_id) order — deterministic, engine-portable, and unbiased
+    * w.r.t. any data ordering (a LIMIT-per-group over storage order is
+    * not). One shuffle on the class key; the window sorts only within
+    * class partitions. */
+  def stratifiedSample(docs: DataFrame, perClass: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"))))
+      .filter(col("rn") <= perClass)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Sequence packing by prefix-sum binning: docs in stable doc_id order
+    * are packed into `budget`-token bins via a running token cumsum —
+    * bin = floor((cumsum - n_tok) / budget), i.e. a doc goes to the bin
+    * its FIRST token lands in (greedy packing's contiguous approximation;
+    * docs may straddle bins, which real packers either split or pad — the
+    * binning math is the distributed-friendly part either way).
+    * 100 TB notes: a single global cumsum would serialize; production
+    * packs per shard. The global-order form here keeps the oracle exact;
+    * the per-shard form is the same expression under partitionBy(shard). */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin",
+        floor((col("cum_tok") - col("n_tok")) / budget).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_pipeline_corpus" -> ((s, d) => corpusPrep(documents(s, d))),
     "x_text_vocab" -> ((s, d) => buildVocab(documents(s, d))),
     "x_decontaminate" -> ((s, d) =>
       decontaminate(documents(s, d), col("doc_id") % 100 === 0)),
-    "x_split_stable" -> ((s, d) => stableSplit(documents(s, d)))
+    "x_split_stable" -> ((s, d) => stableSplit(documents(s, d))),
+    "x_sample_stratified" -> ((s, d) => stratifiedSample(documents(s, d))),
+    "x_pack_sequences" -> ((s, d) => packSequences(documents(s, d)))
   )
 
   /** The DuckDB twin composes the already-proven langid / quality / BPE
@@ -183,6 +223,24 @@ object Pipeline {
         |    % 100 AS INT) AS bucket,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |    % 100 < 90 THEN 'train' ELSE 'val' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "x_pack_sequences" ->
+      """SELECT doc_id, n_tok, cum_tok,
+        |  CAST(floor((cum_tok - n_tok) / 2048.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT)
+        |          AS n_tok FROM documents))
+        |ORDER BY doc_id""".stripMargin
   )
 }
