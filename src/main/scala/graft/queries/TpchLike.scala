@@ -139,6 +139,51 @@ object TpchLike {
           col("sum_qty_cents"))
         .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // Q4 order-priority checking (adapted: no commitdate/receiptdate in the
+    // testdata — "late" = shipped >30 days after order date): correlated
+    // EXISTS becomes a left-semi join whose condition mixes the orderkey
+    // equi-pair with a cross-table date inequality.
+    "tpch_q4" -> ((s, d) => orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01")
+        && col("o_orderdate") < ts("1996-04-01"))
+      .join(lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > date_add(col("o_orderdate"), 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")),
+
+    // Q21 suppliers-who-kept-orders-waiting (adapted lateness as in Q4):
+    // the classic EXISTS + NOT-EXISTS pair with a <> correlation — a
+    // left-semi and a left-anti join whose conditions mix the orderkey
+    // equi-pair with a suppkey inequality.
+    "tpch_q21" -> ((s, d) => {
+      val late = lineitem(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l1 = late
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(nation(s, d).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+      val l2 = lineitem(s, d)
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = late
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1
+        .join(l2, col("o2") === col("l_orderkey")
+          && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("o3") === col("l_orderkey")
+          && col("s3") =!= col("l_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     })
   )
 
@@ -232,6 +277,33 @@ object TpchLike {
         |  FROM lineitem GROUP BY l_orderkey
         |  HAVING sum_qty_cents > 20000) big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q21" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }
