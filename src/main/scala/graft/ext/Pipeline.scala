@@ -147,7 +147,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking — the unit embeddings/RAG indexes
+    * operate on. `width`-token chunks every `stride` tokens (half-overlap
+    * by default), chunk 0 always present even for short docs. Pure
+    * per-row Generate (explode) — no shuffle at any scale; chunk counts
+    * scale with corpus tokens, which is the point of doing it
+    * distributed. */
+  def chunk(docs: DataFrame, width: Int = 32, stride: Int = 16): DataFrame = docs
+    .withColumn("tokens", split(col("text"), " "))
+    .select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, int(greatest(ceil((size(tokens) - $width) / ${stride}.0D), 0))),
+           |  i -> concat_ws(' ', slice(tokens, i * $stride + 1, $width)))"""
+          .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
+    .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+    .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
+    "x_text_chunk" -> ((s, d) => chunk(documents(s, d))),
     "x_pipeline_corpus" -> ((s, d) => corpusPrep(documents(s, d))),
     "x_text_vocab" -> ((s, d) => buildVocab(documents(s, d))),
     "x_decontaminate" -> ((s, d) =>
@@ -160,6 +178,21 @@ object Pipeline {
   /** The DuckDB twin composes the already-proven langid / quality / BPE
     * oracle fragments over the deduped corpus. */
   val oracle: Map[String, String] = Map(
+    "x_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, toks,
+        |    CAST(greatest(ceil((len(toks) - 32) / 16.0), 0) AS INT) AS lastc
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), ex AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, lastc + 1)) AS INT) AS chunk_idx,
+        |    unnest([array_to_string(toks[i*16+1:i*16+32], ' ')
+        |            for i in range(0, lastc + 1)]) AS chunk_text
+        |  FROM d
+        |)
+        |SELECT doc_id, chunk_idx, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_chunk_tokens
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
     "x_pipeline_corpus" ->
       s"""WITH dd AS (
          |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 119/125 split") {
-    assert(SparkEntry.queries.size === 125)
-    assert(SparkEntry.oracleSql.size === 119)
+  test("oracle coverage matches the documented 120/126 split") {
+    assert(SparkEntry.queries.size === 126)
+    assert(SparkEntry.oracleSql.size === 120)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 6 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg",
