@@ -164,7 +164,35 @@ object Pipeline {
     .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
     .orderBy("doc_id", "chunk_idx")
 
+  /** Feature-hashing text embeddings (the hashing trick): each token hashes
+    * to one of `dims` buckets with a ±1 sign, signed counts are
+    * L2-normalized — a real, trainable-model-free embedding that feeds the
+    * ANN/dedup stack. Emitted long-form (doc_id, dim, weight) — the sparse
+    * representation that joins/aggregates shuffle-efficiently at scale.
+    * Hash = md5 prefixes, so the DuckDB twin computes the identical
+    * embedding; norm is a sqrt of an integer sum and each weight one
+    * division, so values are bit-exact across engines. Two shuffles
+    * (signed-count groupBy, per-doc norm) regardless of corpus size. */
+  def hashingEmbed(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val hashed = toks.select(col("doc_id"),
+      (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dims)
+        .cast("int").as("dim"),
+      when(conv(substring(md5(col("token")), 9, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1)).otherwise(lit(-1)).as("sgn"))
+    val counts = hashed.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+    val norms = counts.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    counts.join(norms, "doc_id")
+      .select(col("doc_id"), col("dim"),
+        round(col("v") / col("nrm"), 6).as("weight"))
+      .orderBy("doc_id", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_embed_hashing" -> ((s, d) => hashingEmbed(documents(s, d))),
     "x_text_chunk" -> ((s, d) => chunk(documents(s, d))),
     "x_pipeline_corpus" -> ((s, d) => corpusPrep(documents(s, d))),
     "x_text_vocab" -> ((s, d) => buildVocab(documents(s, d))),
@@ -178,6 +206,24 @@ object Pipeline {
   /** The DuckDB twin composes the already-proven langid / quality / BPE
     * oracle fragments over the deduped corpus. */
   val oracle: Map[String, String] = Map(
+    "x_embed_hashing" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS dim,
+        |    CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |), c AS (
+        |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+        |  FROM h GROUP BY doc_id, dim
+        |), n AS (
+        |  SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM c
+        |  GROUP BY doc_id
+        |)
+        |SELECT c.doc_id AS doc_id, dim, round(v / nrm, 6) AS weight
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |ORDER BY c.doc_id, dim""".stripMargin,
     "x_text_chunk" ->
       """WITH d AS (
         |  SELECT doc_id, toks,
