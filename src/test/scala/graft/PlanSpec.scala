@@ -102,6 +102,16 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("q4/q21 correlated (NOT) EXISTS lower to hash semi/anti joins") {
+    val p4 = explain(q("tpch_q4"))
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("BroadcastNestedLoopJoin"), p4)
+    val p21 = explain(q("tpch_q21"))
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("BroadcastNestedLoopJoin"), p21)
+  }
+
   test("banded range join is a broadcast HASH join, not a nested loop") {
     val p = explain(q("x_range_join"))
     assert(p.contains("BroadcastHashJoin"), p)
