@@ -42,6 +42,29 @@ class ExtSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("hashing embeddings: ngram near-dup pairs score higher cosine than random pairs") {
+    val emb = graft.ext.Pipeline.queries("x_embed_hashing")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        val v = new Array[Double](64)
+        rows.foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("weight"))
+        id -> v
+      }
+    // vectors are L2-normalized, so cosine == dot
+    def cos(a: Long, b: Long): Double =
+      emb(a).zip(emb(b)).map { case (x, y) => x * y }.sum
+    val dupPairs = graft.ext.Dedup.queries("x_dedup_ngram")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(dupPairs.nonEmpty)
+    val ids = emb.keys.toSeq.sorted
+    val randPairs = ids.take(200).map(i => (i, ids((ids.indexOf(i) + 7) % ids.size)))
+      .filter(p => p._1 != p._2)
+    val dupAvg = dupPairs.map((cos _).tupled).sum / dupPairs.length
+    val randAvg = randPairs.map((cos _).tupled).sum / randPairs.length
+    assert(dupAvg > randAvg + 0.2,
+      s"near-dup cosine $dupAvg should clearly exceed random-pair cosine $randAvg")
+  }
+
   test("corpus-prep pipeline keeps multiple languages and drops short docs") {
     val out = graft.ext.Pipeline.queries("x_pipeline_corpus")(spark, sf).collect()
     val langs = out.map(_.getAs[String]("predicted_lang")).toSet
