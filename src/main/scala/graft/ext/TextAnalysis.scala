@@ -109,7 +109,33 @@ object TextAnalysis {
          |  i -> md5(concat_ws(' ', slice(tokens, i + 1, $window)))))"""
         .stripMargin).as("fingerprint"))
 
+  /** Corpus bigram language-model statistics: top-k bigrams with their
+    * conditional probability P(w2 | w1) = c(w1 w2) / c(w1 ·) — both counts
+    * integers, one final division, so the probabilities are bit-exact
+    * across engines. c(w1 ·) counts bigram OCCURRENCES with w1 first
+    * (= unigram count excluding each doc's last token), so probabilities
+    * per w1 sum to exactly 1. Two distributed aggregations + one join. */
+  def bigramStats(docs: DataFrame, k: Int = 50): DataFrame = {
+    val bigrams = docs
+      .withColumn("tokens", tokens)
+      // sequence(0, n) DESCENDS when n < 0 — filter 1-token docs out first
+      .filter(size(col("tokens")) >= 2)
+      .select(posexplode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> struct(tokens[i] AS w1, tokens[i+1] AS w2))""".stripMargin))
+        .as(Seq("pos", "bg")))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c2"),
+        round(col("c2").cast("double") / col("c1"), 6).as("p_w2_given_w1"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_text_bigrams" -> ((s, d) => bigramStats(documents(s, d))),
     "x_text_stats" -> ((s, d) => textStats(documents(s, d)).orderBy("doc_id")),
     "x_text_tokens_bpe" -> ((s, d) =>
       bpeTokenCounts(documents(s, d)).orderBy("doc_id")),
@@ -130,6 +156,21 @@ object TextAnalysis {
     Seq("fr", "es", "de", "en").indexOf(l)
 
   val oracle: Map[String, String] = Map(
+    "x_text_bigrams" ->
+      """WITH bg AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        |), c2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+        |)
+        |SELECT c2.w1 AS w1, w2, c2.c2 AS c2,
+        |  round(CAST(c2.c2 AS DOUBLE) / c1.c1, 6) AS p_w2_given_w1
+        |FROM c2 JOIN c1 ON c2.w1 = c1.w1
+        |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin,
     "x_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -100,6 +100,31 @@ object Events {
         .select(col("user_id"), col("n_intervals"), col("wsum"), col("total_us"),
           (col("wsum").cast("double") / col("total_us")).as("twa_cents"))
         .orderBy("user_id")
+    }),
+
+    // Daily-volume anomaly detection: days whose event count deviates from
+    // the corpus mean by more than 2 sample standard deviations. Mean and
+    // std derive from exact integer sums (n, Σc, Σc²) through ONE fixed
+    // double expression on both engines (engine-native STDDEV streaming
+    // algorithms differ — the Depth.scala variance policy). Two-pass shape:
+    // tiny daily-count aggregate, broadcast stats, flag — corpus-size scan
+    // happens once.
+    "e9_daily_anomaly" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.agg(
+        count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      daily.crossJoin(stats)
+        .withColumn("mean", col("s1").cast("double") / col("n"))
+        .withColumn("std", sqrt(
+          (col("s2").cast("double") - col("s1").cast("double")
+            * col("s1") / col("n")) / (col("n") - 1)))
+        .filter(abs(col("cnt") - col("mean")) > lit(2.0) * col("std"))
+        .select(col("day"), col("cnt"), round(col("mean"), 6).as("mean"),
+          round((col("cnt") - col("mean")) / col("std"), 6).as("z"))
+        .orderBy("day")
     })
   )
 
@@ -136,6 +161,24 @@ object Events {
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS active_users, count(*) AS event_cnt
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "e9_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS s2
+        |  FROM daily
+        |)
+        |SELECT day, cnt,
+        |  round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+        |  round((cnt - CAST(s1 AS DOUBLE) / n)
+        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6) AS z
+        |FROM daily, st
+        |WHERE abs(cnt - CAST(s1 AS DOUBLE) / n)
+        |  > 2.0 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+        |ORDER BY day""".stripMargin,
     "e7_retention" ->
       """WITH activity AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

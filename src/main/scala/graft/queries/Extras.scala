@@ -54,6 +54,34 @@ object Extras {
         max(cents(col("o_totalprice"))).as("max_price_cents"))
     }),
 
+    // Expectations-style DQ rule checks: one row per rule with its
+    // violation count — the reference's RI-validation idiom (anti-joins
+    // expected to return 0) generalized to a rule suite. Each rule is an
+    // independent aggregate/anti-join; the union is a report, so expected-0
+    // rules stay visible rather than silently absent.
+    "x_dq_rules" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val o = orders(s, d)
+      def rule(name: String, violations: DataFrame): DataFrame =
+        violations.select(lit(name).as("rule"), col("violations"))
+      rule("lineitem.discount_in_0_to_0.3",
+          li.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.3, 1)
+            .otherwise(0)).as("violations")))
+        .union(rule("lineitem.orphan_orderkey",
+          li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .union(rule("lineitem.quantity_positive",
+          li.agg(sum(when(col("l_quantity") <= 0, 1).otherwise(0))
+            .as("violations"))))
+        .union(rule("orders.status_in_domain",
+          o.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1)
+            .otherwise(0)).as("violations"))))
+        .union(rule("orders.totalprice_positive",
+          o.agg(sum(when(col("o_totalprice") <= 0, 1).otherwise(0))
+            .as("violations"))))
+        .orderBy("rule")
+    }),
+
     // Funnel: per user, did a purchase follow the first click? (conversion)
     "e6_funnel" -> ((s, d) => {
       val e = events(s, d)
@@ -142,6 +170,25 @@ object Extras {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
         |GROUP BY word ORDER BY word""".stripMargin,
+    "x_dq_rules" ->
+      """SELECT 'lineitem.discount_in_0_to_0.3' AS rule,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.orphan_orderkey',
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem.quantity_positive',
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.status_in_domain',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'orders.totalprice_positive',
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |ORDER BY rule""".stripMargin,
     "x_dq_profile" ->
       """SELECT count(*) AS row_cnt,
         |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
