@@ -141,6 +141,23 @@ object TpchLike {
         .limit(100)
     }),
 
+    // Q9 product-type profit (adapted: no partsupp table in the testdata, so
+    // profit = discounted revenue): part-name LIKE filter feeding a 5-way
+    // join, grouped by supplier nation × order year. The part filter prunes
+    // FIRST (predicate pushdown into the part scan), then lineitem joins the
+    // filtered part broadcast — the selective-dimension-first star shape.
+    "tpch_q9" -> ((s, d) => lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_name").like("%red%"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)),
+
     // Q4 order-priority checking (adapted: no commitdate/receiptdate in the
     // testdata — "late" = shipped >30 days after order date): correlated
     // EXISTS becomes a left-semi join whose condition mixes the orderkey
@@ -278,6 +295,16 @@ object TpchLike {
         |  HAVING sum_qty_cents > 20000) big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name, o_year ORDER BY nation, o_year DESC""".stripMargin,
     "tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders

@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 124/130 split") {
-    assert(SparkEntry.queries.size === 130)
-    assert(SparkEntry.oracleSql.size === 124)
+  test("oracle coverage matches the documented 125/131 split") {
+    assert(SparkEntry.queries.size === 131)
+    assert(SparkEntry.oracleSql.size === 125)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 6 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg",
