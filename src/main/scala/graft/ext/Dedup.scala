@@ -171,21 +171,15 @@ object Dedup {
     *
     * Unpersist must target the exact cached plan, so a handle to each
     * round's cached frame is kept and released at the start of the next
-    * round (unpersisting a projection of it is a no-op); only the final
-    * round's cache — which backs the returned frame — stays resident.
+    * round (unpersisting a projection of it is a no-op). The FINAL labels
+    * leave the function as an eager localCheckpoint, not a cache: the loop
+    * cache is released before returning, and the checkpointed blocks are
+    * reference-tracked by Spark's ContextCleaner, so they are freed when
+    * the caller drops the returned frame — no cache outlives its consumer,
+    * and repeated invocations cannot collide on a shared canonical-plan
+    * cache entry (each checkpoint is a distinct LogicalRDD).
     * Deterministic: min over Long. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    // Release the previous invocation's final-label cache NOW, not at the
-    // end: the CacheManager dedupes by canonical plan, so a re-run of the
-    // same query maps to the SAME cache entry — unpersisting the old handle
-    // after this run built its result would evict the cache backing the
-    // new result too (forcing a full lineage recompute on consumption).
-    // At entry, nothing of this run exists yet, so eviction is safe; this
-    // run's loop re-caches and refills as part of its convergence counts.
-    synchronized {
-      lastCcResult.foreach(_.unpersist())
-      lastCcResult = None
-    }
     // both directions from ONE pass over the (expensive) edge lineage — a
     // union of two selects would compute that lineage twice
     val sym = edges.select(explode(array(
@@ -217,23 +211,21 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
     sym.unpersist()
-    // Bound resident caches to one per session: the final round's cache
-    // backs the returned frame (uncaching it here would force a recompute
-    // on consumption), so keep a handle for the NEXT invocation's entry
-    // eviction. Repeated calls (warmup + measured bench + tests) hold at
-    // most one resident cache instead of accumulating one per invocation.
-    synchronized {
-      lastCcResult = Some(prevCached)
-    }
+    // Detach the result from the loop cache: labels are (Long, Long) pairs
+    // for edge-touched vertices only — tiny next to the corpus — so an
+    // eager localCheckpoint costs one pass over the already-cached frame
+    // and lets the loop cache be released here instead of staying resident
+    // for the session. (localCheckpoint trades fault-tolerance of this
+    // small frame for zero lineage; a reliable checkpoint dir would restore
+    // it on a cluster where executor loss matters.)
+    val finalLabels = labels.localCheckpoint(true)
+    prevCached.unpersist()
     // singletons (no incident edge) cluster as themselves, outside the loop
     val singletons = vertices.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(finalLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    labels.union(singletons)
+    finalLabels.union(singletons)
   }
-
-  /** Handle to the last connectedComponents result's cache (see above). */
-  private var lastCcResult: Option[DataFrame] = None
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical doc per distinct text (hash-groupBy, one shuffle).

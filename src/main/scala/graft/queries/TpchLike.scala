@@ -201,6 +201,142 @@ object TpchLike {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    }),
+
+    // Q8 national market share (adapted): NATION_5 suppliers' share of
+    // AMERICA-region customers' PROMO-part volume by order year. The nation
+    // dim plays two roles — supplier side carries the share subject,
+    // customer side gates the region — as separate broadcast copies; the
+    // share is one double division over two exact cent sums.
+    "tpch_q8" -> ((s, d) => {
+      val vol = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val ns = nation(s, d).select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation"))
+      val nc = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(orders(s, d).filter(col("o_orderdate") >= ts("1995-01-01")
+            && col("o_orderdate") < ts("1997-01-01")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nkey"), "left_semi")
+        .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_5", vol).otherwise(0L))
+          .as("nation_cents"),
+          sum(vol).as("total_cents"))
+        .select(col("o_year"), col("nation_cents"), col("total_cents"),
+          (col("nation_cents").cast("double")
+            / col("total_cents").cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q13 customer order-count distribution (adapted: the comment-pattern
+    // exclusion becomes an order-priority exclusion): left join so
+    // zero-order customers count as c_count = 0, then an aggregation OVER
+    // the first aggregation's output — the double-groupBy shape.
+    "tpch_q13" -> ((s, d) => customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q15 top supplier: the scalar-subquery-over-aggregate shape. The
+    // per-supplier revenue aggregate feeds both the 1-row max (broadcast
+    // back as the filter) and the report join; the two branches rescan the
+    // quarter's lineitem rather than sort the whole aggregate through a
+    // single-partition window (hash-agg twice beats global sort once).
+    "tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_revenue_cents"))
+      val top = rev.agg(max(col("total_revenue_cents")).as("max_rev"))
+      rev.join(broadcast(top), col("total_revenue_cents") === col("max_rev"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17 small-quantity-order revenue (adapted: no container column — the
+    // selective part filter is brand + size): lineitems under 20% of their
+    // part's average quantity. The part filter applies BEFORE the per-part
+    // average (the average is per part, so part-level filters commute with
+    // it) — the aggregate runs over the selected parts' rows only, not the
+    // whole fact table. The threshold compare is exact integer arithmetic
+    // (5·qty·cnt < sum_qty): no float threshold crosses the engine boundary.
+    "tpch_q17" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand") === "Brand#1" && col("p_size") <= 25)
+            .select(col("p_partkey"))),
+          col("p_partkey") === col("l_partkey"))
+      val qa = li.groupBy(col("l_partkey").as("agg_pk"))
+        .agg(count(lit(1)).as("cnt_qty"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      li.join(qa, col("agg_pk") === col("l_partkey"))
+        .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt_qty")
+          < col("sum_qty"))
+        .agg(sum(cents(col("l_extendedprice"))).as("total_cents"))
+        .select(col("total_cents"),
+          (col("total_cents").cast("double") / lit(7.0)).as("avg_yearly_cents"))
+    }),
+
+    // Q19 discounted revenue under disjunctive brand/size/quantity
+    // predicates. The part-only envelope of the OR (brand IN ..., size <=
+    // 15) is applied explicitly before the join — Catalyst does not derive
+    // cross-branch common predicates from a disjunction — so the broadcast
+    // side ships only candidate parts; the full disjunction stays as the
+    // residual filter.
+    "tpch_q19" -> ((s, d) => lineitem(s, d)
+      .join(broadcast(part(s, d)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            && col("p_size").between(1, 15))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))),
+
+    // Q22 global sales opportunity (adapted: nation name stands in for the
+    // phone country code): above-average-balance customers with no orders.
+    // The positive-balance average is a 1-row aggregate cross-joined back
+    // as a threshold; the compare is exact integer arithmetic
+    // (cents·count > sum_cents). "No orders" is a left-anti join.
+    "tpch_q22" -> ((s, d) => {
+      val sel = customer(s, d)
+        .join(broadcast(nation(s, d)
+            .filter(col("n_name").isin("NATION_1", "NATION_4", "NATION_7",
+              "NATION_10", "NATION_13", "NATION_16", "NATION_19"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("n_name"))
+      val thr = sel.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("pos_cnt"),
+          sum(cents(col("c_acctbal"))).as("pos_sum_cents"))
+      sel.crossJoin(broadcast(thr))
+        .filter(cents(col("c_acctbal")) * col("pos_cnt") > col("pos_sum_cents"))
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("n_name").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+        .orderBy("cntrycode")
     })
   )
 
@@ -331,6 +467,81 @@ object TpchLike {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "tpch_q8" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CAST(sum(CASE WHEN ns.n_name = 'NATION_5' THEN $revSql ELSE 0 END) AS BIGINT) AS nation_cents,
+         |    CAST(sum($revSql) AS BIGINT) AS total_cents
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY o_year)
+         |SELECT o_year, nation_cents, total_cents,
+         |  CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS mkt_share
+         |FROM vol ORDER BY o_year""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, CAST(sum($revSql) AS BIGINT) AS total_revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue_cents
+         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#1' AND p_size <= 25),
+        |qa AS (
+        |  SELECT l_partkey AS agg_pk, CAST(count(*) AS BIGINT) AS cnt_qty,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 7.0 AS avg_yearly_cents
+        |FROM li JOIN qa ON agg_pk = l_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty""".stripMargin,
+    "tpch_q19" ->
+      s"""SELECT CAST(sum($revSql) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q22" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_acctbal, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_4','NATION_7','NATION_10',
+        |                   'NATION_13','NATION_16','NATION_19')),
+        |thr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS pos_cnt,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS pos_sum_cents
+        |  FROM sel WHERE c_acctbal > 0.0)
+        |SELECT n_name AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM sel, thr
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos_cnt > pos_sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
   )
 }

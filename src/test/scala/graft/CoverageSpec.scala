@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 125/131 split") {
-    assert(SparkEntry.queries.size === 131)
-    assert(SparkEntry.oracleSql.size === 125)
+  test("oracle coverage matches the documented 131/137 split") {
+    assert(SparkEntry.queries.size === 137)
+    assert(SparkEntry.oracleSql.size === 131)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 6 intrinsically non-oracle-able operators, and only those
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg",

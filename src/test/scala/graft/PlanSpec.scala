@@ -112,6 +112,29 @@ class PlanSpec extends SparkSpec {
     assert(!p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
+  test("q19 disjunctive-predicate join: part envelope pushed to scan, hash join only") {
+    val p = explain(q("tpch_q19"))
+    // the explicit brand/size envelope must reach the part parquet scan
+    assert(p.matches("(?s).*PushedFilters:.*p_size.*"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q22 threshold is a 1-row broadcast, no-orders is a hash anti join") {
+    val p = explain(q("tpch_q22"))
+    // the no-orders anti join must be a HASH join (broadcast or shuffled)…
+    assert(p.matches("(?s).*(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) LeftAnti.*"), p)
+    // …and the only nested-loop in the plan is the 1-row threshold
+    // cross-join broadcast (inherently NL, trivially cheap)
+    // tree lines carry the join type; the detail section repeats the node
+    // name bare, so only inspect lines that state a type
+    val nlj = p.linesIterator
+      .filter(_.matches(""".*BroadcastNestedLoopJoin (Cross|Inner|Left\w*|Right\w*|Full\w*).*"""))
+      .toList
+    assert(nlj.forall(_.contains("Cross")), p)
+    assert(nlj.size <= 1, p)
+  }
+
   test("banded range join is a broadcast HASH join, not a nested loop") {
     val p = explain(q("x_range_join"))
     assert(p.contains("BroadcastHashJoin"), p)
