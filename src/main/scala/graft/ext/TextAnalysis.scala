@@ -134,7 +134,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document repetition signals (the Gopher-style repetitiousness
+    * gates a pretraining quality filter runs): the fraction of a doc's
+    * bigrams taken by its single most frequent bigram, and the fraction of
+    * bigram occurrences that are repeats of an earlier one. Both are ratios
+    * of integer counts with one final double division — bit-exact across
+    * engines. Shape: explode → (doc, bigram) count → per-doc aggregate;
+    * both aggregations are hash aggregates with map-side partials, and the
+    * second one's input is already partitioned by a prefix of its key, so
+    * the whole scorer is two shuffles of bigram-count rows, never a sort. */
+  def repetitionSignals(docs: DataFrame): DataFrame = docs
+    .withColumn("tokens", tokens)
+    // sequence(0, n) DESCENDS when n < 0 — filter 1-token docs out first
+    .filter(size(col("tokens")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(tokens) - 2),
+        |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)).as("bg"))
+    .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    .groupBy(col("doc_id"))
+    .agg(sum(col("c")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      max(col("c")).as("top_bigram_cnt"))
+    .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+      col("top_bigram_cnt"),
+      (col("top_bigram_cnt").cast("double")
+        / col("n_bigrams").cast("double")).as("top_bigram_frac"),
+      ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+        / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+    .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "x_text_repetition" -> ((s, d) => repetitionSignals(documents(s, d))),
     "x_text_bigrams" -> ((s, d) => bigramStats(documents(s, d))),
     "x_text_stats" -> ((s, d) => textStats(documents(s, d)).orderBy("doc_id")),
     "x_text_tokens_bpe" -> ((s, d) =>
@@ -156,6 +186,24 @@ object TextAnalysis {
     Seq("fr", "es", "de", "en").indexOf(l)
 
   val oracle: Map[String, String] = Map(
+    "x_text_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, w1 || ' ' || w2 AS bg
+        |  FROM (SELECT doc_id,
+        |          unnest(toks[1:len(toks)-1]) AS w1,
+        |          unnest(toks[2:len(toks)]) AS w2
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 2))
+        |), c AS (
+        |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY doc_id, bg
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+        |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_text_bigrams" ->
       """WITH bg AS (
         |  SELECT unnest(toks[1:len(toks)-1]) AS w1,

@@ -118,6 +118,16 @@ object StreamingEvents {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment join: events against a slowly-changing
+    * dimension frame. The static side is re-planned (and with broadcast,
+    * re-shipped) per micro-batch, so a dimension that is itself refreshed
+    * between batches is picked up without restarting the query; an inner
+    * equi-join against a static frame needs no watermark and keeps no
+    * stream state — per-batch cost is one broadcast probe, never a shuffle
+    * of the stream side. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"))
+
   /** Streaming near-dup document filter: key = the winnowed fingerprint
     * ([[graft.ext.TextAnalysis.fingerprints]] — lexicographic-min md5 over
     * rolling token windows), which is stable under small edits away from

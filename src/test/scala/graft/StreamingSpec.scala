@@ -54,6 +54,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each batch against the dimension by broadcast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 9, "click", 3.0)) // no dim row
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingEvents.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"event_id", $"tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // inner join: the dimension-less user drops, no state is kept
+      assert(got === Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("watermark-bounded id dedup drops re-deliveries with drifted timestamps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
