@@ -92,6 +92,18 @@ object Stress {
     time("ngram_pairs_dup_heavy_prefix_filtered") {
       graft.ext.Dedup.ngramJaccardPrefixFiltered(spark, docsDup).count()
     }
+    // CC over the dup-heavy pair graph (each original doc's K replicas form
+    // one ~K-clique component): substantiates the O(rounds·E) claim — the
+    // loop never shuffles the corpus, only the edge-touched labels — and
+    // exercises the localCheckpoint result path at stress scale.
+    val pairsDup = graft.ext.Dedup.ngramJaccardNaive(spark, docsDup)
+      .select(col("doc_a"), col("doc_b")).cache()
+    println(s"[stress] pairs=${pairsDup.count()} (k=$k, dup-heavy)")
+    time("connected_components_dup_heavy") {
+      graft.ext.Dedup.connectedComponents(
+        pairsDup, docsDup.select(col("doc_id"))).count()
+    }
+    pairsDup.unpersist()
     docsDup.unpersist()
     val docsDistinct = (0 until k).map { i =>
       Tables.documents(spark, d).select(
