@@ -124,7 +124,30 @@ object Advanced {
         sum(cents(col("l_extendedprice"))).as("pcents"))
       .groupBy(col("l_returnflag"))
       .agg(sum(col("pcnt")).as("cnt"), sum(col("pcents")).as("total_cents"))
-      .orderBy("l_returnflag"))
+      .orderBy("l_returnflag")),
+
+    // Explicit skew-join salting: the manual fallback when one join key is
+    // hot enough to overwhelm a single reducer and AQE's skew split can't
+    // apply (e.g. the skewed side feeds an aggregation in the same stage).
+    // The big side gets a deterministic salt from NON-key columns; the
+    // small side is replicated once per salt value, so (key, salt) spreads
+    // a hot key over 8 reducers. Result is identical to the unsalted join
+    // — the oracle is the plain SQL join — only the shuffle distribution
+    // changes.
+    "x_salted_join" -> ((s, d) => {
+      val S = 8
+      val big = lineitem(s, d)
+        .withColumn("salt", pmod(hash(col("l_linenumber"), col("l_partkey")), lit(S)))
+      val dim = orders(s, d)
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      big.join(dim, big("l_orderkey") === dim("o_orderkey")
+          && big("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +204,12 @@ object Advanced {
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_salted_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
