@@ -112,6 +112,19 @@ class PlanSpec extends SparkSpec {
     assert(!p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
+  test("q8 two-role nation star: hash joins only, part filter pushed to scan") {
+    val p = explain(q("tpch_q8"))
+    assert(p.matches("(?s).*PushedFilters:.*p_type.*"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q17 per-part average runs over the part-filtered fact, filter pushed to part scan") {
+    val p = explain(q("tpch_q17"))
+    assert(p.matches("(?s).*PushedFilters:.*p_brand.*"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q19 disjunctive-predicate join: part envelope pushed to scan, hash join only") {
     val p = explain(q("tpch_q19"))
     // the explicit brand/size envelope must reach the part parquet scan
