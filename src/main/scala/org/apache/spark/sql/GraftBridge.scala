@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, ShingleSet, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, PqAdc, ShingleSet, SimHash64, VecNorm}
 
 /** Minimal bridge into `private[sql]` surface — Spark 4's Connect refactor
   * hid `ExpressionUtils` and `sessionState`; wrapping a custom Catalyst
@@ -31,7 +31,16 @@ object GraftBridge {
       (children: Seq[Expression]) => Md5SimHash60(children(0))),
     (new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
-      (children: Seq[Expression]) => ShingleSet(children(0))))
+      (children: Seq[Expression]) => ShingleSet(children(0))),
+    (new FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => VecNorm(children(0))),
+    // m and k ride as foldable int literals from SQL: pq_adc(lut, codes, 8, 16)
+    (new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1),
+        children(2).eval().asInstanceOf[Int],
+        children(3).eval().asInstanceOf[Int])))
 
   /** Register graft's SQL functions on an already-created session (the
     * config-time path is `spark.sql.extensions=graft.GraftExtensions`). */

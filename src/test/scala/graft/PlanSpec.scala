@@ -213,5 +213,18 @@ class PlanSpec extends SparkSpec {
     val sh = spark.sql("SELECT shingle_set(array('a','b','c','d')) AS s")
       .collect().head.getSeq[String](0)
     assert(sh === Seq("a b c", "b c d"))
+    // vec_norm + pq_adc complete the SQL-only surface for the vector path
+    val vn = spark.sql(
+      "SELECT vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+      .collect().head.getDouble(0)
+    assert(math.abs(vn - 5.0) < 1e-12)
+    // codes=49 → nibble 1 then 3: lut[0*16+1]=10 + lut[1*16+3]=20 = 30
+    val adc = spark.sql(
+      """SELECT pq_adc(49, transform(sequence(0, 31),
+        |  i -> CASE WHEN i = 1 THEN CAST(10.0 AS DOUBLE)
+        |            WHEN i = 19 THEN CAST(20.0 AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END), 2, 16) AS s""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(adc === 30.0)
   }
 }
