@@ -115,16 +115,21 @@ object TextAnalysis {
     * across engines. c(w1 ·) counts bigram OCCURRENCES with w1 first
     * (= unigram count excluding each doc's last token), so probabilities
     * per w1 sum to exactly 1. Two distributed aggregations + one join. */
+  /** One row per bigram occurrence: (doc_id, w1, w2). Shared by
+    * [[bigramStats]] and [[repetitionSignals]] so the tokenizer coupling
+    * and the sequence-descends-when-negative guard live in one place. */
+  private def docBigramPairs(docs: DataFrame): DataFrame = docs
+    .withColumn("tokens", tokens)
+    // sequence(0, n) DESCENDS when n < 0 — filter 1-token docs out first
+    .filter(size(col("tokens")) >= 2)
+    .select(col("doc_id"), posexplode(expr(
+      """transform(sequence(0, size(tokens) - 2),
+        |  i -> struct(tokens[i] AS w1, tokens[i+1] AS w2))""".stripMargin))
+      .as(Seq("pos", "bg")))
+    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
   def bigramStats(docs: DataFrame, k: Int = 50): DataFrame = {
-    val bigrams = docs
-      .withColumn("tokens", tokens)
-      // sequence(0, n) DESCENDS when n < 0 — filter 1-token docs out first
-      .filter(size(col("tokens")) >= 2)
-      .select(posexplode(expr(
-        """transform(sequence(0, size(tokens) - 2),
-          |  i -> struct(tokens[i] AS w1, tokens[i+1] AS w2))""".stripMargin))
-        .as(Seq("pos", "bg")))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = docBigramPairs(docs)
     val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     c2.join(c1, "w1")
@@ -140,16 +145,11 @@ object TextAnalysis {
     * bigram occurrences that are repeats of an earlier one. Both are ratios
     * of integer counts with one final double division — bit-exact across
     * engines. Shape: explode → (doc, bigram) count → per-doc aggregate;
-    * both aggregations are hash aggregates with map-side partials, and the
-    * second one's input is already partitioned by a prefix of its key, so
-    * the whole scorer is two shuffles of bigram-count rows, never a sort. */
-  def repetitionSignals(docs: DataFrame): DataFrame = docs
-    .withColumn("tokens", tokens)
-    // sequence(0, n) DESCENDS when n < 0 — filter 1-token docs out first
-    .filter(size(col("tokens")) >= 2)
-    .select(col("doc_id"), explode(expr(
-      """transform(sequence(0, size(tokens) - 2),
-        |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin)).as("bg"))
+    * both aggregations are hash aggregates with map-side partials (the
+    * groupBy(doc_id) re-shuffles — HashPartitioning(doc_id, bg) does not
+    * satisfy a doc_id-only clustering), plus the final presentation sort. */
+  def repetitionSignals(docs: DataFrame): DataFrame = docBigramPairs(docs)
+    .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("bg"))
     .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     .groupBy(col("doc_id"))
     .agg(sum(col("c")).as("n_bigrams"),

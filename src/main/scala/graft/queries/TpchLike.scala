@@ -282,12 +282,14 @@ object TpchLike {
             .filter(col("p_brand") === "Brand#1" && col("p_size") <= 25)
             .select(col("p_partkey"))),
           col("p_partkey") === col("l_partkey"))
+      // round-then-cast on BOTH engines: Spark cast('long') truncates while
+      // DuckDB CAST(AS BIGINT) rounds — round() first makes them agree on
+      // any double input, not just the integral quantities in the testdata
+      val qtyInt = round(col("l_quantity")).cast("long")
       val qa = li.groupBy(col("l_partkey").as("agg_pk"))
-        .agg(count(lit(1)).as("cnt_qty"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt_qty"), sum(qtyInt).as("sum_qty"))
       li.join(qa, col("agg_pk") === col("l_partkey"))
-        .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt_qty")
-          < col("sum_qty"))
+        .filter(qtyInt * lit(5L) * col("cnt_qty") < col("sum_qty"))
         .agg(sum(cents(col("l_extendedprice"))).as("total_cents"))
         .select(col("total_cents"),
           (col("total_cents").cast("double") / lit(7.0)).as("avg_yearly_cents"))
@@ -512,12 +514,12 @@ object TpchLike {
         |  WHERE p_brand = 'Brand#1' AND p_size <= 25),
         |qa AS (
         |  SELECT l_partkey AS agg_pk, CAST(count(*) AS BIGINT) AS cnt_qty,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |  FROM li GROUP BY l_partkey)
         |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
         |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 7.0 AS avg_yearly_cents
         |FROM li JOIN qa ON agg_pk = l_partkey
-        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty""".stripMargin,
+        |WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt_qty < sum_qty""".stripMargin,
     "tpch_q19" ->
       s"""SELECT CAST(sum($revSql) AS BIGINT) AS revenue_cents
          |FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -35,12 +35,22 @@ object GraftBridge {
     (new FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => VecNorm(children(0))),
-    // m and k ride as foldable int literals from SQL: pq_adc(lut, codes, 8, 16)
+    // m and k ride as foldable INT literals from SQL: pq_adc(codes, lut, 8, 16)
     (new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
-      (children: Seq[Expression]) => PqAdc(children(0), children(1),
-        children(2).eval().asInstanceOf[Int],
-        children(3).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"pq_adc(codes, lut, m, k) takes 4 arguments, got ${children.length}")
+        def foldedInt(e: Expression, name: String): Int = {
+          require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+            s"pq_adc: $name must be a foldable INT literal, got ${e.sql}")
+          val v = e.eval()
+          require(v != null, s"pq_adc: $name must not be NULL")
+          v.asInstanceOf[Int]
+        }
+        PqAdc(children(0), children(1),
+          foldedInt(children(2), "m"), foldedInt(children(3), "k"))
+      }))
 
   /** Register graft's SQL functions on an already-created session (the
     * config-time path is `spark.sql.extensions=graft.GraftExtensions`). */
