@@ -112,6 +112,28 @@ class PlanSpec extends SparkSpec {
     assert(!p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
+  test("no query plans a nested-loop join except the known all-pairs/scalar shapes") {
+    // The broad regression net behind the per-query gates: a silent plan
+    // de-optimization (lost equi-key, dropped broadcast hint, changed
+    // rewrite) that turns ANY registered query into a nested loop fails
+    // here, not on the cluster. Allowlisted shapes are inherently
+    // non-equi: cross/theta joins, 1-row scalar-threshold broadcasts
+    // (q22, daily anomaly), and the all-pairs similarity scans whose
+    // small side is the bounded query set.
+    val allowed = Set("j6_cross", "j7_theta_self", "tpch_q22",
+      "e9_daily_anomaly", "x_ann_bruteforce", "x_ann_pq", "x_dedup_embed",
+      "x_gapfill")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) if !allowed.contains(name) =>
+        val p = explain(build(spark, sf))
+        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+          Some(name)
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"nested-loop joins appeared in: $offenders")
+  }
+
   test("q8 two-role nation star: hash joins only, part filter pushed to scan") {
     val p = explain(q("tpch_q8"))
     assert(p.matches("(?s).*PushedFilters:.*p_type.*"), p)
