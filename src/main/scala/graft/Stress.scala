@@ -66,6 +66,32 @@ object Stress {
       li.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2).count()
     }
 
+    // AQE skew split vs not — the AUTOMATIC complement of the manual
+    // x_salted_join: ~17% of the fact collapses onto one hot orderkey,
+    // the join is forced sort-merge (a broadcast would hide the skew),
+    // and AQE's skew-join split is toggled between runs. On a real
+    // cluster the unsplit hot partition is one straggling executor; on
+    // local[32] all partitions share the machine, so the gap here only
+    // LOWER-bounds the cluster-side effect.
+    val liSkew = li.withColumn("l_orderkey",
+      when(pmod(col("l_orderkey"), lit(6)) < 1, lit(1L))
+        .otherwise(col("l_orderkey")))
+    def skewJoinCount(): Long = liSkew
+      .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")).count()
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("skew_join_no_aqe_split")(skewJoinCount())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // the hot partition is ~60 MB at K=10 — below AQE's default 256 MB
+    // skew threshold; scale the thresholds to the fixture so the split
+    // actually engages (on a real cluster the defaults engage unchanged)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    time("skew_join_aqe_split")(skewJoinCount())
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
     // [EXT] dedup at K×, two corpus regimes:
     //  - "dup-heavy": one appended replica token keeps cross-replica copies
     //    ABOVE the Jaccard threshold → every doc has ~K(K-1)/2 true near-dup
