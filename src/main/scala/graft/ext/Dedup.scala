@@ -45,22 +45,42 @@ object Dedup {
   private def withMinhash(df: DataFrame): DataFrame = df
     .withColumn("sig", minhashSignature(col("shingles")))
 
+  /** Drop rows of degenerate LSH buckets (> maxBucket members) via a
+    * hash-aggregate of bucket sizes re-joined to the banded rows — NOT a
+    * count-over-window: the window must SORT the full banded set by the
+    * bucket key inside each partition, while the aggregate is partial+final
+    * over tiny (key, count) pairs and the surviving-keys side broadcast
+    * re-joins (same measured finding as the doc-freq annotation below —
+    * hash-agg+rejoin 1.7× over the sorted window at 10× stress, and
+    * re-confirmed for this site; see ROUND4/5_NOTES). */
+  private def pruneBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val keep = banded.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(keyCols: _*)
+    banded.join(broadcast(keep), keys)
+  }
+
   /** Candidate near-dup pairs from banded LSH over the MinHash signature. */
   private def lshCandidates(docs: DataFrame): DataFrame = {
-    val banded = withMinhash(withShingles(docs))
+    // The expensive per-doc work (shingles + 64-perm signature) is cached
+    // ONCE as (doc_id, sig) — bounded at 16 ints/doc; held for the session
+    // (can't unpersist a lazy result), and the cache manager dedupes
+    // identical plans across re-runs. The banded explode + bucket prune
+    // downstream are cheap projections over the cache, so the bucket-size
+    // aggregate and both self-join sides recompute them without touching
+    // the signature math (the agg/broadcast subtrees dedupe at runtime via
+    // ReuseExchange).
+    val sigs = withMinhash(withShingles(docs))
+      .select(col("doc_id"), col("sig"))
+      .cache()
+    val banded = sigs
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
           .as(Seq("band_idx", "band_hash")))
-    val pruned = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      // Self-joined below — avoids recomputing 64-perm signatures. Held for
-      // the session (can't unpersist a lazy result); bounded at 16 ints/doc,
-      // and the cache manager dedupes identical plans across re-runs.
-      .cache()
+    val pruned = pruneBuckets(banded, Seq("band_idx", "band_hash"))
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -194,17 +214,29 @@ object Dedup {
     var prevCached = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var labels = prevCached
+    // One min-propagation round. Every loop vertex has >= 1 neighbor (it
+    // came from an edge), so the propagation join is inner; the pre-round
+    // label is carried as old_id so convergence detection is a filter, not
+    // a join.
+    def propagate(l: DataFrame): DataFrame = {
+      val nbrMin = sym.join(l, sym("dst") === l("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      l.join(nbrMin, l("doc_id") === nbrMin("src"))
+        .select(l("doc_id"), col("cluster_id").as("old_id"),
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+    }
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      // every loop vertex has >= 1 neighbor (it came from an edge), so the
-      // propagation join is inner; the old label is carried through it so
-      // convergence detection is a filter on the cached frame, not a join
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"))
-        .select(labels("doc_id"), col("cluster_id").as("old_id"),
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .cache()
+      // TWO rounds per driver action: labels only ever decrease, so "the
+      // SECOND round changed nothing" alone proves convergence (round 1's
+      // changes are irrelevant to the check) — halving the count() jobs
+      // that dominated this loop under bench contention, at the price of at
+      // most one no-op round past convergence. Round 1 is left uncached
+      // inside round 2's plan; its two consumers (the neighbor aggregate
+      // and the carry join) both need it exchanged on hash(doc_id), so
+      // ReuseExchange computes it once at runtime.
+      val r1 = propagate(labels).select(col("doc_id"), col("cluster_id"))
+      val next = propagate(r1).cache()
       changed = next.filter(col("cluster_id") < col("old_id")).count()
       prevCached.unpersist()
       prevCached = next
@@ -258,18 +290,17 @@ object Dedup {
         .select(col("doc_id"),
           graft.functions.VectorFunctions.md5Simhash60(col("tokens"))
             .as("simhash"))
-      val banded = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          """transform(sequence(0, 3),
-            |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
-          .as(Seq("band_idx", "band_val")))
-        .withColumn("bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band_idx"), col("band_val"))))
-        .filter(col("bucket_n") <= maxBucket)
-        // Banded self-join below; also bounds degenerate buckets. Session-
-        // lifetime cache, bounded at 4 longs/doc (see minhash note above).
-        .cache()
+      // Per-doc signatures cached (2 longs/doc, session lifetime — see the
+      // minhash note); banding + bucket prune (hash-agg+rejoin, see
+      // [[pruneBuckets]]) are cheap projections recomputed over the cache.
+      val cachedSigs = sigs.cache()
+      val banded = pruneBuckets(
+        cachedSigs.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            """transform(sequence(0, 3),
+              |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
+            .as(Seq("band_idx", "band_val"))),
+        Seq("band_idx", "band_val"))
       banded.as("a")
         .join(banded.as("b"),
           col("a.band_idx") === col("b.band_idx")

@@ -17,9 +17,11 @@ import graft.Tables._
   *      type/token ratio).
   *
   * 100 TB notes: stages 2-3 are pure projections fused by Catalyst into the
-  * scan of stage 1's output, so the whole pipeline is TWO shuffles — the
-  * dedup groupBy(text) and the final groupBy(predicted_lang) — regardless
-  * of corpus size, with partial aggregation on both. The ratio aggregate is
+  * scan of stage 1's output, so the whole pipeline is TWO aggregation
+  * shuffles — the dedup groupBy(text) and the final groupBy(predicted_lang),
+  * both with partial aggregation — plus the final presentation sort's
+  * range-partition exchange (3 exchanges total, pinned by PlanSpec),
+  * regardless of corpus size. The ratio aggregate is
   * derived from integer token sums with a single final division, so it is
   * bit-exact and engine-independent (the oracle-determinism policy used
   * throughout; see ROUND1_NOTES.md).
@@ -131,16 +133,49 @@ object Pipeline {
     * its FIRST token lands in (greedy packing's contiguous approximation;
     * docs may straddle bins, which real packers either split or pad — the
     * binning math is the distributed-friendly part either way).
-    * 100 TB notes: a single global cumsum would serialize; production
-    * packs per shard. The global-order form here keeps the oracle exact;
-    * the per-shard form is the same expression under partitionBy(shard). */
-  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    *
+    * 100 TB notes: a single global-order cumsum window serializes the
+    * whole corpus through one task, so the cumsum is decomposed into
+    * contiguous doc_id-range SHARDS (`shard = floor(doc_id / shardSize)`,
+    * so shard k's ids all precede shard k+1's and the per-shard order
+    * concatenates to the global order):
+    *   1. per-shard partitioned window computes the within-shard running
+    *      sum — parallel across shards, each bounded by shardSize rows;
+    *   2. a tiny per-shard total aggregate (one row per shard — thousands
+    *      of rows at web scale) is collected and prefix-summed on the
+    *      driver into each shard's base offset, the same
+    *      driver-resident-small-state pattern as the IVF coarse
+    *      quantizer ([[Similarity.ivfTopK]]);
+    *   3. offsets broadcast-join back and `cum_tok = base + within-shard
+    *      cumsum` — integer arithmetic, so the result is byte-identical
+    *      to the single-window form and the global-cumsum oracle binds
+    *      unchanged.
+    * No partition-less WindowExec anywhere in the plan (gated by
+    * PlanSpec's global-window gate). */
+  def packSequences(docs: DataFrame, budget: Int = 2048,
+      shardSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(
-        Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sized = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+        floor(col("doc_id") / shardSize).cast("long").as("shard"))
+    // One row per shard; prefix-sum on the driver (small by construction).
+    val totals = sized.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .orderBy(col("shard"))
+      .collect()
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("shard", "shard_base")
+    sized
+      .join(broadcast(offDf), "shard")
+      .withColumn("cum_tok",
+        col("shard_base") + sum(col("n_tok")).over(
+          Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("bin",
         floor((col("cum_tok") - col("n_tok")) / budget).cast("long"))
       .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("bin"))

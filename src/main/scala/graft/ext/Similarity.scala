@@ -96,8 +96,17 @@ object Similarity {
     * 100 TB that shuffle is the whole job.) Centroid recompute stays
     * distributed: the typed [[graft.functions.CentroidAggregator]] runs
     * partial+final, shuffling only `cells` × dim-double partials. */
-  def ivfTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
+  def ivfTopK(candidates0: DataFrame, queryFilter: Column, k: Int = 5,
       cells: Int = 16, probes: Int = 2): DataFrame = {
+    // Materialize the (vec_id, embedding) projection ONCE: seed collect,
+    // the Lloyd-step recompute, cell assignment, and the query-probe side
+    // otherwise each re-scan the source (4 scans + repartition shuffles per
+    // invocation). Eager localCheckpoint keeps the projection
+    // block-resident with no lingering cache entry — ContextCleaner frees
+    // the blocks when the caller drops the result (the
+    // [[Dedup.connectedComponents]] residency pattern).
+    val candidates = candidates0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     // literal (sim, cell) structs — struct compare does argmax with a
     // deterministic larger-cell tie-break, matching max_by(struct(sim,cell))
     def cellStructs(cents: Seq[(Int, Seq[Float])]): Seq[Column] =
