@@ -134,6 +134,29 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"nested-loop joins appeared in: $offenders")
   }
 
+  test("no query plans a partition-less window except the known post-aggregate shapes") {
+    // Regression net for the per-shard packSequences rewrite: a global
+    // (partition-less) window serializes its whole input through ONE task —
+    // the one plan shape that cannot survive a 100× scale-up. Allowlisted
+    // entries run their global window over an already-aggregated tiny frame
+    // (vocab ranks, per-day/global stats, percentile grids), where a single
+    // task over thousands of rows is the standard final-pass shape.
+    val allowed = Set("w6_ntile", "x_text_vocab")
+    val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val hasGlobal = build(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobal) Some(name) else None
+    }.toSet
+    assert((global -- allowed).isEmpty,
+      s"partition-less windows appeared in: ${global -- allowed}")
+    // a stale allowlist is a bug too: every listed query must still plan one
+    assert((allowed -- global).isEmpty,
+      s"allowlisted but no longer global: ${allowed -- global}")
+  }
+
   test("q8 two-role nation star: hash joins only, part filter pushed to scan") {
     val p = explain(q("tpch_q8"))
     assert(p.matches("(?s).*PushedFilters:.*p_type.*"), p)
