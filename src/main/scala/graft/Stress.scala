@@ -118,6 +118,50 @@ object Stress {
     time("ngram_pairs_dup_heavy_prefix_filtered") {
       graft.ext.Dedup.ngramJaccardPrefixFiltered(spark, docsDup).count()
     }
+    // Band-prune formulation A/B (round 5): the two LSH band sites were
+    // switched from count-over-window to hash-agg+broadcast-rejoin
+    // (Dedup.pruneBuckets), applying the measured doc-freq lesson. Both
+    // formulations run here over the SAME cached minhash band frame, so
+    // the delta is purely prune+self-join cost; the production end-to-end
+    // paths are timed alongside for the record.
+    locally {
+      import graft.functions.VectorFunctions.{minhashSignature, shingleSet}
+      val banded = docsDup
+        .withColumn("tokens", split(col("text"), " "))
+        .withColumn("sig", minhashSignature(shingleSet(col("tokens"))))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band_idx", "band_hash")))
+        .cache()
+      println(s"[stress] banded=${banded.count()} (k=$k, dup-heavy)")
+      def selfJoinCount(pruned: DataFrame): Long = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      time("band_prune_window") {
+        import org.apache.spark.sql.expressions.Window
+        selfJoinCount(banded
+          .withColumn("bucket_n", count(lit(1)).over(
+            Window.partitionBy(col("band_idx"), col("band_hash"))))
+          .filter(col("bucket_n") <= 100).drop("bucket_n"))
+      }
+      time("band_prune_agg_rejoin") {
+        val keep = banded.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= 100)
+          .select(col("band_idx"), col("band_hash"))
+        selfJoinCount(banded.join(broadcast(keep), Seq("band_idx", "band_hash")))
+      }
+      banded.unpersist()
+    }
+    time("minhash_pairs_dup_heavy") {
+      graft.ext.Dedup.minhashNearDups(docsDup).count()
+    }
+    time("simhash_pairs_dup_heavy") {
+      graft.ext.Dedup.simhashNearDups(docsDup).count()
+    }
     // CC over the dup-heavy pair graph (each original doc's K replicas form
     // one ~K-clique component): substantiates the O(rounds·E) claim — the
     // loop never shuffles the corpus, only the edge-touched labels — and

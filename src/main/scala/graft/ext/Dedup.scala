@@ -90,6 +90,15 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH near-dup pairs over an arbitrary (doc_id, text) frame,
+    * exact-Jaccard verified at `threshold` (the x_dedup_minhash surface,
+    * exposed for the stress harness). */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(lshCandidates(docs), docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Exact Jaccard for a pair list, re-joined to shingle sets. */
   private def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val sets = withShingles(docs)
@@ -166,6 +175,42 @@ object Dedup {
     verifyJaccard(cand, docs)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs over an arbitrary (doc_id, text) frame:
+    * 60-bit signature, 4×15-bit bands, Hamming <= 8. The per-token hash is
+    * the top 60 bits of md5 (engine-portable — the DuckDB oracle replicates
+    * the whole pipeline bit-for-bit), computed by the fused native
+    * [[org.apache.spark.sql.graft.Md5SimHash60]] expression: one pass per
+    * document, no token explode, no 60-aggregate shuffle. The faster
+    * XXH64-based simhash64() remains available for engine-internal use. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    // Per-doc signatures cached (2 longs/doc, session lifetime — see the
+    // minhash note); banding + bucket prune (hash-agg+rejoin, see
+    // [[pruneBuckets]]) are cheap projections recomputed over the cache.
+    val sigs = docs
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.md5Simhash60(col("tokens"))
+          .as("simhash"))
+      .cache()
+    val banded = pruneBuckets(
+      sigs.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          """transform(sequence(0, 3),
+            |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
+          .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -268,50 +313,13 @@ object Dedup {
       .orderBy("keep_id")),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified at >= 0.5.
-    "x_dedup_minhash" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism) // 1 parquet file otherwise
-      verifyJaccard(lshCandidates(docs), docs)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "x_dedup_minhash" -> ((s, d) => minhashNearDups(
+      documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism))), // 1 parquet file otherwise
 
     // SimHash near-dup pairs: 60-bit signature, 4x15-bit bands, Hamming <= 8.
-    // The per-token hash is the top 60 bits of md5 (engine-portable — the
-    // DuckDB oracle replicates the whole pipeline bit-for-bit), computed by
-    // the fused native [[Md5SimHash60]] expression: one pass per document,
-    // no token explode, no 60-aggregate shuffle. The faster XXH64-based
-    // simhash64() remains available for engine-internal use.
-    "x_dedup_simhash" -> ((s, d) => {
-      val sigs = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("tokens", split(col("text"), " "))
-        .select(col("doc_id"),
-          graft.functions.VectorFunctions.md5Simhash60(col("tokens"))
-            .as("simhash"))
-      // Per-doc signatures cached (2 longs/doc, session lifetime — see the
-      // minhash note); banding + bucket prune (hash-agg+rejoin, see
-      // [[pruneBuckets]]) are cheap projections recomputed over the cache.
-      val cachedSigs = sigs.cache()
-      val banded = pruneBuckets(
-        cachedSigs.select(col("doc_id"), col("simhash"),
-          posexplode(expr(
-            """transform(sequence(0, 3),
-              |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
-            .as(Seq("band_idx", "band_val"))),
-        Seq("band_idx", "band_val"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band_idx") === col("b.band_idx")
-            && col("a.band_val") === col("b.band_val")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "x_dedup_simhash" -> ((s, d) => simhashNearDups(
+      documents(s, d).repartition(s.sparkContext.defaultParallelism))),
 
     // Exact n-gram Jaccard >= 0.5. The benched entry uses the naive full
     // inverted index (fewest stages — fastest at bench SF, and what the

@@ -4,20 +4,34 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** [EXT] Multimodal-column plumbing: image/audio/video payloads modeled as
-  * opaque `binary` columns with typed metadata, processed in partition-local
+/** [EXT] Multimodal columns: image/audio/video payloads modeled as opaque
+  * `binary` columns with typed metadata, processed in partition-local
   * batches via the typed Dataset API.
   *
-  * The actual codec work (JPEG decode, resampling, frame sampling) is STUBBED
-  * — this container has no image/audio libraries — behind
-  * [[MultimodalPipeline.decodeStub]], a deterministic fake that derives
-  * pseudo-features from the payload bytes. Everything around the stub is the
-  * real production shape: schema (binary + metadata struct), per-partition
-  * batched iteration (the Scala analog of mapInPandas batch processing),
-  * fixed-width feature vectors, and partition sizing notes for 100 TB
-  * (payloads dominate row size → spark.sql.files.maxPartitionBytes governs
-  * decode parallelism; features are emitted WITHOUT the payload column so the
-  * downstream shuffle never moves raw media bytes).
+  * The codecs are REAL JVM parsers of simple self-describing formats — no
+  * external media libraries exist in this environment, so the formats are
+  * chosen to be fully parseable from first principles:
+  *
+  *  - image: binary PPM (P6) — ASCII header (magic, dims, maxval) + raw
+  *    RGB bytes; [[Codecs.decodePpm]] tokenizes the header for real;
+  *  - audio: WAV / RIFF PCM16 mono — [[Codecs.decodeWavPcm16]] walks RIFF
+  *    chunks (fmt / data, skipping unknown chunks) like any real reader;
+  *  - video: a length-prefixed frame container (`GVID` magic, frame count,
+  *    one embedded PPM per frame) — [[Codecs.gvidFrame]] demuxes by
+  *    offset, so frame sampling is an actual seek-and-decode.
+  *
+  * Payloads are generated deterministically from doc_id by
+  * [[SyntheticMedia]] (integer formulas), so the decoded-feature math is
+  * reproducible in DuckDB from the same formulas — both multimodal queries
+  * are ORACLE-BACKED: the oracle recomputes what a correct decode must
+  * yield, and any header/endianness/offset bug in the codec breaks the
+  * hash compare.
+  *
+  * 100 TB notes: payloads dominate row size → decode parallelism is
+  * governed by `spark.sql.files.maxPartitionBytes`; features are emitted
+  * WITHOUT the payload column so no downstream shuffle ever moves raw
+  * media bytes; per-partition batched iteration (the `mapInPandas` batch
+  * analog) gives a real codec a place to amortize native-lib setup.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -26,35 +40,266 @@ object Multimodal {
   case class MediaRow(
       media_id: Long,
       kind: String,              // image | audio | video
-      payload: Array[Byte],      // opaque encoded bytes
+      payload: Array[Byte],      // encoded bytes in the formats above
       width: Option[Int],        // image/video
       height: Option[Int],       // image/video
       sample_rate: Option[Int],  // audio
       duration_ms: Option[Long]) // audio/video
 
-  /** Fixed-width extracted features (payload column intentionally dropped). */
+  /** Fixed-shape extracted features (payload column intentionally dropped).
+    * n_units / feat_sum are exact integers (pixel-byte or |sample| sums);
+    * feat_mean is the single final division — the bit-exact-oracle shape. */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      features: Array[Double])
+      n_units: Long,
+      feat_sum: Long,
+      feat_mean: Double)
+
+  /** Real encoders/decoders for the three formats. Decoders validate magic
+    * bytes and walk the container structure; they throw on malformed input
+    * (a media pipeline must fail loudly on corrupt payloads). */
+  object Codecs {
+    // ---- PPM (P6) ----
+    def encodePpm(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+      require(pix.length == w * h * 3, s"pixel buffer ${pix.length} != $w x $h x 3")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pix.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pix, 0, out, header.length, pix.length)
+      out
+    }
+
+    /** Parse a P6 header (whitespace-tokenized, as the spec requires) and
+      * return (width, height, rgbBytes). */
+    def decodePpm(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+        "not a P6 PPM payload")
+      var pos = 2
+      def nextInt(): Int = {
+        while (pos < payload.length && payload(pos).toChar.isWhitespace) pos += 1
+        var v = 0
+        require(pos < payload.length && payload(pos).toChar.isDigit, "bad PPM header")
+        while (pos < payload.length && payload(pos).toChar.isDigit) {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval == 255, s"unsupported maxval $maxval")
+      pos += 1 // the single whitespace after maxval
+      require(payload.length - pos == w * h * 3,
+        s"PPM body ${payload.length - pos} bytes, expected ${w * h * 3}")
+      (w, h, java.util.Arrays.copyOfRange(payload, pos, payload.length))
+    }
+
+    /** Nearest-neighbor resample to (dstW, dstH) — a real, deterministic
+      * image transform over the decoded pixels. */
+    def resizePpm(payload: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+      val (srcW, srcH, pix) = decodePpm(payload)
+      val out = new Array[Byte](dstW * dstH * 3)
+      var y = 0
+      while (y < dstH) {
+        val sy = y * srcH / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x * srcW / dstW
+          var c = 0
+          while (c < 3) {
+            out((y * dstW + x) * 3 + c) = pix((sy * srcW + sx) * 3 + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodePpm(dstW, dstH, out)
+    }
+
+    // ---- WAV / RIFF PCM16 mono ----
+    private def le32(b: Array[Byte], pos: Int, v: Int): Unit = {
+      b(pos) = v.toByte; b(pos + 1) = (v >> 8).toByte
+      b(pos + 2) = (v >> 16).toByte; b(pos + 3) = (v >> 24).toByte
+    }
+    private def le16(b: Array[Byte], pos: Int, v: Int): Unit = {
+      b(pos) = v.toByte; b(pos + 1) = (v >> 8).toByte
+    }
+    private def readLe32(b: Array[Byte], pos: Int): Int =
+      (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+    private def readLe16(b: Array[Byte], pos: Int): Int =
+      (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+
+    /** Canonical 44-byte RIFF/fmt/data layout, 16-bit mono PCM. */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+      le32(out, 4, 36 + dataLen)
+      "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+      "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+      le32(out, 16, 16)            // fmt chunk size
+      le16(out, 20, 1)             // PCM
+      le16(out, 22, 1)             // mono
+      le32(out, 24, sampleRate)
+      le32(out, 28, sampleRate * 2) // byte rate
+      le16(out, 32, 2)             // block align
+      le16(out, 34, 16)            // bits per sample
+      "data".getBytes("US-ASCII").copyToArray(out, 36)
+      le32(out, 40, dataLen)
+      var i = 0
+      while (i < samples.length) { le16(out, 44 + i * 2, samples(i) & 0xffff); i += 1 }
+      out
+    }
+
+    /** Walk RIFF chunks (skipping any unknown ones, honoring odd-size
+      * padding) to find fmt and data; returns (sampleRate, samples). */
+    def decodeWavPcm16(payload: Array[Byte]): (Int, Array[Short]) = {
+      def ascii(pos: Int, n: Int) = new String(payload, pos, n, "US-ASCII")
+      require(payload.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var pos = 12
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (pos + 8 <= payload.length && (sampleRate < 0 || samples == null)) {
+        val id = ascii(pos, 4)
+        val size = readLe32(payload, pos + 4)
+        id match {
+          case "fmt " =>
+            require(readLe16(payload, pos + 8) == 1, "only PCM supported")
+            require(readLe16(payload, pos + 10) == 1, "only mono supported")
+            sampleRate = readLe32(payload, pos + 12)
+            require(readLe16(payload, pos + 22) == 16, "only 16-bit supported")
+          case "data" =>
+            val n = size / 2
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) { samples(i) = readLe16(payload, pos + 8 + i * 2).toShort; i += 1 }
+          case _ => // skip unknown chunk
+        }
+        pos += 8 + size + (size & 1) // RIFF pads odd chunks
+      }
+      require(sampleRate > 0 && samples != null, "missing fmt or data chunk")
+      (sampleRate, samples)
+    }
+
+    /** Nearest-neighbor PCM resample to targetRate — integer sample picks,
+      * so the result is exactly reproducible. Duration is preserved by
+      * construction: n_out = floor(n_in * target / source). */
+    def resampleWav(payload: Array[Byte], targetRate: Int): Array[Byte] = {
+      val (srcRate, in) = decodeWavPcm16(payload)
+      val nOut = (in.length.toLong * targetRate / srcRate).toInt
+      val out = new Array[Short](nOut)
+      var j = 0
+      while (j < nOut) { out(j) = in((j.toLong * srcRate / targetRate).toInt); j += 1 }
+      encodeWavPcm16(targetRate, out)
+    }
+
+    // ---- GVID frame container: "GVID" + u32BE count + (u32BE len + PPM)* ----
+    private def be32(b: Array[Byte], pos: Int, v: Int): Unit = {
+      b(pos) = (v >> 24).toByte; b(pos + 1) = (v >> 16).toByte
+      b(pos + 2) = (v >> 8).toByte; b(pos + 3) = v.toByte
+    }
+    private def readBe32(b: Array[Byte], pos: Int): Int =
+      ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+        ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+
+    def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new Array[Byte](8 + frames.map(4 + _.length).sum)
+      "GVID".getBytes("US-ASCII").copyToArray(out, 0)
+      be32(out, 4, frames.length)
+      var pos = 8
+      frames.foreach { f =>
+        be32(out, pos, f.length)
+        System.arraycopy(f, 0, out, pos + 4, f.length)
+        pos += 4 + f.length
+      }
+      out
+    }
+
+    def gvidFrameCount(payload: Array[Byte]): Int = {
+      require(payload.length >= 8 &&
+        new String(payload, 0, 4, "US-ASCII") == "GVID", "not a GVID payload")
+      readBe32(payload, 4)
+    }
+
+    /** Seek to frame `idx` by walking the length prefixes and return its
+      * embedded PPM bytes. */
+    def gvidFrame(payload: Array[Byte], idx: Int): Array[Byte] = {
+      val n = gvidFrameCount(payload)
+      require(idx >= 0 && idx < n, s"frame $idx out of range 0..${n - 1}")
+      var pos = 8
+      var i = 0
+      while (i < idx) { pos += 4 + readBe32(payload, pos); i += 1 }
+      val len = readBe32(payload, pos)
+      java.util.Arrays.copyOfRange(payload, pos + 4, pos + 4 + len)
+    }
+  }
+
+  /** Deterministic payload generation from doc_id — integer formulas the
+    * DuckDB oracle replicates term-for-term (the engine-portability policy
+    * for every oracle in this repo). All constants here appear verbatim in
+    * the oracle SQL below. */
+  object SyntheticMedia {
+    val frameW = 8
+    val frameH = 6
+
+    def pixByte(id: Long, frame: Int, j: Int): Byte =
+      ((id * 31 + frame * 101L + j * 17L) % 256).toByte
+    def sample16(id: Long, j: Int): Short =
+      (((id * 7 + j * 13L) % 65536) - 32768).toShort
+
+    def imageDims(id: Long): (Int, Int) = ((8 + (id % 8) * 2).toInt, 8)
+    def audioParams(id: Long): (Int, Int) =
+      ((8000 + (id % 4) * 4000).toInt, (200 + (id % 100)).toInt)
+    def videoFrames(id: Long): Int = (2 + (id % 7)).toInt
+
+    def build(id: Long): MediaRow = (id % 3) match {
+      case 0 =>
+        val (w, h) = imageDims(id)
+        val pix = Array.tabulate(w * h * 3)(j => pixByte(id, 0, j))
+        MediaRow(id, "image", Codecs.encodePpm(w, h, pix),
+          Some(w), Some(h), None, None)
+      case 1 =>
+        val (sr, n) = audioParams(id)
+        val samples = Array.tabulate(n)(j => sample16(id, j))
+        MediaRow(id, "audio", Codecs.encodeWavPcm16(sr, samples),
+          None, None, Some(sr), Some(n.toLong * 1000 / sr))
+      case _ =>
+        val nf = videoFrames(id)
+        val frames = (0 until nf).map { f =>
+          Codecs.encodePpm(frameW, frameH,
+            Array.tabulate(frameW * frameH * 3)(j => pixByte(id, f, j)))
+        }
+        MediaRow(id, "video", Codecs.encodeGvid(frames),
+          Some(frameW), Some(frameH), None, Some(nf.toLong * 1000))
+    }
+  }
 
   object MultimodalPipeline {
-    val featureDim = 8
-
-    /** STUB — stands in for the real codec (e.g. JPEG decode + CNN pooling /
-      * PCM resample + mel spectrogram). Deterministic: features are derived
-      * from byte content only, so tests are exact. A real implementation
-      * replaces ONLY this function; the Spark plumbing is unchanged. */
-    def decodeStub(payload: Array[Byte], kind: String): Array[Double] = {
-      val feats = new Array[Double](featureDim)
-      var i = 0
-      while (i < payload.length) {
-        feats(i % featureDim) += (payload(i) & 0xff) / 255.0
-        i += 1
-      }
-      val n = math.max(payload.length, 1).toDouble
-      feats.map(f => math.rint(f / n * 1e6) / 1e6)
+    /** Decode a payload with the REAL parser for its kind and reduce to
+      * exact integer features: (units, sum) where units/sum are pixel
+      * bytes for image/video and |sample| for audio. */
+    def decodeFeatures(payload: Array[Byte], kind: String): (Long, Long) = kind match {
+      case "image" =>
+        val (_, _, pix) = Codecs.decodePpm(payload)
+        (pix.length.toLong, pix.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      case "audio" =>
+        val (_, samples) = Codecs.decodeWavPcm16(payload)
+        (samples.length.toLong, samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong)))
+      case "video" =>
+        val n = Codecs.gvidFrameCount(payload)
+        var units = 0L; var sum = 0L
+        var f = 0
+        while (f < n) {
+          val (_, _, pix) = Codecs.decodePpm(Codecs.gvidFrame(payload, f))
+          units += pix.length
+          pix.foreach(b => sum += (b & 0xff))
+          f += 1
+        }
+        (units, sum)
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
 
     /** Batched per-partition feature extraction. Rows are processed in
@@ -66,29 +311,21 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // real impl: load codec once per batch here
           batch.iterator.map { r =>
-            MediaFeatures(r.media_id, r.kind, r.payload.length,
-              decodeStub(r.payload, r.kind))
+            val (units, sum) = decodeFeatures(r.payload, r.kind)
+            MediaFeatures(r.media_id, r.kind, r.payload.length, units, sum,
+              math.rint(sum.toDouble / units * 1e6) / 1e6)
           }
         }
       }
     }
 
-    /** Demo source: wraps documents as fake media payloads (UTF-8 bytes),
-      * alternating kinds, with plausible metadata. */
+    /** Media source: one encoded payload per document id, kinds
+      * round-robin. The text column is NOT used — payloads are generated
+      * (and re-parsed) in the real formats above. */
     def fromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
       import s.implicits._
-      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val payload = text.getBytes("UTF-8")
-          (id % 3) match {
-            case 0 => MediaRow(id, "image", payload,
-              Some(64 + (id % 16).toInt * 8), Some(64), None, None)
-            case 1 => MediaRow(id, "audio", payload,
-              None, None, Some(16000), Some(payload.length.toLong * 10))
-            case _ => MediaRow(id, "video", payload,
-              Some(128), Some(72), None, Some(payload.length.toLong * 40))
-          }
-        }
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map(SyntheticMedia.build)
     }
   }
 
@@ -97,87 +334,135 @@ object Multimodal {
       payload: Array[Byte])
 
   object Transforms {
-    import MultimodalPipeline._
-
-    /** Image resize stage. The resample itself is the STUB (payload kept,
-      * deterministic); the real part is the metadata contract: target dims
-      * recorded, aspect handling decided here, non-images passed through. */
+    /** Image resize: REAL nearest-neighbor resample of the decoded PPM
+      * (see [[Codecs.resizePpm]]); metadata rewritten to match; non-images
+      * passed through untouched. */
     def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
       import ds.sparkSession.implicits._
       ds.map { r =>
         if (r.kind == "image")
-          // real impl: decode → resample to (w, h) → re-encode payload
-          r.copy(width = Some(w), height = Some(h))
+          r.copy(payload = Codecs.resizePpm(r.payload, w, h),
+            width = Some(w), height = Some(h))
         else r
       }
     }
 
-    /** Audio resample stage. The PCM resample itself is the STUB (payload
-      * kept, deterministic); the real part is the metadata contract:
-      * sample_rate rewritten, duration preserved (resampling changes rate,
-      * not length), non-audio rows passed through untouched. */
+    /** Audio resample: REAL nearest-neighbor PCM pick at the target rate
+      * (see [[Codecs.resampleWav]]); sample_rate rewritten, duration
+      * preserved by construction; non-audio rows passed through. */
     def resample(ds: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
       import ds.sparkSession.implicits._
       ds.map { r =>
         if (r.kind == "audio")
-          // real impl: decode PCM → polyphase resample → re-encode payload
-          r.copy(sample_rate = Some(targetRate))
+          r.copy(payload = Codecs.resampleWav(r.payload, targetRate),
+            sample_rate = Some(targetRate))
         else r
       }
     }
 
-    /** Video frame sampling: one row per sampled frame every `everyMs` of
-      * duration (row-expanding, like mapInPandas yielding multiple rows).
-      * Frame payloads are deterministic byte slices standing in for the
-      * decoded frames; emitted WITHOUT the source payload so the expansion
-      * never amplifies raw video bytes through the shuffle. */
-    def sampleFrames(ds: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[FrameRow] = {
+    /** Video frame sampling: demux the container and emit one row per
+      * frame (row-expanding, like mapInPandas yielding multiple rows) —
+      * an actual seek-and-decode per frame. Frames are 1000 ms apart by
+      * the container's construction. Emitted WITHOUT the source payload so
+      * the expansion never amplifies raw video bytes through a shuffle. */
+    def sampleFrames(ds: Dataset[MediaRow]): Dataset[FrameRow] = {
       import ds.sparkSession.implicits._
       ds.filter(_.kind == "video").flatMap { r =>
-        val dur = r.duration_ms.getOrElse(0L)
-        val n = math.min((dur / everyMs).toInt + 1, 8)
+        val n = Codecs.gvidFrameCount(r.payload)
         (0 until n).iterator.map { i =>
-          // real impl: codec seek + decode at t = i*everyMs
-          val start = if (r.payload.length == 0) 0
-            else (i * everyMs % math.max(r.payload.length, 1)).toInt
-          val len = math.min(16, r.payload.length - start)
-          FrameRow(r.media_id, i, i * everyMs,
-            r.payload.slice(start, start + math.max(len, 0)))
+          FrameRow(r.media_id, i, i * 1000L, Codecs.gvidFrame(r.payload, i))
         }
       }
     }
   }
 
   val queries: Map[String, Q] = Map(
-    // End-to-end: documents → typed media rows → batched stub decode →
-    // per-kind feature aggregates (payloads never cross a shuffle).
+    // End-to-end: doc ids → encoded payloads → batched REAL decode →
+    // exact integer features per media row (payloads never cross a
+    // shuffle). Oracle recomputes every feature from the generation
+    // formulas — the hash compare fails on any codec bug.
     "x_multimodal_features" -> ((s, d) => {
       val feats = MultimodalPipeline.extractFeatures(
         MultimodalPipeline.fromDocuments(s, d))
       feats.toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"),
-          round(element_at(col("features"), 2), 6).as("f1"))
+          col("n_units"), col("feat_sum"),
+          round(col("feat_sum").cast("double") / col("n_units"), 6)
+            .as("feat_mean"))
         .orderBy("media_id")
     }),
 
-    // Full pipeline: resize images, frame-sample videos, decode features
-    // for every sampled frame, aggregate per media row.
+    // Full pipeline: resize images (real resample — exercised even though
+    // only videos reach the frame stage), demux + decode every video
+    // frame, aggregate exact per-media pixel sums.
     "x_multimodal_frames" -> ((s, d) => {
       import s.implicits._
       val media = MultimodalPipeline.fromDocuments(s, d)
       val frames = Transforms.sampleFrames(Transforms.resize(media, 224, 224))
       frames.map { f =>
-        (f.media_id, f.frame_idx,
-          MultimodalPipeline.decodeStub(f.payload, "video").sum)
-      }.toDF("media_id", "frame_idx", "feat_sum")
+        val (_, _, pix) = Codecs.decodePpm(f.payload)
+        (f.media_id, f.frame_idx, pix.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }.toDF("media_id", "frame_idx", "px_sum")
         .groupBy(col("media_id"))
-        .agg(count(lit(1)).as("frame_cnt"),
-          round(sum(col("feat_sum")), 6).as("feat_total"))
+        .agg(count(lit(1)).as("frame_cnt"), sum(col("px_sum")).as("px_total"))
         .orderBy("media_id")
     })
   )
 
-  /** Binary/codec path is not SQL-expressible → rows-only check. */
-  val oracle: Map[String, String] = Map()
+  /** Both queries are oracle-backed: DuckDB rebuilds the decoded features
+    * from the [[SyntheticMedia]] generation formulas (the payload bytes
+    * themselves never need to exist oracle-side — a correct decoder must
+    * recover exactly what was encoded). Integer sums throughout; the one
+    * double is a single final division, mirrored on both engines. */
+  val oracle: Map[String, String] = Map(
+    "x_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    8 + (doc_id % 8) * 2 AS img_w,
+        |    8000 + (doc_id % 4) * 4000 AS sr,
+        |    200 + (doc_id % 100) AS n_samp,
+        |    2 + (doc_id % 7) AS n_frames
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, kind,
+        |    CASE kind
+        |      WHEN 'image' THEN
+        |        9 + length(CAST(img_w AS VARCHAR)) + 1 + img_w * 8 * 3
+        |      WHEN 'audio' THEN 44 + 2 * n_samp
+        |      ELSE 8 + n_frames * (4 + 11 + 8 * 6 * 3)
+        |    END AS n_bytes,
+        |    CASE kind
+        |      WHEN 'image' THEN img_w * 8 * 3
+        |      WHEN 'audio' THEN n_samp
+        |      ELSE n_frames * 8 * 6 * 3
+        |    END AS n_units,
+        |    CASE kind
+        |      WHEN 'image' THEN list_sum(list_transform(
+        |        range(0, img_w * 8 * 3), j -> (media_id * 31 + j * 17) % 256))
+        |      WHEN 'audio' THEN list_sum(list_transform(
+        |        range(0, n_samp), j -> abs((media_id * 7 + j * 13) % 65536 - 32768)))
+        |      ELSE list_sum(list_transform(range(0, n_frames), f ->
+        |        list_sum(list_transform(range(0, 8 * 6 * 3),
+        |          j -> (media_id * 31 + f * 101 + j * 17) % 256))))
+        |    END AS feat_sum
+        |  FROM m
+        |)
+        |SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+        |  CAST(n_units AS BIGINT) AS n_units, CAST(feat_sum AS BIGINT) AS feat_sum,
+        |  round(CAST(feat_sum AS DOUBLE) / n_units, 6) AS feat_mean
+        |FROM f ORDER BY media_id""".stripMargin,
+    "x_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, 2 + (doc_id % 7) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS frame_cnt,
+        |  CAST(list_sum(list_transform(range(0, n_frames), f ->
+        |    list_sum(list_transform(range(0, 8 * 6 * 3),
+        |      j -> (media_id * 31 + f * 101 + j * 17) % 256)))) AS BIGINT)
+        |    AS px_total
+        |FROM v ORDER BY media_id""".stripMargin
+  )
 }

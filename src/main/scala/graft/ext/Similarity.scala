@@ -121,6 +121,10 @@ object Similarity {
 
     val seeds = collectCentroids(candidates.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding")))
+    // misuse fails deliberately: greatest() below needs >= 2 cell structs,
+    // and a 1-cell quantizer is not an IVF
+    require(seeds.size >= 2,
+      s"ivfTopK: needs >= 2 seed vectors with vec_id < $cells; got ${seeds.size}")
     // one Lloyd step: assign to nearest seed, recompute per-cell means
     val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
     val centroids = collectCentroids(candidates
@@ -159,6 +163,8 @@ object Similarity {
     val seedRows = candidates.filter(col("vec_id") < pqCodes)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(seedRows.nonEmpty,
+      s"pqTopK: needs seed vectors with vec_id < $pqCodes to build codebooks; got none")
     val dim = seedRows.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m

@@ -36,12 +36,18 @@ object Relational {
         .orderBy("date_sk")
     }),
 
-    // S7 view: register a reusable joined view, then filter over it (P10).
+    // S7 view: register a reusable joined view, RENAME it (the reference's
+    // sp_rename step, SQLQueryiesPractice.sql:242 — Spark has no temp-view
+    // rename, so the emulation is re-register-under-new-name + drop-old),
+    // then filter over the renamed view (P10).
     "s7_view" -> ((s, d) => {
       orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
         .createOrReplaceTempView("vw_customer_orders")
       s.table("vw_customer_orders")
+        .createOrReplaceTempView("vw_cust_orders_renamed")
+      s.catalog.dropTempView("vw_customer_orders")
+      s.table("vw_cust_orders_renamed")
         .filter(col("o_totalprice") > 300000.0)
         .select(col("o_orderkey"), col("c_name"))
         .orderBy("o_orderkey")
@@ -68,6 +74,16 @@ object Relational {
       .filter(col("p_name").like("s%"))
       .select(col("p_partkey"), col("p_name"))
       .orderBy("p_partkey")),
+
+    // P4b: the reference's default T-SQL collation matches LIKE case-
+    // insensitively (SQLQueryiesPractice.sql:27-29, 'M%' on mixed-case
+    // names); Spark's like() is case-sensitive, so the emulation
+    // lower()-normalizes the column — here 'b%' against the upper-case
+    // market segments, which a case-sensitive LIKE would match nowhere.
+    "p4_like_ci" -> ((s, d) => customer(s, d)
+      .filter(lower(col("c_mktsegment")).like("b%"))
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")),
 
     "p5_in" -> ((s, d) => orders(s, d)
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -464,6 +480,9 @@ object Relational {
     "p4_like" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE p_name LIKE 's%' ORDER BY p_partkey""".stripMargin,
+    "p4_like_ci" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE lower(c_mktsegment) LIKE 'b%' ORDER BY c_custkey""".stripMargin,
     "p5_in" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -161,13 +161,16 @@ object TpchLike {
     // Q4 order-priority checking (adapted: no commitdate/receiptdate in the
     // testdata — "late" = shipped >30 days after order date): correlated
     // EXISTS becomes a left-semi join whose condition mixes the orderkey
-    // equi-pair with a cross-table date inequality.
+    // equi-pair with a cross-table date inequality. The lateness bound is
+    // timestamp + INTERVAL (not date_add, which truncates the timestamp to
+    // midnight first) so it matches the oracle's `+ INTERVAL n DAY` on any
+    // data, not just the fixtures' midnight-only timestamps.
     "tpch_q4" -> ((s, d) => orders(s, d)
       .filter(col("o_orderdate") >= ts("1996-01-01")
         && col("o_orderdate") < ts("1996-04-01"))
       .join(lineitem(s, d),
         col("l_orderkey") === col("o_orderkey")
-          && col("l_shipdate") > date_add(col("o_orderdate"), 30),
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
@@ -181,7 +184,7 @@ object TpchLike {
       val late = lineitem(s, d)
         .join(orders(s, d).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
       val l1 = late
         .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -318,10 +321,14 @@ object TpchLike {
         .as("revenue_cents"))),
 
     // Q22 global sales opportunity (adapted: nation name stands in for the
-    // phone country code): above-average-balance customers with no orders.
-    // The positive-balance average is a 1-row aggregate cross-joined back
-    // as a threshold; the compare is exact integer arithmetic
-    // (cents·count > sum_cents). "No orders" is a left-anti join.
+    // phone country code, and "no orders" for "no URGENT orders" — every
+    // fixture customer has at least one order at sf<=0.01, which made the
+    // original anti-join vacuously empty there and the oracle check
+    // meaningless; the urgent-only variant keeps the NOT-EXISTS anti-join
+    // shape and survives 2/30/235 customers at sf0.001/0.01/0.1). The
+    // positive-balance average is a 1-row aggregate cross-joined back as a
+    // threshold; the compare is exact integer arithmetic
+    // (cents·count > sum_cents).
     "tpch_q22" -> ((s, d) => {
       val sel = customer(s, d)
         .join(broadcast(nation(s, d)
@@ -334,7 +341,8 @@ object TpchLike {
           sum(cents(col("c_acctbal"))).as("pos_sum_cents"))
       sel.crossJoin(broadcast(thr))
         .filter(cents(col("c_acctbal")) * col("pos_cnt") > col("pos_sum_cents"))
-        .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("n_name").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
           sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
@@ -543,7 +551,9 @@ object TpchLike {
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
         |FROM sel, thr
         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos_cnt > pos_sum_cents
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
   )
 }

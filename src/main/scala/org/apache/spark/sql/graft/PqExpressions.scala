@@ -34,6 +34,10 @@ case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val subDim = codebooks.length / (m * k)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${v.numElements()} != m*subDim (${m * subDim}) " +
+          "implied by the codebook layout")
     var packed = 0
     var mi = 0
     while (mi < m) {
@@ -75,6 +79,10 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val subDim = codebooks.length / (m * k)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector length ${v.numElements()} != m*subDim (${m * subDim}) " +
+          "implied by the codebook layout")
     val lut = new Array[Double](m * k)
     var mi = 0
     while (mi < m) {

@@ -18,12 +18,13 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 133/139 split") {
-    assert(SparkEntry.queries.size === 139)
-    assert(SparkEntry.oracleSql.size === 133)
+  test("oracle coverage matches the documented 136/140 split") {
+    assert(SparkEntry.queries.size === 140)
+    assert(SparkEntry.oracleSql.size === 136)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 6 intrinsically non-oracle-able operators, and only those
-    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg",
-      "x_multimodal_features", "x_multimodal_frames"))
+    // the 4 intrinsically non-oracle-able operators (ANN internals /
+    // approximate sketches), and only those — the multimodal pair became
+    // oracle-backed in round 5 when the codecs became real
+    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg"))
   }
 }

@@ -216,7 +216,7 @@ class ExtSpec extends SparkSpec {
     assert(out(1) === Seq(2.0f, 4.0f))
   }
 
-  test("multimodal: stub decode is deterministic and batch-shaped") {
+  test("multimodal: real decode is deterministic and covers all kinds") {
     val a = Multimodal.queries("x_multimodal_features")(spark, sf).collect()
     val b = Multimodal.queries("x_multimodal_features")(spark, sf).collect()
     assert(a.toSeq === b.toSeq)
@@ -245,25 +245,65 @@ class ExtSpec extends SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
-  test("multimodal resample: rewrites audio sample_rate, preserves duration, skips others") {
+  test("multimodal resample: real PCM pick at target rate, duration preserved, skips others") {
     val media = Multimodal.MultimodalPipeline.fromDocuments(spark, sf)
     val before = media.collect().map(r => r.media_id -> r).toMap
     Multimodal.Transforms.resample(media, 44100).collect().foreach { r =>
       val orig = before(r.media_id)
       if (r.kind == "audio") {
         assert(r.sample_rate.contains(44100))
-        assert(r.duration_ms === orig.duration_ms) // rate changes, length doesn't
+        assert(r.duration_ms === orig.duration_ms) // rate changes, duration doesn't
+        val (srcRate, srcSamples) = Multimodal.Codecs.decodeWavPcm16(orig.payload)
+        val (rate, samples) = Multimodal.Codecs.decodeWavPcm16(r.payload)
+        assert(rate === 44100)
+        assert(samples.length === (srcSamples.length.toLong * 44100 / srcRate).toInt)
       } else {
         assert(r.sample_rate === orig.sample_rate)
+        assert(r.payload.toSeq === orig.payload.toSeq)
       }
-      assert(r.payload.toSeq === orig.payload.toSeq)
     }
   }
 
-  test("multimodal decode stub: feature vector has fixed dim and bounded values") {
-    val f = Multimodal.MultimodalPipeline.decodeStub("hello world".getBytes, "image")
-    assert(f.length === Multimodal.MultimodalPipeline.featureDim)
-    assert(f.forall(v => v >= 0.0 && v <= 1.0))
-    assert(f.toSeq === Multimodal.MultimodalPipeline.decodeStub("hello world".getBytes, "image").toSeq)
+  test("multimodal codecs: golden round-trips, chunk walking, demux, resize") {
+    import Multimodal.Codecs._
+    // WAV: encode/decode round-trip through the real RIFF chunk walk
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 13)
+    val wav = encodeWavPcm16(16000, samples)
+    assert(wav.length === 44 + 12)
+    val (sr, back) = decodeWavPcm16(wav)
+    assert(sr === 16000)
+    assert(back.toSeq === samples.toSeq)
+    intercept[IllegalArgumentException](decodeWavPcm16("garbage-not-riff-data-blob-x".getBytes))
+    // a LIST chunk inserted between fmt and data must be skipped (odd size → padded)
+    val extra = new Array[Byte](wav.length + 8 + 5 + 1)
+    System.arraycopy(wav, 0, extra, 0, 36)                 // RIFF..fmt
+    "LIST".getBytes.copyToArray(extra, 36)
+    extra(40) = 5                                           // LE chunk size 5
+    System.arraycopy(wav, 36, extra, 36 + 8 + 5 + 1, wav.length - 36) // data chunk
+    val (sr2, back2) = decodeWavPcm16(extra)
+    assert(sr2 === 16000 && back2.toSeq === samples.toSeq)
+    // PPM: round-trip + malformed rejection
+    val pix = Array.tabulate[Byte](2 * 2 * 3)(i => i.toByte)
+    val ppm = encodePpm(2, 2, pix)
+    val (w, h, body) = decodePpm(ppm)
+    assert(w === 2 && h === 2 && body.toSeq === pix.toSeq)
+    intercept[IllegalArgumentException](decodePpm("P5\n2 2\n255\nxx".getBytes))
+    // resize 2x2 -> 1x1: nearest-neighbor keeps the top-left pixel
+    val (w1, h1, onePix) = decodePpm(resizePpm(ppm, 1, 1))
+    assert(w1 === 1 && h1 === 1 && onePix.toSeq === pix.take(3).toSeq)
+    // GVID: demux by offset returns exactly the embedded frame
+    val frames = Seq(encodePpm(1, 1, Array[Byte](1, 2, 3)),
+      encodePpm(1, 1, Array[Byte](4, 5, 6)), encodePpm(1, 1, Array[Byte](7, 8, 9)))
+    val gvid = encodeGvid(frames)
+    assert(gvidFrameCount(gvid) === 3)
+    assert(gvidFrame(gvid, 1).toSeq === frames(1).toSeq)
+    assert(decodePpm(gvidFrame(gvid, 2))._3.toSeq === Seq[Byte](7, 8, 9))
+    // feature math golden: hand-computed tiny example
+    val (units, sum) = Multimodal.MultimodalPipeline.decodeFeatures(
+      encodePpm(1, 1, Array[Byte](10, 20, 30)), "image")
+    assert(units === 3L && sum === 60L)
+    val (au, as_) = Multimodal.MultimodalPipeline.decodeFeatures(
+      encodeWavPcm16(8000, Array[Short](5, -7)), "audio")
+    assert(au === 2L && as_ === 12L)
   }
 }

@@ -133,4 +133,27 @@ class StarEtlSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map("DimMember" -> 13L, "FactClaimsLine" -> 17L))
   }
+
+  test("scalable SK path: collision-free and consistent within a run (not reproducible)") {
+    // SURVEY §7.4.1: the row_number SK path is reproducible but
+    // single-partition; the scalable flag swaps in
+    // monotonically_increasing_id, whose contract is weaker — unique and
+    // STABLE WITHIN THE RUN (pinned by the eager localCheckpoint), not
+    // reproducible across runs. This test asserts exactly that contract.
+    import spark.implicits._
+    val dim = (1 to 5000).map(i => (i, s"bk_$i")).toDF("NatId", "BK")
+      .repartition(8) // several partitions — the path the window can't take
+    val unknown = Seq((0L, -1, "UNK")).toDF("SK", "NatId", "BK")
+    val keyed = graft.model.Sk.withSk(dim, "SK", "NatId", unknown, scalable = true)
+    // collision-free incl. the Unknown row; naturals never collide with SK=0
+    assert(keyed.count() === 5001)
+    assert(keyed.select("SK").distinct().count() === 5001)
+    assert(keyed.filter(col("SK") === 0).select("BK").head().getString(0) === "UNK")
+    assert(keyed.filter(col("NatId") =!= -1 && col("SK") === 0).count() === 0)
+    // consistency: two independent materializations of the returned frame
+    // observe the identical key→SK assignment (fact build + audit forks)
+    val m1 = keyed.select("NatId", "SK").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m2 = keyed.select("NatId", "SK").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m1 === m2)
+  }
 }
