@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   *    of per-query latencies under that concurrency (the sequential-total
   *    analog); `queries` holds per-query latencies. Set
   *    SPARK_GRAFT_BENCH_MODE=sequential to force one-at-a-time timing.
+  *  - A SEQUENTIAL timed pass also runs between warmup and the concurrent
+  *    pass (`seq_wall_sec`/`seq_sum_sec`, per-query latencies under
+  *    `"sequential"` in the detail file). Concurrent latencies are
+  *    contention-inflated and per-query deltas across rounds are
+  *    confounded by catalog growth (round 4's wall doubled and could not
+  *    be decomposed); the sequential pass is the clean per-query signal.
   *  - The driver captures only the LAST ~2000 chars of stdout (rounds 1 AND
   *    2 both overflowed it and parsed as null), so the printed line carries
   *    per-query latencies for a fixed headline subset only (~0.7 KB total);
@@ -52,12 +58,13 @@ object Bench {
     }
     val concurrency =
       if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("sequential")) 1 else 8
-    val pool = Executors.newFixedThreadPool(concurrency)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
     // A failed query is None → emitted as JSON null (never a numeric
     // sentinel a round-over-round comparator could misread as a latency).
-    def runAll(): Map[String, Option[Double]] = {
+    def runAll(threads: Int): (Map[String, Option[Double]], Double) = {
+      val pool = Executors.newFixedThreadPool(threads)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val w0 = System.nanoTime()
       val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
         Future {
           val t0 = System.nanoTime()
@@ -69,14 +76,21 @@ object Bench {
           name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
         }
       }
-      futures.map(Await.result(_, Duration.Inf)).toMap
+      val out = futures.map(Await.result(_, Duration.Inf)).toMap
+      pool.shutdown()
+      (out, (System.nanoTime() - w0) / 1e9)
     }
 
-    runAll() // warmup pass (untimed)
-    val w0 = System.nanoTime()
-    val results = runAll()
-    val wall = (System.nanoTime() - w0) / 1e9
-    pool.shutdown()
+    runAll(concurrency) // warmup pass (untimed)
+    // Sequential timed pass FIRST: per-query latencies free of scheduler
+    // contention — the round-over-round comparable signal the concurrent
+    // numbers can't provide (round 4's 2x wall growth was undecomposable
+    // without it). Then the concurrent pass, whose wall is the headline
+    // `value` (kept comparable with rounds 1-4).
+    val (seqResults, seqWall) =
+      if (concurrency == 1) (Map.empty[String, Option[Double]], 0.0)
+      else runAll(1)
+    val (results, wall) = runAll(concurrency)
 
     def f3(v: Double): String = f"$v%.3f"
     def jsonMap(m: Seq[(String, Option[Double])]): String =
@@ -100,10 +114,14 @@ object Bench {
       System.err.println(s"[bench] WARNING: headline queries missing from registry: ${missing.mkString(", ")}")
     val detailPath = java.nio.file.Paths.get("target/bench_queries.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
+    val seqSorted = seqResults.toSeq.sortBy(_._1)
+    val detailJson =
+      s"""{"concurrent$concurrency":${jsonMap(sorted)},"sequential":${jsonMap(seqSorted)}}"""
     java.nio.file.Files.write(detailPath,
-      jsonMap(sorted).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val seqSum = seqResults.values.flatten.sum
     val hs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
-    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
