@@ -245,58 +245,74 @@ object Dedup {
     * cache entry (each checkpoint is a distinct LogicalRDD).
     * Deterministic: min over Long. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    // both directions from ONE pass over the (expensive) edge lineage — a
-    // union of two selects would compute that lineage twice
-    val sym = edges.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
-    // Materialize the (expensive) edge pipeline exactly once: the seed
-    // labels AND the round-1 neighbor join both derive from sym, and two
-    // branches of one job each compute an unfilled cache independently.
-    sym.count()
-    var prevCached = sym.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
-    var labels = prevCached
-    // One min-propagation round. Every loop vertex has >= 1 neighbor (it
-    // came from an edge), so the propagation join is inner; the pre-round
-    // label is carried as old_id so convergence detection is a filter, not
-    // a join.
-    def propagate(l: DataFrame): DataFrame = {
-      val nbrMin = sym.join(l, sym("dst") === l("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      l.join(nbrMin, l("doc_id") === nbrMin("src"))
-        .select(l("doc_id"), col("cluster_id").as("old_id"),
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-    }
+    // Iterative min-label propagation is the documented RDD exception: a
+    // DataFrame loop re-analyzes, re-codegens, and re-plans a fresh
+    // 4-join/2-agg plan every round (measured ~6s of pure per-round plan +
+    // codegen + exchange-planning overhead on a 256-edge graph), while an
+    // RDD loop with ONE HashPartitioner keeps edges and labels
+    // co-partitioned for the whole loop — GraphX's design. The label-lookup
+    // join is then narrow, each round pays exactly ONE shuffle (the
+    // neighbor-min reduceByKey), and convergence detection rides a
+    // LongAccumulator inside the materializing action instead of a separate
+    // count() job. Semantics are identical to the DataFrame form: labels =
+    // min doc_id reachable, monotonically decreasing per round.
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    // (dst, src) keyed by the label-lookup side; both directions from ONE
+    // pass over the (expensive) edge lineage. partitionBy is the loop's
+    // only edge shuffle; the cache holds post-partitioning blocks.
+    val byDst = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    // Seed label of v is v itself. byDst is already hash-partitioned by
+    // vertex, so reduceByKey with the same partitioner is a narrow local
+    // combine — no shuffle.
+    var labels = byDst.mapPartitions(
+        _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+      .reduceByKey(part, math.min(_: Long, _: Long)).cache()
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    labels.foreach(_ => ()) // materialize edges + seeds in one job
+    if (dbg) System.err.println(f"[cc] seed+edges ${(System.nanoTime()-t0)/1e9}%.2f s")
     var changed = 1L
     while (changed > 0) {
-      // TWO rounds per driver action: labels only ever decrease, so "the
-      // SECOND round changed nothing" alone proves convergence (round 1's
-      // changes are irrelevant to the check) — halving the count() jobs
-      // that dominated this loop under bench contention, at the price of at
-      // most one no-op round past convergence. Round 1 is left uncached
-      // inside round 2's plan; its two consumers (the neighbor aggregate
-      // and the carry join) both need it exchanged on hash(doc_id), so
-      // ReuseExchange computes it once at runtime.
-      val r1 = propagate(labels).select(col("doc_id"), col("cluster_id"))
-      val next = propagate(r1).cache()
-      changed = next.filter(col("cluster_id") < col("old_id")).count()
-      prevCached.unpersist()
-      prevCached = next
-      labels = next.select(col("doc_id"), col("cluster_id"))
+      val acc = sc.longAccumulator("cc_changed")
+      // One shuffle: neighbor labels re-keyed by edge source. Every loop
+      // vertex has >= 1 neighbor (it came from an edge) and the edge set is
+      // symmetric, so both joins are inner and lose no vertex.
+      val nbrMin = byDst.join(labels) // narrow: co-partitioned on `part`
+        .map { case (_, (src, lbl)) => (src, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val next = labels.join(nbrMin) // narrow again
+        .mapValues { case (old, nm) =>
+          val nu = math.min(old, nm)
+          if (nu < old) acc.add(1L)
+          nu
+        }.cache()
+      t0 = System.nanoTime()
+      next.foreach(_ => ()) // materialize; fills the accumulator
+      if (dbg) System.err.println(f"[cc] round ${(System.nanoTime()-t0)/1e9}%.2f s changed=${acc.value}")
+      // Accumulator semantics: at-least-once on task retry, so `changed`
+      // can only over-count — worst case one extra no-op round, never a
+      // wrong answer; it cannot under-count and stop early.
+      changed = acc.value
+      labels.unpersist(blocking = false)
+      labels = next
     }
-    sym.unpersist()
-    // Detach the result from the loop cache: labels are (Long, Long) pairs
-    // for edge-touched vertices only — tiny next to the corpus — so an
-    // eager localCheckpoint costs one pass over the already-cached frame
-    // and lets the loop cache be released here instead of staying resident
-    // for the session. (localCheckpoint trades fault-tolerance of this
-    // small frame for zero lineage; a reliable checkpoint dir would restore
-    // it on a cluster where executor loss matters.)
-    val finalLabels = labels.localCheckpoint(true)
-    prevCached.unpersist()
+    byDst.unpersist(blocking = false)
+    // Labels are (Long, Long) pairs for edge-touched vertices only — tiny
+    // next to the corpus; hand them back to SQL for the singleton union.
+    val finalLabels = spark.createDataFrame(
+      labels.map { case (v, c) => org.apache.spark.sql.Row(v, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .localCheckpoint(true)
+    labels.unpersist(blocking = false)
     // singletons (no incident edge) cluster as themselves, outside the loop
     val singletons = vertices.select(col("doc_id"))
       .join(finalLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
