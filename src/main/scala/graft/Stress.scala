@@ -205,6 +205,15 @@ object Stress {
       graft.ext.Similarity.exactTopK(emb,
         emb.filter(col("vec_id") < 10)).count()
     }
+    // Threshold-contract embedding dedup (the sub-quadratic pair-finding
+    // scale path): replicas carry IDENTICAL embeddings, so each original
+    // vector forms a K-clique at cosine 1.0 — K(K-1)/2 × 2000 true pairs at
+    // K=10 — while 16×8-bit SRP bands prune the cross-group space. The
+    // baseline this replaces is the 20k² all-pairs join (x_dedup_embed's
+    // shape), which is NOT run here — at 100 TB it doesn't exist.
+    time("embed_near_dups_lsh") {
+      graft.ext.Dedup.embedNearDupsLsh(emb, minCosine = 0.95).count()
+    }
     spark.stop()
   }
 }

@@ -214,6 +214,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding near-dup pairs under a THRESHOLD contract (`cosine >=
+    * minCosine`) via banded random-hyperplane LSH — the sub-quadratic scale
+    * path for embedding dedup. The registered `x_dedup_embed` query keeps
+    * the global-top-k-pairs contract as the oracle-anchored exact baseline,
+    * but that contract is inherently all-pairs (closest-pair has no
+    * practical exact sub-quadratic algorithm at d=64), and production
+    * near-dup dedup is threshold-based anyway — this is that operator.
+    *
+    * Design: `bands` independent `bits`-bit SRP signatures per vector
+    * (plane components are ±1 literals from a fixed-seed PRNG, identical on
+    * every executor and across runs); a pair is a candidate iff it collides
+    * in >= 1 band; candidates are exact-cosine verified. The banded frame
+    * carries only (vec_id, band, bucket) — embeddings re-join for the
+    * verify step, so the LSH shuffle never moves the vector payload (the
+    * [[verifyJaccard]] pattern). Collision probability per band is
+    * (1 - θ/π)^bits, so recall at cosine c is 1-(1-(1-acos(c)/π)^bits)^bands:
+    * bands=16 × bits=8 gives ~0.9999 at c=0.95 and ~0.97 at c=0.85 —
+    * tune per corpus; ExtSpec asserts EXACT equality vs the brute-force
+    * pair set on a planted near-dup fixture at the default parameters. */
+  def embedNearDupsLsh(emb: DataFrame, minCosine: Double = 0.85,
+      bands: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val rng = new scala.util.Random(4242)
+    val bandStructs = Seq.tabulate(bands) { b =>
+      val bucket = Seq.tabulate(bits) { p =>
+        val plane = typedLit(Seq.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f))
+        when(cosineSim(col("embedding"), plane) > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = emb.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct() // a pair may collide in several bands
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), "id_b")
+      .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components over near-dup pairs — the clustering step every
     * production dedup pipeline runs after pairwise similarity: a component
     * is a duplicate cluster, its min doc_id the canonical survivor.
@@ -356,7 +405,9 @@ object Dedup {
     }),
 
     // Embedding near-dup: top-20 most-similar pairs by exact cosine.
-    // (Brute force here; the LSH-bucketed scale path is x_ann_lsh.)
+    // Brute force — the oracle-anchored baseline; the sub-quadratic scale
+    // path with the production (threshold) contract is [[embedNearDupsLsh]],
+    // asserted exact-equal on a planted fixture in ExtSpec.
     "x_dedup_embed" -> ((s, d) => {
       val e = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))

@@ -156,6 +156,41 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1L, 0.8), (2, 2L, 0.0)))
   }
 
+  test("embedNearDupsLsh == exact threshold pairs on a planted near-dup fixture") {
+    import spark.implicits._
+    // 20 groups of (base + 2 noisy copies, cosine ~0.99) + 140 unrelated
+    // random vectors (typical cross-cosine ~N(0, 1/8)) — the production
+    // regime the threshold contract targets. Fixed seed: deterministic.
+    val rng = new scala.util.Random(7)
+    def randVec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.15f * rng.nextGaussian().toFloat)
+    val groups = Seq.tabulate(20) { g =>
+      val base = randVec()
+      Seq((g * 3L, base), (g * 3L + 1, perturb(base)), (g * 3L + 2, perturb(base)))
+    }.flatten
+    val noise = Seq.tabulate(140)(i => (1000L + i, randVec()))
+    val all = groups ++ noise
+    // independent pure-Scala reference for the exact threshold pair set
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.85
+    } yield (ia, ib)).toSet
+    assert(expected.size >= 50) // the plant worked: ~60 true pairs
+    val got = Dedup.embedNearDupsLsh(all.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected) // recall 1.0 AND no sub-threshold survivors
+  }
+
   test("fingerprints: window parameter respected; equal texts collide") {
     import spark.implicits._
     val docs = Seq(
