@@ -158,7 +158,12 @@ object Pipeline {
     val sized = docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
         floor(col("doc_id") / shardSize).cast("long").as("shard"))
-    // One row per shard; prefix-sum on the driver (small by construction).
+    // One row per shard; prefix-sum on the driver. Driver memory bounds
+    // this at #shards = maxDocId/shardSize rows of (long, long) — callers
+    // at extreme corpus sizes raise shardSize to keep that small (any
+    // shardSize yields byte-identical output: the decomposition of the
+    // global cumsum is exact; shardSize only trades parallelism for
+    // driver-side offset count).
     val totals = sized.groupBy(col("shard"))
       .agg(sum(col("n_tok")).as("tot"))
       .orderBy(col("shard"))

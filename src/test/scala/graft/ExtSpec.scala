@@ -191,6 +191,19 @@ class ExtSpec extends SparkSpec {
     assert(got === expected) // recall 1.0 AND no sub-threshold survivors
   }
 
+  test("packSequences output is invariant to shardSize (exact cumsum decomposition)") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def run(shardSize: Int) =
+      ext.Pipeline.packSequences(docs, shardSize = shardSize)
+        .collect().map(_.toSeq).toSeq
+    val base = run(4096)
+    // 64 = many shards; 257 = prime, shard boundaries never align with
+    // doc_id patterns — any discrepancy in the shard-offset correction
+    // (the driver prefix-sum) would surface as a bin/cum_tok diff.
+    assert(run(64) === base)
+    assert(run(257) === base)
+  }
+
   test("fingerprints: window parameter respected; equal texts collide") {
     import spark.implicits._
     val docs = Seq(
