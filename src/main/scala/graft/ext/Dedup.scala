@@ -222,31 +222,26 @@ object Dedup {
     * practical exact sub-quadratic algorithm at d=64), and production
     * near-dup dedup is threshold-based anyway — this is that operator.
     *
-    * Design: `bands` independent `bits`-bit SRP signatures per vector
-    * (plane components are ±1 literals from a fixed-seed PRNG, identical on
-    * every executor and across runs); a pair is a candidate iff it collides
-    * in >= 1 band; candidates are exact-cosine verified. The banded frame
-    * carries only (vec_id, band, bucket) — embeddings re-join for the
-    * verify step, so the LSH shuffle never moves the vector payload (the
-    * [[verifyJaccard]] pattern). Collision probability per band is
-    * (1 - θ/π)^bits, so recall at cosine c is 1-(1-(1-acos(c)/π)^bits)^bands:
-    * bands=16 × bits=8 gives ~0.9999 at c=0.95 and ~0.97 at c=0.85 —
-    * tune per corpus; ExtSpec asserts EXACT equality vs the brute-force
-    * pair set on a planted near-dup fixture at the default parameters. */
+    * Design: `bands` independent `bits`-bit SRP signatures per vector via
+    * the fused native [[org.apache.spark.sql.graft.SrpSignature]]
+    * expression (one pass over the vector for all bands×bits planes; the
+    * literal-plane formulation planted up to 448 CosineSimilarity calls
+    * into one projection and its compile time dominated); a pair is a
+    * candidate iff it collides in >= 1 band; candidates are exact-cosine
+    * verified. The banded frame carries only (vec_id, band, bucket) —
+    * embeddings re-join for the verify step, so the LSH shuffle never
+    * moves the vector payload (the [[verifyJaccard]] pattern). Collision
+    * probability per band is (1 - θ/π)^bits, so recall at cosine c is
+    * 1-(1-(1-acos(c)/π)^bits)^bands: bands=16 × bits=8 gives ~0.9999 at
+    * c=0.95 and ~0.97 at c=0.85 — tune per corpus (more bits ⇒ smaller
+    * buckets ⇒ fewer candidates, more bands to recover recall); ExtSpec
+    * asserts EXACT equality vs the brute-force pair set on a planted
+    * near-dup fixture at the default parameters. */
   def embedNearDupsLsh(emb: DataFrame, minCosine: Double = 0.85,
       bands: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val rng = new scala.util.Random(4242)
-    val bandStructs = Seq.tabulate(bands) { b =>
-      val bucket = Seq.tabulate(bits) { p =>
-        val plane = typedLit(Seq.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f))
-        when(cosineSim(col("embedding"), plane) > 0, 1 << p).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
     val banded = emb.select(col("vec_id"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+        posexplode(graft.functions.VectorFunctions.srpSignature(
+          col("embedding"), bands, bits, dim)).as(Seq("band", "bucket")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")

@@ -39,6 +39,13 @@ object VectorFunctions {
     GraftBridge.column(PqAdc(
       GraftBridge.expression(codes), GraftBridge.expression(lut), m, k))
 
+  /** `bands` packed SRP-LSH buckets of an `array<float>` embedding, one
+    * fused pass (see [[org.apache.spark.sql.graft.SrpSignature]]). */
+  def srpSignature(vec: Column, bands: Int = 16, bits: Int = 8,
+      dim: Int = 64): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.SrpSignature(
+      GraftBridge.expression(vec), bands, bits, dim))
+
   /** L2 norm of an `array<float>` vector (see [[VecNorm]]). */
   def vecNorm(vec: Column): Column =
     GraftBridge.column(VecNorm(GraftBridge.expression(vec)))

@@ -203,3 +203,61 @@ case class ShingleSet(child: Expression, width: Int = 3)
 object ShingleSet {
   private val space = UTF8String.fromString(" ")
 }
+
+/** `bands` packed random-hyperplane (SRP) LSH buckets of an `array<float>`
+  * embedding, one fused pass: out[b] = sum over p < bits of
+  * (dot(v, plane[b][p]) > 0 ? 1 << p : 0). Plane components are ±1 from a
+  * fixed-seed PRNG (`scala.util.Random(seed)` in (band, bit, dim) order —
+  * the exact sequence the previous literal-plane formulation drew, so
+  * results are bit-identical to it); each executor derives the same planes
+  * on first use from the (bands, bits, dim, seed) params carried by the
+  * expression, so the plan ships four ints instead of bands×bits×dim float
+  * literals. The literal formulation planted up to 448 separate
+  * CosineSimilarity calls into one projection — janino-hostile and
+  * noisy-by-compile-time; this is one tight loop per row.
+  * Dot-product sign == cosine sign (denominators are positive; both are 0
+  * for a zero vector), so bucket values match the cosine formulation. */
+case class SrpSignature(child: Expression, bands: Int = 16, bits: Int = 8,
+    dim: Int = 64, seed: Int = 4242)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(bits > 0 && bits < 31, "bits must fit a positive Int bucket")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "srp_signature"
+
+  // Derived once per executor (and once on the driver), not serialized:
+  // bands×bits×dim ±1 floats in (band, bit, dim) order.
+  @transient private lazy val planes: Array[Float] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bands * bits * dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0
+      var p = 0
+      while (p < bits) {
+        val base = (b * bits + p) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += v.getFloat(i).toDouble * planes(base + i)
+          i += 1
+        }
+        if (dot > 0) bucket |= 1 << p
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
