@@ -2,7 +2,7 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, PqAdc, ShingleSet, SimHash64, VecNorm}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, PqAdc, ShingleSet, SimHash64, SrpSignature, VecNorm}
 
 /** Minimal bridge into `private[sql]` surface — Spark 4's Connect refactor
   * hid `ExpressionUtils` and `sessionState`; wrapping a custom Catalyst
@@ -50,6 +50,23 @@ object GraftBridge {
         }
         PqAdc(children(0), children(1),
           foldedInt(children(2), "m"), foldedInt(children(3), "k"))
+      }),
+    // bands/bits/dim ride as foldable INT literals: srp_signature(v, 16, 8, 64)
+    (new FunctionIdentifier("srp_signature"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 4,
+          s"srp_signature(vec[, bands, bits, dim]) takes 1 or 4 arguments, got ${children.length}")
+        def foldedInt(e: Expression, name: String): Int = {
+          require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+            s"srp_signature: $name must be a foldable INT literal, got ${e.sql}")
+          val v = e.eval()
+          require(v != null, s"srp_signature: $name must not be NULL")
+          v.asInstanceOf[Int]
+        }
+        if (children.length == 1) SrpSignature(children(0))
+        else SrpSignature(children(0), foldedInt(children(1), "bands"),
+          foldedInt(children(2), "bits"), foldedInt(children(3), "dim"))
       }))
 
   /** Register graft's SQL functions on an already-created session (the

@@ -51,6 +51,31 @@ object NativeExprProps extends Properties("graft.nativeexprs") {
         (norm == 0.0 || math.abs(cos - 1.0) < 1e-12)
     }
 
+  property("srp_signature == plain-Scala plane reference on arbitrary vectors") =
+    forAll(vecs) { base =>
+      import spark.implicits._
+      val bands = 4
+      val bits = 5
+      val dim = 16
+      // the reference draws the SAME fixed-seed sequence the expression does
+      val rng = new scala.util.Random(4242)
+      val planes = Array.fill(bands * bits * dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+      def ref(v: List[Float]): Seq[Int] = Seq.tabulate(bands) { b =>
+        (0 until bits).foldLeft(0) { (bucket, p) =>
+          val off = (b * bits + p) * dim
+          val dot = v.take(dim).zipWithIndex
+            .map { case (x, i) => x.toDouble * planes(off + i) }.sum
+          if (dot > 0) bucket | (1 << p) else bucket
+        }
+      }
+      val df = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+      val got = df.select(col("id"),
+          srpSignature(col("v"), bands, bits, dim).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      base.zipWithIndex.forall { case (v, i) => got(i.toLong) == ref(v) }
+    }
+
   property("pq encode/lut/adc satisfy their contracts against a Scala reference") =
     forAll(vecs) { base =>
       import spark.implicits._

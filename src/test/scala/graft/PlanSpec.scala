@@ -271,5 +271,11 @@ class PlanSpec extends SparkSpec {
         |            ELSE CAST(0.0 AS DOUBLE) END), 2, 16) AS s""".stripMargin)
       .collect().head.getDouble(0)
     assert(adc === 30.0)
+    // srp_signature: bands-long array, each bucket within [0, 2^bits)
+    val srp = spark.sql(
+      """SELECT srp_signature(transform(sequence(1, 64),
+        |  i -> CAST(i AS FLOAT)), 4, 5, 64) AS sig""".stripMargin)
+      .collect().head.getSeq[Int](0)
+    assert(srp.length === 4 && srp.forall(b => b >= 0 && b < 32))
   }
 }
