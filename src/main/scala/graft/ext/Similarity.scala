@@ -98,52 +98,84 @@ object Similarity {
     * partial+final, shuffling only `cells` × dim-double partials. */
   def ivfTopK(candidates0: DataFrame, queryFilter: Column, k: Int = 5,
       cells: Int = 16, probes: Int = 2): DataFrame = {
-    // Materialize the (vec_id, embedding) projection ONCE: seed collect,
-    // the Lloyd-step recompute, cell assignment, and the query-probe side
-    // otherwise each re-scan the source (4 scans + repartition shuffles per
-    // invocation). Eager localCheckpoint keeps the projection
-    // block-resident with no lingering cache entry — ContextCleaner frees
-    // the blocks when the caller drops the result (the
-    // [[Dedup.connectedComponents]] residency pattern).
-    val candidates = candidates0.select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
-    // literal (sim, cell) structs — struct compare does argmax with a
-    // deterministic larger-cell tie-break, matching max_by(struct(sim,cell))
-    def cellStructs(cents: Seq[(Int, Seq[Float])]): Seq[Column] =
-      cents.map { case (id, v) =>
-        struct(cosineSim(col("embedding"), typedLit(v)).as("sim"),
-          lit(id).as("cell"))
-      }
-    def nearestCell(cents: Seq[(Int, Seq[Float])]): Column =
-      greatest(cellStructs(cents): _*).getField("cell")
-    def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
-      df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val index = IvfIndex.train(candidates0, cells)
+    index.search(index.source.filter(queryFilter), k, probes)
+  }
 
-    val seeds = collectCentroids(candidates.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding")))
-    // misuse fails deliberately: greatest() below needs >= 2 cell structs,
-    // and a 1-cell quantizer is not an IVF
-    require(seeds.size >= 2,
-      s"ivfTopK: needs >= 2 seed vectors with vec_id < $cells; got ${seeds.size}")
-    // one Lloyd step: assign to nearest seed, recompute per-cell means
-    val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
-    val centroids = collectCentroids(candidates
-      .withColumn("cell", nearestCell(seeds))
-      .groupBy(col("cell")).agg(centroidUdaf(col("embedding")).as("c_vec")))
-    val assigned = candidates
-      .withColumn("cell", nearestCell(centroids))
-      .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
-    // queries probe their `probes` nearest cells (struct sort desc ==
-    // sim desc with larger-cell tie-break — deterministic)
-    val qProbe = candidates.filter(queryFilter)
-      .withColumn("probe_cells", slice(
-        sort_array(array(cellStructs(centroids): _*), asc = false), 1, probes))
-      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
-        explode(col("probe_cells").getField("cell")).as("cell"))
-    topKSelect(
-      assigned.join(broadcast(qProbe), Seq("cell"))
-        .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
-        .filter(col("q_id") =!= col("c_id")), k)
+  // literal (sim, cell) structs — struct compare does argmax with a
+  // deterministic larger-cell tie-break, matching max_by(struct(sim,cell))
+  private def cellStructs(cents: Seq[(Int, Seq[Float])]): Seq[Column] =
+    cents.map { case (id, v) =>
+      struct(cosineSim(col("embedding"), typedLit(v)).as("sim"),
+        lit(id).as("cell"))
+    }
+
+  /** A trained IVF index: driver-resident centroids (FAISS-style) plus the
+    * cell-assigned vector table — build ONCE, [[IvfIndex.search]] many
+    * times. The per-call [[ivfTopK]] contract retrains every invocation
+    * (that is its benched/registered shape); a production serving path
+    * amortizes training across queries through this handle instead. */
+  final class IvfIndex private[Similarity] (
+      val centroids: Seq[(Int, Seq[Float])],
+      private[Similarity] val source: DataFrame,
+      assigned: DataFrame) {
+    /** Top-k per query vector in `queryVecs` (`vec_id`, `embedding`):
+      * each query probes its `probes` nearest cells and reranks exactly
+      * inside them — touches ~probes/cells of the data. */
+    def search(queryVecs: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
+      // queries probe their `probes` nearest cells (struct sort desc ==
+      // sim desc with larger-cell tie-break — deterministic)
+      val qProbe = queryVecs
+        .withColumn("probe_cells", slice(
+          sort_array(array(cellStructs(centroids): _*), asc = false), 1, probes))
+        .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
+          explode(col("probe_cells").getField("cell")).as("cell"))
+      topKSelect(
+        assigned.join(broadcast(qProbe), Seq("cell"))
+          .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
+          .filter(col("q_id") =!= col("c_id")), k)
+    }
+  }
+
+  object IvfIndex {
+    /** Train a `cells`-cell coarse quantizer over `candidates0`
+      * (deterministic seeds = vec_id < cells, one Lloyd step) and assign
+      * every vector to its nearest cell. */
+    def train(candidates0: DataFrame, cells: Int = 16): IvfIndex = {
+      // Materialize the (vec_id, embedding) projection ONCE: seed collect,
+      // the Lloyd-step recompute, cell assignment, and (in the per-call
+      // ivfTopK shape) the query-probe side otherwise each re-scan the
+      // source (4 scans + repartition shuffles per invocation). Eager
+      // localCheckpoint keeps the projection block-resident with no
+      // lingering cache entry — ContextCleaner frees the blocks when the
+      // caller drops the index (the [[Dedup.connectedComponents]]
+      // residency pattern).
+      val candidates = candidates0.select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      def nearestCell(cents: Seq[(Int, Seq[Float])]): Column =
+        greatest(cellStructs(cents): _*).getField("cell")
+      def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
+        df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+
+      val seeds = collectCentroids(candidates.filter(col("vec_id") < cells)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding")))
+      // misuse fails deliberately: greatest() needs >= 2 cell structs,
+      // and a 1-cell quantizer is not an IVF
+      require(seeds.size >= 2,
+        s"IvfIndex.train: needs >= 2 seed vectors with vec_id < $cells; got ${seeds.size}")
+      // one Lloyd step: assign to nearest seed, recompute per-cell means.
+      // Centroid recompute stays distributed: the typed
+      // [[graft.functions.CentroidAggregator]] runs partial+final,
+      // shuffling only `cells` × dim-double partials.
+      val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
+      val centroids = collectCentroids(candidates
+        .withColumn("cell", nearestCell(seeds))
+        .groupBy(col("cell")).agg(centroidUdaf(col("embedding")).as("c_vec")))
+      val assigned = candidates
+        .withColumn("cell", nearestCell(centroids))
+        .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
+      new IvfIndex(centroids, candidates, assigned)
+    }
   }
 
   /** Product-quantization ANN — the memory-bound scale path: vectors
@@ -159,38 +191,65 @@ object Similarity {
     * a query and cannot change its ranking). */
   def pqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
       m: Int = 8, pqCodes: Int = 16, rerank: Int = 50): DataFrame = {
-    import graft.functions.VectorFunctions.{pqAdc, pqEncode, pqLut, vecNorm}
-    val seedRows = candidates.filter(col("vec_id") < pqCodes)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-    require(seedRows.nonEmpty,
-      s"pqTopK: needs seed vectors with vec_id < $pqCodes to build codebooks; got none")
-    val dim = seedRows.head._2.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val codebooks = new Array[Float](m * pqCodes * subDim)
-    for (((_, v), ki) <- seedRows.zipWithIndex; mi <- 0 until m; d <- 0 until subDim)
-      codebooks((mi * pqCodes + ki) * subDim + d) = v(mi * subDim + d)
+    val index = PqIndex.train(candidates, m, pqCodes)
+    index.search(candidates.filter(queryFilter), k, rerank)
+  }
 
-    val enc = candidates.select(col("vec_id").as("c_id"),
-      pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
-      vecNorm(col("embedding")).as("norm_c"))
-    val q = candidates.filter(queryFilter)
-      .select(col("vec_id").as("q_id"),
+  /** A trained PQ index: driver-resident codebooks plus the ~12-byte
+    * (codes, norm) compressed table — build ONCE, [[PqIndex.search]] many
+    * times (the [[pqTopK]] per-call contract retrains every invocation;
+    * that is its benched/registered shape). */
+  final class PqIndex private[Similarity] (
+      val codebooks: Array[Float], m: Int, pqCodes: Int,
+      candidates: DataFrame, enc: DataFrame) {
+    /** Top-k per query vector: ADC-scored shortlist of `rerank`
+      * candidates, then exact rerank touching full vectors only for the
+      * shortlist. */
+    def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 50): DataFrame = {
+      import graft.functions.VectorFunctions.{pqAdc, pqLut}
+      val q = queryVecs.select(col("vec_id").as("q_id"),
+        col("embedding").as("v_q"),
         pqLut(col("embedding"), codebooks, m, pqCodes).as("lut"))
-    val shortlist = enc.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("adc", pqAdc(col("pq"), col("lut"), m, pqCodes) / col("norm_c"))
-      .withColumn("srk", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("adc").desc, col("c_id"))))
-      .filter(col("srk") <= rerank)
-      .select(col("q_id"), col("c_id"))
-    // exact rerank touches full vectors only for the shortlist
-    val cVecs = candidates.select(col("vec_id").as("c_id"), col("embedding").as("v_c"))
-    val qVecs = candidates.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
-    topKSelect(
-      shortlist.join(cVecs, "c_id").join(broadcast(qVecs), "q_id")
-        .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
+      val shortlist = enc.join(broadcast(q.select(col("q_id"), col("lut"))),
+          col("q_id") =!= col("c_id"))
+        .withColumn("adc", pqAdc(col("pq"), col("lut"), m, pqCodes) / col("norm_c"))
+        .withColumn("srk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").desc, col("c_id"))))
+        .filter(col("srk") <= rerank)
+        .select(col("q_id"), col("c_id"))
+      // exact rerank touches full vectors only for the shortlist
+      val cVecs = candidates.select(col("vec_id").as("c_id"),
+        col("embedding").as("v_c"))
+      topKSelect(
+        shortlist.join(cVecs, "c_id")
+          .join(broadcast(q.select(col("q_id"), col("v_q"))), "q_id")
+          .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
+    }
+  }
+
+  object PqIndex {
+    /** Build codebooks (seeded from the first `pqCodes` vectors'
+      * subvectors — k-means seeding; production Lloyd-iterates per
+      * subspace) and encode every vector to `m` packed 4-bit codes plus
+      * its norm. */
+    def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 16): PqIndex = {
+      import graft.functions.VectorFunctions.{pqEncode, vecNorm}
+      val seedRows = candidates.filter(col("vec_id") < pqCodes)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      require(seedRows.nonEmpty,
+        s"PqIndex.train: needs seed vectors with vec_id < $pqCodes to build codebooks; got none")
+      val dim = seedRows.head._2.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val subDim = dim / m
+      val codebooks = new Array[Float](m * pqCodes * subDim)
+      for (((_, v), ki) <- seedRows.zipWithIndex; mi <- 0 until m; d <- 0 until subDim)
+        codebooks((mi * pqCodes + ki) * subDim + d) = v(mi * subDim + d)
+      val enc = candidates.select(col("vec_id").as("c_id"),
+        pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
+        vecNorm(col("embedding")).as("norm_c"))
+      new PqIndex(codebooks, m, pqCodes, candidates, enc)
+    }
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =

@@ -240,6 +240,24 @@ class ExtSpec extends SparkSpec {
     assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
   }
 
+  test("trained IVF/PQ indexes are reusable: per-call contract == train-once + search") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    // one trained handle, two searches over DIFFERENT query subsets; the
+    // first must match the per-call (retrain-every-invocation) contract
+    val ivf = Similarity.IvfIndex.train(emb)
+    val a = ivf.search(emb.filter(col("vec_id") < 10)).collect().map(_.toSeq)
+    val perCall = Similarity.ivfTopK(emb, col("vec_id") < 10)
+      .collect().map(_.toSeq)
+    assert(a.toSeq === perCall.toSeq)
+    val b = ivf.search(emb.filter(col("vec_id").between(10, 14)))
+    assert(b.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
+    val pq = Similarity.PqIndex.train(emb)
+    val c = pq.search(emb.filter(col("vec_id") < 10)).collect().map(_.toSeq)
+    val pqPerCall = Similarity.pqTopK(emb, col("vec_id") < 10)
+      .collect().map(_.toSeq)
+    assert(c.toSeq === pqPerCall.toSeq)
+  }
+
   test("pq ann returns full top-5 per query with decent recall vs brute force") {
     val pq = Similarity.queries("x_ann_pq")(spark, sf)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
