@@ -139,9 +139,12 @@ object Similarity {
 
   object IvfIndex {
     /** Train a `cells`-cell coarse quantizer over `candidates0`
-      * (deterministic seeds = vec_id < cells, one Lloyd step) and assign
+      * (deterministic seeds = vec_id < cells, `lloydIters` Lloyd steps —
+      * each fully distributed: assignment is a codegen projection,
+      * recompute shuffles only cells × dim-double partials) and assign
       * every vector to its nearest cell. */
-    def train(candidates0: DataFrame, cells: Int = 16): IvfIndex = {
+    def train(candidates0: DataFrame, cells: Int = 16,
+        lloydIters: Int = 1): IvfIndex = {
       // Materialize the (vec_id, embedding) projection ONCE: seed collect,
       // the Lloyd-step recompute, cell assignment, and (in the per-call
       // ivfTopK shape) the query-probe side otherwise each re-scan the
@@ -163,14 +166,22 @@ object Similarity {
       // and a 1-cell quantizer is not an IVF
       require(seeds.size >= 2,
         s"IvfIndex.train: needs >= 2 seed vectors with vec_id < $cells; got ${seeds.size}")
-      // one Lloyd step: assign to nearest seed, recompute per-cell means.
+      // Lloyd steps: assign to nearest centroid, recompute per-cell means.
       // Centroid recompute stays distributed: the typed
       // [[graft.functions.CentroidAggregator]] runs partial+final,
-      // shuffling only `cells` × dim-double partials.
+      // shuffling only `cells` × dim-double partials. (k-means objective is
+      // monotone non-increasing per step; an emptied cell simply drops out
+      // of the quantizer.)
       val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
-      val centroids = collectCentroids(candidates
-        .withColumn("cell", nearestCell(seeds))
-        .groupBy(col("cell")).agg(centroidUdaf(col("embedding")).as("c_vec")))
+      val centroids = (0 until math.max(lloydIters, 1))
+        .foldLeft(seeds) { (cents, _) =>
+          val next = collectCentroids(candidates
+            .withColumn("cell", nearestCell(cents))
+            .groupBy(col("cell")).agg(centroidUdaf(col("embedding")).as("c_vec")))
+          require(next.size >= 2,
+            s"IvfIndex.train: quantizer collapsed to ${next.size} cell(s)")
+          next
+        }
       val assigned = candidates
         .withColumn("cell", nearestCell(centroids))
         .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
@@ -228,11 +239,19 @@ object Similarity {
   }
 
   object PqIndex {
-    /** Build codebooks (seeded from the first `pqCodes` vectors'
-      * subvectors — k-means seeding; production Lloyd-iterates per
-      * subspace) and encode every vector to `m` packed 4-bit codes plus
-      * its norm. */
-    def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 16): PqIndex = {
+    /** Build codebooks — seeded from the first `pqCodes` vectors'
+      * subvectors, then refined by `lloydIters` per-subspace k-means steps
+      * (production PQ training; the default 0 keeps the seeded codebooks,
+      * the [[pqTopK]] registered contract) — and encode every vector to
+      * `m` packed 4-bit codes plus its norm. Each Lloyd step is fully
+      * distributed: one pass encodes with the current codebooks and the
+      * per-(subspace, code) mean subvectors come back through the typed
+      * [[graft.functions.CentroidAggregator]] (≤ m×k tiny partials);
+      * a code that captures no vectors keeps its previous centroid. The
+      * k-means objective (total sub-quantization error) is monotone
+      * non-increasing per step — property-tested in ExtSpec. */
+    def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 16,
+        lloydIters: Int = 0): PqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       val seedRows = candidates.filter(col("vec_id") < pqCodes)
         .select(col("vec_id").cast("int"), col("embedding"))
@@ -242,9 +261,31 @@ object Similarity {
       val dim = seedRows.head._2.length
       require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
       val subDim = dim / m
-      val codebooks = new Array[Float](m * pqCodes * subDim)
+      var codebooks = new Array[Float](m * pqCodes * subDim)
       for (((_, v), ki) <- seedRows.zipWithIndex; mi <- 0 until m; d <- 0 until subDim)
         codebooks((mi * pqCodes + ki) * subDim + d) = v(mi * subDim + d)
+      val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
+      for (_ <- 0 until lloydIters) {
+        val means = candidates
+          .select(pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
+            col("embedding"))
+          .select(explode(sequence(lit(0), lit(m - 1))).as("mi"),
+            col("pq"), col("embedding"))
+          .select(col("mi"),
+            expr("shiftright(pq, mi * 4) & 15").as("code"),
+            slice(col("embedding"), col("mi") * subDim + 1, lit(subDim)).as("sub"))
+          .groupBy(col("mi"), col("code"))
+          .agg(centroidUdaf(col("sub")).as("mean_sub"))
+          .collect()
+        val next = codebooks.clone()
+        means.foreach { r =>
+          val base = (r.getInt(0) * pqCodes + r.getInt(1)) * subDim
+          val v = r.getSeq[Float](2)
+          var d = 0
+          while (d < subDim) { next(base + d) = v(d); d += 1 }
+        }
+        codebooks = next
+      }
       val enc = candidates.select(col("vec_id").as("c_id"),
         pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
         vecNorm(col("embedding")).as("norm_c"))

@@ -258,6 +258,36 @@ class ExtSpec extends SparkSpec {
     assert(c.toSeq === pqPerCall.toSeq)
   }
 
+  test("PQ Lloyd iterations monotonically reduce quantization error (k-means objective)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val m = 8
+    val k = 16
+    // total sub-quantization error of a codebook set over the corpus —
+    // an independent pure-Scala objective (min over codes per subspace)
+    def qerr(cb: Array[Float]): Double = {
+      val subDim = cb.length / (m * k)
+      vecs.map { v =>
+        (0 until m).map { mi =>
+          (0 until k).map { ki =>
+            val base = (mi * k + ki) * subDim
+            (0 until subDim).map { d =>
+              val diff = v(mi * subDim + d).toDouble - cb(base + d)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val e0 = qerr(Similarity.PqIndex.train(emb, m, k, lloydIters = 0).codebooks)
+    val e1 = qerr(Similarity.PqIndex.train(emb, m, k, lloydIters = 1).codebooks)
+    val e2 = qerr(Similarity.PqIndex.train(emb, m, k, lloydIters = 2).codebooks)
+    // float-rounding slack on a strictly-monotone double-precision objective
+    assert(e1 <= e0 * (1 + 1e-6) && e2 <= e1 * (1 + 1e-6))
+    assert(e1 < e0) // seeding is far from a fixed point on this corpus
+  }
+
   test("pq ann returns full top-5 per query with decent recall vs brute force") {
     val pq = Similarity.queries("x_ann_pq")(spark, sf)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
