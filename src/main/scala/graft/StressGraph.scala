@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic-graph stress for [[graft.ext.Dedup.connectedComponents]] at
+  * graph sizes the document fixtures can't reach (manual, not part of the
+  * driver contract). Two shapes that bracket real dedup graphs:
+  *
+  *  - `cliques`: 100k duplicate clusters of 10 docs each — 4.5M edges,
+  *    1M vertices, diameter 1 (the realistic near-dup shape). Converges in
+  *    2 live rounds; round 1 shuffles O(E), round 2's frontier is the
+  *    non-minimum clique members, round 3 proves quiescence.
+  *  - `chain`: one 16-vertex path appended — diameter 16, the adversarial
+  *    shape for min-propagation. The frontier after round 2 is O(1)
+  *    vertices per round, so the extra ~14 rounds cost per-round job
+  *    overhead plus one O(V) narrow label-map pass, not per-round edge
+  *    shuffles: this is what the Pregel active-set loop buys (a
+  *    full-propagation loop would re-shuffle all 4.5M edges every round;
+  *    diameters far beyond this want pointer-doubling instead).
+  *
+  * Run with GRAFT_CC_DEBUG=1 to see per-round frontier sizes.
+  * Expected components: 100,000 cliques + 1 chain + 1,000 singletons.
+  */
+object StressGraph {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nCliques = 100000L
+    val s = 10L // clique size
+    // decode (group, i, j) from one range; keep i < j → all C(s,2) pairs
+    val cliqueEdges = spark.range(nCliques * s * s)
+      .select((col("id") / (s * s)).cast("long").as("g"),
+        ((col("id") / s) % s).cast("long").as("i"),
+        (col("id") % s).cast("long").as("j"))
+      .filter(col("i") < col("j"))
+      .select((col("g") * s + col("i")).as("doc_a"),
+        (col("g") * s + col("j")).as("doc_b"))
+    val chainBase = nCliques * s
+    val chainEdges = spark.range(15)
+      .select((col("id") + chainBase).as("doc_a"),
+        (col("id") + chainBase + 1).as("doc_b"))
+    val edges = cliqueEdges.union(chainEdges).cache()
+    val vertices = spark.range(nCliques * s + 16 + 1000) // + 1k singletons
+      .select(col("id").as("doc_id"))
+    println(s"[stress-graph] edges=${edges.count()} vertices=${nCliques * s + 16 + 1000}")
+
+    (1 to 2).foreach { run =>
+      val t0 = System.nanoTime()
+      val cc = graft.ext.Dedup.connectedComponents(edges, vertices)
+      val components = cc.agg(countDistinct(col("cluster_id"))).collect().head.getLong(0)
+      println(f"[stress-graph] cc run$run ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"($components components)")
+      assert(components == nCliques + 1 + 1000,
+        s"expected ${nCliques + 1 + 1000} components, got $components")
+    }
+    spark.stop()
+  }
+}

@@ -274,9 +274,12 @@ object Dedup {
     * incident edge), and a singleton's label never changes — so propagating
     * over them every round would shuffle the whole vertex set per round for
     * nothing. Singletons rejoin as `cluster_id = doc_id` in one final
-    * union; per-round cost is proportional to the EDGE count, not the
-    * corpus size — the difference between O(rounds·E) and O(rounds·V)
-    * shuffled bytes at 100 TB.
+    * union. Within the loop, messages flow only FROM the previous round's
+    * frontier (vertices whose label just decreased — Pregel active-set
+    * semantics), so per-round shuffled bytes track the shrinking frontier's
+    * incident edges: round 1 costs O(E), later rounds only the still-live
+    * components — the difference between O(rounds·E) and O(E + Σ frontier
+    * edges) at 100 TB graph sizes (StressGraph measures this directly).
     *
     * Unpersist must target the exact cached plan, so a handle to each
     * round's cached frame is kept and released at the start of the next
@@ -320,30 +323,57 @@ object Dedup {
     var t0 = System.nanoTime()
     labels.foreach(_ => ()) // materialize edges + seeds in one job
     if (dbg) System.err.println(f"[cc] seed+edges ${(System.nanoTime()-t0)/1e9}%.2f s")
+    // Pregel-style active set: labels only ever DECREASE, so a new min can
+    // only arrive through a neighbor whose label dropped last round. Each
+    // round therefore sends messages only FROM the previous round's
+    // frontier — per-round shuffle volume tracks the (shrinking) frontier,
+    // not the whole graph. Round 1's frontier is every vertex announcing
+    // its own id, exactly the plain min-propagation first round, and the
+    // fixed point (min reachable id) is unchanged.
+    var frontier = labels
+    var prevCached: org.apache.spark.rdd.RDD[_] = labels
     var changed = 1L
+    var round = 0
     while (changed > 0) {
-      val acc = sc.longAccumulator("cc_changed")
-      // One shuffle: neighbor labels re-keyed by edge source. Every loop
-      // vertex has >= 1 neighbor (it came from an edge) and the edge set is
-      // symmetric, so both joins are inner and lose no vertex.
-      val nbrMin = byDst.join(labels) // narrow: co-partitioned on `part`
+      val acc = sc.longAccumulator("cc_frontier")
+      // THE round's only shuffle: frontier labels re-keyed by edge source.
+      val updates = byDst.join(frontier) // narrow: co-partitioned on `part`
         .map { case (_, (src, lbl)) => (src, lbl) }
         .reduceByKey(part, math.min(_: Long, _: Long))
-      val next = labels.join(nbrMin) // narrow again
-        .mapValues { case (old, nm) =>
-          val nu = math.min(old, nm)
+      // ONE full pass over the label map per round (GraphX's vertex-RDD
+      // rewrite has the same O(V) term): carry (old, new) so both the new
+      // label map and the next frontier are cheap projections of this one
+      // cached frame. MEMORY_AND_DISK: an evicted MEMORY_ONLY block would
+      // recompute through the whole loop's lineage — measured as 10-70 s
+      // stalls on a 1M-vertex graph before the fix.
+      val joint = labels.leftOuterJoin(updates) // narrow
+        .mapValues { case (old, cand) =>
+          val nu = cand.fold(old)(c => math.min(old, c))
           if (nu < old) acc.add(1L)
-          nu
-        }.cache()
+          (old, nu)
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t0 = System.nanoTime()
-      next.foreach(_ => ()) // materialize; fills the accumulator
-      if (dbg) System.err.println(f"[cc] round ${(System.nanoTime()-t0)/1e9}%.2f s changed=${acc.value}")
+      joint.foreach(_ => ()) // one action per round; fills acc
+      if (dbg) System.err.println(f"[cc] round ${(System.nanoTime()-t0)/1e9}%.2f s frontier=${acc.value}")
       // Accumulator semantics: at-least-once on task retry, so `changed`
       // can only over-count — worst case one extra no-op round, never a
       // wrong answer; it cannot under-count and stop early.
       changed = acc.value
-      labels.unpersist(blocking = false)
-      labels = next
+      // blocking: async unpersist lags behind the loop and stacks dead
+      // 1M-row object caches -> long GC stalls (measured 10-70 s rounds)
+      prevCached.unpersist(blocking = true)
+      prevCached = joint
+      // projections keep keys in place → partitioner survives. Lineage
+      // grows by one narrow join per round over the CACHED joint, so the
+      // worst-case recompute is one level deep; a periodic reliable
+      // checkpoint would cap even that for adversarial diameters (measured
+      // here: a localCheckpoint cadence pinned extra 1M-row block copies
+      // and cost more than it saved at diameter <= 16).
+      labels = joint.mapValues(_._2)
+      frontier = joint.mapPartitions(_.flatMap { case (v, (old, nu)) =>
+        if (nu < old) Some((v, nu)) else None
+      }, preservesPartitioning = true)
+      round += 1
     }
     byDst.unpersist(blocking = false)
     // Labels are (Long, Long) pairs for edge-touched vertices only — tiny
@@ -356,7 +386,7 @@ object Dedup {
         org.apache.spark.sql.types.StructField("cluster_id",
           org.apache.spark.sql.types.LongType, nullable = false))))
       .localCheckpoint(true)
-    labels.unpersist(blocking = false)
+    prevCached.unpersist(blocking = false) // labels is a projection of it
     // singletons (no incident edge) cluster as themselves, outside the loop
     val singletons = vertices.select(col("doc_id"))
       .join(finalLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
