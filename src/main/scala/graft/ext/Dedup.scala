@@ -47,12 +47,15 @@ object Dedup {
 
   /** Drop rows of degenerate LSH buckets (> maxBucket members) via a
     * hash-aggregate of bucket sizes re-joined to the banded rows — NOT a
-    * count-over-window: the window must SORT the full banded set by the
-    * bucket key inside each partition, while the aggregate is partial+final
-    * over tiny (key, count) pairs and the surviving-keys side broadcast
-    * re-joins (same measured finding as the doc-freq annotation below —
-    * hash-agg+rejoin 1.7× over the sorted window at 10× stress, and
-    * re-confirmed for this site; see ROUND4/5_NOTES). */
+    * count-over-window. The 10× A/B at THIS site measured the two forms
+    * within noise of each other (ordering flipped across heap configs —
+    * ROUND5_NOTES §5), so the choice is structural: the window form
+    * shuffles every banded row BY THE BUCKET KEY — the very key whose
+    * degenerate skew this prune removes — putting the pathological bucket
+    * on one task before it can be pruned, while the aggregate absorbs the
+    * hot key in map-side partial aggregation and the broadcast re-join
+    * never repartitions the banded rows. Skew-immunity at the scale the
+    * prune exists for, at a noise-level constant cost. */
   private def pruneBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val keep = banded.groupBy(keyCols: _*)
