@@ -7,8 +7,10 @@ import graft.functions.VectorFunctions.{cosineSim, minhashSignature, shingleSet,
 
 /** [EXT] Document deduplication for large-scale training-data pipelines.
   *
-  * Four families, each fully distributed (no driver-side loops, no UDFs —
-  * everything is Catalyst expressions, so whole-stage codegen applies):
+  * Five pairwise families (fully distributed, no UDFs — the per-row math is
+  * Catalyst expressions, native where hot) plus connected-components
+  * clustering (a co-partitioned RDD loop — the documented exception for
+  * iterative graph algorithms):
   *
   *  - exact:   hash-groupBy on the raw text (one shuffle on the text hash);
   *  - minhash: 3-token shingles → 64-perm MinHash → banded LSH (b=16, r=4)
@@ -17,7 +19,10 @@ import graft.functions.VectorFunctions.{cosineSim, minhashSignature, shingleSet,
   *             verify via bit_count(xor);
   *  - ngram:   exact n-gram Jaccard via shingle inverted index (posexplode
   *             + self-join + group), the oracle-checkable ground truth the
-  *             sketch variants approximate.
+  *             sketch variants approximate;
+  *  - embed:   exact all-pairs cosine top-k as the oracle-anchored baseline
+  *             + threshold-contract SRP-LSH ([[embedNearDupsLsh]]) as the
+  *             sub-quadratic scale path.
   *
   * 100 TB notes: every join here keys on a sketch/band hash, so it shuffles
   * once on uniformly-distributed keys; candidate verification re-joins the
@@ -269,8 +274,8 @@ object Dedup {
     * a graph engine is overkill): each round, every vertex takes the min
     * label among itself and its neighbors; converges in O(component
     * diameter) rounds — near-dup clusters are shallow (pairs/triangles), so
-    * 1-3 rounds in practice. Each round is one shuffle-join + one
-    * aggregation.
+    * 1-3 rounds in practice. Each round costs one frontier-sized message
+    * shuffle plus one narrow pass over the co-partitioned label map.
     *
     * The iteration runs ONLY over edge-touched vertices: after near-dup
     * detection the overwhelming majority of a corpus is singletons (no
