@@ -437,6 +437,23 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // APPLYING the dedup — the step every pipeline actually runs: keep one
+    // canonical survivor (min doc_id) per near-dup cluster, drop the rest.
+    // Composes pair-finding → clustering → anti-selection; the survivor
+    // semi-join is a broadcast of the (tiny) non-canonical id set against
+    // the corpus scan, so the corpus itself never shuffles.
+    "x_dedup_apply" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val edges = ngramJaccardNaive(s, docs).select(col("doc_a"), col("doc_b"))
+      val survivors = connectedComponents(edges, docs.select(col("doc_id")))
+        .filter(col("doc_id") === col("cluster_id")) // canonical = min of cluster
+        .select(col("doc_id"))
+      documents(s, d).join(broadcast(survivors), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding near-dup: top-20 most-similar pairs by exact cosine.
     // Brute force — the oracle-anchored baseline; the sub-quadratic scale
     // path with the production (threshold) contract is [[embedNearDupsLsh]],
@@ -527,6 +544,22 @@ object Dedup {
     "x_dedup_minhash" -> ngramJaccardSql,
     // Transitive closure via recursive CTE (DuckDB's native way to express
     // what the Spark side computes with iterative min-label propagation).
+    "x_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |r(id, rid) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON r.rid = e.a
+         |),
+         |cc AS (SELECT id AS doc_id, min(rid) AS cluster_id FROM r GROUP BY id)
+         |SELECT d.doc_id, d.n_chars
+         |FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+         |WHERE cc.doc_id = cc.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
     "x_dedup_cluster" ->
       s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
          |edges AS (

@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 136/140 split") {
-    assert(SparkEntry.queries.size === 140)
-    assert(SparkEntry.oracleSql.size === 136)
+  test("oracle coverage matches the documented 137/141 split") {
+    assert(SparkEntry.queries.size === 141)
+    assert(SparkEntry.oracleSql.size === 137)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 4 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches), and only those — the multimodal pair became
