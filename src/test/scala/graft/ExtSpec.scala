@@ -156,6 +156,24 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1L, 0.8), (2, 2L, 0.0)))
   }
 
+  test("dedup apply composes with the sketch pair-finder: minhash survivors == ngram survivors") {
+    // the scale-path composition: at 100 TB the pair finder is the banded
+    // LSH sketch, not the exact inverted index — the apply step (CC +
+    // min-id survivor semi-join) must be agnostic to which produced the
+    // pairs. MinHash recall is 1.0 at this fixture (asserted above), so
+    // survivor sets must match exactly.
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def survivors(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")),
+          docs.select(col("doc_id")))
+        .filter(col("doc_id") === col("cluster_id"))
+        .collect().map(_.getLong(0)).toSet
+    val viaNgram = survivors(Dedup.ngramJaccardNaive(spark, docs))
+    val viaMinhash = survivors(Dedup.minhashNearDups(docs))
+    assert(viaNgram === viaMinhash)
+    assert(viaNgram.size < docs.count()) // the fixture plants real near-dups
+  }
+
   test("embedNearDupsLsh == exact threshold pairs on a planted near-dup fixture") {
     import spark.implicits._
     // 20 groups of (base + 2 noisy copies, cosine ~0.99) + 140 unrelated
