@@ -98,12 +98,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-Jaccard-verified minhash pair set WITHOUT the presentation
+    * sort/round — the edge-source form: downstream consumers (connected
+    * components, dedup-apply) convert to RDDs or re-aggregate, so a total
+    * order here would buy nothing and cost a full sort shuffle. */
+  private[graft] def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(lshCandidates(docs), docs)
+      .filter(col("jaccard") >= threshold)
+
   /** MinHash+LSH near-dup pairs over an arbitrary (doc_id, text) frame,
     * exact-Jaccard verified at `threshold` (the x_dedup_minhash surface,
     * exposed for the stress harness). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(lshCandidates(docs), docs)
-      .filter(col("jaccard") >= threshold)
+    minhashPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
@@ -123,24 +130,60 @@ object Dedup {
   }
 
   /** Naive exact n-gram Jaccard: full shingle inverted index + pair count.
-    * Quadratic in posting-list length on hot shingles — fine at bench SF. */
+    * Quadratic in posting-list length on hot shingles — fine at bench SF
+    * with the default `maxPosting = Int.MaxValue` (the registered exact
+    * contract, what the DuckDB oracle computes).
+    *
+    * `maxPosting` is the [[maxBucket]] analog for the inverted index: any
+    * shingle whose posting list exceeds it is dropped from the index
+    * BEFORE the self-join, bounding per-shingle join work at
+    * O(maxPosting²) exactly as production similarity-join pipelines do.
+    * Dropping a shingle can only LOSE candidate pairs (never corrupt a
+    * score): with a cap the join becomes a candidate generator and every
+    * surviving pair is exact-Jaccard re-verified over FULL shingle sets
+    * ([[verifyJaccard]]), so emitted pairs are a subset of the exact
+    * result with exact scores — pairs are missed only when ALL their
+    * shared shingles are hot, which near-dup pairs (sharing half their
+    * shingles) essentially never are. Measured at the 10× dup-heavy
+    * stress: see ROUND6_NOTES (recall recorded per cap). */
   def ngramJaccardNaive(s: SparkSession, docs: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxPosting: Int = Int.MaxValue): DataFrame = {
     val sets = withShingles(docs.repartition(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"),
         size(col("shingles")).as("n_sh"))
-    sets.as("a")
-      .join(sets.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double")
-          / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    if (maxPosting == Int.MaxValue) {
+      // exact single-pass shape: intersection counted inside the join
+      sets.as("a")
+        .join(sets.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    } else {
+      // capped shape: broadcast the (tiny) HOT shingle set and anti-join it
+      // away — the skew-safe direction; broadcasting the keep-set would ship
+      // nearly the whole vocabulary. Then candidates + exact re-verify.
+      val hot = sets.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxPosting)
+        .select(col("shingle"))
+      val pruned = sets.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val cand = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, docs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** PPJoin-style exact n-gram Jaccard for 100 TB inputs: shingles get a
@@ -300,6 +343,22 @@ object Dedup {
     * cache entry (each checkpoint is a distinct LogicalRDD).
     * Deterministic: min over Long. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val finalLabels = edgeComponentLabels(edges)
+    // singletons (no incident edge) cluster as themselves, outside the loop
+    val singletons = vertices.select(col("doc_id"))
+      .join(finalLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    finalLabels.union(singletons)
+  }
+
+  /** The label map for EDGE-TOUCHED vertices only — (doc_id, cluster_id =
+    * min reachable doc_id), no singleton union. This is the frame dedup
+    * APPLICATION wants directly: the dropped (non-canonical) ids are
+    * `doc_id =!= cluster_id` rows of THIS frame, a set sized like the
+    * duplicate count — filtering the [[connectedComponents]] union instead
+    * would drag the corpus-sized singleton anti-join into a plan whose
+    * answer can't contain a singleton. */
+  def edgeComponentLabels(edges: DataFrame): DataFrame = {
     // Iterative min-label propagation is the documented RDD exception: a
     // DataFrame loop re-analyzes, re-codegens, and re-plans a fresh
     // 4-join/2-agg plan every round (measured ~6s of pure per-round plan +
@@ -395,11 +454,7 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false))))
       .localCheckpoint(true)
     prevCached.unpersist(blocking = false) // labels is a projection of it
-    // singletons (no incident edge) cluster as themselves, outside the loop
-    val singletons = vertices.select(col("doc_id"))
-      .join(finalLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    finalLabels.union(singletons)
+    finalLabels
   }
 
   val queries: Map[String, Q] = Map(
@@ -426,30 +481,40 @@ object Dedup {
     "x_dedup_ngram" -> ((s, d) => ngramJaccardNaive(s,
       documents(s, d).select(col("doc_id"), col("text")))),
 
-    // Dedup clustering: connected components over the exact n-gram near-dup
-    // pairs; every document gets a cluster_id (= min doc_id reachable),
-    // singletons cluster as themselves.
+    // Dedup clustering: connected components over near-dup pairs; every
+    // document gets a cluster_id (= min doc_id reachable), singletons
+    // cluster as themselves. The edge source is the banded-LSH MinHash
+    // pair-finder — the sub-quadratic sketch path a 100 TB pipeline runs —
+    // NOT the exact inverted index: the two pair sets are provably (exact
+    // re-verify ⊆) and measurably (recall 1.0, asserted in ExtSpec)
+    // identical at J >= 0.5, so the recursive-CTE oracle, which computes
+    // closure over the exact pair set, binds unchanged while the query
+    // stops paying the quadratic hot-shingle join.
     "x_dedup_cluster" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-      val edges = ngramJaccardNaive(s, docs).select(col("doc_a"), col("doc_b"))
+      val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
       connectedComponents(edges, docs.select(col("doc_id")))
         .orderBy("doc_id")
     }),
 
     // APPLYING the dedup — the step every pipeline actually runs: keep one
     // canonical survivor (min doc_id) per near-dup cluster, drop the rest.
-    // Composes pair-finding → clustering → anti-selection; the survivor
-    // semi-join is a broadcast of the (tiny) non-canonical id set against
-    // the corpus scan, so the corpus itself never shuffles.
+    // Composes pair-finding (minhash sketch — same oracle-equivalence
+    // argument as x_dedup_cluster) → clustering → anti-selection. The
+    // corpus-side join broadcasts the DROPPED (non-canonical) id set —
+    // sized like the duplicate count, tiny at any scale — and anti-joins
+    // it against the corpus scan: the corpus never shuffles, and unlike a
+    // survivor-set semi-join the broadcast payload is not corpus-sized
+    // (survivors ≈ the whole corpus once singletons dominate).
     "x_dedup_apply" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-      val edges = ngramJaccardNaive(s, docs).select(col("doc_a"), col("doc_b"))
-      val survivors = connectedComponents(edges, docs.select(col("doc_id")))
-        .filter(col("doc_id") === col("cluster_id")) // canonical = min of cluster
+      val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      val dropped = edgeComponentLabels(edges)
+        .filter(col("doc_id") =!= col("cluster_id")) // non-canonical = dup
         .select(col("doc_id"))
-      documents(s, d).join(broadcast(survivors), Seq("doc_id"), "left_semi")
+      documents(s, d).join(broadcast(dropped), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),

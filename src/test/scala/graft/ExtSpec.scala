@@ -34,6 +34,34 @@ class ExtSpec extends SparkSpec {
     assert(both.filter(size(col("native")) > 0).count() === both.count())
   }
 
+  test("capped ngram posting lists: exact-score subset; uncut cap is identical") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Dedup.ngramJaccardNaive(spark, docs))
+    // a cap no posting list reaches exercises the capped CODE PATH
+    // (hot-set anti-join + candidate re-verify) and must change nothing
+    val uncut = pairs(Dedup.ngramJaccardNaive(spark, docs, maxPosting = 1000000))
+    assert(uncut === exact)
+    // a tight cap may only LOSE pairs — never invent one or alter a score
+    // (scores come from the exact re-verify over full shingle sets)
+    val tight = pairs(Dedup.ngramJaccardNaive(spark, docs, maxPosting = 4))
+    assert(tight.subsetOf(exact))
+  }
+
+  test("edgeComponentLabels is exactly connectedComponents minus singletons") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val edges = Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    val edgeOnly = Dedup.edgeComponentLabels(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(edges, docs.select(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeOnly.subsetOf(full))
+    assert((full -- edgeOnly).forall { case (d, c) => d == c }) // singletons
+    val touched = edges.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(edgeOnly.map(_._1) === touched)
+  }
+
   test("prefix-filtered ngram join returns exactly the naive result") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val naive = Dedup.ngramJaccardNaive(spark, docs).collect().toSeq
