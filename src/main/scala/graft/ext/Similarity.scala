@@ -17,27 +17,29 @@ import graft.functions.VectorFunctions.cosineSim
   *    expression (a fused one-pass loop; the interpreted zip_with/aggregate
   *    formulation was 5-10× slower); query side is broadcast so the big
   *    side never shuffles.
-  *  - LSH: random-hyperplane signatures (planes from a fixed-seed PRNG,
-  *    baked into the plan as literals so every executor sees the same
-  *    constants) → bucket join → exact rerank inside the bucket. At 100 TB
-  *    the bucket join replaces the O(N·Q) nested loop with a shuffle on
-  *    bucket ids; recall is tuned by plane count + multi-probe
-  *    (flip-1-bit probing implemented below).
+  *  - LSH: random-hyperplane signatures via the fused native SrpSignature
+  *    expression (planes derived per-executor from a fixed seed, so the
+  *    plan ships four ints, not plane literals) → bucket join → exact
+  *    rerank inside the bucket. At 100 TB the bucket join replaces the
+  *    O(N·Q) nested loop with a shuffle on bucket ids; recall is tuned by
+  *    plane count + multi-probe (flip-1-bit probing implemented below).
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 6-bit random-hyperplane signature. Each plane is a ±1 literal
-    * `array<float>` from a fixed-seed PRNG (identical on every executor);
-    * the sign of the dot product == the sign of the codegen'd cosine, so
-    * each bit is one fused CosineSimilarity call — no interpreted lambdas. */
-  private def bucketCol: Column = {
-    val rng = new scala.util.Random(42)
-    Seq.tabulate(6) { p =>
-      val plane = typedLit(Seq.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f))
-      when(cosineSim(col("embedding"), plane) > 0, 1 << p).otherwise(0)
-    }.reduce(_ + _)
-  }
+  /** 6-bit random-hyperplane signature via the fused native
+    * [[org.apache.spark.sql.graft.SrpSignature]] expression (bands=1,
+    * bits=6, dim=64, seed=42): one tight loop per row, four ints in the
+    * plan. Bit-identical to the previous literal-plane formulation — that
+    * form drew 6×64 ±1 floats from Random(42) in plane-major order and
+    * OR'd `1 << p` per positive cosine, exactly SrpSignature's (band, bit,
+    * dim) draw order and bucket packing at bands=1 (dot sign == cosine
+    * sign) — but without planting 6 plane-literal CosineSimilarity calls
+    * into the projection, whose janino compile time dominated the query
+    * (the same disease round 5 measured at 448 literals). */
+  private def bucketCol: Column =
+    element_at(graft.functions.VectorFunctions.srpSignature(
+      col("embedding"), bands = 1, bits = 6, dim = 64, seed = 42), 1)
 
   private def topKSelect(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))

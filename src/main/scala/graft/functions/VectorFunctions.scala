@@ -40,11 +40,13 @@ object VectorFunctions {
       GraftBridge.expression(codes), GraftBridge.expression(lut), m, k))
 
   /** `bands` packed SRP-LSH buckets of an `array<float>` embedding, one
-    * fused pass (see [[org.apache.spark.sql.graft.SrpSignature]]). */
+    * fused pass (see [[org.apache.spark.sql.graft.SrpSignature]]). The
+    * seed pins the plane sequence: callers that must reproduce a legacy
+    * literal-plane bucketing bit-for-bit pass its seed here. */
   def srpSignature(vec: Column, bands: Int = 16, bits: Int = 8,
-      dim: Int = 64): Column =
+      dim: Int = 64, seed: Int = 4242): Column =
     GraftBridge.column(org.apache.spark.sql.graft.SrpSignature(
-      GraftBridge.expression(vec), bands, bits, dim))
+      GraftBridge.expression(vec), bands, bits, dim, seed))
 
   /** L2 norm of an `array<float>` vector (see [[VecNorm]]). */
   def vecNorm(vec: Column): Column =

@@ -216,7 +216,10 @@ object ShingleSet {
   * CosineSimilarity calls into one projection — janino-hostile and
   * noisy-by-compile-time; this is one tight loop per row.
   * Dot-product sign == cosine sign (denominators are positive; both are 0
-  * for a zero vector), so bucket values match the cosine formulation. */
+  * for a zero vector), so bucket values match the cosine formulation.
+  * Input vectors MUST be exactly `dim` long — a mismatch throws rather
+  * than silently truncating/zero-padding, which would quietly degrade
+  * LSH recall (missed pairs) with no other symptom. */
 case class SrpSignature(child: Expression, bands: Int = 16, bits: Int = 8,
     dim: Int = 64, seed: Int = 4242)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -235,7 +238,10 @@ case class SrpSignature(child: Expression, bands: Int = 16, bits: Int = 8,
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    val n = v.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"srp_signature: vector length $n != declared dim $dim — truncation/" +
+        "padding would silently lose LSH recall, so this fails fast")
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {

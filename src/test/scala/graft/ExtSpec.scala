@@ -234,7 +234,18 @@ class ExtSpec extends SparkSpec {
     assert(expected.size >= 50) // the plant worked: ~60 true pairs
     val got = Dedup.embedNearDupsLsh(all.toDF("vec_id", "embedding"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got === expected) // recall 1.0 AND no sub-threshold survivors
+    // Precision first: emitted pairs are exact-cosine re-verified, so a
+    // false positive means the verify step itself broke — independent of
+    // any LSH parameter. Recall second, separately: it IS coupled to the
+    // fixture seed (7) + plane seed (4242) + bands/bits — a parameter
+    // change that dents recall fails HERE with a count, diagnosably,
+    // rather than as an opaque set-inequality.
+    assert(got.subsetOf(expected), s"false positives: ${got -- expected}")
+    val recall = got.size.toDouble / expected.size
+    assert(recall == 1.0,
+      s"recall $recall (${expected.size - got.size} of ${expected.size} pairs missed) — " +
+        "expected 1.0 at bands=16/bits=8 under the fixed data seed (7) and " +
+        "plane seed (4242); a bands/bits/seed/plane-derivation change moved it")
   }
 
   test("packSequences output is invariant to shardSize (exact cumsum decomposition)") {
@@ -274,6 +285,36 @@ class ExtSpec extends SparkSpec {
     val preds = out.select("predicted_lang").distinct()
       .collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh", "unknown")))
+  }
+
+  test("x_ann_lsh fused bucket == legacy literal-plane bucketing, bit for bit") {
+    // the fused SrpSignature(bands=1, bits=6, dim=64, seed=42) derivation
+    // replaced 6 plane-literal cosine calls; the plane draw order and
+    // bucket packing were chosen to reproduce that formulation exactly, so
+    // buckets (and hence the registered query's output) cannot move.
+    import graft.functions.VectorFunctions.cosineSim
+    val rng = new scala.util.Random(42)
+    val legacy = Seq.tabulate(6) { p =>
+      val plane = typedLit(Seq.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f))
+      when(cosineSim(col("embedding"), plane) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    val fused = element_at(graft.functions.VectorFunctions.srpSignature(
+      col("embedding"), bands = 1, bits = 6, dim = 64, seed = 42), 1)
+    val emb = graft.Tables.embeddings(spark, sf)
+    assert(emb.select(legacy.as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count() === 0L)
+  }
+
+  test("srp_signature fails fast on a dim mismatch instead of truncating") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.srpSignature(
+        col("embedding"), 1, 6, 64, 42)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("srp_signature")))
   }
 
   test("ann brute force: perfect self-similarity when querying own vector") {
