@@ -70,49 +70,111 @@ object Dedup {
     banded.join(broadcast(keep), keys)
   }
 
-  /** Candidate near-dup pairs from banded LSH over the MinHash signature. */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
+  /** The cached signature frames for ONE corpus, with an owner: a
+    * long-lived serving session sweeping many corpora scopes each in a
+    * handle and [[CorpusHandle.close]]s it when done, releasing the
+    * cached (doc_id, sig) / (doc_id, simhash) frames. The module-level
+    * [[minhashNearDups]]/[[simhashNearDups]] functions (the registered
+    * query surface) open an unclosed handle — session-lifetime caching,
+    * deduped across re-runs by the cache manager, which is exactly the
+    * bench contract. NOTE the cache manager keys entries by canonical
+    * plan, so two handles over the SAME corpus share storage — closing
+    * either drops the shared entry (the other recomputes, correctly). */
+  final class CorpusHandle private[Dedup] (docs: DataFrame) {
     // The expensive per-doc work (shingles + 64-perm signature) is cached
-    // ONCE as (doc_id, sig) — bounded at 16 ints/doc; held for the session
-    // (can't unpersist a lazy result), and the cache manager dedupes
-    // identical plans across re-runs. The banded explode + bucket prune
-    // downstream are cheap projections over the cache, so the bucket-size
-    // aggregate and both self-join sides recompute them without touching
-    // the signature math (the agg/broadcast subtrees dedupe at runtime via
-    // ReuseExchange).
-    val sigs = withMinhash(withShingles(docs))
-      .select(col("doc_id"), col("sig"))
-      .cache()
-    val banded = sigs
+    // ONCE as (doc_id, sig) — bounded at 16 ints/doc. The banded explode +
+    // bucket prune downstream are cheap projections over the cache, so the
+    // bucket-size aggregate and both self-join sides recompute them
+    // without touching the signature math (the agg/broadcast subtrees
+    // dedupe at runtime via ReuseExchange). cache() only MARKS the plan —
+    // nothing materializes until a pair-finder runs — so declaring both
+    // frames eagerly here costs nothing if only one family is used.
+    private[graft] val minhashSigs: DataFrame =
+      withMinhash(withShingles(docs))
+        .select(col("doc_id"), col("sig"))
+        .cache()
+    private[graft] val simhashSigs: DataFrame = docs
+      .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
-          .as(Seq("band_idx", "band_hash")))
-    val pruned = pruneBuckets(banded, Seq("band_idx", "band_hash"))
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+        graft.functions.VectorFunctions.md5Simhash60(col("tokens"))
+          .as("simhash"))
+      .cache()
+
+    /** Candidate near-dup pairs from banded LSH over the MinHash signature. */
+    private def lshCandidates: DataFrame = {
+      val banded = minhashSigs
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+            .as(Seq("band_idx", "band_hash")))
+      val pruned = pruneBuckets(banded, Seq("band_idx", "band_hash"))
+      pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+
+    /** Exact-Jaccard-verified minhash pair set WITHOUT the presentation
+      * sort/round — the edge-source form: downstream consumers (connected
+      * components, dedup-apply) convert to RDDs or re-aggregate, so a
+      * total order here would buy nothing and cost a full sort shuffle. */
+    def minhashPairs(threshold: Double = 0.5): DataFrame =
+      verifyJaccard(lshCandidates, docs)
+        .filter(col("jaccard") >= threshold)
+
+    /** MinHash+LSH near-dup pairs, exact-Jaccard verified at `threshold`. */
+    def minhashNearDups(threshold: Double = 0.5): DataFrame =
+      minhashPairs(threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+
+    /** SimHash near-dup pairs: 60-bit md5 signature, 4×15-bit bands,
+      * Hamming <= maxHamming (see [[Dedup.simhashNearDups]]). */
+    def simhashNearDups(maxHamming: Int = 8): DataFrame = {
+      val banded = pruneBuckets(
+        simhashSigs.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            """transform(sequence(0, 3),
+              |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
+            .as(Seq("band_idx", "band_val"))),
+        Seq("band_idx", "band_val"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_val") === col("b.band_val")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+        .orderBy("doc_a", "doc_b")
+    }
+
+    /** Release both signature caches (async — blocks free as executors
+      * get to them). Frames built from this handle remain valid; they
+      * recompute signatures on next use instead of reading cache. */
+    def close(): Unit = {
+      minhashSigs.unpersist(blocking = false)
+      simhashSigs.unpersist(blocking = false)
+    }
   }
 
-  /** Exact-Jaccard-verified minhash pair set WITHOUT the presentation
-    * sort/round — the edge-source form: downstream consumers (connected
-    * components, dedup-apply) convert to RDDs or re-aggregate, so a total
-    * order here would buy nothing and cost a full sort shuffle. */
+  /** Open a signature-cache handle over a (doc_id, text) corpus frame. */
+  def openCorpus(docs: DataFrame): CorpusHandle = new CorpusHandle(docs)
+
+  /** Edge-source minhash pairs with session-lifetime signature caching
+    * (see [[CorpusHandle]] for the owned-cache variant). */
   private[graft] def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(lshCandidates(docs), docs)
-      .filter(col("jaccard") >= threshold)
+    new CorpusHandle(docs).minhashPairs(threshold)
 
   /** MinHash+LSH near-dup pairs over an arbitrary (doc_id, text) frame,
     * exact-Jaccard verified at `threshold` (the x_dedup_minhash surface,
-    * exposed for the stress harness). */
+    * exposed for the stress harness); session-lifetime signature caching. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    minhashPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    new CorpusHandle(docs).minhashNearDups(threshold)
 
   /** Exact Jaccard for a pair list, re-joined to shingle sets. */
   private def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
@@ -236,34 +298,8 @@ object Dedup {
     * [[org.apache.spark.sql.graft.Md5SimHash60]] expression: one pass per
     * document, no token explode, no 60-aggregate shuffle. The faster
     * XXH64-based simhash64() remains available for engine-internal use. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    // Per-doc signatures cached (2 longs/doc, session lifetime — see the
-    // minhash note); banding + bucket prune (hash-agg+rejoin, see
-    // [[pruneBuckets]]) are cheap projections recomputed over the cache.
-    val sigs = docs
-      .withColumn("tokens", split(col("text"), " "))
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.md5Simhash60(col("tokens"))
-          .as("simhash"))
-      .cache()
-    val banded = pruneBuckets(
-      sigs.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          """transform(sequence(0, 3),
-            |  b -> shiftright(simhash, b * 15) & 32767)""".stripMargin))
-          .as(Seq("band_idx", "band_val"))),
-      Seq("band_idx", "band_val"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_val") === col("b.band_val")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-  }
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    new CorpusHandle(docs).simhashNearDups(maxHamming)
 
   /** Embedding near-dup pairs under a THRESHOLD contract (`cosine >=
     * minCosine`) via banded random-hyperplane LSH — the sub-quadratic scale

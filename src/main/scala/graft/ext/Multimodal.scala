@@ -57,6 +57,19 @@ object Multimodal {
       feat_sum: Long,
       feat_mean: Double)
 
+  /** One row of the fault-tolerant decode pass: EITHER the feature fields
+    * (error = None) OR the quarantine reason (feature fields = None) is
+    * populated. The payload column is dropped in both arms — a corrupt
+    * payload's bytes don't cross a shuffle either. */
+  case class MediaTriage(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      n_units: Option[Long],
+      feat_sum: Option[Long],
+      feat_mean: Option[Double],
+      error: Option[String])
+
   /** Real encoders/decoders for the three formats. Decoders validate magic
     * bytes and walk the container structure; they throw on malformed input
     * (a media pipeline must fail loudly on corrupt payloads). */
@@ -318,6 +331,51 @@ object Multimodal {
         }
       }
     }
+
+    /** Fault-tolerant [[extractFeatures]]: the codecs deliberately throw
+      * on malformed input, but at 100 TB some fraction of payloads IS
+      * corrupt (truncated uploads, bit rot) and one bad row must not kill
+      * a million-task job. One batched pass Try-wraps the decode and emits
+      * a [[MediaTriage]] row per input — the per-row equivalent of a
+      * (media_id, error) side channel: split it with [[features]] /
+      * [[quarantine]] (both narrow filters over this one pass; persist the
+      * triage frame if materializing both sides). Catches NonFatal only —
+      * an executor OOM or interrupt still fails the task, as it must. */
+    def extractFeaturesTriaged(ds: Dataset[MediaRow],
+        batchSize: Int = 64): Dataset[MediaTriage] = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            scala.util.Try(decodeFeatures(r.payload, r.kind)) match {
+              case scala.util.Success((units, sum)) =>
+                MediaTriage(r.media_id, r.kind, r.payload.length,
+                  Some(units), Some(sum),
+                  Some(math.rint(sum.toDouble / units * 1e6) / 1e6), None)
+              case scala.util.Failure(e) =>
+                MediaTriage(r.media_id, r.kind, r.payload.length,
+                  None, None, None,
+                  Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            }
+          }
+        }
+      }
+    }
+
+    /** The clean side of a [[extractFeaturesTriaged]] pass. */
+    def features(triage: Dataset[MediaTriage]): Dataset[MediaFeatures] = {
+      import triage.sparkSession.implicits._
+      triage.filter(_.error.isEmpty).map(t =>
+        MediaFeatures(t.media_id, t.kind, t.n_bytes,
+          t.n_units.get, t.feat_sum.get, t.feat_mean.get))
+    }
+
+    /** The quarantine side: (media_id, kind, n_bytes, error) for every
+      * payload that failed to decode — the frame a pipeline writes to its
+      * dead-letter sink for re-ingestion triage. */
+    def quarantine(triage: Dataset[MediaTriage]): DataFrame =
+      triage.filter(_.error.nonEmpty).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("error"))
 
     /** Media source: one encoded payload per document id, kinds
       * round-robin. The text column is NOT used — payloads are generated

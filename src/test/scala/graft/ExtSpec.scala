@@ -34,6 +34,26 @@ class ExtSpec extends SparkSpec {
     assert(both.filter(size(col("native")) > 0).count() === both.count())
   }
 
+  test("corpus handle owns the signature caches: entries released on close") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      // distinct plan per test run so the session-lifetime caches of OTHER
+      // tests (registered-query path) never share a cache-manager entry
+      // with this handle (entries are keyed by canonical plan)
+      .filter(col("doc_id") >= 0 && col("doc_id") % 1 === 0)
+    val h = Dedup.openCorpus(docs)
+    h.minhashNearDups().count()
+    h.simhashNearDups().count()
+    // Dataset.storageLevel consults the cache manager: NONE ⟺ no entry
+    import org.apache.spark.storage.StorageLevel
+    assert(h.minhashSigs.storageLevel !== StorageLevel.NONE)
+    assert(h.simhashSigs.storageLevel !== StorageLevel.NONE)
+    h.close()
+    assert(h.minhashSigs.storageLevel === StorageLevel.NONE)
+    assert(h.simhashSigs.storageLevel === StorageLevel.NONE)
+    // frames stay valid after close — they just recompute
+    assert(h.minhashNearDups().count() >= 0L)
+  }
+
   test("capped ngram posting lists: exact-score subset; uncut cap is identical") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
@@ -406,6 +426,32 @@ class ExtSpec extends SparkSpec {
     assert(a.length === 500)
     val kinds = a.map(_.getAs[String]("kind")).toSet
     assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("multimodal triage: corrupt payloads quarantine instead of killing the job") {
+    import spark.implicits._
+    val P = Multimodal.MultimodalPipeline
+    val clean = (0L until 30L).map(Multimodal.SyntheticMedia.build)
+    // three corruption shapes a real pipeline meets: truncation mid-body,
+    // a bit-flipped magic, and an empty payload
+    val corrupt = Seq(
+      clean(0).copy(media_id = 9000L,
+        payload = clean(0).payload.take(clean(0).payload.length / 2)),
+      clean(1).copy(media_id = 9001L,
+        payload = { val p = clean(1).payload.clone(); p(0) = (p(0) ^ 0x40).toByte; p }),
+      clean(2).copy(media_id = 9002L, payload = Array.empty[Byte]))
+    val triage = P.extractFeaturesTriaged(
+      spark.createDataset(clean ++ corrupt)).persist()
+    val quarantined = P.quarantine(triage).collect()
+    assert(quarantined.map(_.getAs[Long]("media_id")).toSet ===
+      Set(9000L, 9001L, 9002L))
+    assert(quarantined.forall(_.getAs[String]("error").nonEmpty))
+    // clean rows come through IDENTICAL to the throwing path
+    val viaTriaged = P.features(triage).collect().sortBy(_.media_id).toSeq
+    val viaStrict = P.extractFeatures(spark.createDataset(clean))
+      .collect().sortBy(_.media_id).toSeq
+    assert(viaTriaged === viaStrict)
+    triage.unpersist()
   }
 
   test("multimodal transforms: resize only touches images; frame sampling expands videos") {
