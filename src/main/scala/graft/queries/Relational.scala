@@ -323,6 +323,27 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       .orderBy(col("s_acctbal").desc, col("s_name").asc)),
 
+    // O1 twin under the reference's default collation
+    // (SQL_Latin1_General_CP1_CI_AS): T-SQL string ORDER BY is
+    // case-insensitive, Spark/DuckDB's is binary — the same family as the
+    // p4_like_ci filter twin. The testdata's name columns are
+    // case-uniform, so case variety is synthesized (upper() on even keys)
+    // and the CI position is emitted as a VALUE (`ci_rank`) — the
+    // driver's compare sorts rows before hashing, so ordering semantics
+    // are only verifiable when encoded in a column; a binary-collation
+    // rank would put every upper-cased name first and break the hash.
+    // The rank's global window runs over a key-bounded subset (< 100
+    // rows at ANY scale factor), the allowlisted tiny-final-pass shape.
+    "o1_multisort_ci" -> ((s, d) => supplier(s, d)
+      .filter(col("s_suppkey") < 100)
+      .select(col("s_suppkey"),
+        when(col("s_suppkey") % 2 === 0, upper(col("s_name")))
+          .otherwise(col("s_name")).as("s_name_cased"))
+      .withColumn("ci_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(lower(col("s_name_cased")), col("s_suppkey"))))
+      .orderBy("ci_rank")),
+
     // O2 TOP-k with a unique tiebreak (TakeOrderedAndProject).
     "o2_topk" -> ((s, d) => orders(s, d)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -644,6 +665,16 @@ object Relational {
     "o1_multisort" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |ORDER BY s_acctbal DESC, s_name ASC""".stripMargin,
+    "o1_multisort_ci" ->
+      """SELECT s_suppkey, s_name_cased,
+        |  CAST(row_number() OVER (ORDER BY lower(s_name_cased), s_suppkey) AS INT)
+        |    AS ci_rank
+        |FROM (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN upper(s_name) ELSE s_name END
+        |      AS s_name_cased
+        |  FROM supplier WHERE s_suppkey < 100)
+        |ORDER BY ci_rank""".stripMargin,
     "o2_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,

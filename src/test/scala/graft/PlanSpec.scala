@@ -141,7 +141,9 @@ class PlanSpec extends SparkSpec {
     // entries run their global window over an already-aggregated tiny frame
     // (vocab ranks, per-day/global stats, percentile grids), where a single
     // task over thousands of rows is the standard final-pass shape.
-    val allowed = Set("w6_ntile", "x_text_vocab")
+    // o1_multisort_ci: the CI-rank window runs over a key-bounded subset
+    // (s_suppkey < 100 → at most 100 rows at ANY scale factor)
+    val allowed = Set("w6_ntile", "x_text_vocab", "o1_multisort_ci")
     val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         val hasGlobal = build(spark, sf).queryExecution.optimizedPlan.collect {
