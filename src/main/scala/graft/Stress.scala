@@ -32,12 +32,15 @@ object Stress {
       .cache()
     println(s"[stress] lineitem=${li.count()} orders=${ord.count()} (k=$k)")
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Long = {
+      var last = 0L
       (1 to 2).foreach { run =>
         val t0 = System.nanoTime()
         val n = f
         println(f"[stress] $name run$run ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        last = n
       }
+      last
     }
 
     time("q1_agg_battery") {
@@ -112,11 +115,25 @@ object Stress {
         concat(col("text"), lit(s" r$i")).as("text"))
     }.reduce(_ union _).repartition(64).cache()
     println(s"[stress] documents=${docsDup.count()} (k=$k, dup-heavy)")
-    time("ngram_pairs_dup_heavy") {
+    val exactDupPairs = time("ngram_pairs_dup_heavy") {
       graft.ext.Dedup.ngramJaccardNaive(spark, docsDup).count()
     }
     time("ngram_pairs_dup_heavy_prefix_filtered") {
       graft.ext.Dedup.ngramJaccardPrefixFiltered(spark, docsDup).count()
+    }
+    // Posting-list cap (round-6 scale fix): hot shingles leave the index,
+    // candidates re-verify exactly — emitted pairs are a SUBSET of the
+    // exact result, so recall is just the count ratio. The dup-heavy
+    // regime is the cap's worst case for recall (replica groups share all
+    // their shingles, so a pervasive-enough cap could orphan a group) and
+    // its best case for wall (the K-fold posting inflation is exactly
+    // what gets bounded).
+    Seq(100, 400).foreach { cap =>
+      val capped = time(s"ngram_pairs_dup_heavy_cap$cap") {
+        graft.ext.Dedup.ngramJaccardNaive(spark, docsDup, maxPosting = cap).count()
+      }
+      println(f"[stress] ngram cap=$cap recall=${capped.toDouble / exactDupPairs}%.4f " +
+        s"($capped of $exactDupPairs exact pairs)")
     }
     // Band-prune formulation A/B (round 5): the two LSH band sites were
     // switched from count-over-window to hash-agg+broadcast-rejoin

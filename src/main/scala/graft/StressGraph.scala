@@ -57,6 +57,43 @@ object StressGraph {
       assert(components == nCliques + 1 + 1000,
         s"expected ${nCliques + 1 + 1000} components, got $components")
     }
+
+    // Star variant at SCALE on the clique graph (diameter 1, the shape it
+    // converges on immediately): exact 100k-component structure from 4.5M
+    // edges. Deliberately NOT the combined graph: with the chain mixed
+    // in, every star round reprocesses the 900k surviving clique star
+    // edges while only the 16-vertex chain still moves — the frontier
+    // loop's shrinking-frontier economics win that mixed shape (measured:
+    // ~90 s/round under load vs the frontier loop's ~2 s late rounds),
+    // which is exactly why the frontier loop stays registered.
+    (1 to 2).foreach { run =>
+      val t0 = System.nanoTime()
+      val star = graft.ext.Dedup.edgeComponentLabelsStar(cliqueEdges)
+      val comp = star.agg(countDistinct(col("cluster_id"))).collect().head.getLong(0)
+      println(f"[stress-graph] cc-star cliques run$run ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"($comp edge-touched components)")
+      assert(comp == nCliques, s"expected $nCliques, got $comp")
+    }
+
+    // Adversarial diameter: one 2^14-vertex path. The frontier loop pays
+    // one round PER HOP (16384 rounds — infeasible, each round is a Spark
+    // job); the star rounds collapse the chain geometrically. This shape
+    // is why the variant exists.
+    val deepN = 1 << 14
+    val deepBase = 10L * nCliques * s
+    val deepChain = spark.range(deepN - 1)
+      .select((col("id") + deepBase).as("doc_a"),
+        (col("id") + deepBase + 1).as("doc_b"))
+    (1 to 2).foreach { run =>
+      val t0 = System.nanoTime()
+      val star = graft.ext.Dedup.edgeComponentLabelsStar(deepChain)
+      val got = star.agg(countDistinct(col("cluster_id")), count(lit(1)))
+        .collect().head
+      println(f"[stress-graph] cc-star deep-chain run$run " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"(${got.getLong(0)} component over ${got.getLong(1)} vertices)")
+      assert(got.getLong(0) == 1L && got.getLong(1) == deepN.toLong)
+    }
     spark.stop()
   }
 }

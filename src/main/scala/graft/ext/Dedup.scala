@@ -493,6 +493,111 @@ object Dedup {
     finalLabels
   }
 
+  /** Connected components by alternating large-star / small-star rounds —
+    * the public MapReduce CC algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") that converges in O(log V)
+    * rounds INDEPENDENT of component diameter, vs the O(diameter) rounds
+    * of [[edgeComponentLabels]]'s frontier loop. Same contract: labels
+    * for edge-touched vertices only, cluster_id = component min.
+    *
+    * When to use which: near-dup graphs are shallow (pairs/triangles/
+    * cliques), so the frontier loop converges in 2-3 rounds and its
+    * per-round cost tracks the SHRINKING frontier — it wins there and
+    * stays the registered path. An adversarial-diameter graph (long
+    * chains of chained near-dups, entity-resolution paths) makes the
+    * frontier loop pay one round per hop; the star rounds collapse such
+    * chains geometrically (StressGraph: a 2^14-vertex path converges in
+    * ~8 rounds, where the frontier loop would need 16384).
+    *
+    * Round shape: each star op is ONE groupByKey on the loop-long
+    * HashPartitioner plus a distinct; convergence = the edge multiset is
+    * a fixpoint (star graphs reproduce themselves under both ops),
+    * checked with a co-partitioned (narrow) subtract + counts. Caches
+    * rotate with blocking unpersist exactly like the frontier loop.
+    * Caveat: the reduce sees a component's full neighborhood at its
+    * center (inherent to the algorithm — the paper's reducers do too),
+    * so the star center of a 10M-doc duplicate cluster is one fat task;
+    * fine for the cluster sizes dedup produces, and the frontier loop
+    * remains for graphs where that worries you. */
+  def edgeComponentLabelsStar(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+
+    // large-star: group BOTH directions by u; m = min(N(u) ∪ {u});
+    // emit (v, m) for strictly-larger neighbors v. Larger-than-center
+    // leaves re-point at the current local min; never emits self-edges
+    // (v > u >= m). Star graphs are fixpoints.
+    def largeStar(es: org.apache.spark.rdd.RDD[(Long, Long)]) = es
+      .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      .groupByKey(part)
+      .flatMap { case (u, nbrs) =>
+        var m = u
+        nbrs.foreach(v => if (v < m) m = v)
+        val mm = m
+        nbrs.iterator.filter(_ > u).map(v => (v, mm))
+      }.distinct()
+
+    // small-star: direct every edge large→small, group by the large end;
+    // m = min neighbor (all neighbors < u here); re-point u and every
+    // non-min neighbor at m.
+    def smallStar(es: org.apache.spark.rdd.RDD[(Long, Long)]) = es
+      .map { case (u, v) => if (u > v) (u, v) else (v, u) }
+      .groupByKey(part)
+      .flatMap { case (u, nbrs) =>
+        var m = u
+        nbrs.foreach(v => if (v < m) m = v)
+        val mm = m
+        (nbrs.iterator ++ Iterator(u)).filter(_ != mm).map(v => (v, mm))
+      }.distinct()
+
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var cur = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a > b) (a, b) else (b, a) }
+      .distinct()
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var curCount = cur.count()
+    var converged = false
+    var round = 0
+    while (!converged) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(cur))
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextCount = next.count()
+      // next ⊆ cur (narrow co-partitioned subtract) + equal counts ⇒
+      // equal sets (both are distinct()); star sets are fixpoints of both
+      // ops, so equality IS convergence
+      val grew = next.subtract(cur, part).count()
+      converged = grew == 0L && nextCount == curCount
+      if (dbg) System.err.println(
+        f"[cc-star] round $round ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"edges=$nextCount new=$grew")
+      cur.unpersist(blocking = true)
+      cur = next
+      curCount = nextCount
+      round += 1
+    }
+    // fixpoint = per-component stars (v, root): labels are the star edges
+    // plus each root labeling itself
+    val labels = cur
+      .flatMap { case (v, r) => Iterator((v, r), (r, r)) }
+      .distinct()
+    val out = spark.createDataFrame(
+      labels.map { case (v, c) => org.apache.spark.sql.Row(v, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .localCheckpoint(true)
+    cur.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: canonical doc per distinct text (hash-groupBy, one shuffle).
     "x_dedup_exact" -> ((s, d) => documents(s, d)

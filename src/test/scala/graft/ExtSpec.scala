@@ -69,6 +69,33 @@ class ExtSpec extends SparkSpec {
     assert(tight.subsetOf(exact))
   }
 
+  test("large-star/small-star CC == frontier-loop CC on fixture and adversarial graphs") {
+    import spark.implicits._
+    def labels(edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.edgeComponentLabels(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def starLabels(edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.edgeComponentLabelsStar(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // real near-dup edges from the fixture corpus
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val real = Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    assert(starLabels(real) === labels(real))
+    // adversarial diameter (chain), duplicate+reversed edges, two
+    // components + a triangle — the shapes that break naive formulations
+    val synth = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // chain
+      (11L, 10L), (10L, 11L),                // reversed + duplicate edges
+      (20L, 21L), (21L, 22L), (22L, 20L),    // triangle, separate component
+      (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val expected = Set[(Long, Long)](
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L), (14L, 10L), (15L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (30L, 30L), (31L, 30L))
+    assert(starLabels(synth) === expected)
+    assert(labels(synth) === expected)
+  }
+
   test("edgeComponentLabels is exactly connectedComponents minus singletons") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val edges = Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b"))
