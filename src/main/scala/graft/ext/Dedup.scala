@@ -387,6 +387,17 @@ object Dedup {
     finalLabels.union(singletons)
   }
 
+  /** [[connectedComponents]] with the O(log V)-round star labeler
+    * ([[edgeComponentLabelsStar]]) in place of the O(diameter) frontier
+    * loop; identical contract and singleton handling. */
+  def connectedComponentsStar(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val finalLabels = edgeComponentLabelsStar(edges)
+    val singletons = vertices.select(col("doc_id"))
+      .join(finalLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    finalLabels.union(singletons)
+  }
+
   /** The label map for EDGE-TOUCHED vertices only — (doc_id, cluster_id =
     * min reachable doc_id), no singleton union. This is the frame dedup
     * APPLICATION wants directly: the dropped (non-canonical) ids are
@@ -639,6 +650,19 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Same clustering contract through the large-star/small-star labeler:
+    // O(log V) rounds independent of component diameter (vs the frontier
+    // loop's O(diameter)). Both run against the SAME recursive-CTE oracle —
+    // the two labelers are algorithm-independent implementations of one
+    // spec, and the oracle binds them both.
+    "x_dedup_cluster_star" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      connectedComponentsStar(edges, docs.select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // APPLYING the dedup — the step every pipeline actually runs: keep one
     // canonical survivor (min doc_id) per near-dup cluster, drop the rest.
     // Composes pair-finding (minhash sketch — same oracle-equivalence
@@ -740,6 +764,22 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // Transitive closure via recursive CTE (DuckDB's native way to express
+  // what both Spark labelers — frontier loop and star rounds — compute).
+  private val clusterSql: String =
+    s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |r(id, rid) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.id, e.b FROM r JOIN edges e ON r.rid = e.a
+       |)
+       |SELECT id AS doc_id, CAST(min(rid) AS BIGINT) AS cluster_id
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_dedup_simhash" -> simhashSql,
     "x_dedup_exact" ->
@@ -766,19 +806,9 @@ object Dedup {
          |FROM documents d JOIN cc ON d.doc_id = cc.doc_id
          |WHERE cc.doc_id = cc.cluster_id
          |ORDER BY d.doc_id""".stripMargin,
-    "x_dedup_cluster" ->
-      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |),
-         |r(id, rid) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.id, e.b FROM r JOIN edges e ON r.rid = e.a
-         |)
-         |SELECT id AS doc_id, CAST(min(rid) AS BIGINT) AS cluster_id
-         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    "x_dedup_cluster" -> clusterSql,
+    // same spec, star labeler: one oracle binds both implementations
+    "x_dedup_cluster_star" -> clusterSql,
     // Mirrors the native CosineSimilarity accumulation exactly (see the
     // x_ann_bruteforce oracle note in Similarity.scala); the Spark side
     // rounds BEFORE ordering, so the oracle orders by the rounded value too.
