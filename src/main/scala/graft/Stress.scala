@@ -122,13 +122,15 @@ object Stress {
       graft.ext.Dedup.ngramJaccardPrefixFiltered(spark, docsDup).count()
     }
     // Posting-list cap (round-6 scale fix): hot shingles leave the index,
-    // candidates re-verify exactly — emitted pairs are a SUBSET of the
-    // exact result, so recall is just the count ratio. The dup-heavy
-    // regime is the cap's worst case for recall (replica groups share all
-    // their shingles, so a pervasive-enough cap could orphan a group) and
-    // its best case for wall (the K-fold posting inflation is exactly
-    // what gets bounded).
-    Seq(100, 400).foreach { cap =>
+    // candidates are cut by a sound Jaccard upper bound INSIDE the pair
+    // aggregation, survivors re-verify exactly — emitted pairs are a
+    // SUBSET of the exact result, so recall is just the count ratio. The
+    // dup-heavy regime is the cap's worst case for recall (replica groups
+    // share all their shingles, so a pervasive-enough cap orphans groups:
+    // cap=50 → 0.79 recall at K=10) and its best case for wall (the
+    // K-fold posting inflation is exactly what gets bounded: at K=20,
+    // cap=200 runs 2.5x faster than exact at recall 1.0).
+    Seq(50, 100).foreach { cap =>
       val capped = time(s"ngram_pairs_dup_heavy_cap$cap") {
         graft.ext.Dedup.ngramJaccardNaive(spark, docsDup, maxPosting = cap).count()
       }

@@ -201,13 +201,16 @@ object Dedup {
     * BEFORE the self-join, bounding per-shingle join work at
     * O(maxPosting²) exactly as production similarity-join pipelines do.
     * Dropping a shingle can only LOSE candidate pairs (never corrupt a
-    * score): with a cap the join becomes a candidate generator and every
-    * surviving pair is exact-Jaccard re-verified over FULL shingle sets
-    * ([[verifyJaccard]]), so emitted pairs are a subset of the exact
-    * result with exact scores — pairs are missed only when ALL their
-    * shared shingles are hot, which near-dup pairs (sharing half their
-    * shingles) essentially never are. Measured at the 10× dup-heavy
-    * stress: see ROUND6_NOTES (recall recorded per cap). */
+    * score): with a cap the join becomes a candidate generator, candidates
+    * are cut to near the true pair set INSIDE the aggregation by a sound
+    * Jaccard upper bound (shared shingles outside the kept index are hot
+    * in both docs, so inter <= inter_kept + min(hot_a, hot_b), and J is
+    * increasing in inter), and survivors are exact-Jaccard re-verified
+    * over FULL shingle sets ([[verifyJaccard]]) — emitted pairs are a
+    * subset of the exact result with exact scores. Pairs are missed only
+    * when ALL their shared shingles are hot, which near-dup pairs
+    * (sharing half their shingles) essentially never are. Measured at the
+    * 10× dup-heavy stress: see ROUND6_NOTES (recall recorded per cap). */
   def ngramJaccardNaive(s: SparkSession, docs: DataFrame,
       threshold: Double = 0.5, maxPosting: Int = Int.MaxValue): DataFrame = {
     val sets = withShingles(docs.repartition(s.sparkContext.defaultParallelism))
@@ -230,17 +233,47 @@ object Dedup {
     } else {
       // capped shape: broadcast the (tiny) HOT shingle set and anti-join it
       // away — the skew-safe direction; broadcasting the keep-set would ship
-      // nearly the whole vocabulary. Then candidates + exact re-verify.
+      // nearly the whole vocabulary.
+      //
+      // The candidate stage keeps the EXACT branch's count-inside-
+      // aggregation shape: a first cut ("distinct candidate pairs, then
+      // re-verify each") measured 20-25x SLOWER than exact at the 10×
+      // dup-heavy stress — 113M distinct candidate pairs materialized and
+      // array_intersect-verified to yield 250k true pairs. Junk pairs
+      // sharing one rare shingle dominate any candidate list; they must
+      // die in the aggregation, not in a per-candidate verify join.
+      //
+      // Per-pair we aggregate the KEPT-shingle intersection, then filter
+      // on a sound Jaccard UPPER bound before the exact re-verify:
+      // any shared shingle outside the kept index is hot in BOTH docs, so
+      //   inter_true <= inter_kept + min(hot_a, hot_b),
+      // and J = inter/(n_a+n_b-inter) is increasing in inter. Pairs are
+      // missed only when ALL their shared shingles are hot (same recall
+      // contract as the posting-cap itself); survivors get exact scores.
       val hot = sets.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > maxPosting)
         .select(col("shingle"))
-      val pruned = sets.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val prunedBare = sets.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // n_kept rides the exploded rows into the self-join (one doc_id-keyed
+      // shuffle join of two linear frames — NOT a broadcast: one-row-per-doc
+      // frames are corpus-sized at scale), so the upper-bound filter below
+      // needs no join against the (candidate-pair-sized) aggregate.
+      val kept = prunedBare.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"))
+      val pruned = prunedBare.join(kept, "doc_id")
+      val interUb = col("inter_kept") +
+        least(col("n_a") - col("n_kept_a"), col("n_b") - col("n_kept_b"))
       val cand = pruned.as("a")
         .join(pruned.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"),
+          col("a.n_kept").as("n_kept_a"), col("b.n_kept").as("n_kept_b"))
+        .agg(count(lit(1)).as("inter_kept"))
+        .filter(interUb.cast("double")
+          / (col("n_a") + col("n_b") - interUb) >= threshold)
+        .select(col("doc_a"), col("doc_b"))
       verifyJaccard(cand, docs)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
