@@ -29,7 +29,11 @@ import org.apache.spark.sql.SparkSession
   *    `"sequential"` in the detail file). Since round 6 it runs TWICE and
   *    reports per-query MINs and the min wall — single-pass sequential
   *    latencies still carry contention spikes (measured: ~18 s across 3
-  *    unchanged queries in one r6 pass). Concurrent latencies are
+  *    unchanged queries in one r6 pass). `seq_sum_sec` (sum of per-query
+  *    mins) is the primary comparator, not `seq_wall_sec`: a wall cannot
+  *    dodge a spike that lands anywhere in its pass (measured r6: walls
+  *    >=319 s containing 118.8 s of per-query-min work), while per-query
+  *    mins across the two passes can. Concurrent latencies are
   *    contention-inflated and per-query deltas across rounds are
   *    confounded by catalog growth (round 4's wall doubled and could not
   *    be decomposed); the sequential pass is the DECLARED round-over-round
