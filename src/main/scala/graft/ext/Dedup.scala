@@ -324,6 +324,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SUBSTRING-level dedup, stage 1: cross-document repeated w-token
+    * windows — the span-granular family the whole-document ones
+    * (exact/minhash/simhash/ngram/embed) can't express: boilerplate
+    * headers, license blocks, templated paragraphs repeat across
+    * otherwise-distinct documents, and LLM training pipelines drop the
+    * SPAN, not the document (the suffix-array dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed Spark-first: sliding fixed-width windows replace
+    * suffix-array LCP runs — w bounds the detectable span granularity,
+    * merged back to maximal spans in [[substringDedupApply]]'s coverage
+    * semantics).
+    *
+    * Shape at 100 TB: one explode (~n_tokens rows/doc, window text
+    * payload w tokens), ONE shuffle — a hash-agg on window_text with
+    * map-side combine, no join anywhere; corpus-hot windows are the
+    * SIGNAL here (a count aggregation absorbs skew that would break a
+    * self-join — the exact lesson of the ngram cap above), and the
+    * top-k is a TakeOrdered, not a global sort. */
+  def repeatedWindows(s: SparkSession, docs: DataFrame, w: Int = 8,
+      minDocs: Int = 2, topK: Int = 100): DataFrame = {
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tokens) - $w), " +
+          s"i -> array_join(slice(tokens, i + 1, $w), ' '))")).as("window_text"))
+      .groupBy(col("window_text"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occur").desc, col("window_text"))
+      .limit(topK)
+  }
+
+  /** SUBSTRING-level dedup, stage 2: drop every token covered by any
+    * banned window occurrence (adjacent/overlapping windows merge into
+    * maximal spans for free — coverage is per-token). `banned` is the
+    * [[repeatedWindows]] output: BOUNDED by construction (topK), so the
+    * broadcast is legitimate — unlike per-doc frames, which are
+    * corpus-sized. Two linear shuffles (per-doc start-set agg, doc_id
+    * re-join); the token filter is a codegen'd HOF, no UDF. */
+  def substringDedupApply(docs: DataFrame, banned: DataFrame, w: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val starts = toks
+      .filter(size(col("tokens")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tokens) - $w), " +
+          s"i -> array_join(slice(tokens, i + 1, $w), ' '))"))
+        .as(Seq("start", "window_text")))
+      .join(broadcast(banned.select(col("window_text"))), "window_text")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("start")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"), array_join(expr(
+        s"filter(tokens, (t, p) -> NOT exists(starts, s -> p >= s AND p < s + $w))"),
+        " ").as("text"))
+  }
+
   /** SimHash near-dup pairs over an arbitrary (doc_id, text) frame:
     * 60-bit signature, 4×15-bit bands, Hamming <= 8. The per-token hash is
     * the top 60 bits of md5 (engine-portable — the DuckDB oracle replicates
@@ -717,6 +776,12 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Substring-level dedup stats: top cross-document repeated 8-token
+    // windows (span-granular — the families above are whole-document).
+    "x_dedup_substring" -> ((s, d) =>
+      repeatedWindows(s, documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism))),
+
     // Embedding near-dup: top-20 most-similar pairs by exact cosine.
     // Brute force — the oracle-anchored baseline; the sub-quadratic scale
     // path with the production (threshold) contract is [[embedNearDupsLsh]],
@@ -842,6 +907,19 @@ object Dedup {
     "x_dedup_cluster" -> clusterSql,
     // same spec, star labeler: one oracle binds both implementations
     "x_dedup_cluster_star" -> clusterSql,
+    // sliding w-token windows via list_slice over 1-based start positions;
+    // range() is end-exclusive, so starts run 1 .. len-w+1
+    "x_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS window_text
+        |  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+        |  WHERE len(toks) >= 8
+        |)
+        |SELECT window_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occur
+        |FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occur DESC, window_text LIMIT 100""".stripMargin,
     // Mirrors the native CosineSimilarity accumulation exactly (see the
     // x_ann_bruteforce oracle note in Similarity.scala); the Spark side
     // rounds BEFORE ordering, so the oracle orders by the rounded value too.

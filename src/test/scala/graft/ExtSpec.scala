@@ -69,6 +69,32 @@ class ExtSpec extends SparkSpec {
     assert(tight.subsetOf(exact))
   }
 
+  test("substring dedup: repeated windows found, apply drops exactly the covered spans") {
+    import spark.implicits._
+    // an 8-token span shared by docs 1 and 2 under different surroundings;
+    // doc 3 shares nothing
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"u1 u2 $shared v1 v2"),
+      (2L, s"x1 $shared y1"),
+      (3L, "p q r s t u v w unique tail here")).toDF("doc_id", "text")
+    val banned = Dedup.repeatedWindows(spark, docs)
+    val found = banned.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // only the aligned full window repeats (boundary windows differ per doc)
+    assert(found.toSeq === Seq((shared, 2L, 2L)))
+    val applied = Dedup.substringDedupApply(docs, banned)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(applied(1L) === "u1 u2 v1 v2") // span gone, surroundings intact
+    assert(applied(2L) === "x1 y1")
+    assert(applied(3L) === "p q r s t u v w unique tail here") // untouched
+    // coverage merges overlapping occurrences into maximal spans: a doc
+    // containing the span twice back-to-back loses all 16 tokens
+    val twice = Seq((4L, s"h1 $shared $shared t1")).toDF("doc_id", "text")
+    val applied2 = Dedup.substringDedupApply(twice, banned)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(applied2(4L) === "h1 t1")
+  }
+
   test("large-star/small-star CC == frontier-loop CC on fixture and adversarial graphs") {
     import spark.implicits._
     def labels(edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
