@@ -137,6 +137,12 @@ object Stress {
       println(f"[stress] ngram cap=$cap recall=${capped.toDouble / exactDupPairs}%.4f " +
         s"($capped of $exactDupPairs exact pairs)")
     }
+    // Substring-level dedup at 10× dup-heavy: every window of every doc
+    // repeats K times (the corpus-hot-window worst case). The count-agg
+    // shape absorbs it — no join for skew to break.
+    time("substring_windows_dup_heavy") {
+      graft.ext.Dedup.repeatedWindows(spark, docsDup).count()
+    }
     // Band-prune formulation A/B (round 5): the two LSH band sites were
     // switched from count-over-window to hash-agg+broadcast-rejoin
     // (Dedup.pruneBuckets), applying the measured doc-freq lesson. Both
