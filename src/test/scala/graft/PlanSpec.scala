@@ -213,6 +213,21 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
   }
 
+  test("substring window stats: no join, two shuffles, top-k without a global sort") {
+    val p = explain(q("x_dedup_substring"))
+    // the count-agg shape is the skew argument: a corpus-hot window must
+    // hit a partial+final aggregation, never a self-join
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    // explicit repartition + the two-phase exact countDistinct(doc_id)
+    // (partial on (window_text, doc_id), re-key on window_text) — the
+    // price of an exact per-window doc count; approx_count_distinct
+    // would fold to one agg exchange but break the oracle
+    assert(exchanges === 3, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("IVF assignment is a pure projection: hash joins only, no table shuffle for argmax") {
     val p = explain(q("x_ann_ivf"))
     // driver-resident centroids enter as literals: cell assignment must not
