@@ -776,6 +776,18 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // The CAPPED ngram path under the hash gate: cap=64 exceeds every
+    // posting length at the gate SFs (max df: 7 at sf0.01, 25 at sf0.1),
+    // so the result is provably identical to the exact query (uncut-cap
+    // identity, ExtSpec) and the exact oracle binds — while the full
+    // capped code shape (hot-set anti-join, n_kept ride-along, upper-bound
+    // filter, exact re-verify) runs under the strongest gate. Pruning
+    // semantics at tight caps are ExtSpec- and stress-covered (recall
+    // table in ROUND6_NOTES §4).
+    "x_dedup_ngram_capped" -> ((s, d) =>
+      ngramJaccardNaive(s, documents(s, d).select(col("doc_id"), col("text")),
+        maxPosting = 64)),
+
     // Substring-level dedup stats: top cross-document repeated 8-token
     // windows (span-granular — the families above are whole-document).
     "x_dedup_substring" -> ((s, d) =>
@@ -885,6 +897,7 @@ object Dedup {
         |  CAST(length(text) AS INT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "x_dedup_ngram" -> ngramJaccardSql,
+    "x_dedup_ngram_capped" -> ngramJaccardSql, // uncut-identity regime at gate SFs
     "x_dedup_minhash" -> ngramJaccardSql,
     // Transitive closure via recursive CTE (DuckDB's native way to express
     // what the Spark side computes with iterative min-label propagation).

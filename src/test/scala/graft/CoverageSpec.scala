@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 140/144 split") {
-    assert(SparkEntry.queries.size === 144)
-    assert(SparkEntry.oracleSql.size === 140)
+  test("oracle coverage matches the documented 141/145 split") {
+    assert(SparkEntry.queries.size === 145)
+    assert(SparkEntry.oracleSql.size === 141)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 4 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches), and only those — the multimodal pair became
