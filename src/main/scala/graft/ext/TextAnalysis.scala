@@ -163,7 +163,70 @@ object TextAnalysis {
         / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
     .orderBy("doc_id")
 
+  /** Deny-list scrubbing (the PII/secret-redaction shape of a training
+    * pipeline, run here with a term deny-list since the synthetic corpus
+    * carries no real PII — the regex machinery is identical): replace
+    * every whole-word occurrence of a banned term with `[REDACTED]` and
+    * count replacements. Pure per-row projection — zero shuffles, both
+    * `regexp_replace` and `regexp_count` are codegen'd builtins — so it
+    * scales embarrassingly with the corpus; at 100 TB this is a
+    * map-only pass fused into whatever scan feeds it. The pattern stays
+    * in the RE2/Java-regex common subset (alternation + \b) so the
+    * DuckDB oracle matches byte-for-byte. */
+  def redact(docs: DataFrame,
+             denyList: Seq[String] = Seq("customer", "key")): DataFrame = {
+    val pat = denyList.mkString("\\b(", "|", ")\\b")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(pat)).cast("int").as("n_redacted"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("redacted_text"))
+  }
+
+  /** C4/Gopher-style quality-filter cascade in ONE scan: per-doc gates
+    * (min length, stopword presence, type/token diversity, top-bigram
+    * repetition) computed entirely with row-local array HOFs — no
+    * explode, no join, no per-doc shuffle; the only exchange is the
+    * final tiny per-language aggregate. The repetition signal reuses
+    * [[repetitionSignals]]' definition but row-locally:
+    * max-bigram-count via nested transform/filter over the doc's own
+    * bigram array (O(distinct x n) per doc — bounded by doc length,
+    * codegen'd, and embarrassingly parallel, which at 100 TB beats the
+    * explode->groupBy(doc_id, bg) shuffle by the full corpus width).
+    * Every gate threshold sits inside the observed signal distribution
+    * so both keep and drop sets are non-empty (non-vacuous oracle).
+    * A doc failing several gates counts in EACH drop_* column (standard
+    * funnel accounting); `n_kept` requires all four. */
+  def filterCascade(docs: DataFrame): DataFrame = docs
+    .withColumn("tokens", tokens)
+    .withColumn("n_tok", size(col("tokens")))
+    .withColumn("n_stop", expr(s"size(filter(tokens, t -> t IN $stopList))"))
+    .withColumn("ttr",
+      size(array_distinct(col("tokens"))).cast("double") / col("n_tok"))
+    .withColumn("bgs", expr(
+      """transform(sequence(0, size(tokens) - 2),
+        |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin))
+    .withColumn("top_bg_frac", expr(
+      """CAST(array_max(transform(array_distinct(bgs),
+        |  b -> size(filter(bgs, x -> x = b)))) AS DOUBLE) / size(bgs)"""
+        .stripMargin))
+    .withColumn("g_minlen", col("n_tok") >= 20)
+    .withColumn("g_stop", col("n_stop") >= 1)
+    .withColumn("g_div", col("ttr") >= 0.35)
+    .withColumn("g_rep", col("top_bg_frac") <= 0.09)
+    .groupBy(col("lang"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum((col("g_minlen") && col("g_stop") && col("g_div") && col("g_rep"))
+        .cast("long")).as("n_kept"),
+      sum((!col("g_minlen")).cast("long")).as("drop_minlen"),
+      sum((!col("g_stop")).cast("long")).as("drop_stopword"),
+      sum((!col("g_div")).cast("long")).as("drop_diversity"),
+      sum((!col("g_rep")).cast("long")).as("drop_repetition"))
+    .withColumn("survival_rate",
+      col("n_kept").cast("double") / col("n_docs"))
+    .orderBy("lang")
+
   val queries: Map[String, Q] = Map(
+    "x_text_redact" -> ((s, d) => redact(documents(s, d)).orderBy("doc_id")),
+    "x_text_filter_cascade" -> ((s, d) => filterCascade(documents(s, d))),
     "x_text_repetition" -> ((s, d) => repetitionSignals(documents(s, d))),
     "x_text_bigrams" -> ((s, d) => bigramStats(documents(s, d))),
     "x_text_stats" -> ((s, d) => textStats(documents(s, d)).orderBy("doc_id")),
@@ -186,6 +249,45 @@ object TextAnalysis {
     Seq("fr", "es", "de", "en").indexOf(l)
 
   val oracle: Map[String, String] = Map(
+    "x_text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS INT)
+        |    AS n_redacted,
+        |  regexp_replace(text, '\b(customer|key)\b', '[REDACTED]', 'g')
+        |    AS redacted_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_filter_cascade" ->
+      s"""WITH s AS (
+         |  SELECT lang, len(toks) AS n_tok,
+         |    len(list_filter(toks, t -> t IN $stopList)) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1]) AS bgs
+         |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+         |), g AS (
+         |  SELECT lang,
+         |    n_tok >= 20 AS g_minlen,
+         |    n_stop >= 1 AS g_stop,
+         |    ttr >= 0.35 AS g_div,
+         |    CAST(list_max(list_transform(list_distinct(bgs),
+         |      b -> len(list_filter(bgs, x -> x = b)))) AS DOUBLE) / len(bgs)
+         |      <= 0.09 AS g_rep
+         |  FROM s
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN g_minlen AND g_stop AND g_div AND g_rep
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT g_minlen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drop_minlen,
+         |  CAST(sum(CASE WHEN NOT g_stop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drop_stopword,
+         |  CAST(sum(CASE WHEN NOT g_div THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drop_diversity,
+         |  CAST(sum(CASE WHEN NOT g_rep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drop_repetition,
+         |  CAST(sum(CASE WHEN g_minlen AND g_stop AND g_div AND g_rep
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS survival_rate
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "x_text_repetition" ->
       """WITH bg AS (
         |  SELECT doc_id, w1 || ' ' || w2 AS bg
