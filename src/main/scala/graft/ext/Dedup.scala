@@ -776,6 +776,28 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Leakage-free train/val split: Pipeline.stableSplit's md5-bucket
+    // assignment keyed by the near-dup CLUSTER canonical id instead of the
+    // doc id, so every member of a near-dup cluster lands on the same side.
+    // A doc-keyed split puts a document's near-twin in the other split
+    // with probability 2·p·(1-p) — train/eval contamination that survives
+    // n-gram decontamination (the twin is a NEAR duplicate). Composes the
+    // minhash pair-finder (same oracle-equivalence argument as
+    // x_dedup_cluster) → CC clustering → a pure md5 projection; the cost
+    // over stableSplit is exactly the clustering it reuses, and the
+    // projection adds zero shuffles.
+    "x_split_leakfree" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      connectedComponents(edges, docs.select(col("doc_id")))
+        .withColumn("bucket",
+          (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).cast("int"))
+        .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+        .orderBy("doc_id")
+    }),
+
     // The CAPPED ngram path under the hash gate: cap=64 exceeds every
     // posting length at the gate SFs (max df: 7 at sf0.01, 25 at sf0.1),
     // so the result is provably identical to the exact query (uncut-cap
@@ -920,6 +942,29 @@ object Dedup {
     "x_dedup_cluster" -> clusterSql,
     // same spec, star labeler: one oracle binds both implementations
     "x_dedup_cluster_star" -> clusterSql,
+    // cluster closure (same recursive CTE) + the stableSplit md5 bucket
+    // keyed by the cluster canonical id
+    "x_split_leakfree" ->
+      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |r(id, rid) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON r.rid = e.a
+         |),
+         |cc AS (
+         |  SELECT id AS doc_id, CAST(min(rid) AS BIGINT) AS cluster_id
+         |  FROM r GROUP BY id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 100 AS INT) AS bucket,
+         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 100 < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM cc ORDER BY doc_id""".stripMargin,
     // sliding w-token windows via list_slice over 1-based start positions;
     // range() is end-exclusive, so starts run 1 .. len-w+1
     "x_dedup_substring" ->

@@ -135,6 +135,31 @@ class ExtSpec extends SparkSpec {
     assert(edgeOnly.map(_._1) === touched)
   }
 
+  test("leak-free split never splits a near-dup cluster across train/val") {
+    val out = Dedup.queries("x_split_leakfree")(spark, sf)
+    // every cluster's members carry ONE split value (the leakage contract)
+    val spanning = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n"))
+      .filter(col("n_splits") > 1)
+    assert(spanning.count() === 0L)
+    // non-vacuous: the fixture corpus has multi-doc clusters, and the
+    // doc-keyed stableSplit DOES split at least one of them (the leak
+    // this operator exists to prevent)
+    val multi = out.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(multi.count() > 0)
+    val docKeyed = graft.ext.Pipeline
+      .stableSplit(graft.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("split").as("doc_split"))
+    val leaked = out.join(docKeyed, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("doc_split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(leaked.count() > 0)
+    // both splits populated at the 90/10 bucketing
+    assert(out.select("split").distinct().count() === 2L)
+  }
+
   test("prefix-filtered ngram join returns exactly the naive result") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val naive = Dedup.ngramJaccardNaive(spark, docs).collect().toSeq
