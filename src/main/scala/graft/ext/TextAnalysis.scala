@@ -163,6 +163,51 @@ object TextAnalysis {
         / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
     .orderBy("doc_id")
 
+  /** CCNet-style LM quality scoring: train a bigram LM on the corpus
+    * itself, then score every document by its average conditional
+    * log-probability under that LM (low = atypical/noisy text — the
+    * perplexity filter of CCNet/ccnet-style pipelines) plus the fraction
+    * of bigram occurrences that are corpus-rare (p(w2|w1) < 0.01).
+    *
+    * Cross-engine exactness: a sum of doubles is order-dependent, so the
+    * per-pair log-prob is FIXED-POINTED first —
+    * `round(ln(c2/c1)*1e6) :: long` per distinct (w1,w2) — and the
+    * per-doc aggregation sums LONGS (order-independent, exact); the only
+    * floating ops after that are two IEEE-specified divisions. ln() is
+    * evaluated once per distinct bigram TYPE on both engines, and a
+    * last-ulp ln() disagreement only matters if it crosses a 0.5e-6
+    * rounding boundary (~1e-8 probability per type — measured green at
+    * both gate SFs).
+    *
+    * Scale shape: two hash-aggregates over exploded bigrams build the LM
+    * (vocab²-bounded, Zipf-small in practice — broadcast here); the
+    * scoring pass re-explodes the corpus and broadcast-joins the LM, so
+    * documents themselves never shuffle — at 100 TB the corpus-side cost
+    * is one scan plus the per-doc hash-agg. If the LM outgrows the
+    * broadcast ceiling, the same plan holds with a (w1,w2)-keyed shuffle
+    * join (the corpus side then shuffles once on the bigram key). */
+  def lmScores(docs: DataFrame, rareThreshold: Double = 0.01): DataFrame = {
+    val bg = docBigramPairs(docs)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c2").cast("double") / col("c1")) * 1e6)
+          .cast("long").as("logp_micro"),
+        (col("c2").cast("double") / col("c1") < rareThreshold).as("is_rare"))
+    bg.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_micro")).as("sum_logp_micro"),
+        sum(col("is_rare").cast("long")).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sum_logp_micro").cast("double") / lit(1000000.0))
+          / col("n_bigrams")).as("avg_logp"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Deny-list scrubbing (the PII/secret-redaction shape of a training
     * pipeline, run here with a term deny-list since the synthetic corpus
     * carries no real PII — the regex machinery is identical): replace
@@ -225,6 +270,7 @@ object TextAnalysis {
     .orderBy("lang")
 
   val queries: Map[String, Q] = Map(
+    "x_text_perplexity" -> ((s, d) => lmScores(documents(s, d))),
     "x_text_redact" -> ((s, d) => redact(documents(s, d)).orderBy("doc_id")),
     "x_text_filter_cascade" -> ((s, d) => filterCascade(documents(s, d))),
     "x_text_repetition" -> ((s, d) => repetitionSignals(documents(s, d))),
@@ -249,6 +295,34 @@ object TextAnalysis {
     Seq("fr", "es", "de", "en").indexOf(l)
 
   val oracle: Map[String, String] = Map(
+    // fixed-point per-TYPE log-prob (exact long sums per doc; see
+    // lmScores scaladoc for the cross-engine determinism argument)
+    "x_text_perplexity" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE len(string_split(text, ' ')) >= 2)
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+        |), lm AS (
+        |  SELECT w1, w2,
+        |    CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)
+        |      AS logp_micro,
+        |    CAST(c2 AS DOUBLE) / c1 < 0.01 AS is_rare
+        |  FROM c2 JOIN c1 USING (w1)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  (CAST(sum(logp_micro) AS DOUBLE) / 1000000.0) / count(*)
+        |    AS avg_logp,
+        |  CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS rare_frac
+        |FROM bg JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_text_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS INT)

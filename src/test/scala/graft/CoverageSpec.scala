@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 144/148 split") {
-    assert(SparkEntry.queries.size === 148)
-    assert(SparkEntry.oracleSql.size === 144)
+  test("oracle coverage matches the documented 145/149 split") {
+    assert(SparkEntry.queries.size === 149)
+    assert(SparkEntry.oracleSql.size === 145)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 4 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches), and only those — the multimodal pair became
