@@ -120,7 +120,7 @@ object Similarity {
   final class IvfIndex private[Similarity] (
       val centroids: Seq[(Int, Seq[Float])],
       private[Similarity] val source: DataFrame,
-      assigned: DataFrame) {
+      private[Similarity] val assigned: DataFrame) {
     /** Top-k per query vector in `queryVecs` (`vec_id`, `embedding`):
       * each query probes its `probes` nearest cells and reranks exactly
       * inside them — touches ~probes/cells of the data. */
@@ -214,7 +214,7 @@ object Similarity {
     * that is its benched/registered shape). */
   final class PqIndex private[Similarity] (
       val codebooks: Array[Float], m: Int, pqCodes: Int,
-      candidates: DataFrame, enc: DataFrame) {
+      candidates: DataFrame, private[Similarity] val enc: DataFrame) {
     /** Top-k per query vector: ADC-scored shortlist of `rerank`
       * candidates, then exact rerank touching full vectors only for the
       * shortlist. */
@@ -295,6 +295,85 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ — the composite FAISS/ScaNN billion-scale shape: the IVF
+    * coarse quantizer routes each query to `probes` of `cells` cells, and
+    * WITHIN the probed cells candidates are scored from the ~12-byte PQ
+    * codes via the per-query ADC table; only the `rerank`-deep shortlist
+    * ever touches full vectors. Search cost per query is
+    * ~(probes/cells) · N · (m lookups) with no full-vector I/O — the two
+    * index families multiply: IVF bounds the fraction of the corpus
+    * scanned, PQ bounds the bytes per scanned candidate. */
+  def ivfpqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
+      cells: Int = 16, probes: Int = 2, m: Int = 8, pqCodes: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    val index = IvfPqIndex.train(candidates, cells, probes, m, pqCodes)
+    index.search(index.ivf.source.filter(queryFilter), k, rerank)
+  }
+
+  /** A trained IVF-PQ index: the cell-routed table of PQ codes —
+    * `(cell, c_id, pq codes, norm)` — built in ONE projection pass over
+    * the (checkpointed) vector table, no join and no shuffle; both
+    * quantizers are driver-resident exactly as in [[IvfIndex]] /
+    * [[PqIndex]]. Build once, [[IvfPqIndex.search]] many times (the
+    * [[ivfpqTopK]] per-call contract retrains every invocation; that is
+    * its registered shape). */
+  final class IvfPqIndex private[Similarity] (
+      private[Similarity] val ivf: IvfIndex,
+      val pq: PqIndex, probes: Int, m: Int, pqCodes: Int,
+      codes: DataFrame) {
+    /** Top-k per query: probe `probes` nearest cells, ADC-score the PQ
+      * codes inside them, exact-rerank the `rerank`-deep shortlist. The
+      * codes scan carries no embeddings; the corpus-side rerank join
+      * broadcasts the (queries × rerank)-row shortlist so the vector
+      * table never shuffles. */
+    def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 50): DataFrame = {
+      import graft.functions.VectorFunctions.{pqAdc, pqLut}
+      val qProbe = queryVecs
+        .withColumn("probe_cells", slice(
+          sort_array(array(cellStructs(ivf.centroids): _*), asc = false), 1, probes))
+        .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
+          pqLut(col("embedding"), pq.codebooks, m, pqCodes).as("lut"),
+          explode(col("probe_cells").getField("cell")).as("cell"))
+      val shortlist = codes
+        .join(broadcast(qProbe.select(col("q_id"), col("lut"), col("cell"))),
+          Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("adc", pqAdc(col("pq"), col("lut"), m, pqCodes) / col("norm_c"))
+        .withColumn("srk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").desc, col("c_id"))))
+        .filter(col("srk") <= rerank)
+        .select(col("q_id"), col("c_id"))
+      val cVecs = ivf.source.select(col("vec_id").as("c_id"),
+        col("embedding").as("v_c"))
+      topKSelect(
+        cVecs.join(broadcast(shortlist), "c_id")
+          .join(broadcast(qProbe.select(col("q_id"), col("v_q"))
+            .dropDuplicates("q_id")), "q_id")
+          .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
+    }
+  }
+
+  object IvfPqIndex {
+    /** Train both quantizers over ONE materialized projection (the IVF
+      * checkpoint is reused as the PQ training source and the code-table
+      * scan), then emit the cell-routed code table in a single
+      * shuffle-free projection: nearest-cell argmax + PQ encode + norm
+      * fused into one codegen stage. */
+    def train(candidates0: DataFrame, cells: Int = 16, probes: Int = 2,
+        m: Int = 8, pqCodes: Int = 16): IvfPqIndex = {
+      import graft.functions.VectorFunctions.{pqEncode, vecNorm}
+      val ivf = IvfIndex.train(candidates0, cells)
+      val pq = PqIndex.train(ivf.source, m, pqCodes)
+      val codes = ivf.source
+        .withColumn("cell",
+          greatest(cellStructs(ivf.centroids): _*).getField("cell"))
+        .select(col("cell"), col("vec_id").as("c_id"),
+          pqEncode(col("embedding"), pq.codebooks, m, pqCodes).as("pq"),
+          vecNorm(col("embedding")).as("norm_c"))
+      new IvfPqIndex(ivf, pq, probes, m, pqCodes, codes)
+    }
+  }
+
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
@@ -312,7 +391,10 @@ object Similarity {
       ivfTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
     // Product-quantization ANN (ADC shortlist + exact rerank).
     "x_ann_pq" -> ((s, d) =>
-      pqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank"))
+      pqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+    // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.
+    "x_ann_ivfpq" -> ((s, d) =>
+      ivfpqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank"))
   )
 
   /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors

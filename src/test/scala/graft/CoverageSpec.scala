@@ -18,13 +18,14 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 145/149 split") {
-    assert(SparkEntry.queries.size === 149)
+  test("oracle coverage matches the documented 145/150 split") {
+    assert(SparkEntry.queries.size === 150)
     assert(SparkEntry.oracleSql.size === 145)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 4 intrinsically non-oracle-able operators (ANN internals /
+    // the 5 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches), and only those — the multimodal pair became
     // oracle-backed in round 5 when the codecs became real
-    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_approx_agg"))
+    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq",
+      "x_ann_ivfpq", "x_approx_agg"))
   }
 }

@@ -485,6 +485,27 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("ivfpq ann: full top-5 per query, decent recall, handle == per-call") {
+    val out = Similarity.queries("x_ann_ivfpq")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    assert(out.groupBy(_._1).forall(_._2.length === 5))
+    // the composite inherits BOTH approximations (cell routing + ADC);
+    // with 2/16 cells probed and a 50-deep rerank most true neighbors
+    // must still surface (threshold is data-dependent, like x_ann_pq's)
+    val bf = Similarity.queries("x_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    val recall = out.toSet.intersect(bf.toSet).size.toDouble / bf.length
+    assert(recall >= 0.4, s"recall@5 = $recall")
+    // trained handle reuse matches the per-call (retrain) contract
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idx = Similarity.IvfPqIndex.train(emb)
+    val viaHandle = idx.search(emb.filter(col("vec_id") < 10))
+      .collect().map(_.toSeq)
+    val perCall = Similarity.ivfpqTopK(emb, col("vec_id") < 10)
+      .collect().map(_.toSeq)
+    assert(viaHandle.toSeq === perCall.toSeq)
+  }
+
   test("centroid aggregator: mean of identical vectors is the vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
