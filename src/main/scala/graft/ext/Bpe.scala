@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distributed BPE tokenizer training — the piece of a training-data
+  * pipeline that turns a corpus into a tokenizer, not just counts under an
+  * existing one ([[TextAnalysis.bpeTokenCounts]] is the latter).
+  *
+  * Split of labor (the standard production shape — GPT-2's reference
+  * trainer operates on a word-frequency dict, not the raw corpus):
+  *  - the CORPUS-sized pass is distributed: one explode + hash-aggregate
+  *    builds the word-frequency dict (a single shuffle whose output is
+  *    vocab-bounded, i.e. tiny relative to the corpus at any scale);
+  *  - the VOCAB-sized merge loop runs driver-side over that dict, like
+  *    the FAISS-style driver-resident quantizers in [[Similarity]]: at
+  *    100 TB the dict of distinct whitespace words is millions of rows —
+  *    megabytes — and iterating k merges over it distributed would pay k
+  *    job launches to save nothing.
+  *  - APPLYING the tokenizer is distributed and UDF-free: the learned
+  *    segmentation is itself vocab-bounded, so it broadcast-joins against
+  *    the exploded corpus (unseen words fall back to character count) and
+  *    the per-doc aggregate is one hash-agg. The corpus never shuffles
+  *    with payloads; only (doc_id, word) pairs reach the join.
+  *
+  * Merge semantics are classic BPE: symbols start as characters; each
+  * round merges the most frequent adjacent pair (ties → lexicographically
+  * smallest pair, so training is deterministic); encoding applies merges
+  * in learned order, each greedily left-to-right. Training and encoding
+  * are spec-tested against hand-computed corpora and an independent
+  * plain-Scala path (BpeSpec).
+  */
+object Bpe {
+
+  /** A trained BPE model: ordered merges plus the training vocab's
+    * ready-made segmentations (word → encoded sub-token count). */
+  final case class Model(merges: Seq[(String, String)],
+                         segments: Map[String, Int])
+
+  /** Learn `numMerges` merges from the corpus (distributed word count,
+    * driver-side merge loop — see object scaladoc). */
+  def train(docs: DataFrame, numMerges: Int): Model = {
+    val wordFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trainFromFreq(wordFreq, numMerges)
+  }
+
+  /** The driver-side trainer — public for the spec's independent-path
+    * equality check (distributed dict == plain-Scala dict). */
+  def trainFromFreq(wordFreq: Map[String, Long], numMerges: Int): Model = {
+    var words: Vector[(Vector[String], Long)] = wordFreq.toVector
+      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // highest count; ties broken by lexicographically smallest pair
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergeOnce(syms, best._1, best._2), c) }
+        made += 1
+      }
+    }
+    val ms = merges.result()
+    Model(ms, wordFreq.keysIterator.map(w => w -> encode(w, ms).length).toMap)
+  }
+
+  /** One greedy left-to-right pass replacing adjacent (a, b) with a+b. */
+  private def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode a word under the learned merges (applied in rank order). */
+  def encode(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) {
+      case (syms, (a, b)) => mergeOnce(syms, a, b)
+    }
+
+  /** Per-document sub-token counts under a trained model, distributed:
+    * explode the corpus into (doc_id, word), broadcast-join the
+    * vocab-bounded segmentation table (words the model never saw fall
+    * back to their character count — what char-level BPE degrades to),
+    * one hash-agg per doc. */
+  def subtokenCounts(docs: DataFrame, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seg = model.segments.toSeq.toDF("w", "n_sub")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(seg), Seq("w"), "left")
+      .withColumn("n_sub", coalesce(col("n_sub"), length(col("w"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"))
+      .orderBy("doc_id")
+  }
+}
