@@ -245,6 +245,48 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("redaction is a pure projection: scan, project, presentation sort only") {
+    val p = explain(q("x_text_redact"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // the one exchange is the presentation sort; the regexp work itself
+    // adds zero shuffles at any scale
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1, p)
+  }
+
+  test("filter cascade runs in one scan: no explode, no join, one agg exchange") {
+    val p = explain(q("x_text_filter_cascade"))
+    // the row-local array HOFs must not lower to Generate (explode) —
+    // that per-token row blowup is exactly what the cascade shape avoids
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 2, p) // per-lang agg + presentation sort
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("perplexity LM joins broadcast: the exploded corpus never sort-merges") {
+    val p = explain(q("x_text_perplexity"))
+    // c2⋈c1 (LM build) and bigrams⋈LM (scoring) must both be broadcast
+    // hash joins — a sort-merge would shuffle the exploded corpus by
+    // bigram, the full-width shuffle the broadcast design avoids
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // LM aggregates and the per-doc aggregate all partial+final
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("ivfpq: native ADC in plan, hash joins only, top-k lowers to WindowGroupLimit") {
+    val p = explain(q("x_ann_ivfpq"))
+    assert(p.contains("pq_adc"), p) // codes scan scores via the native expr
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // rank<=k filters over windows prune inside each partition before the
+    // shuffle (WindowGroupLimit), not as a post-window global filter
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("cosine_similarity is callable from SQL after registration") {
     // config-time path is spark.sql.extensions=graft.GraftExtensions; the
     // injector itself must populate a SparkSessionExtensions without error
