@@ -102,11 +102,7 @@ object Dedup {
 
     /** Candidate near-dup pairs from banded LSH over the MinHash signature. */
     private def lshCandidates: DataFrame = {
-      val banded = minhashSigs
-        .select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
-            .as(Seq("band_idx", "band_hash")))
+      val banded = minhashSigs.select(col("doc_id"), minhashBandCols)
       val pruned = pruneBuckets(banded, Seq("band_idx", "band_hash"))
       pruned.as("a")
         .join(pruned.as("b"),
@@ -164,6 +160,88 @@ object Dedup {
 
   /** Open a signature-cache handle over a (doc_id, text) corpus frame. */
   def openCorpus(docs: DataFrame): CorpusHandle = new CorpusHandle(docs)
+
+  /** b=16/r=4 banded LSH keys over a `sig` column (shared by the batch
+    * self-join pair-finder and the ingest-gate index below — one band
+    * definition, so their candidate semantics cannot drift apart). */
+  private def minhashBandCols =
+    posexplode(expr(
+      "transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+      .as(Seq("band_idx", "band_hash"))
+
+  /** Pre-built LSH index of an EXISTING corpus for ingest-time gating:
+    * `bands` is 16 lean (band_idx, band_hash, corpus_id) rows per corpus
+    * doc — no payloads — and `shingleSets` holds the shingle arrays keyed
+    * by corpus_id, touched only for band-matched candidates. At 100 TB
+    * the bands table is what a serving cluster keeps bucketed/partitioned
+    * by band key so per-batch probes prune to matching buckets. */
+  final case class IngestIndex private[Dedup] (
+      bands: DataFrame, shingleSets: DataFrame) {
+    /** Release the index caches. */
+    def close(): Unit = {
+      bands.unpersist(blocking = false)
+      shingleSets.unpersist(blocking = false)
+    }
+  }
+
+  /** Build the ingest-gate index over a (doc_id, text) corpus. */
+  def buildIngestIndex(corpus: DataFrame): IngestIndex = {
+    val bands = withMinhash(withShingles(corpus))
+      .select(col("doc_id").as("corpus_id"), minhashBandCols)
+      .select(col("band_idx"), col("band_hash"), col("corpus_id"))
+      .cache()
+    val sets = withShingles(corpus)
+      .select(col("doc_id").as("corpus_id"),
+        col("shingles").as("c_shingles"), size(col("shingles")).as("c_n"))
+      .cache()
+    IngestIndex(bands, sets)
+  }
+
+  /** Ingest-time near-dup gate — the stream-static complement of the
+    * batch pair-finders: incoming docs are DROPPED when they near-
+    * duplicate the existing corpus (a re-crawl, a mirrored page, a
+    * boilerplate clone), the standard admission check before anything
+    * enters a training corpus. Band-matched candidates are exact-Jaccard
+    * verified against only those corpus docs' shingle sets before the
+    * gate drops anything (the batch family's verify-then-act contract);
+    * duplicate band matches produce duplicate candidate rows that the
+    * final anti join absorbs, so no distinct() appears. Emits the
+    * SURVIVORS (docs admitted into the corpus).
+    *
+    * This is a BATCH function: the survivors anti join keys on a frame
+    * derived from `newDocs` itself, which on a streaming frame would be a
+    * stream-stream anti join (unsupported). Streaming ingest applies it
+    * per micro-batch via [[ingestGateStream]] — inside foreachBatch every
+    * micro-batch is a batch frame, the index side stays cached, and the
+    * per-batch plan is this one unchanged. */
+  def nearDupIngestGate(newDocs: DataFrame, index: IngestIndex,
+      threshold: Double = 0.5): DataFrame = {
+    val banded = withMinhash(withShingles(newDocs))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"),
+        minhashBandCols)
+    val matched = banded
+      .join(index.bands, Seq("band_idx", "band_hash"))
+      .join(index.shingleSets, Seq("corpus_id"))
+      .withColumn("inter",
+        size(array_intersect(col("shingles"), col("c_shingles"))))
+      .filter(col("inter").cast("double")
+        / (col("n_sh") + col("c_n") - col("inter")) >= threshold)
+      .select(col("doc_id"))
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** Streaming ingest: run [[nearDupIngestGate]] over each micro-batch of
+    * a docs stream (foreachBatch — the standard shape for per-batch logic
+    * a streaming plan cannot express) and hand survivors to `admit`. */
+  def ingestGateStream(newDocs: DataFrame, index: IngestIndex,
+      checkpoint: String, threshold: Double = 0.5)(
+      admit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        admit(nearDupIngestGate(batch.toDF(), index, threshold))
+      }
+      .start()
 
   /** Edge-source minhash pairs with session-lifetime signature caching
     * (see [[CorpusHandle]] for the owned-cache variant). */

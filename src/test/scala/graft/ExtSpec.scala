@@ -160,6 +160,32 @@ class ExtSpec extends SparkSpec {
     assert(out.select("split").distinct().count() === 2L)
   }
 
+  test("ingest gate drops docs near-duplicating the corpus, admits fresh ones") {
+    import spark.implicits._
+    val corpus = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val index = Dedup.buildIngestIndex(corpus)
+    try {
+      val base = corpus.orderBy("doc_id").limit(2).collect()
+      // verbatim re-crawls (J=1) and a one-token edit (J≈0.94 on ~100-token
+      // docs — band collision certain at the fixed seeds, then verified)
+      val verbatim = base.toSeq.map(r => (10000L + r.getLong(0), r.getString(1)))
+      val nearDup = {
+        val toks = base(0).getString(1).split(" ")
+        toks(toks.length / 2) = "zzzz"
+        (20000L, toks.mkString(" "))
+      }
+      // vocab-disjoint from the corpus: exact-Jaccard 0, must be admitted
+      // even if a sketch band were to collide (the verify step decides)
+      val fresh = Seq(
+        (30000L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+        (30001L, "mm nn oo pp qq rr ss tt uu vv ww xx"))
+      val newDocs = (verbatim :+ nearDup) ++ fresh
+      val out = Dedup.nearDupIngestGate(newDocs.toDF("doc_id", "text"), index)
+      assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set(30000L, 30001L))
+    } finally index.close()
+  }
+
   test("prefix-filtered ngram join returns exactly the naive result") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val naive = Dedup.ngramJaccardNaive(spark, docs).collect().toSeq

@@ -162,6 +162,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest gate: micro-batches near-dup-checked against the static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val index = graft.ext.Dedup.buildIngestIndex(corpus)
+    val base = corpus.orderBy("doc_id").limit(2).collect()
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("ingest_gate_ckpt").toString
+    val q = graft.ext.Dedup.ingestGateStream(
+      input.toDF().toDF("doc_id", "text"), index, checkpoint) { survivors =>
+      admitted.synchronized {
+        admitted ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      // batch 1: a verbatim re-crawl (dropped) + a fresh doc (admitted)
+      input.addData(
+        (10L, base(0).getString(1)),
+        (11L, "aa bb cc dd ee ff gg hh ii jj kk ll"))
+      q.processAllAvailable()
+      // batch 2: a one-token near-dup (dropped) + another fresh (admitted)
+      val edited = {
+        val toks = base(1).getString(1).split(" ")
+        toks(toks.length / 2) = "zzzz"
+        toks.mkString(" ")
+      }
+      input.addData(
+        (12L, edited),
+        (13L, "mm nn oo pp qq rr ss tt uu vv ww xx"))
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(11L, 13L))
+    } finally {
+      q.stop()
+      index.close()
+    }
+  }
+
   test("stateful sessionization closes sessions on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
