@@ -127,6 +127,52 @@ object Pipeline {
       .orderBy("lang", "rn")
   }
 
+  /** Default target language mixture for [[mixtureRebalance]] — sums to 1;
+    * langs absent from the map get weight 0 (excluded from the rebalanced
+    * corpus, the standard mixture-spec contract). */
+  private[ext] val mixTarget: Seq[(String, Double)] = Seq(
+    ("en", 0.30), ("de", 0.20), ("es", 0.20), ("fr", 0.15), ("zh", 0.15))
+
+  /** Domain-mixture rebalancing (the DoReMi/data-mixing shape): downsample
+    * each language bucket so the surviving corpus matches `target`
+    * proportions, keeping the total as large as the pools allow —
+    * `s_total = min_g(n_g / p_g)` is the largest corpus the binding group
+    * can supply, and group g keeps docs at rate `p_g * s_total / n_g`
+    * (exactly 1 for the binding group).
+    *
+    * Selection is a deterministic hash threshold, NOT a per-group quota:
+    * a doc survives iff its md5 bucket (first 8 hex digits, uniform on
+    * [0, 2^32)) falls below the group's rate threshold. That makes the
+    * whole operator a PURE PROJECTION over the corpus — two tiny
+    * aggregates (per-lang counts → rates, a handful of rows) broadcast
+    * into one scan+filter — zero corpus shuffles at any scale, where the
+    * exact-quota alternative ([[stratifiedSample]]'s row_number window)
+    * sorts every group through a per-lang partition and C partitions
+    * serialize a 100 TB corpus through C tasks. Achieved counts are
+    * Binomial(n_g, rate_g) — concentration makes the realized mixture
+    * exact to ~1/sqrt(n) at corpus scale, the standard trade. Rates and
+    * buckets are engine-portable (IEEE doubles + md5), so the DuckDB
+    * twin selects the identical doc set. */
+  def mixtureRebalance(docs: DataFrame,
+      target: Seq[(String, Double)] = mixTarget): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = target.toDF("lang", "p")
+    val pool = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
+      .join(broadcast(tgt), "lang") // inner: zero-weight langs drop out
+    val sTotal = pool.agg(min(col("n_pool") / col("p")).as("s_total"))
+    val rates = pool.crossJoin(sTotal)
+      .select(col("lang"),
+        floor(least(lit(1.0), col("p") * col("s_total") / col("n_pool"))
+          * lit(4294967296.0)).cast("long").as("thresh"))
+    docs
+      .join(broadcast(rates), "lang")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("thresh"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing by prefix-sum binning: docs in stable doc_id order
     * are packed into `budget`-token bins via a running token cumsum —
     * bin = floor((cumsum - n_tok) / budget), i.e. a doc goes to the bin
@@ -240,6 +286,7 @@ object Pipeline {
       decontaminate(documents(s, d), col("doc_id") % 100 === 0)),
     "x_split_stable" -> ((s, d) => stableSplit(documents(s, d))),
     "x_sample_stratified" -> ((s, d) => stratifiedSample(documents(s, d))),
+    "x_mix_rebalance" -> ((s, d) => mixtureRebalance(documents(s, d))),
     "x_pack_sequences" -> ((s, d) => packSequences(documents(s, d)))
   )
 
@@ -343,6 +390,33 @@ object Pipeline {
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |    % 100 < 90 THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // rates are IEEE-double arithmetic on both engines (explicit DOUBLE
+    // casts keep DuckDB's DECIMAL literals out), buckets are md5 — the
+    // two engines select the identical doc set
+    "x_mix_rebalance" ->
+      """WITH pool AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_pool
+        |  FROM documents GROUP BY lang
+        |), tgt AS (
+        |  SELECT * FROM (VALUES
+        |    ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.20 AS DOUBLE)),
+        |    ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |    ('zh', CAST(0.15 AS DOUBLE))) t(lang, p)
+        |), cap AS (
+        |  SELECT lang, n_pool, p FROM pool JOIN tgt USING (lang)
+        |), s AS (
+        |  SELECT min(n_pool / p) AS s_total FROM cap
+        |), rates AS (
+        |  SELECT lang,
+        |    CAST(floor(least(CAST(1 AS DOUBLE), p * s_total / n_pool)
+        |      * 4294967296.0) AS BIGINT) AS thresh
+        |  FROM cap CROSS JOIN s
+        |)
+        |SELECT doc_id, lang, thresh
+        |FROM documents JOIN rates USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < thresh
+        |ORDER BY doc_id""".stripMargin,
     "x_sample_stratified" ->
       """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
         |  SELECT lang, doc_id,

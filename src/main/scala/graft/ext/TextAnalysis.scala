@@ -269,8 +269,70 @@ object TextAnalysis {
       col("n_kept").cast("double") / col("n_docs"))
     .orderBy("lang")
 
+  /** Trained Naive Bayes language classifier, one distributed pass —
+    * the statistical complement of [[languageId]]'s fixed marker
+    * heuristic (fastText-style learned classifiers sit between the two;
+    * the Spark plumbing is this one's). Training IS aggregation:
+    * per-(token, class) counts plus per-class totals, Laplace-smoothed
+    * into a log-likelihood table over the full vocab × class grid (the
+    * smoothing term makes unseen pairs first-class rows, so scoring
+    * needs no per-token fallback logic). Scoring re-explodes the corpus
+    * and broadcast-joins the LM; argmax(class) per doc with ties broken
+    * by class name; output is the (labeled, predicted) confusion matrix.
+    *
+    * Cross-engine exactness follows x_text_perplexity's fixed-point
+    * contract: per-(token, class) `round(ln(p)*1e6)::long`, per-doc LONG
+    * sums (order-independent), integer argmax — no float accumulation
+    * anywhere, so the DuckDB twin is hash-identical.
+    *
+    * Scale shape: the LM is vocab-bounded (V×C rows, Zipf-small) and
+    * broadcasts; the corpus never shuffles until the per-(doc, class)
+    * partial-agg'd sum — C× the exploded token count, with C a small
+    * constant. The V×C grid itself comes from a C-row broadcast nested
+    * loop (allowlisted: the build side is the class dictionary). If the
+    * LM outgrows the broadcast ceiling the same plan holds with a
+    * token-keyed shuffle join, exactly as lmScores documents. */
+  def nbClassify(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+    val clsStats = toks.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val vocab = toks.select(col("token")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v_size"))
+    val cnt = toks.groupBy(col("token"), col("lang").as("cls"))
+      .agg(count(lit(1)).as("c_tc"))
+    val lm = vocab.crossJoin(broadcast(clsStats))
+      .join(broadcast(cnt), Seq("token", "cls"), "left")
+      .na.fill(0L, Seq("c_tc"))
+      .crossJoin(broadcast(vSize))
+      .select(col("token"), col("cls"),
+        round(log((col("c_tc") + lit(1)).cast("double")
+          / (col("n_cls") + col("v_size"))) * lit(1000000.0))
+          .cast("long").as("logp_micro"))
+    val priors = docs.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_docs_cls"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_corpus"))))
+      .select(col("cls"),
+        round(log(col("n_docs_cls").cast("double") / col("n_corpus"))
+          * lit(1000000.0)).cast("long").as("prior_micro"))
+    toks
+      .join(broadcast(lm), "token")
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("logp_micro")).as("ll_micro"))
+      .join(broadcast(priors), "cls")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy((col("ll_micro") + col("prior_micro")).desc, col("cls"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("cls").as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_text_perplexity" -> ((s, d) => lmScores(documents(s, d))),
+    "x_text_nb_classify" -> ((s, d) => nbClassify(documents(s, d))),
     "x_text_redact" -> ((s, d) => redact(documents(s, d)).orderBy("doc_id")),
     "x_text_filter_cascade" -> ((s, d) => filterCascade(documents(s, d))),
     "x_text_repetition" -> ((s, d) => repetitionSignals(documents(s, d))),
@@ -323,6 +385,46 @@ object TextAnalysis {
         |    AS rare_frac
         |FROM bg JOIN lm USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same fixed-point micro-log-prob contract as x_text_perplexity:
+    // LONG per-(token,class) scores, LONG per-doc sums, integer argmax
+    "x_text_nb_classify" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), cls AS (
+        |  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_cls
+        |  FROM tk GROUP BY lang
+        |), vocab AS (
+        |  SELECT DISTINCT token FROM tk
+        |), v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v_size FROM vocab
+        |), cnt AS (
+        |  SELECT token, lang AS cls, CAST(count(*) AS BIGINT) AS c_tc
+        |  FROM tk GROUP BY token, lang
+        |), lm AS (
+        |  SELECT vocab.token AS token, cls.cls AS cls,
+        |    CAST(round(ln(CAST(COALESCE(c_tc, 0) + 1 AS DOUBLE)
+        |      / (n_cls + v_size)) * 1000000) AS BIGINT) AS logp_micro
+        |  FROM vocab CROSS JOIN cls CROSS JOIN v
+        |  LEFT JOIN cnt ON cnt.token = vocab.token AND cnt.cls = cls.cls
+        |), pri AS (
+        |  SELECT lang AS cls,
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE)
+        |      / (SELECT CAST(count(*) AS BIGINT) FROM documents))
+        |      * 1000000) AS BIGINT) AS prior_micro
+        |  FROM documents GROUP BY lang
+        |), sc AS (
+        |  SELECT doc_id, lang, cls, CAST(sum(logp_micro) AS BIGINT) AS ll_micro
+        |  FROM tk JOIN lm USING (token) GROUP BY doc_id, lang, cls
+        |), ranked AS (
+        |  SELECT doc_id, lang, cls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY ll_micro + prior_micro DESC, cls) AS rk
+        |  FROM sc JOIN pri USING (cls)
+        |)
+        |SELECT lang, cls AS predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM ranked WHERE rk = 1
+        |GROUP BY lang, cls ORDER BY lang, predicted_lang""".stripMargin,
     "x_text_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS INT)

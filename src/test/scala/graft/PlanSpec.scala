@@ -122,7 +122,10 @@ class PlanSpec extends SparkSpec {
     // small side is the bounded query set.
     val allowed = Set("j6_cross", "j7_theta_self", "tpch_q22",
       "e9_daily_anomaly", "x_ann_bruteforce", "x_ann_pq", "x_dedup_embed",
-      "x_gapfill")
+      "x_gapfill",
+      // 1-row/class-dictionary broadcast sides: the mixture scalar
+      // (s_total) and the NB vocab×class smoothing grid (C-row build)
+      "x_mix_rebalance", "x_text_nb_classify")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) if !allowed.contains(name) =>
         val p = explain(build(spark, sf))
@@ -274,6 +277,33 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
     // LM aggregates and the per-doc aggregate all partial+final
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("mixture rebalance: corpus side is scan ⋈ broadcast(rates) + filter, no window") {
+    val p = explain(q("x_mix_rebalance"))
+    // the whole corpus-side cost is one scan joined to a broadcast rate
+    // table and filtered — the zero-corpus-shuffle contract the operator
+    // exists for (vs stratifiedSample's per-class row_number window)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // shuffle exchanges: the per-lang count aggs + the 1-row s_total agg
+    // (each over <= #langs rows) and the presentation sort; the corpus
+    // path itself is scan -> filter -> BHJ with NO exchange (visible in
+    // the tree: the parquet scan feeds the join directly)
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 4, p)
+  }
+
+  test("nb classifier: LM and scoring joins all broadcast, exploded corpus never sort-merges") {
+    val p = explain(q("x_text_nb_classify"))
+    // LM build (class stats, counts, vocab size) and scoring (tokens ⋈ LM,
+    // scores ⋈ priors) — every join side is vocab/class-bounded or the
+    // corpus stays streaming through a BroadcastHashJoin
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-(doc, class) sums and the confusion matrix all partial+final
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
   }
 
