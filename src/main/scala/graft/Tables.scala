@@ -28,16 +28,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright — read it as raw nanos (legacy conf) and truncate to
-    * microsecond TimestampType (same flooring DuckDB applies internally). */
+  /** events.ts has shipped in two vintages: parquet TIMESTAMP(NANOS)
+    * (Spark reads it only as a raw nanos long via the legacy conf) and
+    * plain timestamp[us] (read as TIMESTAMP_NTZ). Branch on the dtype the
+    * reader actually produced so both vintages land on the same
+    * micro-precision session-TZ TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` is exact integer division — col/1000 would route through double
-    // (ulp 256ns at epoch-nanos magnitude) and mis-truncate ~1.6% of
-    // timestamps by 1us vs DuckDB, flipping sub-us orderings in the oracle.
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` is exact integer division — col/1000 would route through
+        // double (ulp 256ns at epoch-nanos magnitude) and mis-truncate
+        // ~1.6% of timestamps by 1us vs DuckDB's internal flooring.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // NTZ micros: a cast under the pinned-UTC session keeps the wall
+        // clock DuckDB sees when it reads the same file.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -166,18 +166,25 @@ object StreamingEvents {
 
   /** Wire a parquet-directory stream source with the events schema —
     * the production entry (`readStream` → transform → `writeStream`).
-    * The raw parquet ts is TIMESTAMP(NANOS), which Spark only reads as a
-    * long (legacy conf) — the stream must declare the RAW schema and apply
-    * the same nanos→micros transform as the batch loader, or the first
-    * micro-batch dies on schema conversion. */
+    * The stream must declare the RAW schema and apply the same
+    * ts-normalization as the batch loader (`Tables.events`), or the first
+    * micro-batch dies on schema conversion. Two data vintages exist:
+    * TIMESTAMP(NANOS) (readable only as a raw long via the legacy conf)
+    * and timestamp[us] (read as TIMESTAMP_NTZ) — branch like the batch
+    * loader does. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory to watch; glob-filter to the
     // events file so sibling tables' parquet never enters the stream.
-    s.readStream.schema(rawSchema)
+    val raw = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
