@@ -177,11 +177,36 @@ object Dedup {
     * by band key so per-batch probes prune to matching buckets. */
   final case class IngestIndex private[Dedup] (
       bands: DataFrame, shingleSets: DataFrame) {
-    /** Release the index caches. */
+    /** Release the index caches (no-op on a [[IngestIndex.load]]ed index,
+      * whose frames are disk-backed table scans, not cached plans). */
     def close(): Unit = {
       bands.unpersist(blocking = false)
       shingleSets.unpersist(blocking = false)
     }
+
+    /** Persist this index as two bucketed EXTERNAL tables under `path` —
+      * the durable form of the scaladoc's "table a cluster keeps bucketed
+      * by band key": `<name>_bands` bucketed by the probe join key
+      * (band_idx, band_hash) and `<name>_sets` bucketed by corpus_id (the
+      * verify join key). A later session [[IngestIndex.load]]s them and
+      * gates batches with NO recompute of corpus signatures — the 100 TB
+      * restart story, where re-minhashing the corpus is the cost being
+      * avoided. Bucketing makes index-side joins co-located: a probe
+      * repartitioned to the band buckets joins without shuffling the
+      * corpus-sized index. */
+    def save(name: String, path: String, buckets: Int = 16): Unit = {
+      graft.sources.Layout.writeBucketedExternal(bands,
+        s"${name}_bands", s"$path/bands", buckets, Seq("band_idx", "band_hash"))
+      graft.sources.Layout.writeBucketedExternal(shingleSets,
+        s"${name}_sets", s"$path/sets", buckets, Seq("corpus_id"))
+    }
+  }
+
+  object IngestIndex {
+    /** Re-open an index persisted by [[IngestIndex.save]]: pure bucketed
+      * table scans — no signature math anywhere in the loaded plans. */
+    def load(spark: SparkSession, name: String): IngestIndex =
+      IngestIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_sets"))
   }
 
   /** Build the ingest-gate index over a (doc_id, text) corpus. */

@@ -37,6 +37,21 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** [[writeBucketed]] generalized to composite bucket keys and an
+    * EXTERNAL location: data lands under `path`, the catalog entry
+    * carries the bucket spec (bucketing is catalog metadata — a bare
+    * `.parquet(path)` write cannot record it, which is why persistent
+    * bucketed datasets are tables). Same one-file-per-bucket repartition
+    * discipline as [[writeBucketed]]. */
+  def writeBucketedExternal(df: DataFrame, table: String, path: String,
+      buckets: Int, keys: Seq[String]): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(totalBytes / targetFileBytes) evenly-sized files. Streaming
     * sinks and fine-grained incremental loads accrete thousands of tiny
