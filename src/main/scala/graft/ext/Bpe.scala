@@ -91,6 +91,55 @@ object Bpe {
       case (syms, (a, b)) => mergeOnce(syms, a, b)
     }
 
+  /** The committed tokenizer artifact: 24 merges [[train]]ed on the
+    * sf0.001 documents corpus — the production shape (train once, ship
+    * the merge list, apply everywhere). BpeSpec re-trains from the same
+    * corpus and asserts equality, so this constant cannot silently drift
+    * from the trainer. */
+  val pretrainedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w", "s" -> "t",
+    "l" -> "u", "a" -> "r", "p" -> "ar", "m" -> "er", "a" -> "t",
+    "a" -> "n", "c" -> "an", "s" -> "can", "c" -> "o", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "d" -> "ow", "in" -> "dow",
+    "w" -> "indow", "d" -> "er", "or" -> "der", "or" -> "t", "s" -> "ort")
+
+  /** Separator for the replace-chain symbol encoding below — any char
+    * outside the corpus alphabet works (the documents tables are space +
+    * lowercase letters; asserted impossible to collide in BpeSpec). */
+  private[ext] val sep = ","
+
+  /** Merge application as a PURE STRING PROJECTION — the trained
+    * tokenizer's distributed apply: a word becomes its `sep`-delimited
+    * character symbols and each merge (a, b) is one literal
+    * `replace(s, "a,b", "ab")`. Literal replace is left-to-right
+    * non-overlapping on both Spark and DuckDB — exactly [[mergeOnce]]'s
+    * greedy pass over the symbol vector (symbols never contain `sep`, so
+    * no false matches) — which makes the chain provably [[encode]]
+    * (property-tested over the corpus vocab in BpeSpec) and lets the
+    * DuckDB twin inline the identical chain. Unlike [[subtokenCounts]]'
+    * broadcast-join of the training-vocab segmentation table (char-count
+    * fallback on unseen words), the chain computes the TRUE segmentation
+    * of any word, seen or not, with zero joins, zero shuffles, and no
+    * driver-side vocab — codegen'd string ops all the way down. */
+  def subtokenCountCol(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val chain = pretrainedMerges.foldLeft(
+      concat_ws(sep, split(word, ""))) { case (s, (a, b)) =>
+      replace(s, lit(a + sep + b), lit(a + b))
+    }
+    size(split(chain, sep))
+  }
+
+  /** The DuckDB twin of [[subtokenCountCol]]: the same literal replace
+    * chain over `exprW` (a SQL expression yielding the word). */
+  def subtokenCountSql(exprW: String): String = {
+    val chain = pretrainedMerges.foldLeft(
+      s"array_to_string(string_split($exprW, ''), '$sep')") {
+      case (s, (a, b)) => s"replace($s, '$a$sep$b', '$a$b')"
+    }
+    s"len(string_split($chain, '$sep'))"
+  }
+
   /** Per-document sub-token counts under a trained model, distributed:
     * explode the corpus into (doc_id, word), broadcast-join the
     * vocab-bounded segmentation table (words the model never saw fall

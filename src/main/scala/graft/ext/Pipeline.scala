@@ -199,39 +199,75 @@ object Pipeline {
     * No partition-less WindowExec anywhere in the plan (gated by
     * PlanSpec's global-window gate). */
   def packSequences(docs: DataFrame, budget: Int = 2048,
-      shardSize: Int = 4096): DataFrame = {
+      shardSize: Int = 4096): DataFrame =
+    packCumsum(
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+        floor(col("doc_id") / shardSize).cast("long").as("shard")),
+      "n_tok", "cum_tok", budget)
+      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("bin"))
+      .orderBy("doc_id")
+
+  /** The shard-offset cumsum shared by [[packSequences]] and [[bpePack]]:
+    * given `(doc_id, <countCol>, shard)` with shards = contiguous doc_id
+    * ranges, adds `<cumCol>` (exact global running sum) and `bin`.
+    * One row per shard; prefix-sum on the driver. Driver memory bounds
+    * this at #shards = maxDocId/shardSize rows of (long, long) — callers
+    * at extreme corpus sizes raise shardSize to keep that small (any
+    * shardSize yields byte-identical output: the decomposition of the
+    * global cumsum is exact; shardSize only trades parallelism for
+    * driver-side offset count). */
+  private def packCumsum(sized: DataFrame, countCol: String, cumCol: String,
+      budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
-        floor(col("doc_id") / shardSize).cast("long").as("shard"))
-    // One row per shard; prefix-sum on the driver. Driver memory bounds
-    // this at #shards = maxDocId/shardSize rows of (long, long) — callers
-    // at extreme corpus sizes raise shardSize to keep that small (any
-    // shardSize yields byte-identical output: the decomposition of the
-    // global cumsum is exact; shardSize only trades parallelism for
-    // driver-side offset count).
     val totals = sized.groupBy(col("shard"))
-      .agg(sum(col("n_tok")).as("tot"))
+      .agg(sum(col(countCol)).as("tot"))
       .orderBy(col("shard"))
       .collect()
     var acc = 0L
     val offsets = totals.map { r =>
       val o = (r.getLong(0), acc); acc += r.getLong(1); o
     }.toSeq
-    val spark = docs.sparkSession
+    val spark = sized.sparkSession
     import spark.implicits._
     val offDf = offsets.toDF("shard", "shard_base")
     sized
       .join(broadcast(offDf), "shard")
-      .withColumn("cum_tok",
-        col("shard_base") + sum(col("n_tok")).over(
+      .withColumn(cumCol,
+        col("shard_base") + sum(col(countCol)).over(
           Window.partitionBy(col("shard")).orderBy(col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("bin",
-        floor((col("cum_tok") - col("n_tok")) / budget).cast("long"))
-      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("bin"))
-      .orderBy("doc_id")
+        floor((col(cumCol) - col(countCol)) / budget).cast("long"))
   }
+
+  /** The trained-tokenizer round trip the BPE machinery exists for, in
+    * ONE registered plan: apply [[Bpe.pretrainedMerges]] (the committed
+    * train-once artifact) to every word of every doc via the replace-chain
+    * projection ([[Bpe.subtokenCountCol]] — true segmentation of any word,
+    * no vocab join), aggregate per-doc TRAINED sub-token counts row-locally
+    * (array HOFs — no explode, no extra shuffle), and pack docs into
+    * `budget`-sub-token bins with the exact shard-offset cumsum. This is
+    * what a pretraining pipeline actually runs between tokenizer training
+    * and batch assembly: counts under the REAL tokenizer drive packing,
+    * not whitespace proxies. Corpus-side cost at 100 TB: one scan + the
+    * per-shard window; the only aggregates are shard totals (one row per
+    * shard). The DuckDB twin inlines the identical replace chain
+    * ([[Bpe.subtokenCountSql]]), so the whole round trip is
+    * oracle-checked end-to-end. */
+  def bpePack(docs: DataFrame, budget: Int = 2048,
+      shardSize: Int = 4096): DataFrame =
+    packCumsum(
+      docs
+        .withColumn("tokens", split(col("text"), " "))
+        .select(col("doc_id"), size(col("tokens")).as("n_words"),
+          aggregate(
+            transform(col("tokens"), w => Bpe.subtokenCountCol(w)),
+            lit(0L), (acc, x) => acc + x.cast("long")).as("n_subtokens"),
+          floor(col("doc_id") / shardSize).cast("long").as("shard")),
+      "n_subtokens", "cum_sub", budget)
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        col("cum_sub"), col("bin"))
+      .orderBy("doc_id")
 
   /** Overlapping token-window chunking — the unit embeddings/RAG indexes
     * operate on. `width`-token chunks every `stride` tokens (half-overlap
@@ -287,7 +323,8 @@ object Pipeline {
     "x_split_stable" -> ((s, d) => stableSplit(documents(s, d))),
     "x_sample_stratified" -> ((s, d) => stratifiedSample(documents(s, d))),
     "x_mix_rebalance" -> ((s, d) => mixtureRebalance(documents(s, d))),
-    "x_pack_sequences" -> ((s, d) => packSequences(documents(s, d)))
+    "x_pack_sequences" -> ((s, d) => packSequences(documents(s, d))),
+    "x_bpe_pack" -> ((s, d) => bpePack(documents(s, d)))
   )
 
   /** The DuckDB twin composes the already-proven langid / quality / BPE
@@ -424,6 +461,28 @@ object Pipeline {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    // the trained-merge replace chain is inlined (Bpe.subtokenCountSql),
+    // so DuckDB re-derives every word's TRAINED segmentation independently
+    // — the oracle checks apply AND pack, end-to-end
+    "x_bpe_pack" ->
+      s"""WITH persub AS (
+         |  SELECT doc_id, ${Bpe.subtokenCountSql("w")} AS n_sub
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+         |    CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+         |  FROM persub GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_words, n_subtokens, cum_sub,
+         |  CAST(floor((cum_sub - n_subtokens) / 2048.0) AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, n_words, n_subtokens,
+         |    CAST(sum(n_subtokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_sub
+         |  FROM perdoc)
+         |ORDER BY doc_id""".stripMargin,
     "x_pack_sequences" ->
       """SELECT doc_id, n_tok, cum_tok,
         |  CAST(floor((cum_tok - n_tok) / 2048.0) AS BIGINT) AS bin

@@ -63,4 +63,36 @@ class BpeSpec extends SparkSpec {
       .filter(_._2 > 0).sortBy(_._1).toSeq
     assert(got === expected)
   }
+
+  test("pretrainedMerges is exactly what train() learns on sf0.001 — the artifact can't drift") {
+    val docs = graft.Tables.documents(spark, sf)
+    assert(Bpe.train(docs, 24).merges === Bpe.pretrainedMerges)
+    // the separator must stay outside the corpus alphabet or the
+    // replace-chain symbol encoding could false-match
+    val alphabet = docs.select(
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), "")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(!alphabet.contains(","))
+  }
+
+  test("replace-chain projection == driver-side encode, for every corpus word and edge cases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus vocab + adversarial edges: single char, a word that IS a
+    // merged symbol, repeated-symbol runs (greedy non-overlap), unseen
+    // letters the merges never touch
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .union(Seq("e", "er", "ererer", "column", "window", "qqq", "sortsort")
+        .toDF("w"))
+      .distinct()
+    val got = words.select(col("w"), Bpe.subtokenCountCol(col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    got.foreach { case (w, n) =>
+      assert(n === Bpe.encode(w, Bpe.pretrainedMerges).length,
+        s"chain != encode for '$w'")
+    }
+  }
 }

@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 147/152 split") {
-    assert(SparkEntry.queries.size === 152)
-    assert(SparkEntry.oracleSql.size === 147)
+  test("oracle coverage matches the documented 148/153 split") {
+    assert(SparkEntry.queries.size === 153)
+    assert(SparkEntry.oracleSql.size === 148)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 5 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches), and only those — the multimodal pair became

@@ -708,6 +708,46 @@ class ExtSpec extends SparkSpec {
     assert(au === 2L && as_ === 12L)
   }
 
+  test("capped ngram under a BINDING cap: hand-computed survivor set, pair for pair") {
+    // At the gate SFs the posting cap never cuts (max df 7/25 vs cap 64),
+    // so the oracle binds via the uncut-cap identity and the PRUNING
+    // branch rests on subset properties alone. This fixture makes the cap
+    // bind with every count hand-computable (docs of 3-5 tokens → 1-3
+    // trigram shingles each):
+    //  - "h h h" appears in docs 1-4, 9, 10 → df 6 > cap 2 → leaves the
+    //    index; pairs among 1-4 share ONLY that hot shingle → missed
+    //    (the documented miss condition, planted deliberately);
+    //  - (5,6) share the rare "r r r" → found, J = 1.0;
+    //  - (9,10) exercise the full capped path: shared {"h h h","h h x"},
+    //    the hot one pruned, candidate survives via rare "h h x" with
+    //    inter_kept = 1, UB = 1 + min(hot_a, hot_b) = 2 → J_ub = 0.5
+    //    passes, and the exact re-verify restores the true J = 0.5
+    //    INCLUDING the pruned hot shingle;
+    //  - (11,12) share one rare shingle of nine distinct → candidate
+    //    generated, killed by the UB filter (1/9 < 0.5), never verified.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "h h h"), (2L, "h h h"), (3L, "h h h"), (4L, "h h h"),
+      (5L, "r r r"), (6L, "r r r"),
+      (9L, "h h h x y"), (10L, "h h h x z"),
+      (11L, "u v w a1 a2 a3 a4"), (12L, "u v w b1 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    def pairs(maxPosting: Int) =
+      Dedup.ngramJaccardNaive(spark, docs, maxPosting = maxPosting)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Int.MaxValue)
+    assert(exact === Set(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0),
+      (2L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0),
+      (5L, 6L, 1.0), (9L, 10L, 0.5)))
+    val capped = pairs(2)
+    assert(capped === Set((5L, 6L, 1.0), (9L, 10L, 0.5)))
+    // recall 2/8 on this adversarial all-hot fixture — recorded so the
+    // subset contract ("misses only all-hot pairs, exact scores for the
+    // rest") stays pinned to a number, not prose
+    assert(capped.subsetOf(exact) && capped.size === 2 && exact.size === 8)
+  }
+
   test("ingest index save/load: bucketed tables, identical gate decisions, no signature recompute") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 2 === 0)

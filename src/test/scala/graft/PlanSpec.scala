@@ -181,6 +181,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bpe round trip: chain apply is a projection — no explode, no vocab join, hash joins only") {
+    val p = explain(q("x_bpe_pack"))
+    // the trained-merge apply must stay row-local (array HOFs + string
+    // replaces): no Generate (per-token row blowup), no segmentation-table
+    // join; the only join is the shard-base broadcast of the pack cumsum
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q8 two-role nation star: hash joins only, part filter pushed to scan") {
     val p = explain(q("tpch_q8"))
     assert(p.matches("(?s).*PushedFilters:.*p_type.*"), p)
