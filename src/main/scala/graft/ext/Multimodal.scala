@@ -385,6 +385,77 @@ object Multimodal {
       documents(s, d).select(col("doc_id")).as[Long]
         .map(SyntheticMedia.build)
     }
+
+    /** Fixed-dim content embedding of one payload — the stand-in for a
+      * real encoder's pooled penultimate layer, with the decode done by
+      * the REAL codec for the kind: the unit stream (pixel bytes,
+      * |samples|, concatenated frame pixels) is mean-pooled into `dims`
+      * contiguous chunks and centered by the global mean. Centering is
+      * what makes the profile discriminative under cosine (raw chunk
+      * means of busy content all sit near mid-range, which would push
+      * every pairwise cosine to ~1); a one-byte perturbation moves one
+      * chunk by a fraction of a unit, so near-identical payloads stay at
+      * cosine ≈ 1. The chunk bounds guarantee ≥1 unit per chunk (short
+      * streams repeat units), so the embedding is total. */
+    def mediaEmbedding(payload: Array[Byte], kind: String,
+        dims: Int = 64): Array[Float] = {
+      val units: Array[Float] = kind match {
+        case "image" =>
+          val (_, _, pix) = Codecs.decodePpm(payload)
+          pix.map(b => (b & 0xff).toFloat)
+        case "audio" =>
+          val (_, samples) = Codecs.decodeWavPcm16(payload)
+          samples.map(s => math.abs(s.toInt).toFloat)
+        case "video" =>
+          (0 until Codecs.gvidFrameCount(payload)).toArray.flatMap(f =>
+            Codecs.decodePpm(Codecs.gvidFrame(payload, f))._3
+              .map(b => (b & 0xff).toFloat))
+        case other => throw new IllegalArgumentException(s"unknown kind $other")
+      }
+      val n = units.length
+      var total = 0.0
+      units.foreach(total += _)
+      val mean = (total / n).toFloat
+      Array.tabulate(dims) { i =>
+        val lo = (i.toLong * n / dims).toInt
+        val hi = math.max(lo + 1, ((i + 1).toLong * n / dims).toInt)
+        var s = 0.0
+        var j = lo
+        while (j < hi) { s += units(j); j += 1 }
+        (s / (hi - lo)).toFloat - mean
+      }
+    }
+
+    /** The multimodal → ANN bridge, stage 1: batched partition-local
+      * embed pass over a media frame, emitting the `(vec_id, embedding)`
+      * shape the whole [[Similarity]] stack consumes. Payloads never
+      * leave the partition — only 64 floats per media row cross any
+      * downstream shuffle, the same no-raw-bytes contract as
+      * [[extractFeatures]]. */
+    def embedMedia(ds: Dataset[MediaRow], dims: Int = 64,
+        batchSize: Int = 64): DataFrame = {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // real impl: load codec/encoder once per batch here
+          batch.iterator.map(r =>
+            (r.media_id, mediaEmbedding(r.payload, r.kind, dims)))
+        }
+      }.toDF("vec_id", "embedding")
+    }
+
+    /** The multimodal → ANN bridge, stage 2: near-dup media lookup —
+      * the image-dedup composition real pipelines run (decode → embed →
+      * ANN). Routed through the IVF-PQ composite ([[Similarity.ivfpqTopK]]),
+      * so at 100 TB the heavy scan reads ~12-byte PQ codes in probed
+      * cells only and full embeddings are touched just for the rerank
+      * shortlist; media payloads were already left behind at the embed
+      * pass. ExtSpec plants near-identical payloads and asserts the twin
+      * is each query's rank-1 at cosine ≈ 1 while distinct media stay
+      * below the near-dup bar. */
+    def mediaNearDups(ds: Dataset[MediaRow],
+        queryFilter: org.apache.spark.sql.Column, k: Int = 5): DataFrame =
+      Similarity.ivfpqTopK(embedMedia(ds), queryFilter, k)
   }
 
   /** One decoded frame sampled from a video payload. */
