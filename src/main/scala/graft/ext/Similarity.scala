@@ -321,6 +321,27 @@ object Similarity {
       private[Similarity] val ivf: IvfIndex,
       val pq: PqIndex, probes: Int, m: Int, pqCodes: Int,
       codes: DataFrame) {
+
+    /** Persist the trained index — the FAISS write_index analog, in
+      * Spark-native form: the cell-routed code table (the only
+      * corpus-sized piece, ~12 B/vector) lands as an EXTERNAL table
+      * bucketed by `cell`, so a loaded index's probe joins are co-located
+      * with zero shuffle of the codes; both quantizers (KB-scale driver
+      * state) land as two tiny parquet datasets under `path`. The VECTOR
+      * table is deliberately NOT copied — an index references the corpus,
+      * it does not duplicate it; [[IvfPqIndex.load]] takes the same
+      * `(vec_id, embedding)` frame back for the rerank stage. */
+    def save(name: String, path: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      graft.sources.Layout.writeBucketedExternal(codes, s"${name}_codes",
+        s"$path/codes", ivf.centroids.size, Seq("cell"))
+      ivf.centroids.toDF("cell", "vec")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      Seq((pq.codebooks.toSeq, m, pqCodes, probes))
+        .toDF("codebooks", "m", "pq_codes", "probes")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
     /** Top-k per query: probe `probes` nearest cells, ADC-score the PQ
       * codes inside them, exact-rerank the `rerank`-deep shortlist. The
       * codes scan carries no embeddings; the corpus-side rerank join
@@ -354,6 +375,42 @@ object Similarity {
   }
 
   object IvfPqIndex {
+    /** Re-open an index persisted by [[IvfPqIndex.save]]: quantizers
+      * collect back to the driver (KB-scale), the code table is a pure
+      * bucketed scan — NO retraining, no encode pass, no shuffle.
+      * `vectors` is the same `(vec_id, embedding)` corpus frame the index
+      * was built over; it is touched only by the exact-rerank stage (and
+      * only for shortlist rows). Centroids are re-sorted by cell id —
+      * every consumer (greatest/sort_array over (sim, cell) structs) is
+      * order-independent, but a deterministic order keeps loaded and
+      * trained plans byte-comparable. */
+    def load(spark: SparkSession, name: String, path: String,
+        vectors: DataFrame): IvfPqIndex = {
+      val centroids = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val metaRow = spark.read.parquet(s"$path/meta").collect().head
+      val codebooks = metaRow.getSeq[Float](0).toArray
+      val m = metaRow.getInt(1)
+      val pqCodes = metaRow.getInt(2)
+      val probes = metaRow.getInt(3)
+      val source = vectors.select(col("vec_id"), col("embedding"))
+      // assigned/enc are lazy projections off the loaded quantizers —
+      // declared for API completeness (IvfIndex.search / PqIndex.search
+      // on the loaded handle), never evaluated by IvfPqIndex.search
+      val assigned = source
+        .withColumn("cell", greatest(cellStructs(centroids): _*).getField("cell"))
+        .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
+      import graft.functions.VectorFunctions.{pqEncode, vecNorm}
+      val enc = source.select(col("vec_id").as("c_id"),
+        pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
+        vecNorm(col("embedding")).as("norm_c"))
+      new IvfPqIndex(
+        new IvfIndex(centroids, source, assigned),
+        new PqIndex(codebooks, m, pqCodes, source, enc),
+        probes, m, pqCodes,
+        spark.table(s"${name}_codes"))
+    }
+
     /** Train both quantizers over ONE materialized projection (the IVF
       * checkpoint is reused as the PQ training source and the code-table
       * scan), then emit the cell-routed code table in a single

@@ -786,6 +786,29 @@ class ExtSpec extends SparkSpec {
     } finally s2.conf.set(key, prev)
   }
 
+  test("ivfpq index save/load: new-session search == trained index, no encode in loaded plans") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idx = Similarity.IvfPqIndex.train(emb)
+    val expected = idx.search(emb.filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    idx.save("ivfpq_spec", dir)
+    // a NEW session sees only the persisted tables/files — identical
+    // search results prove the saved artifact alone carries the index
+    val s2 = spark.newSession()
+    val emb2 = graft.Tables.embeddings(s2, sf)
+    val loaded = Similarity.IvfPqIndex.load(s2, "ivfpq_spec", dir, emb2)
+    val search2 = loaded.search(emb2.filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank")
+    assert(search2.collect() === expected)
+    // the loaded search never re-encodes: pq_encode (the write-time pass)
+    // is absent; the scan scores via pq_adc over the bucketed code table
+    val p = explain(search2)
+    assert(!p.contains("pq_encode"), p)
+    assert(p.contains("pq_adc"), p)
+  }
+
   test("multimodal -> ANN bridge: planted near-identical media found, distinct media not") {
     import Multimodal.{MultimodalPipeline, SyntheticMedia}
     import spark.implicits._
