@@ -62,16 +62,42 @@ object Pipeline {
 
   /** Tokenizer vocabulary build: corpus-wide token counts, ids assigned by
     * frequency (ties broken lexicographically), truncated to `maxVocab`.
-    * 100 TB notes: the count is a distributed partial+final groupBy; the
-    * global row_number runs over the AGGREGATED vocabulary (≤ a few million
-    * rows at web scale), not the corpus — one narrow single-partition pass
-    * at the very end, the standard shape for vocab building. */
+    *
+    * 100 TB notes: the count is a distributed partial+final groupBy, and
+    * the frequency rank is computed WITHOUT a partition-less window (the
+    * former formulation ranked the FULL aggregated vocabulary — millions
+    * of rows at web scale — through one task; truncation to maxVocab only
+    * happened afterwards). Same shard-offset decomposition as
+    * [[packSequences]] / `Windows.ntileExact`, with shards = exact
+    * `(cnt, first-char)` groups, which are contiguous ranges of the
+    * (cnt desc, token asc) sort order: per-group counts (bounded driver
+    * state — distinct counts collapse Zipf-style, × alphabet) prefix-sum
+    * on the driver into group bases, and the global rank is base +
+    * row_number over a window PARTITIONED by group. The Zipf tie mass at
+    * cnt=1 splits across first characters; a finer prefix widens the
+    * split if one letter dominates — a parallelism knob, never a
+    * correctness one. (Driver-side group ordering uses Java string
+    * compare = UTF8 binary order for this ASCII corpus; a full-unicode
+    * corpus would sort both sides by the same collation.) */
   def buildVocab(docs: DataFrame, maxVocab: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(explode(split(col("text"), " ")).as("token"))
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("token_id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("pfx", substring(col("token"), 1, 1))
+    val groups = counts.groupBy(col("cnt"), col("pfx"))
+      .agg(count(lit(1)).as("n")).collect()
+      .sortBy(r => (-r.getLong(0), r.getString(1)))
+    var acc = 0L
+    val offsets = groups.map { r =>
+      val o = (r.getLong(0), r.getString(1), acc); acc += r.getLong(2); o
+    }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    counts
+      .join(broadcast(offsets.toDF("cnt", "pfx", "grp_base")), Seq("cnt", "pfx"))
+      .withColumn("token_id", (col("grp_base") + row_number().over(
+        Window.partitionBy(col("cnt"), col("pfx")).orderBy(col("token"))))
+        .cast("int"))
       .filter(col("token_id") <= maxVocab)
       .select(col("token_id"), col("token"), col("cnt"))
       .orderBy("token_id")

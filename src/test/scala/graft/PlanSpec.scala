@@ -140,15 +140,15 @@ class PlanSpec extends SparkSpec {
   test("no query plans a partition-less window except the known post-aggregate shapes") {
     // Regression net for the per-shard packSequences rewrite: a global
     // (partition-less) window serializes its whole input through ONE task —
-    // the one plan shape that cannot survive a 100× scale-up. Every
+    // the one plan shape that cannot survive a 100× scale-up. The single
     // allowlisted entry runs its global window over an input BOUNDED
-    // INDEPENDENT OF CORPUS SIZE — x_text_vocab's over the aggregated
-    // vocabulary (truncated to maxVocab rows), o1_multisort_ci's over a
-    // key-bounded subset (s_suppkey < 100 → at most 100 rows at ANY scale
-    // factor). No corpus-sized member: w6_ntile left this list in round 7
-    // when its ntile moved to the shard-offset decomposition
-    // (Windows.ntileExact — partitioned windows only).
-    val allowed = Set("x_text_vocab", "o1_multisort_ci")
+    // INDEPENDENT OF CORPUS SIZE: o1_multisort_ci's CI-rank window covers
+    // a key-bounded subset (s_suppkey < 100 → at most 100 rows at ANY
+    // scale factor). w6_ntile (corpus-sized) and x_text_vocab
+    // (vocab-sized) both left this list in round 7 when their ranks moved
+    // to the shard-offset decomposition (Windows.ntileExact /
+    // Pipeline.buildVocab — partitioned windows only).
+    val allowed = Set("o1_multisort_ci")
     val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         val hasGlobal = build(spark, sf).queryExecution.optimizedPlan.collect {
