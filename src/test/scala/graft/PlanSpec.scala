@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("top-n-per-group windows pre-prune via WindowGroupLimit before the shuffle") {
+    // rank<=k filters over partitioned windows must keep the partial
+    // WindowGroupLimit rewrite: each map task cuts to its local top-k per
+    // key BEFORE the shuffle, so the exchange carries tasks×keys×k rows
+    // instead of the whole input — the property that makes these shapes
+    // scale. A formulation change that stops the rewrite firing (e.g.
+    // filtering on a derived column) regresses silently without this pin.
+    Seq("w4_topn_per_group", "x_sample_stratified").foreach { n =>
+      val p = explain(q(n))
+      assert(p.contains("WindowGroupLimit"), s"$n lost the group-limit prune:\n$p")
+    }
+  }
+
   test("bpe round trip: chain apply is a projection — no explode, no vocab join, hash joins only") {
     val p = explain(q("x_bpe_pack"))
     // the trained-merge apply must stay row-local (array HOFs + string
