@@ -143,6 +143,16 @@ object Stress {
     time("substring_windows_dup_heavy") {
       graft.ext.Dedup.repeatedWindows(spark, docsDup).count()
     }
+    // The two round-7 shard-offset rank decompositions at K×: the trained
+    // replace-chain apply + pack (pure projection + per-shard window) and
+    // the vocab build with its (cnt, first-char) group ranking. Both must
+    // stay linear in K — neither has a partition-less window to saturate.
+    time("bpe_pack_10x") {
+      graft.ext.Pipeline.bpePack(docsDup).count()
+    }
+    time("vocab_10x") {
+      graft.ext.Pipeline.buildVocab(docsDup).count()
+    }
     // Band-prune formulation A/B (round 5): the two LSH band sites were
     // switched from count-over-window to hash-agg+broadcast-rejoin
     // (Dedup.pruneBuckets), applying the measured doc-freq lesson. Both

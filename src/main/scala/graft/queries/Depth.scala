@@ -60,6 +60,8 @@ object Depth {
 
     // RANGE window frame: running sum of order totals within $1000 (100k
     // cents) below the current order's price, per priority class.
+    // (5-value partition key — kept as the RANGE-frame semantics pin; see
+    // the partition-width note at w5_rank.)
     "w9_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("price_cents")).rangeBetween(-100000L, 0L)

@@ -117,6 +117,12 @@ object Windows {
     }),
 
     // rank vs dense_rank with real ties (customers ranked within nation).
+    // Partition-width note (applies to w8 and w9 too): nationkey is a
+    // 25-value key, so each window task carries one nation's rows — these
+    // entries exist to pin the rank-function SEMANTICS; a production rank
+    // within low-cardinality keys at corpus scale extends the ntileExact
+    // shard-offset decomposition instead (value-keyed shards keep tie
+    // groups intact, so rank/dense_rank bases compose exactly).
     "w5_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc)
@@ -168,16 +174,22 @@ object Windows {
     // computed WITHOUT a partition-less window — see [[ntileExact]].
     "w6_ntile" -> ((s, d) => ntileExact(s, customer(s, d), 4)),
 
-    // ratio-to-report: each order's share of its priority class's total
-    // (window sum with no frame = whole partition; one fixed double shape
-    // over exact cents on both engines).
+    // ratio-to-report: each order's share of its priority class's total.
+    // NOT a window: partitionBy(o_orderpriority) would route the whole
+    // fact through 5 tasks (one per priority class) — the textbook
+    // scalable form is a partial+final per-class aggregate broadcast back
+    // into one scan. Integer-cents sums are order-independent, so this is
+    // byte-identical to the window formulation (the DuckDB twin keeps the
+    // OVER (PARTITION BY) form — two different plans, one hash).
     "w10_ratio_to_report" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-      orders(s, d)
+      val priced = orders(s, d)
         .withColumn("price_cents", cents(col("o_totalprice")))
+      val totals = priced.groupBy(col("o_orderpriority"))
+        .agg(sum(col("price_cents")).as("prio_total"))
+      priced.join(broadcast(totals), "o_orderpriority")
         .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
           (col("price_cents").cast("double")
-            / sum(col("price_cents")).over(w).cast("double")).as("share"))
+            / col("prio_total").cast("double")).as("share"))
         .orderBy("o_orderkey")
     }),
 

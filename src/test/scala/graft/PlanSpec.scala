@@ -181,6 +181,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("w10 ratio-to-report: per-class agg + broadcast join, no window at all") {
+    // the 5-value o_orderpriority key would route the whole fact through
+    // 5 window tasks; the scalable form keeps the fact in one scan joined
+    // to a broadcast 5-row total table (hash-identical to the window
+    // formulation the DuckDB twin still runs)
+    val p = explain(q("w10_ratio_to_report"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
   test("top-n-per-group windows pre-prune via WindowGroupLimit before the shuffle") {
     // rank<=k filters over partitioned windows must keep the partial
     // WindowGroupLimit rewrite: each map task cuts to its local top-k per
