@@ -506,6 +506,16 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
+    // The media → ANN bridge end-to-end: payloads → real-codec decode →
+    // centered 64-chunk embedding → IVF-PQ near-dup lookup for the first
+    // 10 media. Rows-only like the other ANN entries (quantizer/probe
+    // internals have no portable SQL twin); the planted-clone behavioral
+    // contract lives in ExtSpec.
+    "x_media_neardup" -> ((s, d) =>
+      MultimodalPipeline.mediaNearDups(
+        MultimodalPipeline.fromDocuments(s, d), col("vec_id") < 10)
+        .orderBy("q_id", "rank")),
+
     // End-to-end: doc ids → encoded payloads → batched REAL decode →
     // exact integer features per media row (payloads never cross a
     // shuffle). Oracle recomputes every feature from the generation

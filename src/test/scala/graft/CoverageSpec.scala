@@ -18,14 +18,16 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 148/153 split") {
-    assert(SparkEntry.queries.size === 153)
+  test("oracle coverage matches the documented 148/154 split") {
+    assert(SparkEntry.queries.size === 154)
     assert(SparkEntry.oracleSql.size === 148)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 5 intrinsically non-oracle-able operators (ANN internals /
-    // approximate sketches), and only those — the multimodal pair became
-    // oracle-backed in round 5 when the codecs became real
+    // the 6 intrinsically non-oracle-able operators (ANN internals /
+    // approximate sketches — x_media_neardup routes through the IVF-PQ
+    // quantizers, same reason as the x_ann_* family), and only those —
+    // the multimodal feature pair became oracle-backed in round 5 when
+    // the codecs became real
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq",
-      "x_ann_ivfpq", "x_approx_agg"))
+      "x_ann_ivfpq", "x_approx_agg", "x_media_neardup"))
   }
 }
