@@ -60,8 +60,11 @@ object Depth {
 
     // RANGE window frame: running sum of order totals within $1000 (100k
     // cents) below the current order's price, per priority class.
-    // (5-value partition key — kept as the RANGE-frame semantics pin; see
-    // the partition-width note at w5_rank.)
+    // (5-value partition key — kept as the RANGE-frame semantics pin and
+    // now the catalog's ONE remaining low-cardinality window: a value-
+    // range frame decomposes like w5/w8's shard-offset ranks only with
+    // boundary-overlap handling — rows within the frame width of a shard
+    // edge need the neighbor shard's tail — documented, not built.)
     "w9_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("price_cents")).rangeBetween(-100000L, 0L)

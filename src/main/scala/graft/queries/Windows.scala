@@ -71,6 +71,45 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Per-(nation, shard) offsets for the ranked-customer queries, with
+    * shards = fixed-width c_acctbal buckets INSIDE each nation — the
+    * [[ntileExact]] decomposition extended to ranking functions over a
+    * low-cardinality partition key (25 nations → 25 window tasks carry
+    * the full customer table in the textbook formulation). Tie groups
+    * (equal c_acctbal) land in one shard by construction (the shard is a
+    * function of the value), so per-shard rank/dense_rank/row_number
+    * compose exactly with the prefix-summed bases:
+    *   - base_rows  = rows in the nation's earlier shards (sort order);
+    *   - base_dense = DISTINCT c_acctbal values in earlier shards
+    *     (distinct values can't span shards either);
+    *   - n_nation   = the nation's row total (percent_rank/cume_dist
+    *     denominators).
+    * Bounded driver state: nations × buckets rows. Returns
+    * (nk, shard, base_rows, base_dense, n_nation) in `descending`
+    * (= c_acctbal desc) or ascending shard order. */
+  private def nationShardOffsets(sharded: DataFrame,
+      descending: Boolean): Seq[(Long, Long, Long, Long, Long)] = {
+    val groups = sharded
+      .groupBy(col("c_nationkey").as("nk"), col("shard"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("c_acctbal")).as("dcnt"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3)))
+    groups.groupBy(_._1).toSeq.flatMap { case (nk, gs) =>
+      val n = gs.map(_._3).sum
+      val ordered = if (descending) gs.sortBy(-_._2) else gs.sortBy(_._2)
+      var accR = 0L
+      var accD = 0L
+      ordered.map { case (_, sh, cnt, dcnt) =>
+        val o = (nk, sh, accR, accD, n); accR += cnt; accD += dcnt; o
+      }
+    }
+  }
+
+  private def shardedCustomer(cust: DataFrame): DataFrame =
+    cust.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+      floor(col("c_acctbal") / 500).cast("long").as("shard"))
+
   val queries: Map[String, Q] = Map(
     // row_number: per-customer order sequence (IDENTITY-emulation shape, §7.4).
     "w1_row_number" -> ((s, d) => {
@@ -116,20 +155,27 @@ object Windows {
         .orderBy("o_custkey", "rn")
     }),
 
-    // rank vs dense_rank with real ties (customers ranked within nation).
-    // Partition-width note (applies to w8 and w9 too): nationkey is a
-    // 25-value key, so each window task carries one nation's rows — these
-    // entries exist to pin the rank-function SEMANTICS; a production rank
-    // within low-cardinality keys at corpus scale extends the ntileExact
-    // shard-offset decomposition instead (value-keyed shards keep tie
-    // groups intact, so rank/dense_rank bases compose exactly).
+    // rank vs dense_rank with real ties (customers ranked within nation)
+    // — via [[nationShardOffsets]]: the textbook partitionBy(nationkey)
+    // would route the whole table through 25 window tasks; here every
+    // window is partitioned by (nation, value-shard) and the bases
+    // restore exact global-within-nation ranks, tie groups intact
+    // (bit-equality with the built-ins pinned in PlanSpec; the DuckDB
+    // twin keeps the plain OVER form — two plans, one hash).
     "w5_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("c_nationkey"))
+      import s.implicits._
+      val sharded = shardedCustomer(customer(s, d))
+      val offs = nationShardOffsets(sharded, descending = true)
+        .toDF("nk", "shard_o", "base_rows", "base_dense", "n_nation")
+      val w = Window.partitionBy(col("c_nationkey"), col("shard"))
         .orderBy(col("c_acctbal").desc)
-      customer(s, d)
+      sharded
+        .join(broadcast(offs),
+          col("c_nationkey") === col("nk") && col("shard") === col("shard_o"))
         .select(col("c_nationkey"), col("c_custkey"),
-          rank().over(w).as("bal_rank"),
-          dense_rank().over(w).as("bal_dense_rank"))
+          (col("base_rows") + rank().over(w)).cast("int").as("bal_rank"),
+          (col("base_dense") + dense_rank().over(w)).cast("int")
+            .as("bal_dense_rank"))
         .orderBy("c_nationkey", "c_custkey")
     }),
 
@@ -146,14 +192,28 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // percent_rank / cume_dist (deterministic: rank arithmetic over ints).
+    // percent_rank / cume_dist (deterministic: rank arithmetic over ints)
+    // — same decomposition as w5. The (c_acctbal, c_custkey) ordering is
+    // UNIQUE, so percent_rank = (rn-1)/(N-1) and cume_dist = rn/N with
+    // rn = base + within-shard row_number: the identical long-over-long
+    // IEEE divisions the built-ins (and DuckDB) evaluate, hence
+    // bit-stable across both plans and both engines.
     "w8_percent_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("c_nationkey"))
+      import s.implicits._
+      val sharded = shardedCustomer(customer(s, d))
+      val offs = nationShardOffsets(sharded, descending = false)
+        .toDF("nk", "shard_o", "base_rows", "base_dense", "n_nation")
+      val w = Window.partitionBy(col("c_nationkey"), col("shard"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
-      customer(s, d)
+      sharded
+        .join(broadcast(offs),
+          col("c_nationkey") === col("nk") && col("shard") === col("shard_o"))
+        .withColumn("rn", col("base_rows") + row_number().over(w))
         .select(col("c_nationkey"), col("c_custkey"),
-          percent_rank().over(w).as("bal_pct_rank"),
-          cume_dist().over(w).as("bal_cume_dist"))
+          when(col("n_nation") > 1,
+            (col("rn") - 1).cast("double") / (col("n_nation") - 1))
+            .otherwise(lit(0.0)).as("bal_pct_rank"),
+          (col("rn").cast("double") / col("n_nation")).as("bal_cume_dist"))
         .orderBy("c_nationkey", "c_custkey")
     }),
 

@@ -181,6 +181,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("w5/w8: shard-offset rank decompositions match the built-in window functions bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(spark, sf)
+    val w5w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val exp5 = cust.select(col("c_nationkey"), col("c_custkey"),
+      rank().over(w5w).as("bal_rank"), dense_rank().over(w5w).as("bal_dense_rank"))
+      .orderBy("c_nationkey", "c_custkey").collect()
+    assert(q("w5_rank").collect() === exp5)
+    val w8w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val exp8 = cust.select(col("c_nationkey"), col("c_custkey"),
+      percent_rank().over(w8w).as("bal_pct_rank"),
+      cume_dist().over(w8w).as("bal_cume_dist"))
+      .orderBy("c_nationkey", "c_custkey").collect()
+    assert(q("w8_percent_rank").collect() === exp8)
+  }
+
   test("w10 ratio-to-report: per-class agg + broadcast join, no window at all") {
     // the 5-value o_orderpriority key would route the whole fact through
     // 5 window tasks; the scalable form keeps the fact in one scan joined
