@@ -202,6 +202,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest gate over a LOADED (disk-backed) index: same decisions, no in-memory corpus state") {
+    // closes the loop between IngestIndex persistence and the streaming
+    // path: a serving session that restarts loads the bucketed tables and
+    // gates micro-batches with no re-minhash of the corpus — the index
+    // side of every per-batch plan is a table scan
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val built = graft.ext.Dedup.buildIngestIndex(corpus)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    built.save("ingest_idx_stream_spec", dir)
+    built.close()
+    // (the new-SESSION load is proven in ExtSpec's batch case; here the
+    // subject is the streaming plan over the disk-backed index frames)
+    val index = graft.ext.Dedup.IngestIndex.load(spark, "ingest_idx_stream_spec")
+    val bandsPlan = explain(index.bands)
+    assert(!bandsPlan.contains("minhash_signature"), bandsPlan)
+    val base = corpus.orderBy("doc_id").limit(1).collect()
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("ingest_gate_loaded_ckpt").toString
+    val q = graft.ext.Dedup.ingestGateStream(
+      input.toDF().toDF("doc_id", "text"), index, checkpoint) { survivors =>
+      admitted.synchronized {
+        admitted ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      input.addData(
+        (20L, base(0).getString(1)), // verbatim re-crawl → dropped
+        (21L, "a1 b1 c1 d1 e1 f1 g1 h1 i1 j1 k1 l1")) // fresh → admitted
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(21L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
