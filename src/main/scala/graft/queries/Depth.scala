@@ -59,18 +59,30 @@ object Depth {
       .orderBy("l_returnflag")),
 
     // RANGE window frame: running sum of order totals within $1000 (100k
-    // cents) below the current order's price, per priority class.
-    // (5-value partition key — kept as the RANGE-frame semantics pin and
-    // now the catalog's ONE remaining low-cardinality window: a value-
-    // range frame decomposes like w5/w8's shard-offset ranks only with
-    // boundary-overlap handling — rows within the frame width of a shard
-    // edge need the neighbor shard's tail — documented, not built.)
+    // cents) below the current order's price, per priority class —
+    // WITHOUT the 5-task partitionBy(o_orderpriority) window. The
+    // ghost-row overlap decomposition: with shard width = frame width
+    // (100k cents), any row's frame [p-100k, p] lies entirely in its own
+    // value-shard plus the one below, so each row is duplicated once into
+    // the NEXT shard (ghost) and the RANGE window runs partitioned by
+    // (priority, shard) over real+ghost rows — every true frame member is
+    // present exactly once (a row's ghost lives only one shard up), the
+    // value predicate trims the candidates to the exact frame, and ghosts
+    // are dropped after the window. 2× rows through priority×price-bucket
+    // partitions instead of the whole fact through 5 tasks; bit-equality
+    // with the textbook window pinned in PlanSpec (the DuckDB twin keeps
+    // the plain OVER RANGE form — two plans, one hash).
     "w9_range_frame" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("price_cents")).rangeBetween(-100000L, 0L)
-      orders(s, d)
+      val priced = orders(s, d)
         .withColumn("price_cents", cents(col("o_totalprice")))
+        .withColumn("shard", floor(col("price_cents") / 100000L))
+      val doubled = priced.withColumn("ghost", lit(0)).unionByName(
+        priced.withColumn("shard", col("shard") + 1).withColumn("ghost", lit(1)))
+      val w = Window.partitionBy(col("o_orderpriority"), col("shard"))
+        .orderBy(col("price_cents")).rangeBetween(-100000L, 0L)
+      doubled
         .withColumn("near_sum", sum(col("price_cents")).over(w))
+        .filter(col("ghost") === 0)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("price_cents"), col("near_sum"))
         .orderBy("o_orderkey")

@@ -199,6 +199,20 @@ class PlanSpec extends SparkSpec {
     assert(q("w8_percent_rank").collect() === exp8)
   }
 
+  test("w9: ghost-row RANGE decomposition matches the priority-partitioned window bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w9w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_cents")).rangeBetween(-100000L, 0L)
+    val exp9 = graft.Tables.orders(spark, sf)
+      .withColumn("price_cents", graft.Tables.cents(col("o_totalprice")))
+      .withColumn("near_sum", sum(col("price_cents")).over(w9w))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("price_cents"), col("near_sum"))
+      .orderBy("o_orderkey").collect()
+    assert(q("w9_range_frame").collect() === exp9)
+  }
+
   test("w10 ratio-to-report: per-class agg + broadcast join, no window at all") {
     // the 5-value o_orderpriority key would route the whole fact through
     // 5 window tasks; the scalable form keeps the fact in one scan joined
