@@ -38,14 +38,25 @@ object Bpe {
                          segments: Map[String, Int])
 
   /** Learn `numMerges` merges from the corpus (distributed word count,
-    * driver-side merge loop — see object scaladoc). */
-  def train(docs: DataFrame, numMerges: Int): Model = {
-    val wordFreq = docs
+    * driver-side merge loop — see object scaladoc). The dict collect is
+    * BOUNDED, not just documented: at most `maxDictWords + 1` rows ever
+    * reach the driver (`limit` caps the collect itself, so an over-bound
+    * corpus fails fast on a cheap probe instead of OOMing the driver
+    * mid-collect); callers with genuinely larger vocabularies raise the
+    * bound consciously or pre-filter rare words (the standard min-count
+    * trim) first. */
+  def train(docs: DataFrame, numMerges: Int,
+      maxDictWords: Int = 10000000): Model = {
+    val rows = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    trainFromFreq(wordFreq, numMerges)
+      .limit(maxDictWords + 1)
+      .collect()
+    require(rows.length <= maxDictWords,
+      s"Bpe.train: word dict exceeds the $maxDictWords-row driver bound — " +
+        "raise maxDictWords or pre-filter rare words (min-count trim)")
+    trainFromFreq(rows.map(r => r.getString(0) -> r.getLong(1)).toMap, numMerges)
   }
 
   /** The driver-side trainer — public for the spec's independent-path

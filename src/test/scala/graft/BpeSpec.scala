@@ -64,6 +64,16 @@ class BpeSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("train fails fast when the word dict exceeds the driver bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.train(docs, numMerges = 2, maxDictWords = 3))
+    assert(e.getMessage.contains("driver bound"))
+    // at the bound exactly, training proceeds
+    assert(Bpe.train(docs, numMerges = 2, maxDictWords = 4).merges.nonEmpty)
+  }
+
   test("pretrainedMerges is exactly what train() learns on sf0.001 — the artifact can't drift") {
     val docs = graft.Tables.documents(spark, sf)
     assert(Bpe.train(docs, 24).merges === Bpe.pretrainedMerges)
