@@ -120,35 +120,53 @@ object Bpe {
   private[ext] val sep = ","
 
   /** Merge application as a PURE STRING PROJECTION — the trained
-    * tokenizer's distributed apply: a word becomes its `sep`-delimited
-    * character symbols and each merge (a, b) is one literal
-    * `replace(s, "a,b", "ab")`. Literal replace is left-to-right
-    * non-overlapping on both Spark and DuckDB — exactly [[mergeOnce]]'s
-    * greedy pass over the symbol vector (symbols never contain `sep`, so
-    * no false matches) — which makes the chain provably [[encode]]
-    * (property-tested over the corpus vocab in BpeSpec) and lets the
-    * DuckDB twin inline the identical chain. Unlike [[subtokenCounts]]'
-    * broadcast-join of the training-vocab segmentation table (char-count
-    * fallback on unseen words), the chain computes the TRUE segmentation
-    * of any word, seen or not, with zero joins, zero shuffles, and no
-    * driver-side vocab — codegen'd string ops all the way down. */
+    * tokenizer's distributed apply. A word's symbol vector is encoded
+    * BOUNDARY-WRAPPED: every symbol is enclosed in single `sep`s, so the
+    * string is `,c,,o,,w,` and the boundary between symbols is exactly
+    * `sep+sep`. Each merge (a, b) is one literal
+    * `replace(s, ",a,,b,", ",ab,")`. The wrapping is what makes a literal
+    * match align ONLY on whole symbols: the pattern's leading `sep`
+    * forces `a` to start at a symbol start (a mid-symbol suffix like the
+    * `a` in `xa` is preceded by `x`, not `sep`), the interior `sep+sep`
+    * forces a true symbol boundary, and the trailing `sep` forces `b` to
+    * end at a symbol end (a mid-symbol prefix like the `o` in `ow` is
+    * followed by `w`, not `sep`) — the unwrapped form `replace("a,b")`
+    * false-matched both ways (`'cow'` → `c,ow` → `cow`: 1 token vs true
+    * BPE's 2). Left-to-right non-overlapping replace then equals
+    * [[mergeOnce]]'s greedy pass: consecutive merge sites each take one
+    * `sep` from the shared `sep+sep` boundary, so `[a,b,a,b]` merges
+    * twice, and replaced output is never rescanned, matching
+    * `mergeOnce`'s i+2 skip. Chain == [[encode]] for EVERY word
+    * (property-tested in BpeSpec incl. the boundary-collision words
+    * `cow`/`cord`/`corn`), and the DuckDB twin inlines the identical
+    * chain. Unlike [[subtokenCounts]]' broadcast-join of the
+    * training-vocab segmentation table (char-count fallback on unseen
+    * words), the chain computes the TRUE segmentation of any word, seen
+    * or not, with zero joins, zero shuffles, and no driver-side vocab —
+    * codegen'd string ops all the way down. */
   def subtokenCountCol(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val chain = pretrainedMerges.foldLeft(
-      concat_ws(sep, split(word, ""))) { case (s, (a, b)) =>
-      replace(s, lit(a + sep + b), lit(a + b))
+      concat(lit(sep), concat_ws(sep + sep, split(word, "")), lit(sep))) {
+      case (s, (a, b)) =>
+        replace(s, lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep))
     }
-    size(split(chain, sep))
+    // n symbols ↔ n-1 interior `sep+sep` boundaries; empty word → 0 (what
+    // encode("") returns), pinned explicitly so neither engine's
+    // split-of-empty-string convention leaks in
+    when(length(word) === 0, lit(0)).otherwise(size(split(chain, sep + sep)))
   }
 
-  /** The DuckDB twin of [[subtokenCountCol]]: the same literal replace
-    * chain over `exprW` (a SQL expression yielding the word). */
+  /** The DuckDB twin of [[subtokenCountCol]]: the same boundary-wrapped
+    * literal replace chain over `exprW` (a SQL expression yielding the
+    * word). */
   def subtokenCountSql(exprW: String): String = {
     val chain = pretrainedMerges.foldLeft(
-      s"array_to_string(string_split($exprW, ''), '$sep')") {
-      case (s, (a, b)) => s"replace($s, '$a$sep$b', '$a$b')"
+      s"'$sep' || array_to_string(string_split($exprW, ''), '$sep$sep') || '$sep'") {
+      case (s, (a, b)) =>
+        s"replace($s, '$sep$a$sep$sep$b$sep', '$sep$a$b$sep')"
     }
-    s"len(string_split($chain, '$sep'))"
+    s"CASE WHEN length($exprW) = 0 THEN 0 ELSE len(string_split($chain, '$sep$sep')) END"
   }
 
   /** Per-document sub-token counts under a trained model, distributed:

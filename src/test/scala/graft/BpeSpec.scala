@@ -92,13 +92,44 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     // corpus vocab + adversarial edges: single char, a word that IS a
     // merged symbol, repeated-symbol runs (greedy non-overlap), unseen
-    // letters the merges never touch
+    // letters the merges never touch, the empty word, and the
+    // symbol-BOUNDARY collision words the unwrapped chain got wrong:
+    // 'cow' ([c][ow] — pattern c,o must NOT match the o inside ow),
+    // 'cord'/'corn' ([c][or][d/n] — same prefix collision via (o,r)),
+    // 'scant' (s+can merge then t — suffix collision shape), and
+    // doubled forms exercising consecutive-boundary sep sharing
     val words = graft.Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("w")).distinct()
-      .union(Seq("e", "er", "ererer", "column", "window", "qqq", "sortsort")
+      .union(Seq("e", "er", "ererer", "column", "window", "qqq", "sortsort",
+        "", "cow", "cord", "corn", "cows", "scant", "cowcow", "corder",
+        "colu", "colum", "wind", "indow", "dowdow")
         .toDF("w"))
       .distinct()
     val got = words.select(col("w"), Bpe.subtokenCountCol(col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    got.foreach { case (w, n) =>
+      assert(n === Bpe.encode(w, Bpe.pretrainedMerges).length,
+        s"chain != encode for '$w'")
+    }
+    // 'cow' specifically is the ADVICE repro: true BPE is [c][ow] = 2
+    assert(Bpe.encode("cow", Bpe.pretrainedMerges) === Vector("c", "ow"))
+    assert(got.toMap.apply("cow") === 2)
+  }
+
+  test("replace-chain projection == encode on random words over the merge alphabet (fuzz)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every character that appears in any pretrained merge — random words
+    // over exactly this alphabet maximize boundary-collision pressure
+    val alphabet = Bpe.pretrainedMerges
+      .flatMap { case (a, b) => a + b }.distinct.toVector
+    val rnd = new scala.util.Random(41)
+    val words = Vector.fill(400) {
+      val len = 1 + rnd.nextInt(10)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    }.distinct
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.subtokenCountCol(col("w")).as("n"))
       .collect().map(r => r.getString(0) -> r.getInt(1))
     got.foreach { case (w, n) =>
       assert(n === Bpe.encode(w, Bpe.pretrainedMerges).length,
