@@ -138,7 +138,10 @@ object Bench {
     val concRuns = (1 to (if (concurrency == 1) 1 else 3)).map(_ => runAll(concurrency))
     val (results, wall) = concRuns.minBy(_._2)
 
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator formats under the default locale —
+    // a comma-decimal JVM would emit invalid JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(m: Seq[(String, Option[Double])]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(f3) }
         .mkString("{", ",", "}")

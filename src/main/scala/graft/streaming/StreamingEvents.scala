@@ -172,6 +172,9 @@ object StreamingEvents {
     * [[graft.Tables.normalizeEventTs]] so they cannot drift. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normalizeEventTs's TimestampNTZ branch is only correct under a UTC
+    // session — the loader owns its invariants (same pin as Tables.events)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory to watch; glob-filter to the
     // events file so sibling tables' parquet never enters the stream.
