@@ -204,9 +204,21 @@ object Dedup {
 
   object IngestIndex {
     /** Re-open an index persisted by [[IngestIndex.save]]: pure bucketed
-      * table scans — no signature math anywhere in the loaded plans. */
-    def load(spark: SparkSession, name: String): IngestIndex =
+      * table scans — no signature math anywhere in the loaded plans.
+      * Path-addressed: when the session's catalog lacks the entries (a
+      * restart without a persistent metastore — the default), the tables
+      * are re-registered from the parquet under `path` with the writer's
+      * bucket spec, so the restart story does not silently depend on a
+      * durable catalog. `buckets` must match the [[IngestIndex.save]]
+      * call (both default to 16). */
+    def load(spark: SparkSession, name: String, path: String,
+        buckets: Int = 16): IngestIndex = {
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_bands", s"$path/bands", buckets, Seq("band_idx", "band_hash"))
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_sets", s"$path/sets", buckets, Seq("corpus_id"))
       IngestIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_sets"))
+    }
   }
 
   /** Build the ingest-gate index over a (doc_id, text) corpus. */

@@ -17,29 +17,16 @@ import graft.functions.VectorFunctions.cosineSim
   *    expression (a fused one-pass loop; the interpreted zip_with/aggregate
   *    formulation was 5-10× slower); query side is broadcast so the big
   *    side never shuffles.
-  *  - LSH: random-hyperplane signatures via the fused native SrpSignature
-  *    expression (planes derived per-executor from a fixed seed, so the
-  *    plan ships four ints, not plane literals) → bucket join → exact
-  *    rerank inside the bucket. At 100 TB the bucket join replaces the
-  *    O(N·Q) nested loop with a shuffle on bucket ids; recall is tuned by
-  *    plane count + multi-probe (flip-1-bit probing implemented below).
+  *  - LSH: MULTI-TABLE random-hyperplane hashing via the fused native
+  *    SrpSignature expression (planes derived per-executor from a fixed
+  *    seed, so the plan ships four ints, not plane literals): L
+  *    independent tables, each probed with flip-1-bit multi-probe, union
+  *    of candidates exact-reranked. At 100 TB the bucket join replaces
+  *    the O(N·Q) nested loop with a lean banded join; recall is tuned by
+  *    (tables, bits) — miss probability decays as (1-p)^tables.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
-
-  /** 6-bit random-hyperplane signature via the fused native
-    * [[org.apache.spark.sql.graft.SrpSignature]] expression (bands=1,
-    * bits=6, dim=64, seed=42): one tight loop per row, four ints in the
-    * plan. Bit-identical to the previous literal-plane formulation — that
-    * form drew 6×64 ±1 floats from Random(42) in plane-major order and
-    * OR'd `1 << p` per positive cosine, exactly SrpSignature's (band, bit,
-    * dim) draw order and bucket packing at bands=1 (dot sign == cosine
-    * sign) — but without planting 6 plane-literal CosineSimilarity calls
-    * into the projection, whose janino compile time dominated the query
-    * (the same disease round 5 measured at 448 literals). */
-  private def bucketCol: Column =
-    element_at(graft.functions.VectorFunctions.srpSignature(
-      col("embedding"), bands = 1, bits = 6, dim = 64, seed = 42), 1)
 
   private def topKSelect(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -62,25 +49,54 @@ object Similarity {
         .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
   }
 
-  /** LSH-bucketed ANN with flip-1-bit multi-probe, exact rerank in-bucket. */
-  def lshTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
-    val all = candidates.withColumn("bucket", bucketCol)
-    val cand = all.select(col("vec_id").as("c_id"), col("embedding").as("v_c"),
-      col("bucket").as("c_bucket"))
-    // query probes: own bucket + each 1-bit flip (7 probes over 6 planes)
-    val q = all.filter(queryFilter)
-      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
-        explode(expr(
-          """array_union(array(bucket),
-            |  transform(sequence(0, 5), p -> int(bucket ^ shiftleft(1, p))))"""
-            .stripMargin)).as("probe"))
+  /** Multi-table SRP LSH ANN — the standard high-recall LSH form:
+    * `tables` INDEPENDENT `bits`-plane hash tables (one [[
+    * org.apache.spark.sql.graft.SrpSignature]] call emits all `tables`
+    * signatures in a single fused loop — the expression's `bands` ARE the
+    * tables, each band drawing its own planes from the shared seed), each
+    * probed with the query's own bucket plus every 1-bit flip; the UNION
+    * of candidates across tables is exact-cosine reranked. A neighbor is
+    * found if ANY of the `tables` tables banks it near the query —
+    * miss probability decays as (1 - p)^tables, which is what lifts
+    * recall@5 from the single-table ~0.28 to ≥0.8 on the near-uniform
+    * testdata embeddings (measured per round in RECALL_r*.json).
+    *
+    * 100 TB shape: the bucket join carries LEAN banded frames only —
+    * (c_id, table, bucket) rows, `tables` per vector, no payloads — and
+    * the probe side broadcasts (queries × tables × (bits+1) rows). The
+    * matched pair set (bounded by queries × union-bucket population)
+    * broadcasts back against the vector table for the exact rerank, so
+    * the corpus-sized embedding column never shuffles and is read only
+    * for matched candidates — the same payload-free banding discipline as
+    * [[Dedup.embedNearDupsLsh]]. */
+  def lshTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val sigs = graft.functions.VectorFunctions.srpSignature(
+      col("embedding"), bands = tables, bits = bits, dim = 64, seed = 42)
+    val all = candidates.withColumn("sigs", sigs)
+    // lean banded candidate frame: no embedding payloads through the join
+    val cand = all.select(col("vec_id").as("c_id"),
+      posexplode(col("sigs")).as(Seq("t", "c_bucket")))
+    // per table: own bucket + each 1-bit flip (bits+1 probes of 2^bits)
+    val qProbe = all.filter(queryFilter)
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("sigs")).as(Seq("t", "bucket")))
+      .select(col("q_id"), col("t"), explode(expr(
+        s"""array_union(array(bucket),
+           |  transform(sequence(0, ${bits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
+          .stripMargin)).as("c_bucket"))
+    val pairs = cand.join(broadcast(qProbe), Seq("t", "c_bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id") // same candidate via several tables/probes
+    val cVecs = candidates.select(col("vec_id").as("c_id"),
+      col("embedding").as("v_c"))
+    val qVecs = candidates.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
     topKSelect(
-      cand.join(broadcast(q),
-          col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
-        .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
-        .select(col("q_id"), col("c_id"), col("cosine"))
-        .dropDuplicates("q_id", "c_id"), // same candidate via several probes
-      k)
+      cVecs.join(broadcast(pairs), "c_id")
+        .join(broadcast(qVecs), "q_id")
+        .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
   }
 
   /** IVF (inverted-file) ANN: a `cells`-cell coarse quantizer —
@@ -121,6 +137,23 @@ object Similarity {
       val centroids: Seq[(Int, Seq[Float])],
       private[Similarity] val source: DataFrame,
       private[Similarity] val assigned: DataFrame) {
+    /** Persist the trained index: the cell-assigned vector table lands
+      * as an EXTERNAL table bucketed by `cell` (one bucket per cell — a
+      * loaded index's probe join prunes to matching buckets with no
+      * shuffle of the table) and the KB-scale centroids as a tiny
+      * parquet dataset — the standalone-[[IvfIndex]] twin of
+      * [[IvfPqIndex.save]]. Unlike IVF-PQ's 12-byte code table, the IVF
+      * structure IS the full-vector table routed by cell; that is the
+      * storage trade the PQ variants exist to beat. */
+    def save(name: String, path: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      graft.sources.Layout.writeBucketedExternal(assigned,
+        s"${name}_assigned", s"$path/assigned", centroids.size, Seq("cell"))
+      centroids.toDF("cell", "vec")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+
     /** Top-k per query vector in `queryVecs` (`vec_id`, `embedding`):
       * each query probes its `probes` nearest cells and reranks exactly
       * inside them — touches ~probes/cells of the data. */
@@ -140,6 +173,24 @@ object Similarity {
   }
 
   object IvfIndex {
+    /** Re-open an index persisted by [[IvfIndex.save]]: centroids
+      * collect back to the driver (KB-scale), the assigned table is a
+      * pure bucketed scan — no re-assignment projection, no Lloyd
+      * recompute, and no vectors parameter (the assigned table carries
+      * the embeddings; `source` derives from it). Path-addressed like
+      * every graft index load: a restarted session's catalog is
+      * re-registered from the files. */
+    def load(spark: SparkSession, name: String, path: String): IvfIndex = {
+      val centroids = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_assigned", s"$path/assigned", centroids.size, Seq("cell"))
+      val assigned = spark.table(s"${name}_assigned")
+      val source = assigned.select(col("c_id").as("vec_id"),
+        col("v_c").as("embedding"))
+      new IvfIndex(centroids, source, assigned)
+    }
+
     /** Train a `cells`-cell coarse quantizer over `candidates0`
       * (deterministic seeds = vec_id < cells, `lloydIters` Lloyd steps —
       * each fully distributed: assignment is a codegen projection,
@@ -215,6 +266,22 @@ object Similarity {
   final class PqIndex private[Similarity] (
       val codebooks: Array[Float], m: Int, pqCodes: Int,
       candidates: DataFrame, private[Similarity] val enc: DataFrame) {
+    /** Persist the trained index: the ~12-byte (c_id, codes, norm)
+      * compressed table plus the codebook meta. The code table lands as
+      * PLAIN parquet — deliberately unbucketed: PQ's ADC stage is a full
+      * scan against a broadcast query side by design (there is no join
+      * key to co-locate; bounding the scanned FRACTION is IVF's job, and
+      * the composite [[IvfPqIndex]] buckets by cell for exactly that
+      * reason). The vector table is not copied — [[PqIndex.load]] takes
+      * the same `(vec_id, embedding)` frame back for the rerank stage. */
+    def save(path: String): Unit = {
+      val spark = enc.sparkSession
+      import spark.implicits._
+      enc.write.mode("overwrite").parquet(s"$path/enc")
+      Seq((codebooks.toSeq, m, pqCodes)).toDF("codebooks", "m", "pq_codes")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
     /** Top-k per query vector: ADC-scored shortlist of `rerank`
       * candidates, then exact rerank touching full vectors only for the
       * shortlist. */
@@ -241,6 +308,22 @@ object Similarity {
   }
 
   object PqIndex {
+    /** Re-open an index persisted by [[PqIndex.save]]: codebooks collect
+      * back to the driver (KB-scale), the compressed table is a pure
+      * parquet scan — no re-encode pass. `vectors` is the same
+      * `(vec_id, embedding)` corpus frame the index was built over,
+      * touched only by the exact-rerank stage for shortlist rows. */
+    def load(spark: SparkSession, path: String,
+        vectors: DataFrame): PqIndex = {
+      val metaRow = spark.read.parquet(s"$path/meta").collect().head
+      val codebooks = metaRow.getSeq[Float](0).toArray
+      val m = metaRow.getInt(1)
+      val pqCodes = metaRow.getInt(2)
+      new PqIndex(codebooks, m, pqCodes,
+        vectors.select(col("vec_id"), col("embedding")),
+        spark.read.parquet(s"$path/enc"))
+    }
+
     /** Build codebooks — seeded from the first `pqCodes` vectors'
       * subvectors, then refined by `lloydIters` per-subspace k-means steps
       * (production PQ training; the default 0 keeps the seeded codebooks,
@@ -342,6 +425,13 @@ object Similarity {
         .toDF("codebooks", "m", "pq_codes", "probes")
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     }
+    /** [[search]] with the queries drawn from the index's own vector
+      * table by predicate — the self-lookup shape every `x_ann_*` entry
+      * and the media near-dup bridge use. */
+    def searchWhere(queryFilter: Column, k: Int = 5,
+        rerank: Int = 50): DataFrame =
+      search(ivf.source.filter(queryFilter), k, rerank)
+
     /** Top-k per query: probe `probes` nearest cells, ADC-score the PQ
       * codes inside them, exact-rerank the `rerank`-deep shortlist. The
       * codes scan carries no embeddings; the corpus-side rerank join
@@ -393,6 +483,12 @@ object Similarity {
       val m = metaRow.getInt(1)
       val pqCodes = metaRow.getInt(2)
       val probes = metaRow.getInt(3)
+      // codes table: path-addressed restore — a restarted session's
+      // catalog (default in-memory/derby) lost the writer's entry, so
+      // re-register it from the files with the writer's bucket spec
+      // (one bucket per cell) before resolving by name
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_codes", s"$path/codes", centroids.size, Seq("cell"))
       val source = vectors.select(col("vec_id"), col("embedding"))
       // assigned/enc are lazy projections off the loaded quantizers —
       // declared for API completeness (IvfIndex.search / PqIndex.search
@@ -440,7 +536,7 @@ object Similarity {
       val all = emb(s, d)
       exactTopK(all, all.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
     }),
-    // LSH-bucketed ANN with multi-probe.
+    // Multi-table SRP LSH ANN (8 tables × 6 bits, flip-1 multi-probe).
     "x_ann_lsh" -> ((s, d) =>
       lshTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
     // IVF coarse-quantizer ANN.

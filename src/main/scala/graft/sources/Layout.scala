@@ -52,6 +52,28 @@ object Layout {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Re-register a bucketed EXTERNAL table from its data path — the
+    * restore half of [[writeBucketedExternal]] for a session whose
+    * catalog does NOT carry the entry (the default in-memory/derby-in-cwd
+    * metastore does not survive a restart; the parquet files under `path`
+    * do). Bucketing is catalog metadata, so a bare `spark.read.parquet`
+    * would lose the bucket spec and every downstream join would re-shuffle
+    * the index; this declares the SAME spec the writer used (`buckets` and
+    * `keys` must match the save — the files really are hash-bucketed that
+    * way, the declaration just restores what the lost catalog knew).
+    * Schema is inferred from the files; no-op when the table already
+    * exists (same-session loads keep the writer's entry). */
+  def registerBucketedExternal(spark: SparkSession, table: String,
+      path: String, buckets: Int, keys: Seq[String]): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema
+      val keyList = keys.map(k => s"`$k`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$table` (${schema.toDDL}) USING parquet
+           |CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(totalBytes / targetFileBytes) evenly-sized files. Streaming
     * sinks and fine-grained incremental loads accrete thousands of tiny

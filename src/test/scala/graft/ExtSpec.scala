@@ -458,11 +458,12 @@ class ExtSpec extends SparkSpec {
     assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh", "unknown")))
   }
 
-  test("x_ann_lsh fused bucket == legacy literal-plane bucketing, bit for bit") {
+  test("srp band-1 bucket == legacy literal-plane bucketing, bit for bit") {
     // the fused SrpSignature(bands=1, bits=6, dim=64, seed=42) derivation
     // replaced 6 plane-literal cosine calls; the plane draw order and
-    // bucket packing were chosen to reproduce that formulation exactly, so
-    // buckets (and hence the registered query's output) cannot move.
+    // bucket packing reproduce that formulation exactly. (x_ann_lsh is
+    // multi-table — bands=8 — since round 8; this pins the expression's
+    // per-band derivation, which every band shares.)
     import graft.functions.VectorFunctions.cosineSim
     val rng = new scala.util.Random(42)
     val legacy = Seq.tabulate(6) { p =>
@@ -474,6 +475,31 @@ class ExtSpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, sf)
     assert(emb.select(legacy.as("a"), fused.as("b"))
       .filter(col("a") =!= col("b")).count() === 0L)
+  }
+
+  test("multi-table lsh: recall floor vs exact baseline, partition-count invariance") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "c_id").collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.exactTopK(emb, emb.filter(col("vec_id") < 10)))
+    val ann = sets(Similarity.lshTopK(emb, col("vec_id") < 10))
+    val recalls = exact.toSeq.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / 5 }
+    // the multi-table operating point's contract: mean recall@5 >= 0.8 at
+    // the fixed seed (the r7 single-table strawman sat at 0.28)
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"multi-table recall@5 mean ${recalls.sum / recalls.size}")
+    // results are a pure function of the data, not the physical layout:
+    // identical under different partition counts (the cpus-independence
+    // contract extended to the multi-table path)
+    val base = Similarity.lshTopK(emb, col("vec_id") < 10)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    Seq(3, 11).foreach { n =>
+      val got = Similarity.lshTopK(emb.repartition(n), col("vec_id") < 10)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got === base, s"lsh output moved under repartition($n)")
+    }
   }
 
   test("srp_signature fails fast on a dim mismatch instead of truncating") {
@@ -758,11 +784,15 @@ class ExtSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
     idx.save("ingest_idx_spec", dir)
     idx.close()
-    // a NEW session sees only the catalog tables — the original cached
-    // plans are gone, so identical decisions prove the persisted index
-    // alone carries the gate
+    // a NEW session with the catalog entries DROPPED — the restart
+    // scenario: the default metastore does not survive, only the files
+    // under `dir` do. load must re-register from the path (data is
+    // external, so the drop removes metadata only); identical decisions
+    // then prove the persisted files alone carry the gate
     val s2 = spark.newSession()
-    val loaded = Dedup.IngestIndex.load(s2, "ingest_idx_spec")
+    s2.sql("DROP TABLE ingest_idx_spec_bands")
+    s2.sql("DROP TABLE ingest_idx_spec_sets")
+    val loaded = Dedup.IngestIndex.load(s2, "ingest_idx_spec", dir)
     // loaded frames are pure table scans: no minhash/shingle math anywhere
     val loadedPlan = explain(loaded.bands) + explain(loaded.shingleSets)
     assert(!loadedPlan.contains("minhash_signature"), loadedPlan)
@@ -780,7 +810,7 @@ class ExtSpec extends SparkSpec {
     val prev = s2.conf.get(key)
     try {
       s2.conf.set(key, "-1")
-      val j = Dedup.IngestIndex.load(s2, "ingest_idx_spec").bands.as("a")
+      val j = Dedup.IngestIndex.load(s2, "ingest_idx_spec", dir).bands.as("a")
         .join(loaded.bands.as("b"), Seq("band_idx", "band_hash"))
       assert(!explain(j).contains("Exchange"), explain(j))
     } finally s2.conf.set(key, prev)
@@ -794,9 +824,13 @@ class ExtSpec extends SparkSpec {
       .orderBy("q_id", "rank").collect()
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
     idx.save("ivfpq_spec", dir)
-    // a NEW session sees only the persisted tables/files — identical
-    // search results prove the saved artifact alone carries the index
+    // a NEW session with the code table's catalog entry DROPPED — the
+    // restart scenario: load must re-register the bucketed external table
+    // from the files alone (the quantizer parquet was always
+    // path-addressed); identical results prove the artifact carries the
+    // whole index without a persistent metastore
     val s2 = spark.newSession()
+    s2.sql("DROP TABLE ivfpq_spec_codes")
     val emb2 = graft.Tables.embeddings(s2, sf)
     val loaded = Similarity.IvfPqIndex.load(s2, "ivfpq_spec", dir, emb2)
     val search2 = loaded.search(emb2.filter(col("vec_id") < 10))
@@ -805,6 +839,44 @@ class ExtSpec extends SparkSpec {
     // the loaded search never re-encodes: pq_encode (the write-time pass)
     // is absent; the scan scores via pq_adc over the bucketed code table
     val p = explain(search2)
+    assert(!p.contains("pq_encode"), p)
+    assert(p.contains("pq_adc"), p)
+  }
+
+  test("ivf/pq standalone index save/load: new-session identity, pure-scan serving plans") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    // IVF: save → drop catalog entry → load in a new session → identical
+    val ivf = Similarity.IvfIndex.train(emb)
+    val expIvf = ivf.search(emb.filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank").collect()
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    ivf.save("ivf_spec", ivfDir)
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE ivf_spec_assigned")
+    val ivfLoaded = Similarity.IvfIndex.load(s2, "ivf_spec", ivfDir)
+    val gotIvf = ivfLoaded.search(
+      graft.Tables.embeddings(s2, sf).filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank")
+    assert(gotIvf.collect() === expIvf)
+    // serving plan reads the persisted assigned table — no re-assignment
+    // of the corpus (the argmax projection over all cells is gone from
+    // the candidate side; the query side still computes its probe cells)
+    assert(explain(gotIvf).contains("ivf_spec_assigned"), explain(gotIvf))
+    // PQ: plain-parquet code table + meta; loaded search == trained, and
+    // the write-time pq_encode never appears in the serving plan
+    val pq = Similarity.PqIndex.train(emb)
+    val expPq = pq.search(emb.filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank").collect()
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    pq.save(pqDir)
+    val pqLoaded = Similarity.PqIndex.load(
+      s2, pqDir, graft.Tables.embeddings(s2, sf))
+    val gotPq = pqLoaded.search(
+      graft.Tables.embeddings(s2, sf).filter(col("vec_id") < 10))
+      .orderBy("q_id", "rank")
+    assert(gotPq.collect() === expPq)
+    val p = explain(gotPq)
     assert(!p.contains("pq_encode"), p)
     assert(p.contains("pq_adc"), p)
   }
@@ -849,6 +921,41 @@ class ExtSpec extends SparkSpec {
       assert(cos < rank1(q)._2, s"distinct pair ($q, $c) at cosine $cos " +
         s"not below the twin's ${rank1(q)._2}")
     }
+  }
+
+  test("media near-dup serving: persisted index, catalog-dropped reload, identical results, no retrain") {
+    import Multimodal.{MultimodalPipeline => P, SyntheticMedia}
+    val media = spark.createDataset((0L until 40L).map(SyntheticMedia.build))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val idx = P.buildMediaIndex(media)
+    val expected = P.mediaNearDupsWith(idx, col("vec_id") < 10)
+      .orderBy("q_id", "rank").collect()
+    // the served shape equals the per-call (retrain-every-invocation)
+    // contract — training is deterministic, so the registered entry's
+    // move to the cache changes cost, never results
+    val perCall = P.mediaNearDups(media, col("vec_id") < 10)
+      .orderBy("q_id", "rank").collect()
+    assert(expected === perCall)
+    // the registered entry's cache: same handle back for the same key
+    assert(P.mediaIndexFor(spark, sf) eq P.mediaIndexFor(spark, sf))
+    // restart scenario: save, drop the catalog entry, load in a new
+    // session with a fresh embed frame as the rerank vector source
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_idx").toString
+    idx.save("media_idx_spec", dir)
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE media_idx_spec_codes")
+    val media2 = s2.createDataset((0L until 40L).map(SyntheticMedia.build))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val loaded = Similarity.IvfPqIndex.load(
+      s2, "media_idx_spec", dir, P.embedMedia(media2))
+    val got = P.mediaNearDupsWith(loaded, col("vec_id") < 10)
+      .orderBy("q_id", "rank")
+    assert(got.collect() === expected)
+    // no train/encode stage anywhere in the loaded serving plan: the
+    // codes come off the bucketed table scan (write-time pq_encode gone)
+    val p = explain(got)
+    assert(!p.contains("pq_encode"), p)
+    assert(p.contains("pq_adc"), p)
   }
 
   test("LM scoring past the broadcast ceiling: shuffle hash joins, hash-identical output") {

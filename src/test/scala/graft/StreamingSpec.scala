@@ -218,7 +218,7 @@ class StreamingSpec extends SparkSpec {
     built.close()
     // (the new-SESSION load is proven in ExtSpec's batch case; here the
     // subject is the streaming plan over the disk-backed index frames)
-    val index = graft.ext.Dedup.IngestIndex.load(spark, "ingest_idx_stream_spec")
+    val index = graft.ext.Dedup.IngestIndex.load(spark, "ingest_idx_stream_spec", dir)
     val bandsPlan = explain(index.bands)
     assert(!bandsPlan.contains("minhash_signature"), bandsPlan)
     val base = corpus.orderBy("doc_id").limit(1).collect()
