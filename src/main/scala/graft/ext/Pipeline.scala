@@ -295,6 +295,73 @@ object Pipeline {
         col("cum_sub"), col("bin"))
       .orderBy("doc_id")
 
+  /** The INGEST-TO-PACK FLAGSHIP — the five oracle-backed stages a
+    * pretraining data pipeline actually chains, registered as ONE plan
+    * (r7 verdict item 6):
+    *
+    *   1. INGEST GATE ([[Dedup.nearDupIngestGate]]): even doc_ids stand in
+    *      for the existing corpus, odd for the incoming crawl batch;
+    *      batch docs near-duplicating the corpus (exact-verified Jaccard
+    *      >= 0.5 on band-matched candidates) are refused admission.
+    *   2. DEDUP APPLY: one minhash pair-finding pass over the post-ingest
+    *      corpus, connected components, keep each cluster's canonical
+    *      (min doc_id) — the internal near-dups the gate cannot see
+    *      (corpus-corpus and batch-batch pairs).
+    *   3. DECONTAMINATE: survivors sharing >= 3 distinct 3-gram shingles
+    *      with the held-out eval set (doc_id % 100 == 0) are dropped —
+    *      including eval docs themselves that reached this point.
+    *   4. LEAK-FREE SPLIT: md5-bucket split keyed by the cluster
+    *      canonical id. Survivors of stage 2 ARE their clusters'
+    *      canonicals (doc_id == cluster_id by construction), so the
+    *      cluster-keyed bucket is md5(doc_id) — the one pair-finding pass
+    *      serves both stages, the production shape. Train = bucket < 90.
+    *   5. BPE PACK ([[bpePack]]): the committed trained tokenizer's
+    *      replace-chain counts drive exact shard-offset cumsum packing of
+    *      the train split into 2048-sub-token bins.
+    *
+    * 100 TB notes: every join the corpus sees is broadcast (gate matches,
+    * dropped ids, contaminated ids, shard offsets — all duplicate-scale
+    * or shard-scale, never corpus-scale); the only corpus-wide shuffles
+    * are the pair-finder's banded aggregates and the per-shard pack
+    * window. The DuckDB twin recomputes all five stages from first
+    * principles (exact all-pairs Jaccard via the recursive-CTE closure —
+    * the same oracle-equivalence argument as x_dedup_apply), so the
+    * whole composition is hash-gated end-to-end. */
+  def ingestToPack(s: SparkSession, d: String, budget: Int = 2048,
+      shardSize: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.shingleSet
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    // 1. gate
+    val admitted = Dedup.nearDupIngestGate(batch, Dedup.buildIngestIndex(corpus))
+    val ingested = corpus.unionByName(admitted)
+      .repartition(s.sparkContext.defaultParallelism)
+    // 2. dedup apply (pair pass reused conceptually by stage 4)
+    val edges = Dedup.minhashPairs(ingested).select(col("doc_a"), col("doc_b"))
+    val dropped = Dedup.edgeComponentLabels(edges)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val deduped = ingested.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    // 3. decontaminate vs the held-out eval shingle set
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(shingleSet(split(col("text"), " "))).as("shingle"))
+    val evalSh = sh(docs.filter(col("doc_id") % 100 === 0))
+      .select(col("shingle")).distinct()
+    val contaminated = sh(deduped)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select(col("doc_id"))
+    val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // 4. leak-free split (survivors are canonicals: cluster_id == doc_id)
+    val train = clean.filter(
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100) < 90)
+    // 5. trained-tokenizer pack
+    bpePack(train, budget, shardSize)
+  }
+
   /** Overlapping token-window chunking — the unit embeddings/RAG indexes
     * operate on. `width`-token chunks every `stride` tokens (half-overlap
     * by default), chunk 0 always present even for short docs. Pure
@@ -350,7 +417,8 @@ object Pipeline {
     "x_sample_stratified" -> ((s, d) => stratifiedSample(documents(s, d))),
     "x_mix_rebalance" -> ((s, d) => mixtureRebalance(documents(s, d))),
     "x_pack_sequences" -> ((s, d) => packSequences(documents(s, d))),
-    "x_bpe_pack" -> ((s, d) => bpePack(documents(s, d)))
+    "x_bpe_pack" -> ((s, d) => bpePack(documents(s, d))),
+    "x_pipeline_full" -> ((s, d) => ingestToPack(s, d))
   )
 
   /** The DuckDB twin composes the already-proven langid / quality / BPE
@@ -495,6 +563,76 @@ object Pipeline {
          |  SELECT doc_id, ${Bpe.subtokenCountSql("w")} AS n_sub
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |        FROM documents)
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+         |    CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+         |  FROM persub GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_words, n_subtokens, cum_sub,
+         |  CAST(floor((cum_sub - n_subtokens) / 2048.0) AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, n_words, n_subtokens,
+         |    CAST(sum(n_subtokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_sub
+         |  FROM perdoc)
+         |ORDER BY doc_id""".stripMargin,
+    // the five-stage flagship, recomputed from first principles: exact
+    // batch×corpus Jaccard for the gate, exact all-pairs + recursive-CTE
+    // closure for dedup (the x_dedup_apply oracle-equivalence argument),
+    // shingle-join decontamination, md5 split, and the inlined trained-BPE
+    // replace chain driving a global cumsum — one hash gates all five
+    "x_pipeline_full" ->
+      s"""WITH RECURSIVE sets0 AS (
+         |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+         |    for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), ex0 AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+         |  FROM sets0
+         |), gatej AS (
+         |  SELECT a.doc_id AS b_id,
+         |    CAST(count(*) AS DOUBLE)
+         |      / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS j
+         |  FROM ex0 a JOIN ex0 b ON a.shingle = b.shingle
+         |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY a.doc_id, b.doc_id
+         |), ingested AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 2 = 0
+         |     OR doc_id NOT IN (SELECT b_id FROM gatej WHERE j >= 0.5)
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex0 a JOIN ex0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM ingested)
+         |    AND b.doc_id IN (SELECT doc_id FROM ingested)
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING CAST(count(*) AS DOUBLE)
+         |    / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), r(id, rid) AS (
+         |  SELECT doc_id, doc_id FROM ingested
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON r.rid = e.a
+         |), cc AS (
+         |  SELECT id AS doc_id, min(rid) AS cluster_id FROM r GROUP BY id
+         |), contaminated AS (
+         |  SELECT s.doc_id FROM ex0 s
+         |  JOIN (SELECT DISTINCT shingle FROM ex0 WHERE doc_id % 100 = 0) ev
+         |    USING (shingle)
+         |  GROUP BY s.doc_id HAVING count(*) >= 3
+         |), train AS (
+         |  SELECT doc_id FROM cc
+         |  WHERE doc_id = cluster_id
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 100 < 90
+         |), persub AS (
+         |  SELECT doc_id, ${Bpe.subtokenCountSql("w")} AS n_sub
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE doc_id IN (SELECT doc_id FROM train))
          |), perdoc AS (
          |  SELECT doc_id, CAST(count(*) AS INT) AS n_words,
          |    CAST(sum(n_sub) AS BIGINT) AS n_subtokens
