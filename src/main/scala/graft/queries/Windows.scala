@@ -12,6 +12,24 @@ import graft.Tables._
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Size-driven plan switch for the window decompositions (the
+    * [[graft.ext.TextAnalysis]] lmSide pattern, r7 verdict item 4): the
+    * shard-offset/ghost-row rewrites buy partition-width freedom at 100 TB
+    * but pay an offsets collect + an extra exchange that is pure overhead
+    * while the windowed input comfortably fits its window tasks. At or
+    * below this row count the TEXTBOOK window plan runs; above it, the
+    * decomposition. Both forms are pinned bit-identical (PlanSpec +
+    * WindowDecompProps + the unchanged DuckDB OVER twins), so the switch
+    * moves plans, never bytes. The signal is an exact count of the
+    * windowed input — on parquet a metadata-cheap job, and the honest
+    * signal (estimates lie exactly when skew makes the decomposition
+    * matter). Default 4M rows ≈ a few hundred MB through one window task
+    * — past that, serializing a partition through one task is the
+    * bottleneck the decompositions exist to break. */
+  private[queries] def decomposeRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.window.decomposeRows")
+      .map(_.toLong).getOrElse(4194304L)
+
   /** Exact `ntile(n) OVER (ORDER BY c_acctbal, c_custkey)` over the
     * customer table with NO partition-less window — the scale-safe twin of
     * the textbook formulation, whose single global WindowExec serializes
@@ -156,27 +174,38 @@ object Windows {
     }),
 
     // rank vs dense_rank with real ties (customers ranked within nation)
-    // — via [[nationShardOffsets]]: the textbook partitionBy(nationkey)
-    // would route the whole table through 25 window tasks; here every
-    // window is partitioned by (nation, value-shard) and the bases
+    // — SIZE-SWITCHED ([[decomposeRows]]): below the threshold the
+    // textbook partitionBy(nationkey) window runs (25 window tasks carry
+    // the input comfortably at bench SF); above it, [[nationShardOffsets]]
+    // partitions every window by (nation, value-shard) and the bases
     // restore exact global-within-nation ranks, tie groups intact
-    // (bit-equality with the built-ins pinned in PlanSpec; the DuckDB
-    // twin keeps the plain OVER form — two plans, one hash).
+    // (bit-equality pinned in PlanSpec in BOTH regimes; the DuckDB twin
+    // keeps the plain OVER form — two plans, one hash).
     "w5_rank" -> ((s, d) => {
       import s.implicits._
-      val sharded = shardedCustomer(customer(s, d))
-      val offs = nationShardOffsets(sharded, descending = true)
-        .toDF("nk", "shard_o", "base_rows", "base_dense", "n_nation")
-      val w = Window.partitionBy(col("c_nationkey"), col("shard"))
-        .orderBy(col("c_acctbal").desc)
-      sharded
-        .join(broadcast(offs),
-          col("c_nationkey") === col("nk") && col("shard") === col("shard_o"))
-        .select(col("c_nationkey"), col("c_custkey"),
-          (col("base_rows") + rank().over(w)).cast("int").as("bal_rank"),
-          (col("base_dense") + dense_rank().over(w)).cast("int")
-            .as("bal_dense_rank"))
-        .orderBy("c_nationkey", "c_custkey")
+      val cust = customer(s, d)
+      if (cust.count() <= decomposeRows(s)) {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc)
+        cust.select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("bal_rank"),
+          dense_rank().over(w).as("bal_dense_rank"))
+          .orderBy("c_nationkey", "c_custkey")
+      } else {
+        val sharded = shardedCustomer(cust)
+        val offs = nationShardOffsets(sharded, descending = true)
+          .toDF("nk", "shard_o", "base_rows", "base_dense", "n_nation")
+        val w = Window.partitionBy(col("c_nationkey"), col("shard"))
+          .orderBy(col("c_acctbal").desc)
+        sharded
+          .join(broadcast(offs),
+            col("c_nationkey") === col("nk") && col("shard") === col("shard_o"))
+          .select(col("c_nationkey"), col("c_custkey"),
+            (col("base_rows") + rank().over(w)).cast("int").as("bal_rank"),
+            (col("base_dense") + dense_rank().over(w)).cast("int")
+              .as("bal_dense_rank"))
+          .orderBy("c_nationkey", "c_custkey")
+      }
     }),
 
     // lead + first/last value over an explicit full-partition frame.
@@ -193,28 +222,38 @@ object Windows {
     }),
 
     // percent_rank / cume_dist (deterministic: rank arithmetic over ints)
-    // — same decomposition as w5. The (c_acctbal, c_custkey) ordering is
-    // UNIQUE, so percent_rank = (rn-1)/(N-1) and cume_dist = rn/N with
-    // rn = base + within-shard row_number: the identical long-over-long
-    // IEEE divisions the built-ins (and DuckDB) evaluate, hence
-    // bit-stable across both plans and both engines.
+    // — SIZE-SWITCHED like w5. In the decomposed regime the (c_acctbal,
+    // c_custkey) ordering is UNIQUE, so percent_rank = (rn-1)/(N-1) and
+    // cume_dist = rn/N with rn = base + within-shard row_number: the
+    // identical long-over-long IEEE divisions the built-ins (and DuckDB)
+    // evaluate, hence bit-stable across both plans and both engines.
     "w8_percent_rank" -> ((s, d) => {
       import s.implicits._
-      val sharded = shardedCustomer(customer(s, d))
-      val offs = nationShardOffsets(sharded, descending = false)
-        .toDF("nk", "shard_o", "base_rows", "base_dense", "n_nation")
-      val w = Window.partitionBy(col("c_nationkey"), col("shard"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      sharded
-        .join(broadcast(offs),
-          col("c_nationkey") === col("nk") && col("shard") === col("shard_o"))
-        .withColumn("rn", col("base_rows") + row_number().over(w))
-        .select(col("c_nationkey"), col("c_custkey"),
-          when(col("n_nation") > 1,
-            (col("rn") - 1).cast("double") / (col("n_nation") - 1))
-            .otherwise(lit(0.0)).as("bal_pct_rank"),
-          (col("rn").cast("double") / col("n_nation")).as("bal_cume_dist"))
-        .orderBy("c_nationkey", "c_custkey")
+      val cust = customer(s, d)
+      if (cust.count() <= decomposeRows(s)) {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        cust.select(col("c_nationkey"), col("c_custkey"),
+          percent_rank().over(w).as("bal_pct_rank"),
+          cume_dist().over(w).as("bal_cume_dist"))
+          .orderBy("c_nationkey", "c_custkey")
+      } else {
+        val sharded = shardedCustomer(cust)
+        val offs = nationShardOffsets(sharded, descending = false)
+          .toDF("nk", "shard_o", "base_rows", "base_dense", "n_nation")
+        val w = Window.partitionBy(col("c_nationkey"), col("shard"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        sharded
+          .join(broadcast(offs),
+            col("c_nationkey") === col("nk") && col("shard") === col("shard_o"))
+          .withColumn("rn", col("base_rows") + row_number().over(w))
+          .select(col("c_nationkey"), col("c_custkey"),
+            when(col("n_nation") > 1,
+              (col("rn") - 1).cast("double") / (col("n_nation") - 1))
+              .otherwise(lit(0.0)).as("bal_pct_rank"),
+            (col("rn").cast("double") / col("n_nation")).as("bal_cume_dist"))
+          .orderBy("c_nationkey", "c_custkey")
+      }
     }),
 
     // explicit NULLS FIRST/LAST ordering over an outer-join-produced null.
@@ -230,9 +269,20 @@ object Windows {
         .limit(50)
     }),
 
-    // ntile quartiles (unique ordering → deterministic tile assignment),
-    // computed WITHOUT a partition-less window — see [[ntileExact]].
-    "w6_ntile" -> ((s, d) => ntileExact(s, customer(s, d), 4)),
+    // ntile quartiles (unique ordering → deterministic tile assignment) —
+    // SIZE-SWITCHED: the textbook global-ORDER-BY ntile below the
+    // threshold (one window task is FINE for an input that fits it — the
+    // global-window PlanSpec gate allowlists exactly this switched entry),
+    // the [[ntileExact]] shard-offset decomposition above it.
+    "w6_ntile" -> ((s, d) => {
+      val cust = customer(s, d)
+      if (cust.count() <= decomposeRows(s))
+        cust.select(col("c_custkey"),
+          ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
+            .as("bal_quartile"))
+          .orderBy("c_custkey")
+      else ntileExact(s, cust, 4)
+    }),
 
     // ratio-to-report: each order's share of its priority class's total.
     // NOT a window: partitionBy(o_orderpriority) would route the whole

@@ -34,6 +34,17 @@ object WindowDecompProps extends Properties("graft.windowdecomp") {
       b: Array[org.apache.spark.sql.Row]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) => x == y }
 
+  /** Force the DECOMPOSED branch of the r8 size switch while building
+    * `got`: these properties exist to fuzz the decompositions, and on
+    * the tiny generated tables the registered queries would otherwise
+    * take the textbook branch and prove nothing. (PlanSpec pins the
+    * below-threshold textbook regime separately.) */
+  private def decomposed[A](f: => A): A = {
+    val key = "spark.graft.window.decomposeRows"
+    spark.conf.set(key, "0")
+    try f finally spark.conf.unset(key)
+  }
+
   // heavy-tie pool with exact 500-boundary values and negatives
   private val balPool = Seq(-1000.0, -500.0, -0.01, 0.0, 123.45, 499.99,
     500.0, 500.01, 999.99, 1000.0, 1500.0)
@@ -54,7 +65,7 @@ object WindowDecompProps extends Properties("graft.windowdecomp") {
     forAll(customers) { rows =>
       val df = custDf(rows)
       val dir = write(df, "customer")
-      val got = SparkEntry.queries("w6_ntile")(spark, dir).collect()
+      val got = decomposed(SparkEntry.queries("w6_ntile")(spark, dir).collect())
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       val exp = df.select(col("c_custkey"), ntile(4).over(w).as("bal_quartile"))
         .orderBy("c_custkey").collect()
@@ -65,7 +76,7 @@ object WindowDecompProps extends Properties("graft.windowdecomp") {
     forAll(customers) { rows =>
       val df = custDf(rows)
       val dir = write(df, "customer")
-      val got = SparkEntry.queries("w5_rank")(spark, dir).collect()
+      val got = decomposed(SparkEntry.queries("w5_rank")(spark, dir).collect())
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
       val exp = df.select(col("c_nationkey"), col("c_custkey"),
         rank().over(w).as("bal_rank"),
@@ -78,7 +89,7 @@ object WindowDecompProps extends Properties("graft.windowdecomp") {
     forAll(customers) { rows =>
       val df = custDf(rows)
       val dir = write(df, "customer")
-      val got = SparkEntry.queries("w8_percent_rank")(spark, dir).collect()
+      val got = decomposed(SparkEntry.queries("w8_percent_rank")(spark, dir).collect())
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
       val exp = df.select(col("c_nationkey"), col("c_custkey"),
@@ -105,7 +116,7 @@ object WindowDecompProps extends Properties("graft.windowdecomp") {
       import spark.implicits._
       val df = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
       val dir = write(df, "orders")
-      val got = SparkEntry.queries("w9_range_frame")(spark, dir).collect()
+      val got = decomposed(SparkEntry.queries("w9_range_frame")(spark, dir).collect())
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("price_cents")).rangeBetween(-100000L, 0L)
       val exp = df
