@@ -34,27 +34,51 @@ object Recall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def topSets(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("q_id", "c_id").collect()
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
         .groupBy(_.getLong(0))
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def topSets(name: String): Map[Long, Set[Long]] =
+      sets(SparkEntry.queries(name)(spark, sfDir))
 
     val exact = topSets("x_ann_bruteforce")
     val k = 5
-    val variants = Seq("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_ann_ivfpq")
-    val entries = variants.map { name =>
-      val ann = topSets(name)
+    // Locale.ROOT: f-interpolation under a comma-decimal JVM locale
+    // would make the committed artifact invalid JSON
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def meanMin(ann: Map[Long, Set[Long]]): (Double, Double) = {
       val perQuery = exact.toSeq.sortBy(_._1).map { case (q, ex) =>
         ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / k
       }
-      val mean = perQuery.sum / perQuery.size
-      val min = perQuery.min
-      // Locale.ROOT: f-interpolation under a comma-decimal JVM locale
-      // would make the committed artifact invalid JSON
-      def f3(v: Double) =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      (perQuery.sum / perQuery.size, perQuery.min)
+    }
+    val variants = Seq("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_ann_ivfpq")
+    val entries = variants.map { name =>
+      val (mean, min) = meanMin(topSets(name))
       s""""$name":{"mean":${f3(mean)},"min":${f3(min)}}"""
+    }
+
+    // Operating-point sweep (r7 verdict item 7): the registered pq/ivfpq
+    // entries are single points (probes=2, rerank=50); the sweep shows
+    // recall per knob so consumers pick an operating point and a
+    // regression is visible per cell, not just at the default. Quantizer
+    // training is deterministic, so every cell is reproducible.
+    import org.apache.spark.sql.functions.col
+    val embAll = graft.Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val reranks = Seq(25, 50, 100)
+    val pqIdx = graft.ext.Similarity.PqIndex.train(embAll)
+    val pqSweep = reranks.map { r =>
+      val (mean, min) = meanMin(sets(
+        pqIdx.search(embAll.filter(col("vec_id") < 10), k, r)))
+      s"""{"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
+    }
+    val ivfpqSweep = for (p <- Seq(1, 2, 4); r <- reranks) yield {
+      val idx = graft.ext.Similarity.IvfPqIndex.train(
+        embAll, cells = 16, probes = p, m = 8, pqCodes = 16)
+      val (mean, min) = meanMin(sets(idx.searchWhere(col("vec_id") < 10, k, r)))
+      s"""{"probes":$p,"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
     }
     // The LSH note is part of the artifact: the operating point moved in
     // round 8 from the single-table strawman (mean 0.28) to the standard
@@ -68,7 +92,9 @@ object Recall {
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +
-        s""""recall":{${entries.mkString(",")}},"note":"$note"}"""
+        s""""recall":{${entries.mkString(",")}},""" +
+        s""""sweep":{"pq":[${pqSweep.mkString(",")}],""" +
+        s""""ivfpq":[${ivfpqSweep.mkString(",")}]},"note":"$note"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
