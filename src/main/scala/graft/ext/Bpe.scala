@@ -144,9 +144,10 @@ object Bpe {
     * words), the chain computes the TRUE segmentation of any word, seen
     * or not, with zero joins, zero shuffles, and no driver-side vocab —
     * codegen'd string ops all the way down. */
-  def subtokenCountCol(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def subtokenCountCol(word: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)] = pretrainedMerges): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val chain = pretrainedMerges.foldLeft(
+    val chain = merges.foldLeft(
       concat(lit(sep), concat_ws(sep + sep, split(word, "")), lit(sep))) {
       case (s, (a, b)) =>
         replace(s, lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep))
@@ -160,8 +161,9 @@ object Bpe {
   /** The DuckDB twin of [[subtokenCountCol]]: the same boundary-wrapped
     * literal replace chain over `exprW` (a SQL expression yielding the
     * word). */
-  def subtokenCountSql(exprW: String): String = {
-    val chain = pretrainedMerges.foldLeft(
+  def subtokenCountSql(exprW: String,
+      merges: Seq[(String, String)] = pretrainedMerges): String = {
+    val chain = merges.foldLeft(
       s"'$sep' || array_to_string(string_split($exprW, ''), '$sep$sep') || '$sep'") {
       case (s, (a, b)) =>
         s"replace($s, '$sep$a$sep$sep$b$sep', '$sep$a$b$sep')"

@@ -199,6 +199,14 @@ object Dedup {
         s"${name}_bands", s"$path/bands", buckets, Seq("band_idx", "band_hash"))
       graft.sources.Layout.writeBucketedExternal(shingleSets,
         s"${name}_sets", s"$path/sets", buckets, Seq("corpus_id"))
+      // the bucket count is part of the physical layout; persist it so
+      // load never trusts a caller to repeat the save-time value (a
+      // mismatched declaration would silently mis-route bucket-pruned
+      // probes on the restored tables)
+      val spark = bands.sparkSession
+      import spark.implicits._
+      Seq(buckets).toDF("buckets")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     }
   }
 
@@ -208,11 +216,11 @@ object Dedup {
       * Path-addressed: when the session's catalog lacks the entries (a
       * restart without a persistent metastore — the default), the tables
       * are re-registered from the parquet under `path` with the writer's
-      * bucket spec, so the restart story does not silently depend on a
-      * durable catalog. `buckets` must match the [[IngestIndex.save]]
-      * call (both default to 16). */
-    def load(spark: SparkSession, name: String, path: String,
-        buckets: Int = 16): IngestIndex = {
+      * bucket spec, read back from the saved meta — the caller never
+      * repeats (and so can never contradict) the save-time bucket
+      * count. */
+    def load(spark: SparkSession, name: String, path: String): IngestIndex = {
+      val buckets = spark.read.parquet(s"$path/meta").collect().head.getInt(0)
       graft.sources.Layout.registerBucketedExternal(spark,
         s"${name}_bands", s"$path/bands", buckets, Seq("band_idx", "band_hash"))
       graft.sources.Layout.registerBucketedExternal(spark,
