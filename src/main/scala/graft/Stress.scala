@@ -240,6 +240,13 @@ object Stress {
       graft.ext.Similarity.exactTopK(emb,
         emb.filter(col("vec_id") < 10)).count()
     }
+    // Multi-table LSH (r8 shape: 8 tables × 6 bits, flip-1 probes): the
+    // candidate explode is tables× lean (c_id, t, bucket) rows — the
+    // knob that must stay linear in K; replicas of the 10 query vectors
+    // carry identical embeddings, so recall pressure is maximal.
+    time("lsh_topk_multitable") {
+      graft.ext.Similarity.lshTopK(emb, col("vec_id") < 10).count()
+    }
     // Threshold-contract embedding dedup (the sub-quadratic pair-finding
     // scale path): replicas carry IDENTICAL embeddings, so each original
     // vector forms a K-clique at cosine 1.0 — K(K-1)/2 × 2000 true pairs at

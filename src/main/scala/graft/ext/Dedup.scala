@@ -272,7 +272,11 @@ object Dedup {
       .filter(col("inter").cast("double")
         / (col("n_sh") + col("c_n") - col("inter")) >= threshold)
       .select(col("doc_id"))
-    newDocs.join(matched, Seq("doc_id"), "left_anti")
+    // matched is DUPLICATE-scale (near-dups of the corpus within the
+    // batch) — broadcast it explicitly like x_dedup_apply's dropped set:
+    // Catalyst's size estimate for the band-join subplan is corpus-sized,
+    // so without the hint the anti-join falls back to shuffling the batch
+    newDocs.join(broadcast(matched), Seq("doc_id"), "left_anti")
   }
 
   /** Streaming ingest: run [[nearDupIngestGate]] over each micro-batch of

@@ -333,10 +333,15 @@ object Pipeline {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
-    // 1. gate
+    // 1. gate. The post-ingest corpus feeds THREE downstream consumers
+    // (pair-finder, dedup anti-join, decontaminate scan) — an eager
+    // localCheckpoint pays the gate's band-probe/verify joins once
+    // instead of once per consumer (the IvfIndex.train / CC residency
+    // pattern; ContextCleaner frees the blocks when the plan is dropped)
     val admitted = Dedup.nearDupIngestGate(batch, Dedup.buildIngestIndex(corpus))
     val ingested = corpus.unionByName(admitted)
       .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     // 2. dedup apply (pair pass reused conceptually by stage 4)
     val edges = Dedup.minhashPairs(ingested).select(col("doc_a"), col("doc_b"))
     val dropped = Dedup.edgeComponentLabels(edges)

@@ -361,11 +361,24 @@ class PlanSpec extends SparkSpec {
   test("ingest-to-pack flagship: corpus anti-joins broadcast, no nested loop, no global window") {
     val df = q("x_pipeline_full")
     val p = explain(df)
-    // the three corpus-facing drops (gate matches, dedup'd ids,
-    // contaminated ids) must all anti-join as BROADCAST hash joins — the
-    // corpus never shuffles to subtract a duplicate-scale id set
+    // the corpus-facing drops past the checkpoint (dedup'd ids,
+    // contaminated ids) must anti-join as BROADCAST hash joins — the
+    // corpus never shuffles to subtract a duplicate-scale id set. (The
+    // gate's own anti-join runs at the eager checkpoint and is pinned
+    // below on its standalone plan.)
     assert(p.linesIterator
-      .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")) >= 3, p)
+      .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")) >= 2, p)
+    // the gate stage itself: survivors = batch ANTI broadcast(matches)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val gate = graft.ext.Dedup.nearDupIngestGate(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      graft.ext.Dedup.buildIngestIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)))
+    val gp = explain(gate)
+    assert(gp.linesIterator
+      .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")) >= 1, gp)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the only sort-merge joins are the banded pair-finder's lean
