@@ -199,6 +199,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture plan (the multilingual exponent-smoothing
+    * sampler popularized by mBERT/XLM-R: q_s ∝ n_s^α with α = 1/T): per
+    * source, the raw share p_raw = n_s/N, the temperature-flattened
+    * sampling share p_temp = n_s^α / Σ n^α, and the row target for a
+    * fixed budget. α < 1 up-samples the tail sources a raw-proportional
+    * mixture starves — the standard knob between proportional (α=1) and
+    * uniform (α=0).
+    *
+    * Complement to [[mixtureRebalance]] (DoReMi-style explicit target
+    * weights): here the weights are DERIVED from corpus counts. Scale
+    * shape: one count aggregation (source-keyed, map-side combined);
+    * the normalizers are a 1-row broadcast — the same bounded scalar
+    * side as the mixture rebalancer, never corpus-sized. */
+  def mixTemperature(docs: DataFrame, alpha: Double = 0.5,
+      budget: Long = 1000L): DataFrame = {
+    val pool = docs.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+    val totals = pool.agg(sum(col("n_rows")).as("total"),
+      sum(pow(col("n_rows"), lit(alpha))).as("z"))
+    pool.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_rows"),
+        round(col("n_rows") / col("total"), 6).as("p_raw"),
+        round(pow(col("n_rows"), lit(alpha)) / col("z"), 6).as("p_temp"),
+        round(lit(budget.toDouble) * pow(col("n_rows"), lit(alpha)) / col("z"))
+          .cast("long").as("target_rows"))
+      .orderBy("source")
+  }
+
   /** Sequence packing by prefix-sum binning: docs in stable doc_id order
     * are packed into `budget`-token bins via a running token cumsum —
     * bin = floor((cumsum - n_tok) / budget), i.e. a doc goes to the bin
@@ -421,6 +448,7 @@ object Pipeline {
     "x_split_stable" -> ((s, d) => stableSplit(documents(s, d))),
     "x_sample_stratified" -> ((s, d) => stratifiedSample(documents(s, d))),
     "x_mix_rebalance" -> ((s, d) => mixtureRebalance(documents(s, d))),
+    "x_mix_temperature" -> ((s, d) => mixTemperature(documents(s, d))),
     "x_pack_sequences" -> ((s, d) => packSequences(documents(s, d))),
     "x_bpe_pack" -> ((s, d) => bpePack(documents(s, d))),
     "x_pipeline_full" -> ((s, d) => ingestToPack(s, d))
@@ -553,6 +581,18 @@ object Pipeline {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < thresh
         |ORDER BY doc_id""".stripMargin,
+    "x_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT sum(n_rows) AS total, sum(pow(n_rows, 0.5)) AS z FROM c
+        |)
+        |SELECT c.source, c.n_rows,
+        |  round(c.n_rows / t.total, 6) AS p_raw,
+        |  round(pow(c.n_rows, 0.5) / t.z, 6) AS p_temp,
+        |  CAST(round(1000 * pow(c.n_rows, 0.5) / t.z) AS BIGINT) AS target_rows
+        |FROM c CROSS JOIN t ORDER BY c.source""".stripMargin,
     "x_sample_stratified" ->
       """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -49,6 +49,54 @@ object Similarity {
         .withColumn("cosine", cosineSim(col("v_q"), col("v_c"))), k)
   }
 
+  /** Distributed EXACT k-NN self-join — the SemDeDup / semantic-dedup
+    * primitive: the top-k cosine neighbors of EVERY vector, not just a
+    * bounded query set. Exact k-NN join is intrinsically O(n²) compute;
+    * what a 1000-executor cluster needs is for that compute to be (a)
+    * evenly sliced into bounded-memory tasks and (b) never buffered
+    * unbounded. Both come from the classic blocked-matrix shape:
+    *
+    *  - the candidate side hashes into `blocks` slices, the query side
+    *    into `qblocks` slices; each side EXPLODES across the other's
+    *    slice ids, so one equi-join on (b, qb) yields every pair exactly
+    *    once across a blocks × qblocks grid of uniform tasks. Replication
+    *    is rows × gridDim per side — the knob that trades shuffle volume
+    *    for task granularity (both scale with the cluster, never with
+    *    n²).
+    *  - per-pair scoring is the fused native cosine expression, and the
+    *    reduction to top-k is [[graft.functions.TopKAggregator]]: a
+    *    k-bounded buffer that Spark runs partial+final, so each grid task
+    *    map-side-combines its scored pairs down to ≤ k entries per query
+    *    before the exchange. The O(n²) pair stream lives and dies inside
+    *    the grid tasks; only O(n × blocks × k) partial buffers shuffle.
+    *
+    * No window, no cartesian: the grid join is a plain equi-join and the
+    * final ranking is a posexplode of the per-query sorted buffer. For
+    * corpus-scale n where even sliced O(n²) is too much, the IVF/IVF-PQ
+    * entries are the approximate path; this is their exact counterpart
+    * (and the oracle-checkable ground truth for recall measurement). */
+  def knnJoin(vectors: DataFrame, k: Int = 3, blocks: Int = 8,
+      qblocks: Int = 4): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator.agg(k))
+    val cand = vectors
+      .select(col("vec_id").as("c_id"), col("embedding").as("v_c"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("b"))
+      .withColumn("qb", explode(expr(s"sequence(0, ${qblocks - 1})")))
+    val qs = vectors
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
+        pmod(xxhash64(col("vec_id")), lit(qblocks)).cast("int").as("qb"))
+      .withColumn("b", explode(expr(s"sequence(0, ${blocks - 1})")))
+    val nn = cand.join(qs, Seq("b", "qb"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
+        col("c_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("c_id")).as("nn"))
+    nn.select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
+  }
+
   /** Multi-table SRP LSH ANN — the standard high-recall LSH form:
     * `tables` INDEPENDENT `bits`-plane hash tables (one [[
     * org.apache.spark.sql.graft.SrpSignature]] call emits all `tables`
@@ -547,7 +595,11 @@ object Similarity {
       pqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
     // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.
     "x_ann_ivfpq" -> ((s, d) =>
-      ivfpqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank"))
+      ivfpqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+    // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
+    // primitive: blocked-grid equi-join + bounded top-k aggregation.
+    "x_knn_join" -> ((s, d) =>
+      knnJoin(emb(s, d), k = 3).orderBy("q_id", "rank"))
   )
 
   /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors
@@ -576,6 +628,28 @@ object Similarity {
         |  SELECT q_id, c_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM pr)
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // The exact k-NN join shares the brute-force entry's accumulation
+    // contract (sequential float→double products in list order), so its
+    // all-pairs oracle is bit-comparable the same way — just unfiltered
+    // on the query side and k=3.
+    "x_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pr AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, CAST(rk AS INT) AS "rank", c_id, round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT q_id, c_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM pr)
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   )
 }

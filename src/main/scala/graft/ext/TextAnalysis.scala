@@ -82,6 +82,34 @@ object TextAnalysis {
       (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
       (col("n_uniq").cast("double") / col("n_tok")).as("type_token_ratio"))
 
+  /** Shannon-entropy quality signals (the Gopher/CCNet-family repetition
+    * filters' information-theoretic cousin): character-level and
+    * word-level unigram entropy per document. Low char entropy flags
+    * boilerplate/padding (one dominant symbol class); low word entropy
+    * flags template/repetitive text that a plain length filter passes.
+    *
+    * Entirely row-local higher-order functions — O(len × alphabet) per
+    * doc, zero shuffles at any corpus size. The fold runs over the
+    * SORTED distinct symbols so the floating-point accumulation order is
+    * deterministic and engine-portable (the DuckDB twin folds an
+    * identically ordered count list). */
+  def entropySignals(docs: DataFrame): DataFrame = {
+    def entropyOf(c: String): Column = expr(
+      s"""round(cast(0.0 as double) - aggregate(
+         |  transform(array_sort(array_distinct($c)),
+         |            u -> size(filter($c, x -> x = u))),
+         |  cast(0.0 as double),
+         |  (acc, cnt) -> acc
+         |    + (cnt / cast(size($c) as double))
+         |      * log2(cnt / cast(size($c) as double))), 6)""".stripMargin)
+    docs
+      .withColumn("chars", split(col("text"), ""))
+      .withColumn("words", tokens)
+      .select(col("doc_id"),
+        entropyOf("chars").as("char_entropy"),
+        entropyOf("words").as("word_entropy"))
+  }
+
   /** Language ID: CJK codepoint check, else argmax over marker-word hits
     * (deterministic tie-break by language ordinal). Keeps every input
     * column needed downstream plus `predicted_lang`. */
@@ -364,6 +392,8 @@ object TextAnalysis {
     "x_text_repetition" -> ((s, d) => repetitionSignals(documents(s, d))),
     "x_text_bigrams" -> ((s, d) => bigramStats(documents(s, d))),
     "x_text_stats" -> ((s, d) => textStats(documents(s, d)).orderBy("doc_id")),
+    "x_text_entropy" -> ((s, d) =>
+      entropySignals(documents(s, d)).orderBy("doc_id")),
     "x_text_tokens_bpe" -> ((s, d) =>
       bpeTokenCounts(documents(s, d)).orderBy("doc_id")),
     "x_text_quality" -> ((s, d) =>
@@ -530,6 +560,28 @@ object TextAnalysis {
         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Entropy twin: identical fold ORDER (counts listed by sorted symbol)
+    // so the double accumulation matches the Spark HOF bit-for-bit.
+    "x_text_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ch AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM d),
+        |cf AS (SELECT doc_id, substring(text, i, 1) AS u, count(*) AS cnt
+        |       FROM ch GROUP BY 1, 2),
+        |cagg AS (SELECT doc_id, list(cnt ORDER BY u) AS cnts, sum(cnt) AS n
+        |         FROM cf GROUP BY doc_id),
+        |ce AS (SELECT doc_id, round(0.0 - list_sum(list_transform(cnts,
+        |         c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))), 6)
+        |         AS char_entropy FROM cagg),
+        |wf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM d),
+        |wc AS (SELECT doc_id, u, count(*) AS cnt FROM wf GROUP BY 1, 2),
+        |wagg AS (SELECT doc_id, list(cnt ORDER BY u) AS cnts, sum(cnt) AS n
+        |         FROM wc GROUP BY doc_id),
+        |we AS (SELECT doc_id, round(0.0 - list_sum(list_transform(cnts,
+        |         c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))), 6)
+        |         AS word_entropy FROM wagg)
+        |SELECT ce.doc_id, ce.char_entropy, we.word_entropy
+        |FROM ce JOIN we ON ce.doc_id = we.doc_id
+        |ORDER BY ce.doc_id""".stripMargin,
     "x_text_topterms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term

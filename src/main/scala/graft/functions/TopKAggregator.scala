@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k typed aggregate (SURVEY §2.11 [EXT]): keeps the `k`
+  * best `(score, id)` pairs per group, ordered by (score desc, id asc).
+  *
+  * This is the aggregation core of the exact k-NN join
+  * ([[graft.ext.Similarity.knnJoin]]): because the buffer is HARD-BOUNDED
+  * at `k` entries, Spark runs it partial+final like any built-in agg —
+  * each map task combines its local candidates down to ≤ k per group
+  * before the exchange, so the shuffle carries O(groups × tasks × k)
+  * tiny buffers instead of the O(n²) scored-pair stream. A
+  * collect_list+sort formulation would instead buffer EVERY candidate
+  * per group (unbounded at corpus scale); this aggregator is why the
+  * k-NN join's reduce side never sees more than k rows per (group,
+  * upstream-task) pair.
+  *
+  * reduce = O(k) sorted insertion, merge = O(k) sorted merge — both
+  * associative and commutative, so partial aggregation is sound.
+  */
+object TopKAggregator {
+
+  /** One scored candidate; `score` ranks desc, `id` breaks ties asc. */
+  case class Entry(score: Double, id: Long)
+
+  case class Buf(var items: Seq[Entry])
+
+  /** true iff a ranks strictly before b: (score desc, id asc). */
+  private def before(a: Entry, b: Entry): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  def agg(k: Int): Aggregator[Entry, Buf, Seq[Entry]] = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    new Aggregator[Entry, Buf, Seq[Entry]] {
+      override def zero: Buf = Buf(Vector.empty)
+
+      override def reduce(b: Buf, e: Entry): Buf = {
+        if (b.items.size < k || before(e, b.items.last)) {
+          val (hd, tl) = b.items.span(before(_, e))
+          b.items = ((hd :+ e) ++ tl).take(k)
+        }
+        b
+      }
+
+      override def merge(a: Buf, b: Buf): Buf = {
+        // sorted merge of two ≤k-element runs, truncated at k
+        val out = Vector.newBuilder[Entry]
+        var (i, j, n) = (0, 0, 0)
+        val (x, y) = (a.items, b.items)
+        while (n < k && (i < x.size || j < y.size)) {
+          val takeA = j >= y.size || (i < x.size && before(x(i), y(j)))
+          if (takeA) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+          n += 1
+        }
+        a.items = out.result()
+        a
+      }
+
+      override def finish(b: Buf): Seq[Entry] = b.items
+
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Seq[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+    }
+  }
+}

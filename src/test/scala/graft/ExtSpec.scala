@@ -605,6 +605,70 @@ class ExtSpec extends SparkSpec {
     assert(viaHandle.toSeq === perCall.toSeq)
   }
 
+  test("knn join: matches the all-pairs reference; grid/partitioning invariant; big k safe") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.Tables.embeddings(spark, sf)
+    val n = vecs.count()
+    // all-pairs reference (test-only cross join + window rank)
+    val q = vecs.select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
+    val c = vecs.select(col("vec_id").as("c_id"), col("embedding").as("v_c"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    val ref = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSim(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = Similarity.knnJoin(vecs, k = 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === ref)
+    assert(got.size === 3 * n)
+    // the grid is pure slicing: any dims + any input partitioning agree
+    val alt = Similarity.knnJoin(vecs.repartition(7), k = 3,
+      blocks = 3, qblocks = 5)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(alt === ref)
+    // k beyond n-1: every vector gets exactly its n-1 neighbors, no dupes
+    val all = Similarity.knnJoin(vecs, k = n.toInt + 10)
+    assert(all.count() === n * (n - 1))
+    assert(all.select("q_id", "c_id").distinct().count() === n * (n - 1))
+  }
+
+  test("entropy signals: hand-computed chars/words; degenerate doc is exactly 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"),       // chars {a:2,b:2}/4 -> 1.0 ; words {aabb:1} -> 0.0
+      (2L, "abcd"),       // chars uniform 4 -> 2.0
+      (3L, "aaaa"),       // single symbol -> 0.0 (and not -0.0)
+      (4L, "x x y z")     // words {x:2,y:1,z:1}/4 -> 1.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.entropySignals(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got(0) === ((1L, 1.0, 0.0)))
+    assert(got(1) === ((2L, 2.0, 0.0)))
+    assert(got(2) === ((3L, 0.0, 0.0)))
+    assert(got(3)._3 === 1.5)
+    // 0.0, not -0.0: the sign bit must be clear for hash-stable output
+    assert(java.lang.Double.doubleToLongBits(got(2)._2) === 0L)
+  }
+
+  test("temperature mixture: alpha=1 is proportional; alpha<1 flattens toward uniform") {
+    val docs = graft.Tables.documents(spark, sf)
+    val prop = Pipeline.mixTemperature(docs, alpha = 1.0, budget = 1000L)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    prop.foreach { case (praw, ptemp, _) => assert(praw === ptemp) }
+    val flat = Pipeline.mixTemperature(docs, alpha = 0.5, budget = 1000L)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // flattening: the temperature share moves every source toward uniform
+    assert(flat.map(_._2).max <= prop.map(_._2).max + 1e-9)
+    assert(flat.map(_._2).min >= prop.map(_._2).min - 1e-9)
+    // shares are a distribution and targets track the budget within rounding
+    assert(math.abs(flat.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(flat.map(_._3).sum - 1000L) <= flat.length / 2 + 1)
+  }
+
   test("centroid aggregator: mean of identical vectors is the vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -112,6 +112,21 @@ class PlanSpec extends SparkSpec {
     assert(!p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
+  test("knn join: equi-join grid + partial/final bounded top-k, no cartesian, no window") {
+    // The exact k-NN join's scale contract: the O(n²) pair stream must be
+    // produced by a plain EQUI-join on the (b, qb) grid keys (never a
+    // cartesian) and die inside the map tasks via the k-bounded typed
+    // aggregator running in PARTIAL mode before the exchange — the plan
+    // must show two ObjectHashAggregate stages (partial + final) and no
+    // window (the ranking is a posexplode of the sorted buffer).
+    val p = explain(q("x_knn_join"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_topkaggregator") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("no query plans a nested-loop join except the known all-pairs/scalar shapes") {
     // The broad regression net behind the per-query gates: a silent plan
     // de-optimization (lost equi-key, dropped broadcast hint, changed
@@ -123,9 +138,10 @@ class PlanSpec extends SparkSpec {
     val allowed = Set("j6_cross", "j7_theta_self", "tpch_q22",
       "e9_daily_anomaly", "x_ann_bruteforce", "x_ann_pq", "x_dedup_embed",
       "x_gapfill",
-      // 1-row/class-dictionary broadcast sides: the mixture scalar
-      // (s_total) and the NB vocab×class smoothing grid (C-row build)
-      "x_mix_rebalance", "x_text_nb_classify")
+      // 1-row/class-dictionary broadcast sides: the mixture scalars
+      // (s_total / the temperature normalizers) and the NB vocab×class
+      // smoothing grid (C-row build)
+      "x_mix_rebalance", "x_mix_temperature", "x_text_nb_classify")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) if !allowed.contains(name) =>
         val p = explain(build(spark, sf))
