@@ -578,6 +578,18 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** ANN operating-point knobs. The RECALL_r*.json sweep documents the
+    * recall-vs-cost grid (probes × rerank, tables × bits); these session
+    * confs let a consumer pick a point WITHOUT code changes — e.g.
+    * `spark.graft.ann.ivfpq.rerank=100` converges the probe settings at
+    * recall ~0.95 for ~2× the shortlist cost. Defaults are the benched
+    * shapes, so an unset session is byte-identical to earlier rounds. */
+  private def intConf(s: SparkSession, key: String, dflt: Int): Int = {
+    val v = s.conf.get(key, dflt.toString).trim.toInt
+    require(v > 0, s"$key must be positive, got $v")
+    v
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact cosine top-5 for the first 10 vectors (the ANN baseline).
     "x_ann_bruteforce" -> ((s, d) => {
@@ -586,16 +598,26 @@ object Similarity {
     }),
     // Multi-table SRP LSH ANN (8 tables × 6 bits, flip-1 multi-probe).
     "x_ann_lsh" -> ((s, d) =>
-      lshTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+      lshTopK(emb(s, d), col("vec_id") < 10,
+        tables = intConf(s, "spark.graft.ann.lsh.tables", 8),
+        bits = intConf(s, "spark.graft.ann.lsh.bits", 6))
+        .orderBy("q_id", "rank")),
     // IVF coarse-quantizer ANN.
     "x_ann_ivf" -> ((s, d) =>
-      ivfTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+      ivfTopK(emb(s, d), col("vec_id") < 10,
+        probes = intConf(s, "spark.graft.ann.ivf.probes", 2))
+        .orderBy("q_id", "rank")),
     // Product-quantization ANN (ADC shortlist + exact rerank).
     "x_ann_pq" -> ((s, d) =>
-      pqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+      pqTopK(emb(s, d), col("vec_id") < 10,
+        rerank = intConf(s, "spark.graft.ann.pq.rerank", 50))
+        .orderBy("q_id", "rank")),
     // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.
     "x_ann_ivfpq" -> ((s, d) =>
-      ivfpqTopK(emb(s, d), col("vec_id") < 10).orderBy("q_id", "rank")),
+      ivfpqTopK(emb(s, d), col("vec_id") < 10,
+        probes = intConf(s, "spark.graft.ann.ivfpq.probes", 2),
+        rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 50))
+        .orderBy("q_id", "rank")),
     // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
     // primitive: blocked-grid equi-join + bounded top-k aggregation.
     "x_knn_join" -> ((s, d) =>

@@ -669,6 +669,22 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(flat.map(_._3).sum - 1000L) <= flat.length / 2 + 1)
   }
 
+  test("ann operating-point confs reach the registered plans; unset session = defaults") {
+    // the RECALL sweep's knobs are session confs — prove a set value lands
+    // in the executed plan (the rerank literal gates the shortlist filter)
+    // and that clearing it restores the benched default
+    val key = "spark.graft.ann.ivfpq.rerank"
+    def plan(): String =
+      explain(Similarity.queries("x_ann_ivfpq")(spark, sf))
+    try {
+      spark.conf.set(key, "77")
+      assert(plan().contains("<= 77"), "conf rerank must reach the plan")
+      spark.conf.set(key, "0")
+      intercept[IllegalArgumentException](plan())
+    } finally spark.conf.unset(key)
+    assert(plan().contains("<= 50"), "unset conf must restore the default")
+  }
+
   test("centroid aggregator: mean of identical vectors is the vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
