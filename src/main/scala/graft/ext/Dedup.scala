@@ -408,6 +408,39 @@ object Dedup {
     }
   }
 
+  /** Asymmetric shingle-CONTAINMENT near-dup pairs: C(a⊆b) = |A∩B|/|A|.
+    * The directional complement to [[ngramJaccardNaive]]: a short doc
+    * embedded verbatim in a long one (quotes, boilerplate headers, page
+    * templates around real content) has J ≈ |A|/|B| — arbitrarily small —
+    * but containment ≈ 1, so a Jaccard gate never sees it. Emits BOTH
+    * directions when each side covers the other (doc_a is the contained
+    * side by construction).
+    *
+    * Same single-pass scale shape as the exact Jaccard path: intersection
+    * counted INSIDE the shingle self-join's aggregation (candidates die
+    * map-side; nothing materializes per-pair), one shingle-keyed shuffle,
+    * denominator riding the exploded rows. The posting-cap defense for
+    * hot shingles composes exactly as in the capped Jaccard variant if a
+    * corpus needs it. */
+  def ngramContainment(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = withShingles(docs.repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"),
+        size(col("shingles")).as("n_sh"))
+    sets.as("a")
+      .join(sets.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** PPJoin-style exact n-gram Jaccard for 100 TB inputs: shingles get a
     * rare-first global order (doc-freq asc, then shingle), each doc indexes
     * only its first floor(n/2)+1 prefix shingles — the prefix-filtering
@@ -852,6 +885,11 @@ object Dedup {
     "x_dedup_ngram" -> ((s, d) => ngramJaccardNaive(s,
       documents(s, d).select(col("doc_id"), col("text")))),
 
+    // Asymmetric containment pairs (C(a⊆b) >= 0.8): the quote/boilerplate
+    // case a symmetric Jaccard gate misses.
+    "x_dedup_containment" -> ((s, d) => ngramContainment(s,
+      documents(s, d).select(col("doc_id"), col("text")))),
+
     // Dedup clustering: connected components over near-dup pairs; every
     // document gets a cluster_id (= min doc_id reachable), singletons
     // cluster as themselves. The edge source is the banded-LSH MinHash
@@ -1046,6 +1084,24 @@ object Dedup {
         |  CAST(length(text) AS INT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "x_dedup_ngram" -> ngramJaccardSql,
+    "x_dedup_containment" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS shingles
+        |  FROM (
+        |    SELECT doc_id,
+        |      [array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS ngrams
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        |  FROM sets
+        |)
+        |SELECT doc_a, doc_b, round(containment, 6) AS containment FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) / any_value(a.n_sh) AS containment
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "x_dedup_ngram_capped" -> ngramJaccardSql, // uncut-identity regime at gate SFs
     "x_dedup_minhash" -> ngramJaccardSql,
     // Transitive closure via recursive CTE (DuckDB's native way to express

@@ -76,18 +76,29 @@ object Similarity {
     * entries are the approximate path; this is their exact counterpart
     * (and the oracle-checkable ground truth for recall measurement). */
   def knnJoin(vectors: DataFrame, k: Int = 3, blocks: Int = 8,
-      qblocks: Int = 4): DataFrame = {
+      qblocks: Int = 4): DataFrame =
+    knnJoinAgainst(vectors, vectors, k, blocks, qblocks)
+
+  /** The general two-frame form of [[knnJoin]]: top-k candidates for an
+    * ARBITRARY query frame (retrieval / eval-set lookup / cross-corpus
+    * semantic dedup), same blocked-grid + bounded-aggregation scale shape.
+    * `excludeSelf` drops same-id pairs (the self-join convention; a
+    * cross-corpus call where ids are unrelated can keep them). */
+  def knnJoinAgainst(candidates: DataFrame, queryVecs: DataFrame,
+      k: Int = 3, blocks: Int = 8, qblocks: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
-    val cand = vectors
+    val cand = candidates
       .select(col("vec_id").as("c_id"), col("embedding").as("v_c"),
         pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("b"))
       .withColumn("qb", explode(expr(s"sequence(0, ${qblocks - 1})")))
-    val qs = vectors
+    val qs = queryVecs
       .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
         pmod(xxhash64(col("vec_id")), lit(qblocks)).cast("int").as("qb"))
       .withColumn("b", explode(expr(s"sequence(0, ${blocks - 1})")))
-    val nn = cand.join(qs, Seq("b", "qb"))
-      .filter(col("q_id") =!= col("c_id"))
+    val pairs = cand.join(qs, Seq("b", "qb"))
+    val nn = (if (excludeSelf) pairs.filter(col("q_id") =!= col("c_id"))
+              else pairs)
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
         col("c_id"))
       .groupBy("q_id")

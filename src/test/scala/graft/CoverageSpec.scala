@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 152/158 split") {
-    assert(SparkEntry.queries.size === 158)
-    assert(SparkEntry.oracleSql.size === 152)
+  test("oracle coverage matches the documented 153/159 split") {
+    assert(SparkEntry.queries.size === 159)
+    assert(SparkEntry.oracleSql.size === 153)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 6 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches — x_media_neardup routes through the IVF-PQ

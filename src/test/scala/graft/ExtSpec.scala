@@ -17,6 +17,25 @@ class ExtSpec extends SparkSpec {
     assert(ng.nonEmpty) // the generator plants near-duplicates
   }
 
+  test("containment dominates jaccard pairwise; planted replicas contain both ways") {
+    // C(a⊆b) = |A∩B|/|A| >= |A∩B|/|A∪B| = J always — so at a containment
+    // threshold at/below the jaccard threshold, every jaccard pair appears
+    // in BOTH directions, and the planted verbatim-ish replicas score ~1
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val jac = Dedup.ngramJaccardNaive(spark, docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val con = Dedup.ngramContainment(spark, docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case (a, b, j) =>
+      assert(con.contains((a, b)) && con.contains((b, a)),
+        s"jaccard pair ($a,$b) missing a containment direction")
+      assert(con((a, b)) >= j - 1e-9 && con((b, a)) >= j - 1e-9)
+    }
+    // directionality: doc_a is the contained side, scores bounded by 1
+    con.values.foreach(c => assert(c >= 0.5 && c <= 1.0 + 1e-9))
+  }
+
   test("native shingle_set == array_distinct/transform/slice HOF formulation") {
     import spark.implicits._
     // real testdata + short-input edges (0/1/2/3 tokens, repeats, empty str)
@@ -634,6 +653,15 @@ class ExtSpec extends SparkSpec {
     val all = Similarity.knnJoin(vecs, k = n.toInt + 10)
     assert(all.count() === n * (n - 1))
     assert(all.select("q_id", "c_id").distinct().count() === n * (n - 1))
+    // the two-frame form against a query subset reproduces the broadcast
+    // brute-force entry exactly — two unrelated plans, one result
+    val bf = Similarity.exactTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val kj = Similarity.knnJoinAgainst(vecs, vecs.filter(col("vec_id") < 10),
+      k = 5).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(kj === bf)
   }
 
   test("entropy signals: hand-computed chars/words; degenerate doc is exactly 0.0") {
