@@ -566,6 +566,39 @@ object Similarity {
         spark.table(s"${name}_codes"))
     }
 
+    /** Incremental maintenance — the refresh half of train-once/serve-many:
+      * encode a batch of NEW vectors with the FROZEN quantizers of a saved
+      * index (nearest-cell argmax + PQ encode + norm, the same fused
+      * one-projection shape the trainer emits) and append it to the
+      * persisted bucketed code table. No retrain, no rewrite of existing
+      * codes, no shuffle of anything but the batch itself; quantizer
+      * drift under a changing distribution is handled by periodic retrain,
+      * the standard IVF-PQ operating practice. Caller owns vec_id
+      * uniqueness across appends (an index references the corpus — dedup
+      * is the corpus pipeline's job, and [[graft.ext.Dedup]]'s ingest gate
+      * runs BEFORE vectors reach an index). The appended vectors become
+      * searchable via [[load]] over the extended corpus frame. */
+    def append(spark: SparkSession, name: String, path: String,
+        newVectors: DataFrame): Unit = {
+      val centroids = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val metaRow = spark.read.parquet(s"$path/meta").collect().head
+      val codebooks = metaRow.getSeq[Float](0).toArray
+      val m = metaRow.getInt(1)
+      val pqCodes = metaRow.getInt(2)
+      import graft.functions.VectorFunctions.{pqEncode, vecNorm}
+      graft.sources.Layout.registerBucketedExternal(spark, s"${name}_codes",
+        s"$path/codes", centroids.size, Seq("cell"))
+      val enc = newVectors.select(col("vec_id"), col("embedding"))
+        .withColumn("cell",
+          greatest(cellStructs(centroids): _*).getField("cell"))
+        .select(col("cell"), col("vec_id").as("c_id"),
+          pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
+          vecNorm(col("embedding")).as("norm_c"))
+      graft.sources.Layout.appendBucketedExternal(enc, s"${name}_codes",
+        centroids.size, Seq("cell"))
+    }
+
     /** Train both quantizers over ONE materialized projection (the IVF
       * checkpoint is reused as the PQ training source and the code-table
       * scan), then emit the cell-routed code table in a single
@@ -585,6 +618,26 @@ object Similarity {
       new IvfPqIndex(ivf, pq, probes, m, pqCodes, codes)
     }
   }
+
+  /** Streaming index maintenance: each arriving micro-batch of
+    * `(vec_id, embedding)` rows is frozen-quantizer-encoded and appended
+    * to the saved index via [[IvfPqIndex.append]] — readStream →
+    * foreachBatch(append), the continuous-refresh half of the serving
+    * story (new corpus documents become searchable without a retrain or
+    * restart). Checkpointed: completed batches are not replayed across
+    * restarts. Delivery is at-least-once at the batch boundary (a crash
+    * MID-append can leave a batch partially written and replay it); an
+    * exactly-once corpus is the upstream pipeline's contract — run the
+    * ingest gate / exact dedup before vectors reach the index, and
+    * dedup-on-read by c_id if a replayed batch must be tolerated. */
+  def indexAppendStream(vectors: DataFrame, name: String, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfPqIndex.append(batch.sparkSession, name, path, batch)
+      }.start()
 
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)

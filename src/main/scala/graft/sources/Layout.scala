@@ -74,6 +74,22 @@ object Layout {
            |LOCATION '$path'""".stripMargin)
     }
 
+  /** Append half of [[writeBucketedExternal]]: new rows land as NEW
+    * correctly-hash-bucketed (and per-file sorted) files alongside the
+    * existing ones — the incremental-load path for a persisted bucketed
+    * dataset. Spark validates the declared spec against the catalog
+    * entry, so a drifted (buckets, keys) call fails instead of silently
+    * corrupting co-location. Each append adds one file per non-empty
+    * bucket; a fine-grained append cadence should run [[compact]]
+    * periodically (write-path hygiene, not an afterthought, at 100 TB). */
+  def appendBucketedExternal(df: DataFrame, table: String,
+      buckets: Int, keys: Seq[String]): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(totalBytes / targetFileBytes) evenly-sized files. Streaming
     * sinks and fine-grained incremental loads accrete thousands of tiny

@@ -951,6 +951,37 @@ class ExtSpec extends SparkSpec {
     assert(p.contains("pq_adc"), p)
   }
 
+  test("ivfpq append: frozen-quantizer encode, appended clone found at rank 1, no retrain") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.IvfPqIndex.train(emb).save("ivfpq_app_spec", dir)
+    val before = spark.table("ivfpq_app_spec_codes").count()
+    // plant a verbatim clone of vector 0 under a fresh id and append it —
+    // quantizers stay frozen, only the batch is encoded
+    val clone = emb.filter(col("vec_id") === 0)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    Similarity.IvfPqIndex.append(spark, "ivfpq_app_spec", dir, clone)
+    assert(spark.table("ivfpq_app_spec_codes").count() === before + 1)
+    // a restarted session loads the extended index over the extended
+    // corpus; the planted clone must now be vector 0's rank-1 at cosine ~1
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE ivfpq_app_spec_codes")
+    val emb2 = graft.Tables.embeddings(s2, sf)
+    val corpus2 = emb2.select(col("vec_id"), col("embedding")).union(
+      emb2.filter(col("vec_id") === 0)
+        .select(lit(900001L).as("vec_id"), col("embedding")))
+    val loaded = Similarity.IvfPqIndex.load(s2, "ivfpq_app_spec", dir, corpus2)
+    val top = loaded.searchWhere(col("vec_id") === 0).orderBy("rank").collect()
+    assert(top.head.getLong(2) === 900001L, top.mkString("; "))
+    assert(top.head.getDouble(3) > 0.999999)
+    // same-cell invariant: a verbatim clone encodes into its twin's cell
+    val cells = s2.table("ivfpq_app_spec_codes")
+      .filter(col("c_id").isin(0L, 900001L))
+      .select("cell").distinct().count()
+    assert(cells === 1L)
+  }
+
   test("ivf/pq standalone index save/load: new-session identity, pure-scan serving plans") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sf)

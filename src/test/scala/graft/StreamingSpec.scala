@@ -241,6 +241,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index maintenance: micro-batch appends become searchable, no retrain") {
+    // continuous-refresh half of the ANN serving story: vectors arriving
+    // on a stream are frozen-quantizer-encoded per micro-batch and
+    // appended to the saved IVF-PQ index; a subsequent load+search finds
+    // them with no retrain anywhere
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    Similarity.IvfPqIndex.train(emb).save("ivfpq_stream_spec", dir)
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val input = MemoryStream[(Long, Array[Float])]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_idx_stream_ckpt").toString
+    val q = Similarity.indexAppendStream(
+      input.toDF().toDF("vec_id", "embedding"),
+      "ivfpq_stream_spec", dir, checkpoint)
+    try {
+      input.addData((910001L, v0)) // clone of vector 0 under a fresh id
+      q.processAllAvailable()
+      input.addData((910002L, v0.map(-_))) // second batch: the antipode
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart scenario: fresh session, catalog entry dropped, load over
+    // the extended corpus — the streamed clone is vector 0's new rank-1
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE ivfpq_stream_spec_codes")
+    val emb2 = graft.Tables.embeddings(s2, sf)
+    val corpus2 = emb2.select(col("vec_id"), col("embedding")).union(
+      s2.createDataFrame(Seq((910001L, v0), (910002L, v0.map(-_))))
+        .toDF("vec_id", "embedding"))
+    val loaded = Similarity.IvfPqIndex.load(s2, "ivfpq_stream_spec", dir, corpus2)
+    assert(s2.table("ivfpq_stream_spec_codes").count() === emb.count() + 2)
+    val top = loaded.searchWhere(col("vec_id") === 0).orderBy("rank").collect()
+    assert(top.head.getLong(2) === 910001L, top.mkString("; "))
+    assert(top.head.getDouble(3) > 0.999999)
+  }
+
   test("stateful sessionization closes sessions on inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
