@@ -227,6 +227,37 @@ object Dedup {
         s"${name}_sets", s"$path/sets", buckets, Seq("corpus_id"))
       IngestIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_sets"))
     }
+
+    /** Incremental growth of a saved gate index: band-hash and shingle
+      * the ADMITTED docs (the same signature definitions the builder
+      * uses, so gate semantics cannot drift) and append them to the two
+      * bucketed tables. This is what turns the gate from "static corpus
+      * snapshot" into a living admission index: survivors of one batch
+      * are part of the corpus the NEXT batch is gated against. No
+      * recompute of existing signatures; only the batch is signed.
+      * Caller owns doc_id uniqueness (the gate itself guarantees a
+      * survivor is no near-dup of anything already indexed). */
+    def append(spark: SparkSession, name: String, path: String,
+        admitted: DataFrame): Unit = {
+      val buckets = spark.read.parquet(s"$path/meta").collect().head.getInt(0)
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_bands", s"$path/bands", buckets, Seq("band_idx", "band_hash"))
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_sets", s"$path/sets", buckets, Seq("corpus_id"))
+      val bands = withMinhash(withShingles(admitted))
+        .select(col("doc_id").as("corpus_id"), minhashBandCols)
+        .select(col("band_idx"), col("band_hash"), col("corpus_id"))
+      val sets = withShingles(admitted)
+        .select(col("doc_id").as("corpus_id"),
+          col("shingles").as("c_shingles"), size(col("shingles")).as("c_n"))
+      graft.sources.Layout.appendBucketedExternal(bands,
+        s"${name}_bands", buckets, Seq("band_idx", "band_hash"))
+      graft.sources.Layout.appendBucketedExternal(sets,
+        s"${name}_sets", buckets, Seq("corpus_id"))
+      // drop any stale file listings so the very next probe sees the batch
+      spark.catalog.refreshTable(s"${name}_bands")
+      spark.catalog.refreshTable(s"${name}_sets")
+    }
   }
 
   /** Build the ingest-gate index over a (doc_id, text) corpus. */
@@ -289,6 +320,44 @@ object Dedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         admit(nearDupIngestGate(batch.toDF(), index, threshold))
+      }
+      .start()
+
+  /** Self-GROWING streaming ingest gate over a saved disk-backed index:
+    * each micro-batch is gated against the index as of the previous
+    * batch, its survivors are handed to `admit`, and then APPENDED to
+    * the index — so a later batch re-crawling a doc that only ever
+    * existed ON THE STREAM is dropped, which the static-index
+    * [[ingestGateStream]] structurally cannot do. This is the crawler
+    * admission loop: the corpus is what the gate has admitted so far.
+    *
+    * Ordering contract inside a batch: decisions MATERIALIZE (persist +
+    * count) against the pre-batch index before anything is appended —
+    * otherwise the plan would re-probe the grown table and drop the
+    * batch's own docs as self-duplicates. `admit` must consume the
+    * survivors within the callback (after it returns, the handle is
+    * unpersisted and would recompute against the grown index).
+    * Intra-batch duplicates are upstream's job (run the batch dedup
+    * family first); checkpointing makes completed batches non-replayed,
+    * and a replayed partial batch re-gates against an index that may
+    * already hold its survivors — they drop as verbatim dups, so the
+    * loop is idempotent at the doc level. */
+  def ingestGateStreamGrowing(newDocs: DataFrame, name: String,
+      path: String, checkpoint: String, threshold: Double = 0.5)(
+      admit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val index = IngestIndex.load(spark, name, path)
+        val survivors =
+          nearDupIngestGate(batch.toDF(), index, threshold).persist()
+        try {
+          survivors.count() // pin decisions to the pre-append index state
+          admit(survivors)
+          IngestIndex.append(spark, name, path,
+            survivors.select(col("doc_id"), col("text")))
+        } finally survivors.unpersist(blocking = false)
       }
       .start()
 

@@ -241,6 +241,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("self-growing ingest gate: a re-crawl of an earlier STREAMED doc is dropped") {
+    // the crawler admission loop: survivors join the index before the
+    // next batch, so the second batch's copy of a doc that only ever
+    // existed on the stream is caught — the static-index gate would
+    // admit it (its index never learns)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val built = graft.ext.Dedup.buildIngestIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_grow_idx").toString
+    built.save("ingest_idx_grow_spec", dir)
+    built.close()
+    val bandsBefore = spark.table("ingest_idx_grow_spec_bands").count()
+    val setsBefore = spark.table("ingest_idx_grow_spec_sets").count()
+    val base = corpus.orderBy("doc_id").limit(1).collect()
+    val fresh1 = "a2 b2 c2 d2 e2 f2 g2 h2 i2 j2 k2 l2"
+    val fresh2 = "a3 b3 c3 d3 e3 f3 g3 h3 i3 j3 k3 l3"
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_grow_ckpt").toString
+    val q = graft.ext.Dedup.ingestGateStreamGrowing(
+      input.toDF().toDF("doc_id", "text"),
+      "ingest_idx_grow_spec", dir, checkpoint) { survivors =>
+      admitted.synchronized {
+        admitted ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    try {
+      // batch 1: corpus re-crawl dropped, fresh doc admitted + indexed
+      input.addData((30L, base(0).getString(1)), (31L, fresh1))
+      q.processAllAvailable()
+      // batch 2: re-crawl of the STREAMED doc 31 dropped, new doc admitted
+      input.addData((32L, fresh1), (33L, fresh2))
+      q.processAllAvailable()
+      assert(admitted.toSet === Set(31L, 33L), admitted.toList.sorted)
+    } finally q.stop()
+    // the index grew by exactly the two admitted docs (16 bands each).
+    // The appends ran in the streaming clone's session state; THIS session
+    // cached the relation at the `before` counts, so refresh first (the
+    // gate itself always sees fresh state — append refreshes its session)
+    spark.catalog.refreshTable("ingest_idx_grow_spec_bands")
+    spark.catalog.refreshTable("ingest_idx_grow_spec_sets")
+    assert(spark.table("ingest_idx_grow_spec_bands").count()
+      === bandsBefore + 32)
+    assert(spark.table("ingest_idx_grow_spec_sets").count()
+      === setsBefore + 2)
+  }
+
   test("streaming index maintenance: micro-batch appends become searchable, no retrain") {
     // continuous-refresh half of the ANN serving story: vectors arriving
     // on a stream are frozen-quantizer-encoded per micro-batch and
