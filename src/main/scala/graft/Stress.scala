@@ -247,6 +247,16 @@ object Stress {
     time("lsh_topk_multitable") {
       graft.ext.Similarity.lshTopK(emb, col("vec_id") < 10).count()
     }
+    // Exact k-NN self-join (r8): O(n²) BY CONTRACT — 50k vectors = 2.5G
+    // cosine pairs at K=10 — so the subject under stress is the blocked
+    // grid's shape, not the flop count: pairs must die inside the grid
+    // tasks (bounded memory via the k-bounded partial aggregation) and
+    // wall time must track pairs/cores linearly. Grid dims widened with
+    // the input as a cluster would (more slices, same per-task volume).
+    time("knn_join_exact") {
+      graft.ext.Similarity.knnJoin(emb, k = 3,
+        blocks = 16, qblocks = 8).count()
+    }
     // Threshold-contract embedding dedup (the sub-quadratic pair-finding
     // scale path): replicas carry IDENTICAL embeddings, so each original
     // vector forms a K-clique at cosine 1.0 — K(K-1)/2 × 2000 true pairs at

@@ -108,6 +108,89 @@ object Similarity {
         col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
   }
 
+  /** Approximate k-NN self-join through IVF cells — the 100 TB operating
+    * shape of [[knnJoin]] (which is its exact, oracle-backed ground
+    * truth; recall between the two is measured per round in
+    * RECALL_r*.json, the same contract as the x_ann_* family). Candidates
+    * for a query are the vectors assigned to its `probes` nearest cells,
+    * so the all-pairs grid becomes a cell-keyed equi-join touching
+    * ~probes/cells of the corpus per query — at the sqrt(n) cells rule
+    * that is O(n^1.5) total pairs instead of O(n²) — and the same
+    * k-bounded [[graft.functions.TopKAggregator]] reduces scored pairs
+    * map-side. Scores are EXACT cosine: the approximation is candidate
+    * coverage only (a true neighbor assigned to an unprobed cell is
+    * missed), tuned by (cells, probes) exactly as in [[ivfTopK]]. */
+  def knnJoinIvf(vectors: DataFrame, k: Int = 3, cells: Int = 16,
+      probes: Int = 2): DataFrame = {
+    val index = IvfIndex.train(vectors, cells)
+    val topk = udaf(graft.functions.TopKAggregator.agg(k))
+    val qProbe = vectors
+      .withColumn("probe_cells", slice(
+        sort_array(array(cellStructs(index.centroids): _*), asc = false),
+        1, probes))
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
+        explode(col("probe_cells").getField("cell")).as("cell"))
+    val nn = index.assigned.join(qProbe, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
+        col("c_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("c_id")).as("nn"))
+    nn.select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
+  }
+
+  /** Approximate k-NN self-join via SYMMETRIC multi-table SRP banding —
+    * the angle-sensitive complement to [[knnJoinIvf]]. Both sides emit
+    * their (table, bucket) keys from one fused srp_signature call; the
+    * query side adds flip-1 multi-probes; candidates are the bucket-join
+    * matches, exact-cosine reranked through the k-bounded aggregation.
+    *
+    * Why both variants exist (measured, RECALL_r*.json): on the
+    * testdata's ISOTROPIC embeddings — the ANN-adversarial regime, no
+    * cluster structure for a coarse quantizer to exploit — IVF recall
+    * collapses to its probe-coverage fraction, while hyperplane collision
+    * probability stays angle-dependent, so SRP banding finds true
+    * neighbors at a far better recall-per-candidate-scored rate
+    * (simulated at matched ~25% candidate fractions: LSH ≈ 0.70 vs IVF
+    * ≈ 0.54 mean recall@3; defaults here land ≈ 0.9). On clustered real
+    * corpora IVF's routed scan wins storage and locality instead. The
+    * bucket join carries payload-free (id, table, bucket) frames; the
+    * join key space is tables × 2^bits, scaled by `bits` as the corpus
+    * grows. */
+  def knnJoinLsh(vectors: DataFrame, k: Int = 3, tables: Int = 16,
+      bits: Int = 8): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator.agg(k))
+    val sigs = graft.functions.VectorFunctions.srpSignature(
+      col("embedding"), bands = tables, bits = bits, dim = 64, seed = 42)
+    val all = vectors.withColumn("sigs", sigs)
+    val cand = all.select(col("vec_id").as("c_id"),
+      posexplode(col("sigs")).as(Seq("t", "bucket")))
+    val qProbe = all.select(col("vec_id").as("q_id"),
+        posexplode(col("sigs")).as(Seq("t", "bucket")))
+      .select(col("q_id"), col("t"), explode(expr(
+        s"""array_union(array(bucket),
+           |  transform(sequence(0, ${bits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
+          .stripMargin)).as("bucket"))
+    val pairs = cand.join(qProbe, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id") // same pair via several tables/probes
+    val cVecs = vectors.select(col("vec_id").as("c_id"),
+      col("embedding").as("v_c"))
+    val qVecs = vectors.select(col("vec_id").as("q_id"),
+      col("embedding").as("v_q"))
+    val nn = pairs.join(cVecs, "c_id").join(qVecs, "q_id")
+      .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
+        col("c_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("c_id")).as("nn"))
+    nn.select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
+  }
+
   /** Multi-table SRP LSH ANN — the standard high-recall LSH form:
     * `tables` INDEPENDENT `bits`-plane hash tables (one [[
     * org.apache.spark.sql.graft.SrpSignature]] call emits all `tables`
@@ -685,7 +768,21 @@ object Similarity {
     // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
     // primitive: blocked-grid equi-join + bounded top-k aggregation.
     "x_knn_join" -> ((s, d) =>
-      knnJoin(emb(s, d), k = 3).orderBy("q_id", "rank"))
+      knnJoin(emb(s, d), k = 3).orderBy("q_id", "rank")),
+    // IVF-celled approximate k-NN self-join — the routed-scan scale path
+    // (recall ~ probe coverage on isotropic data; see knnJoinLsh scaladoc).
+    "x_knn_join_ivf" -> ((s, d) =>
+      knnJoinIvf(emb(s, d), k = 3,
+        probes = intConf(s, "spark.graft.knnjoin.ivf.probes", 8))
+        .orderBy("q_id", "rank")),
+    // Symmetric SRP-banded approximate k-NN self-join — the
+    // angle-sensitive path that dominates IVF on unclustered embeddings;
+    // recall for both committed per round vs the exact entry.
+    "x_knn_join_lsh" -> ((s, d) =>
+      knnJoinLsh(emb(s, d), k = 3,
+        tables = intConf(s, "spark.graft.knnjoin.lsh.tables", 16),
+        bits = intConf(s, "spark.graft.knnjoin.lsh.bits", 8))
+        .orderBy("q_id", "rank"))
   )
 
   /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors

@@ -18,16 +18,20 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 153/159 split") {
-    assert(SparkEntry.queries.size === 159)
+  test("oracle coverage matches the documented 153/161 split") {
+    assert(SparkEntry.queries.size === 161)
     assert(SparkEntry.oracleSql.size === 153)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 6 intrinsically non-oracle-able operators (ANN internals /
+    // the 8 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches — x_media_neardup routes through the IVF-PQ
-    // quantizers, same reason as the x_ann_* family), and only those —
-    // the multimodal feature pair became oracle-backed in round 5 when
-    // the codecs became real
+    // quantizers, same reason as the x_ann_* family; the two approximate
+    // knn-join variants' candidate coverage is likewise quantizer/
+    // hash-table-dependent, and their recall is measured against the
+    // ORACLE-BACKED x_knn_join in RECALL_r*.json), and only those — the
+    // multimodal feature pair became oracle-backed in round 5 when the
+    // codecs became real
     assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq",
-      "x_ann_ivfpq", "x_approx_agg", "x_media_neardup"))
+      "x_ann_ivfpq", "x_approx_agg", "x_media_neardup",
+      "x_knn_join_ivf", "x_knn_join_lsh"))
   }
 }

@@ -664,6 +664,33 @@ class ExtSpec extends SparkSpec {
     assert(kj === bf)
   }
 
+  test("ivf-celled knn join: whole-corpus recall floor vs exact, partition invariant") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+    def asSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = asSets(Similarity.knnJoin(vecs, k = 3))
+    val ivf = asSets(Similarity.knnJoinIvf(vecs, k = 3))
+    val recalls = exact.toSeq.map { case (q, ex) =>
+      ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / 3 }
+    assert(recalls.sum / recalls.size >= 0.3,
+      s"mean whole-corpus recall ${recalls.sum / recalls.size}")
+    // probe-coverage determinism: input partitioning must not change
+    // results (quantizer training and cell routing are partition-free)
+    val again = asSets(Similarity.knnJoinIvf(vecs.repartition(7), k = 3))
+    assert(again === ivf)
+    // the SRP-banded variant: angle-sensitive candidates, same contracts
+    val lsh = asSets(Similarity.knnJoinLsh(vecs, k = 3))
+    val lshRecalls = exact.toSeq.map { case (q, ex) =>
+      lsh.getOrElse(q, Set.empty).intersect(ex).size.toDouble / 3 }
+    info(f"knn-join recall@3 ivf=${recalls.sum / recalls.size}%.3f " +
+      f"lsh=${lshRecalls.sum / lshRecalls.size}%.3f (n=${exact.size})")
+    assert(lshRecalls.sum / lshRecalls.size >= 0.6,
+      s"mean lsh recall ${lshRecalls.sum / lshRecalls.size}")
+    val lshAgain = asSets(Similarity.knnJoinLsh(vecs.repartition(5), k = 3))
+    assert(lshAgain === lsh)
+  }
+
   test("entropy signals: hand-computed chars/words; degenerate doc is exactly 0.0") {
     import spark.implicits._
     val docs = Seq(
