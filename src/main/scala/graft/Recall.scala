@@ -80,6 +80,33 @@ object Recall {
       val (mean, min) = meanMin(sets(idx.searchWhere(col("vec_id") < 10, k, r)))
       s"""{"probes":$p,"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
     }
+    // NON-SEED query honesty check (r8): the registered entries' 10
+    // fixed queries (vec_id < 10) are a SUBSET of the quantizer seeds
+    // (vec_id < cells), which can flatter the quantizer-routed variants
+    // — a seed vector is near its own cell's centroid by construction.
+    // This block re-scores IVF and IVF-PQ from 10 queries far from the
+    // seed range (1000 <= vec_id < 1010) against the exact baseline on
+    // the same filter, so the artifact carries both the registered
+    // operating point and the unflattered one.
+    val nonSeed = col("vec_id") >= 1000 && col("vec_id") < 1010
+    val nsExact = sets(graft.ext.Similarity.exactTopK(
+      embAll, embAll.filter(nonSeed), k))
+    def nsMeanMin(ann: Map[Long, Set[Long]]): (Double, Double) = {
+      val perQ = nsExact.toSeq.sortBy(_._1).map { case (q, ex) =>
+        ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / k
+      }
+      (perQ.sum / perQ.size, perQ.min)
+    }
+    val nsEntries = Seq(
+      "x_ann_lsh" -> graft.ext.Similarity.lshTopK(embAll, nonSeed, k),
+      "x_ann_ivf" -> graft.ext.Similarity.ivfTopK(embAll, nonSeed, k),
+      "x_ann_pq" -> graft.ext.Similarity.pqTopK(embAll, nonSeed, k),
+      "x_ann_ivfpq" -> graft.ext.Similarity.ivfpqTopK(embAll, nonSeed, k))
+      .map { case (name, df) =>
+        val (mean, min) = nsMeanMin(sets(df))
+        s""""$name":{"mean":${f3(mean)},"min":${f3(min)}}"""
+      }
+
     // k-NN JOIN recall (r8): unlike the x_ann_* entries (10 fixed
     // queries), the join variants rank neighbors for EVERY vector, so
     // recall@3 here averages over the whole corpus. The exact blocked
@@ -122,11 +149,23 @@ object Recall {
       "6-bit tables, flip-1 multi-probe per table, union of candidates " +
       "exact-reranked (miss prob decays as (1-p)^tables). The r7 value " +
       "(mean 0.28) was the single-table strawman; the near-dup regime " +
-      "still belongs to the threshold-contract embedNearDupsLsh"
+      "still belongs to the threshold-contract embedNearDupsLsh. " +
+      "nonseed_queries (r8): the registered 10 queries (vec_id<10) are " +
+      "a subset of the quantizer training anchors (IVF seeds vec_id<16, " +
+      "PQ codebook seeds first 16 vectors), which flatters the three " +
+      "quantizer-trained variants on THIS testdata's isotropic " +
+      "embeddings (measured: intra-label cosine == inter-label == 0; " +
+      "no cluster structure to route by) — off-seed they fall to their " +
+      "probe-coverage floor while data-independent SRP holds (0.90). " +
+      "Read the registered recall block as the seed-adjacent operating " +
+      "point and nonseed_queries as the isotropic-corpus floor; " +
+      "clustered real corpora sit between, and the spark.graft.ann.* " +
+      "confs plus the sweep grids are the tuning path"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +
         s""""recall":{${entries.mkString(",")}},""" +
+        s""""nonseed_queries":{${nsEntries.mkString(",")}},""" +
         s""""knn_join":{$kjJson},""" +
         s""""sweep":{"pq":[${pqSweep.mkString(",")}],""" +
         s""""ivfpq":[${ivfpqSweep.mkString(",")}]},"note":"$note"}"""
