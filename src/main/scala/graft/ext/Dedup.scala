@@ -510,6 +510,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Apply [[ngramContainment]] as a dedup: drop the CONTAINED side.
+    * Asymmetric pairs (a quote/boilerplate doc inside a larger one) drop
+    * the contained doc and keep the container; MUTUAL pairs (each side
+    * covers the other — near-verbatim replicas) keep the min-id member
+    * as canonical, the same survivor convention as the cluster-based
+    * x_dedup_apply. Deterministic rule: drop a iff some b contains it
+    * and (b does not mutually contain a, or b < a).
+    *
+    * Scale shape: the pair frames are duplicate-scale (tiny vs the
+    * corpus); intersect/except run on 2-column id frames; the corpus is
+    * touched once by a broadcast anti-join of the dropped set — the
+    * corpus never shuffles, exactly as in x_dedup_apply. */
+  def containmentDedupApply(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramContainment(s, docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val rev = pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    val mutual = pairs.intersect(rev)
+    val dropped = pairs.except(mutual).select(col("doc_a"))
+      .union(mutual.filter(col("doc_a") > col("doc_b")).select(col("doc_a")))
+      .distinct()
+      .withColumnRenamed("doc_a", "doc_id")
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+  }
+
   /** PPJoin-style exact n-gram Jaccard for 100 TB inputs: shingles get a
     * rare-first global order (doc-freq asc, then shingle), each doc indexes
     * only its first floor(n/2)+1 prefix shingles — the prefix-filtering
@@ -959,6 +984,14 @@ object Dedup {
     "x_dedup_containment" -> ((s, d) => ngramContainment(s,
       documents(s, d).select(col("doc_id"), col("text")))),
 
+    // Containment applied as a dedup: contained docs drop, containers
+    // survive, mutual (near-verbatim) pairs keep the min id.
+    "x_dedup_containment_apply" -> ((s, d) =>
+      containmentDedupApply(s, documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars")))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // Dedup clustering: connected components over near-dup pairs; every
     // document gets a cluster_id (= min doc_id reachable), singletons
     // cluster as themselves. The edge source is the banded-LSH MinHash
@@ -1171,6 +1204,37 @@ object Dedup {
         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dedup_containment_apply" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS shingles
+        |  FROM (
+        |    SELECT doc_id,
+        |      [array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS ngrams
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        |  FROM sets
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(count(*) AS DOUBLE) / any_value(a.n_sh) AS containment
+        |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |    GROUP BY a.doc_id, b.doc_id)
+        |  WHERE containment >= 0.8
+        |), mutual AS (
+        |  SELECT p.doc_a, p.doc_b FROM pairs p
+        |  JOIN pairs q ON p.doc_a = q.doc_b AND p.doc_b = q.doc_a
+        |), dropped AS (
+        |  SELECT doc_a FROM pairs p
+        |  WHERE NOT EXISTS (SELECT 1 FROM mutual m
+        |                    WHERE m.doc_a = p.doc_a AND m.doc_b = p.doc_b)
+        |  UNION
+        |  SELECT doc_a FROM mutual WHERE doc_a > doc_b
+        |)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_a FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_ngram_capped" -> ngramJaccardSql, // uncut-identity regime at gate SFs
     "x_dedup_minhash" -> ngramJaccardSql,
     // Transitive closure via recursive CTE (DuckDB's native way to express

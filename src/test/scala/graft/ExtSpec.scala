@@ -36,6 +36,21 @@ class ExtSpec extends SparkSpec {
     con.values.foreach(c => assert(c >= 0.5 && c <= 1.0 + 1e-9))
   }
 
+  test("containment apply: contained drops, container survives, mutual keeps min id") {
+    import spark.implicits._
+    val base = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    val docs = Seq(
+      (1L, base),                                                // ⊆ doc 2
+      (2L, base + " r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"),   // container
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"),           // distinct
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12"),           // mutual…
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12")            // …with 4
+    ).toDF("doc_id", "text")
+    val kept = Dedup.containmentDedupApply(spark, docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
   test("native shingle_set == array_distinct/transform/slice HOF formulation") {
     import spark.implicits._
     // real testdata + short-input edges (0/1/2/3 tokens, repeats, empty str)
