@@ -143,6 +143,13 @@ object Stress {
     time("substring_windows_dup_heavy") {
       graft.ext.Dedup.repeatedWindows(spark, docsDup).count()
     }
+    // Asymmetric containment (r8) on the same dup-heavy corpus: emits
+    // BOTH directions of every mutual pair (≈ 2× the Jaccard pair count)
+    // through the identical count-inside-aggregation shape — the
+    // directional denominator must not change the scale behavior.
+    time("containment_pairs_dup_heavy") {
+      graft.ext.Dedup.ngramContainment(spark, docsDup).count()
+    }
     // The two round-7 shard-offset rank decompositions at K×: the trained
     // replace-chain apply + pack (pure projection + per-shard window) and
     // the vocab build with its (cnt, first-char) group ranking. Both must

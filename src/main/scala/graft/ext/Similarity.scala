@@ -768,7 +768,10 @@ object Similarity {
     // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
     // primitive: blocked-grid equi-join + bounded top-k aggregation.
     "x_knn_join" -> ((s, d) =>
-      knnJoin(emb(s, d), k = 3).orderBy("q_id", "rank")),
+      knnJoin(emb(s, d), k = 3,
+        blocks = intConf(s, "spark.graft.knnjoin.blocks", 8),
+        qblocks = intConf(s, "spark.graft.knnjoin.qblocks", 4))
+        .orderBy("q_id", "rank")),
     // IVF-celled approximate k-NN self-join — the routed-scan scale path
     // (recall ~ probe coverage on isotropic data; see knnJoinLsh scaladoc).
     "x_knn_join_ivf" -> ((s, d) =>
