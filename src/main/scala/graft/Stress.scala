@@ -62,6 +62,39 @@ object Stress {
         .agg(sum(Tables.cents(col("l_extendedprice"))), count(lit(1)))
         .count()
     }
+    // Bloom semi-join reduction (r8) at K×: the dim filter keeps ~4% of
+    // 1.5M orders, the bloom pre-filter must hold the fact-side shuffle
+    // to that fraction (+fpp) — the wall should track the REDUCED join,
+    // not the K×-scaled full fact⋈fact above.
+    time("bloom_join_reduce") {
+      val dim = ord.filter(col("o_orderpriority") === "1-URGENT"
+        && year(col("o_orderdate")) === 1995)
+      graft.functions.BloomJoin.reduceJoin(
+          li, dim, col("l_orderkey"), col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1))).count()
+    }
+    // Z-order + zone map (r8) at K×: clustering 6M rows into 64 files,
+    // then listing-time pruning for 1/8-range slices in each dimension —
+    // kept-file counts are the artifact (the sqrt-ish bound is the win).
+    locally {
+      val zdir = java.nio.file.Files
+        .createTempDirectory("graft_zstress").toString + "/data"
+      time("zorder_write") {
+        graft.sources.Layout.writeZOrdered(
+          li, zdir, Seq("l_orderkey", "l_partkey"), files = 64)
+        spark.read.parquet(zdir).count()
+      }
+      val hiOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble / 8
+      val hiPk = li.agg(max(col("l_partkey"))).head().getLong(0).toDouble / 8
+      val keptOk = graft.sources.Layout.pruneFiles(
+        spark, zdir, Seq(("l_orderkey", 0.0, hiOk))).size
+      val keptPk = graft.sources.Layout.pruneFiles(
+        spark, zdir, Seq(("l_partkey", 0.0, hiPk))).size
+      val keptBoth = graft.sources.Layout.pruneFiles(spark, zdir,
+        Seq(("l_orderkey", 0.0, hiOk), ("l_partkey", 0.0, hiPk))).size
+      println(s"[stress] zorder files kept of 64: orderkey-slice $keptOk, " +
+        s"partkey-slice $keptPk, both $keptBoth")
+    }
     time("window_topn_per_order") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_orderkey"))
@@ -159,6 +192,13 @@ object Stress {
     }
     time("vocab_10x") {
       graft.ext.Pipeline.buildVocab(docsDup).count()
+    }
+    // Exact heavy hitters (r8) at K×: ~27M tokens through the bounded MG
+    // candidate pass (O(tasks × 2048) shuffled) + the InSet recount —
+    // must stay linear in K where the plain groupBy's shuffle grows with
+    // the distinct vocabulary.
+    time("heavy_hitters_10x") {
+      graft.ext.TextAnalysis.heavyHitters(docsDup).count()
     }
     // Band-prune formulation A/B (round 5): the two LSH band sites were
     // switched from count-over-window to hash-agg+broadcast-rejoin

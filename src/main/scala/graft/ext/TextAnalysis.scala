@@ -56,6 +56,43 @@ object TextAnalysis {
   private def lmSide(lm: DataFrame): DataFrame =
     if (broadcastsEnabled(lm)) broadcast(lm) else lm.hint("shuffle_hash")
 
+  /** EXACT corpus φ-heavy hitters (tokens with frequency ≥ ⌈φ·N⌉) via the
+    * classic two-pass scale shape — the corpus-vocabulary query that a
+    * naive `groupBy(token)` answers with a shuffle of the ENTIRE distinct
+    * vocabulary:
+    *
+    * Pass 1 — candidates: one aggregation through the bounded
+    * [[graft.functions.MisraGriesAggregator]] (plus the token total `N`
+    * in the same job). Each map task ships ≤ `capacity` counters, so the
+    * exchange is O(tasks × capacity) regardless of vocabulary size, and
+    * the merged candidate set (≤ capacity strings, bounded driver state)
+    * is a GUARANTEED superset of the φ-heavy tokens whenever
+    * capacity·φ ≥ 2 (enforced; MG undercount ≤ N/(capacity+1) < φN/2).
+    *
+    * Pass 2 — exact recount: re-scan with `token IN candidates` (an
+    * `InSet` probe in the scan stage — only candidate tokens survive to
+    * the shuffle) and filter to ≥ ⌈φ·N⌉. The recount makes the answer
+    * EXACT and partitioning-independent — equal to the plain
+    * GROUP BY + HAVING, which is the DuckDB oracle — while the shuffled
+    * volume stays candidate-bounded in both passes. */
+  def heavyHitters(docs: DataFrame, phi: Double = 0.002,
+      capacity: Int = 2048): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    require(capacity * phi >= 2.0,
+      s"capacity ($capacity) too small for phi=$phi: the MG superset " +
+        s"guarantee needs capacity * phi >= 2")
+    val toks = docs.select(explode(tokens).as("token"))
+    val mg = udaf(graft.functions.MisraGriesAggregator.agg(capacity))
+    val pass1 = toks
+      .agg(mg(col("token")).as("cands"), count(lit(1)).as("n")).head()
+    val cands = pass1.getSeq[String](0)
+    val threshold = math.max(1L, math.ceil(phi * pass1.getLong(1)).toLong)
+    toks.filter(col("token").isInCollection(cands))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** Token + length statistics (whitespace tokenizer). */
   def textStats(docs: DataFrame): DataFrame = docs
     .withColumn("tokens", tokens)
@@ -404,6 +441,7 @@ object TextAnalysis {
       .orderBy("doc_id")),
     "x_text_topterms" -> ((s, d) =>
       distinctiveTerms(documents(s, d)).orderBy("doc_id", "rk")),
+    "x_text_heavyhitters" -> ((s, d) => heavyHitters(documents(s, d))),
     "x_text_fingerprint" -> ((s, d) =>
       fingerprints(documents(s, d)).orderBy("doc_id"))
   )
@@ -595,6 +633,17 @@ object TextAnalysis {
         |      ORDER BY df.df, t.term) AS INT) AS rk
         |  FROM terms t JOIN df USING (term))
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // The MG candidate pass is invisible to the answer (guaranteed
+    // superset + exact recount), so the oracle is the plain
+    // GROUP BY + HAVING at threshold ceil(phi * N).
+    "x_text_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT token, cnt FROM
+        |  (SELECT token, count(*) AS cnt FROM toks GROUP BY token), tot
+        |WHERE cnt >= greatest(1, CAST(ceil(0.002 * n) AS BIGINT))
+        |ORDER BY cnt DESC, token""".stripMargin,
     "x_text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)

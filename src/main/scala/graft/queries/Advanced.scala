@@ -113,6 +113,45 @@ object Advanced {
         .orderBy("yr", "qtr")
     }),
 
+    // Bloom-filter semi-join reduction (the manual runtime filter): the
+    // fact is pre-filtered through a bloom of the FILTERED dim's join
+    // keys before any exchange, so the shuffle only carries rows that can
+    // match (~4% here + fpp). No false negatives → result identical to
+    // the plain join (the oracle); false positives die in the join.
+    "x_bloom_join" -> ((s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT"
+          && year(col("o_orderdate")) === 1995)
+      graft.functions.BloomJoin.reduceJoin(
+          lineitem(s, d), dim, col("l_orderkey"), col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice"))).as("billed_cents"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Z-order + zone-map scan under the correctness gate: lineitem is
+    // re-clustered on (l_orderkey, l_partkey), the zone map prunes the
+    // file LISTING for a two-dimension range slice, and the aggregate
+    // over the pruned read must equal the plain filtered scan (the
+    // oracle) — pruning may only drop files with no matching rows.
+    "x_zorder_scan" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zorder_q").toString + "/data"
+      graft.sources.Layout.writeZOrdered(
+        li, dir, Seq("l_orderkey", "l_partkey"), files = 16)
+      val hiOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble / 8
+      val hiPk = li.agg(max(col("l_partkey"))).head().getLong(0).toDouble / 8
+      graft.sources.Layout.readZonePruned(s, dir,
+          Seq(("l_orderkey", 0.0, hiOk), ("l_partkey", 0.0, hiPk)))
+        .filter(col("l_orderkey") <= hiOk && col("l_partkey") <= hiPk)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice"))).as("billed_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Explicit skew salting: two-phase aggregation through a salted key.
     // Result is identical to the direct groupBy (oracle = plain GROUP BY);
     // the shape is what matters — partial aggregation fans the hot key over
@@ -200,6 +239,21 @@ object Advanced {
         |  ON CAST(o.o_orderdate AS DATE) >= q.q_start
         |    AND CAST(o.o_orderdate AS DATE) < CAST(q.q_end AS DATE))
         |GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin,
+    "x_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS billed_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS billed_cents
+        |FROM lineitem
+        |WHERE l_orderkey <= (SELECT max(l_orderkey) FROM lineitem) / 8.0
+        |  AND l_partkey <= (SELECT max(l_partkey) FROM lineitem) / 8.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers (SURVEY §2.1 S4 sink + 100 TB partitioning
   * strategy): hive-style partitioned parquet for partition pruning, and
@@ -89,6 +89,111 @@ object Layout {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
+
+  /** Morton (Z-order) interleave of per-column bucket ids: bit j of
+    * bucket i lands at output bit j·n + i, so a range slice in ANY single
+    * dimension touches only ~files^((n-1)/n) of a range-partitioned
+    * layout instead of all of it. Pure integer shifts — codegen'd, no
+    * UDF, bits·n terms. */
+  private def morton(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    val terms = for {
+      (b, i) <- buckets.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Z-ORDERED write + zone map (the multi-column data-skipping layout —
+    * the public Delta `OPTIMIZE ZORDER` / Hudi column-stats shape):
+    *
+    * 1. Each z-column is bucketed into 2^bits cells over its observed
+    *    [min, max] (one tiny agg; `width_bucket` is O(1) codegen'd —
+    *    heavily skewed columns would want quantile boundaries instead,
+    *    the bucketing is the only piece to swap).
+    * 2. Rows sort by the Morton interleave of their bucket ids
+    *    (`repartitionByRange` on the z-value + in-partition sort), so
+    *    every output file covers a small HYPER-RECTANGLE of the z-column
+    *    space rather than a slab of one column. A linear sort bounds one
+    *    column per file; z-order bounds ALL of them at once — a range
+    *    predicate on ANY z-column skips most files.
+    * 3. A zone map (per-file min/max of each z-column) lands in
+    *    `_graft_zonemap` under the same path — the leading underscore
+    *    makes it invisible to plain `spark.read.parquet(path)` readers,
+    *    like parquet's own `_metadata`.
+    *
+    * Parquet row-group stats already give READ-time skipping once a file
+    * is opened; the zone map adds the LISTING-time layer Spark lacks
+    * without an external index — at 100 TB, not planning tasks for 95% of
+    * the files is the difference, not skipping their row groups after
+    * scheduling them. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int, bits: Int = 8): Unit = {
+    require(zCols.size >= 2,
+      s"z-order needs >= 2 columns (one column = plain range sort), got $zCols")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits=$bits over ${zCols.size} columns overflows a long z-value")
+    val cells = (1 << bits).toLong
+    val statCols = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(statCols.head, statCols.tail: _*).head()
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      if (hi == lo) lit(0L)
+      else least(greatest(
+        width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(cells)) - 1,
+        lit(0L)), lit(cells - 1))
+    }
+    df.withColumn("__z", morton(buckets, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeZoneMap(df.sparkSession, path, zCols)
+  }
+
+  /** Per-file min/max of `cols` → `path/_graft_zonemap` (a few rows per
+    * file — KB-scale however big the data). Built as one distributed
+    * group-by-file pass over the freshly written data; a production
+    * variant reads the same numbers straight from parquet footers. */
+  def writeZoneMap(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(cols.head).cast("double")).as(s"${cols.head}_min"),
+        cols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"${c}_min"),
+          max(col(c).cast("double")).as(s"${c}_max"))).drop(1): _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_zonemap")
+
+  /** Listing-time pruning: the files whose zone-map rectangles overlap
+    * every `[lo, hi]` range. Sound for any layout (a file that holds a
+    * matching row always overlaps); z-ordering is what makes it SHARP on
+    * more than one column at once. The zone map is KB-scale, so the
+    * overlap test is a driver-side filter over #files rows. */
+  def pruneFiles(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): Seq[String] = {
+    require(ranges.nonEmpty, "pruneFiles needs at least one column range")
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi
+    }.reduce(_ && _)
+    spark.read.parquet(s"$path/_graft_zonemap")
+      .filter(pred).select("file")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Scan only the zone-map-surviving files. Callers re-apply their
+    * precise predicate (the zone map is file-granular); the result is
+    * row-identical to filtering the full scan — pruning can only drop
+    * files that hold no matching rows. */
+  def readZonePruned(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val files = pruneFiles(spark, path, ranges)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
 
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(totalBytes / targetFileBytes) evenly-sized files. Streaming

@@ -1161,4 +1161,26 @@ class ExtSpec extends SparkSpec {
       }
     } finally spark.conf.set(key, prev)
   }
+
+  test("heavy hitters: exact, partitioning-invariant, equal to the plain group-by") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    // the MG candidate pass is partitioning-dependent, the ANSWER is not:
+    // different partition counts → identical rows
+    val a = TextAnalysis.heavyHitters(docs.repartition(3)).collect().toSeq
+    val b = TextAnalysis.heavyHitters(docs.repartition(11)).collect().toSeq
+    assert(a === b)
+    // equals the exact single-shuffle formulation it exists to avoid
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val thr = math.max(1L, math.ceil(0.002 * n).toLong)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .orderBy(col("cnt").desc, col("token")).collect().toSeq
+    assert(a === exact)
+    assert(a.nonEmpty)
+    // the superset guarantee is a precondition, not a hope: capacities
+    // too small for phi fail fast instead of silently dropping hitters
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.heavyHitters(docs, phi = 0.0001, capacity = 100))
+  }
 }

@@ -62,4 +62,54 @@ class LayoutSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
     assert(joined.count() === li.count())
   }
+
+  test("z-order + zone map: correct pruned reads, both dimensions skip files") {
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/data"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val files = 16
+    Layout.writeZOrdered(li, dir, Seq("l_orderkey", "l_partkey"), files)
+    // the _graft_zonemap sidecar is invisible to plain readers
+    assert(spark.read.parquet(dir).count() === li.count())
+
+    val maxOk = li.agg(max(col("l_orderkey"))).head.getLong(0).toDouble
+    val maxPk = li.agg(max(col("l_partkey"))).head.getLong(0).toDouble
+    // a ~1/8 range slice in EACH dimension
+    val okRange = ("l_orderkey", 0.0, maxOk / 8)
+    val pkRange = ("l_partkey", 0.0, maxPk / 8)
+
+    Seq(okRange, pkRange).foreach { case r @ (c, lo, hi) =>
+      // soundness: pruned read + precise filter == full scan + filter
+      val pruned = Layout.readZonePruned(spark, dir, Seq(r))
+        .filter(col(c) >= lo && col(c) <= hi)
+        .orderBy("l_orderkey", "l_linenumber").collect()
+      val full = spark.read.parquet(dir)
+        .filter(col(c) >= lo && col(c) <= hi)
+        .orderBy("l_orderkey", "l_linenumber").collect()
+      assert(pruned === full, s"zone-pruned read lost rows for $c")
+      // sharpness: a single-dimension slice skips files in BOTH dims —
+      // the property a linear sort cannot give
+      val kept = Layout.pruneFiles(spark, dir, Seq(r)).size
+      assert(kept <= files / 2, s"$c slice kept $kept of $files files")
+    }
+
+    // the counter-factual: a LINEAR sort on l_orderkey bounds only that
+    // column per file — the l_partkey slice touches (nearly) every file
+    val linDir = Files.createTempDirectory("graft_linear").toString + "/data"
+    li.repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+    Layout.writeZoneMap(spark, linDir, Seq("l_orderkey", "l_partkey"))
+    val linKept = Layout.pruneFiles(spark, linDir, Seq(pkRange)).size
+    val zKept = Layout.pruneFiles(spark, dir, Seq(pkRange)).size
+    assert(zKept < linKept,
+      s"z-order ($zKept files) should beat linear layout ($linKept) on the non-sort column")
+    assert(linKept >= files - 2, s"linear layout unexpectedly pruned: $linKept")
+
+    // conjunctive two-dimension slice: the intersection prunes hardest
+    val both = Layout.pruneFiles(spark, dir, Seq(okRange, pkRange)).size
+    assert(both <= files / 4, s"2-dim slice kept $both of $files")
+    // empty-overlap range → no files, schema-preserving empty frame
+    assert(Layout.readZonePruned(spark, dir,
+      Seq(("l_orderkey", maxOk + 1, maxOk + 2))).count() === 0)
+  }
 }

@@ -507,6 +507,60 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bloom join: codegen'd might_contain prefilter guards the fact before the join") {
+    val p = explain(q("x_bloom_join"))
+    // the probe is might_contain(filter_bytes, xxhash64(l_orderkey)) in a
+    // Filter over the lineitem scan — the fact-side exchange only carries
+    // rows the bloom passes
+    assert(p.contains("might_contain"), p)
+    assert(p.matches("(?s).*might_contain.*xxhash64\\(l_orderkey.*"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // structural: the filter sits in the join's FACT subtree, pre-shuffle
+    // (sparkPlan, not executedPlan: the AQE wrapper is a leaf to collect)
+    val plan = q("x_bloom_join").queryExecution.sparkPlan
+    val bloomFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, plan.toString)
+    assert(bloomFilters.head.toString.contains("l_orderkey"),
+      bloomFilters.head.toString)
+  }
+
+  test("bloom join: no false negatives, genuinely selective, empty build side rejects all") {
+    import graft.functions.BloomJoin
+    import org.apache.spark.sql.functions.{col, year}
+    val li = graft.Tables.lineitem(spark, sf)
+    val dim = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && year(col("o_orderdate")) === 1995)
+    val bf = BloomJoin.buildFilter(dim, col("o_orderkey"))
+    val total = li.count()
+    val kept = li.filter(BloomJoin.mightContain(col("l_orderkey"), bf)).count()
+    val matches = li.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    // every true match survives the bloom pass (no false negatives) …
+    assert(kept >= matches, s"kept=$kept matches=$matches")
+    // … and the pass is a real reduction at this dim selectivity (~4%):
+    // false positives may pad it, but nowhere near the full fact
+    assert(kept < total / 2, s"kept=$kept total=$total")
+    // empty build side → null filter → reject everything
+    val none = BloomJoin.buildFilter(dim.filter(col("o_orderkey") < 0),
+      col("o_orderkey"))
+    assert(none == null)
+    assert(li.filter(BloomJoin.mightContain(col("l_orderkey"), none))
+      .count() === 0)
+  }
+
+  test("heavy hitters: second pass is an InSet scan probe + partial/final agg, no window") {
+    val p = explain(q("x_text_heavyhitters"))
+    // the registered frame IS pass 2: candidate InSet filter (2048-entry
+    // list lowers to INSET, a hash probe in the scan stage), then a
+    // partial+final count — the distinct vocabulary never shuffles
+    assert(p.contains("INSET") || p.contains(" IN "), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("cosine_similarity is callable from SQL after registration") {
     // config-time path is spark.sql.extensions=graft.GraftExtensions; the
     // injector itself must populate a SparkSessionExtensions without error
