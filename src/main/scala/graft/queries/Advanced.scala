@@ -152,6 +152,27 @@ object Advanced {
         .orderBy("l_returnflag")
     }),
 
+    // Versioned-table commit protocol under the correctness gate: two
+    // atomic commits (overwrite, then append) into a fresh table, read
+    // back the LATEST snapshot through the manifest — the union of both
+    // batches must equal the plain source aggregate (the oracle). The
+    // isolation/time-travel/vacuum halves are VersionedSpec's.
+    "x_versioned_scan" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_versioned_q").toString + "/t"
+      val ord = orders(s, d)
+      graft.sources.Versioned.commit(
+        ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), base)
+      graft.sources.Versioned.commit(
+        ord.filter(pmod(col("o_orderkey"), lit(2)) === 1), base,
+        org.apache.spark.sql.SaveMode.Append)
+      graft.sources.Versioned.read(s, base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Explicit skew salting: two-phase aggregation through a salted key.
     // Result is identical to the direct groupBy (oracle = plain GROUP BY);
     // the shape is what matters — partial aggregation fans the hot key over
@@ -246,6 +267,12 @@ object Advanced {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_versioned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "x_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

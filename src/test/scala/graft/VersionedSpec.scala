@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Versioned
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The versioned-table commit protocol: atomic snapshots, time travel,
+  * snapshot isolation from immutability, crash garbage invisibility, and
+  * the vacuum retention trade — the properties SURVEY §2.9 claims. */
+class VersionedSpec extends SparkSpec {
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft_versioned").toString + "/t"
+
+  test("commit / read / time travel: overwrite and append snapshots") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+
+    val v1 = Versioned.commit(ord.filter(col("o_orderkey") < 100), base)
+    assert(v1 === 1L)
+    val n1 = Versioned.read(spark, base).count()
+    assert(n1 === ord.filter(col("o_orderkey") < 100).count())
+
+    // overwrite: latest is exactly the new batch
+    val v2 = Versioned.commit(
+      ord.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 300), base)
+    assert(v2 === 2L)
+    assert(Versioned.read(spark, base).agg(min(col("o_orderkey")))
+      .head().getLong(0) >= 100)
+
+    // append: latest is previous plus the batch
+    val v3 = Versioned.commit(ord.filter(col("o_orderkey") >= 300
+      && col("o_orderkey") < 400), base, SaveMode.Append)
+    assert(v3 === 3L)
+    val n3 = Versioned.read(spark, base).count()
+    assert(n3 === Versioned.readVersion(spark, base, 2).count()
+      + ord.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 400).count())
+
+    // time travel: every snapshot stays exact
+    assert(Versioned.readVersion(spark, base, 1).count() === n1)
+    assert(Versioned.versions(spark, base) === Seq(1L, 2L, 3L))
+  }
+
+  test("snapshot isolation: a reader resolved before a commit is unaffected by it") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.filter(col("o_orderkey") < 100), base)
+    // resolve version 1 NOW; its file set is immutable
+    val snapshot = Versioned.readVersion(spark, base, 1)
+    val before = snapshot.count()
+    Versioned.commit(ord, base) // v2 lands
+    assert(snapshot.count() === before, "v1 reader saw a later commit")
+    assert(Versioned.read(spark, base).count() === ord.count())
+  }
+
+  test("crash garbage is unreachable: staged dirs and tmp manifests are invisible") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.filter(col("o_orderkey") < 100), base)
+    val n = Versioned.read(spark, base).count()
+    // a writer that died after staging, before manifest rename:
+    ord.filter(col("o_orderkey") >= 100).write
+      .parquet(s"$base/data-dead-writer")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "_manifests", ".tmp-dead"),
+      "garbage".getBytes("UTF-8"))
+    assert(Versioned.read(spark, base).count() === n)
+    assert(Versioned.versions(spark, base) === Seq(1L))
+  }
+
+  test("schema evolution: an append batch with a new column widens the snapshot schema") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") < 100), base)
+    Versioned.commit(ord.select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") >= 100)
+      .withColumn("ingest_tag", lit("batch2")), base, SaveMode.Append)
+    val latest = Versioned.read(spark, base)
+    assert(latest.columns.toSet ===
+      Set("o_orderkey", "o_totalprice", "ingest_tag"))
+    assert(latest.count() === ord.count())
+    // pre-evolution rows read the new column as null
+    assert(latest.filter(col("ingest_tag").isNull).count() ===
+      ord.filter(col("o_orderkey") < 100).count())
+    // time travel still sees the ORIGINAL schema of v1
+    assert(Versioned.readVersion(spark, base, 1).columns.toSet ===
+      Set("o_orderkey", "o_totalprice"))
+  }
+
+  test("rollback is a new commit; vacuum keeps referenced data, reaps the rest") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.filter(col("o_orderkey") < 100), base)   // v1
+    Versioned.commit(ord.filter(col("o_orderkey") >= 100), base)  // v2
+    val v3 = Versioned.rollbackTo(spark, base, 1)                 // v3 == v1's files
+    assert(v3 === 3L)
+    val v1n = Versioned.readVersion(spark, base, 1).count()
+    assert(Versioned.read(spark, base).count() === v1n)
+
+    // keep only v3: the v1/v2 manifests go, but v3 still references v1's
+    // DATA, so those rows survive; v2's data dir is unreferenced → reaped
+    def dataDirs(): Int = new java.io.File(base).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("data-"))
+    assert(dataDirs() === 2)
+    Versioned.vacuum(spark, base, keepVersions = 1)
+    assert(Versioned.versions(spark, base) === Seq(3L))
+    assert(Versioned.read(spark, base).count() === v1n)
+    assert(dataDirs() === 1, "unreferenced v2 data dir should be reaped")
+  }
+}
