@@ -128,22 +128,39 @@ object Layout {
     * the files is the difference, not skipping their row groups after
     * scheduling them. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      files: Int, bits: Int = 8): Unit = {
+      files: Int, bits: Int = 8, rankBuckets: Boolean = false): Unit = {
     require(zCols.size >= 2,
       s"z-order needs >= 2 columns (one column = plain range sort), got $zCols")
     require(bits >= 1 && bits * zCols.size <= 62,
       s"bits=$bits over ${zCols.size} columns overflows a long z-value")
     val cells = (1 << bits).toLong
-    val statCols = zCols.flatMap(c => Seq(
-      min(col(c).cast("double")), max(col(c).cast("double"))))
-    val mm = df.agg(statCols.head, statCols.tail: _*).head()
-    val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      if (hi == lo) lit(0L)
-      else least(greatest(
-        width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(cells)) - 1,
-        lit(0L)), lit(cells - 1))
-    }
+    val buckets =
+      if (rankBuckets) {
+        // skew-robust cells: approx-quantile boundaries give each cell
+        // ~equal POPULATION (a uniform grid would park a skewed column's
+        // mass in a few cells and the interleave loses its selectivity).
+        // Boundaries are cells-1 doubles per column (driver KB); the
+        // per-row bucket is a count-of-boundaries-≤-v fold — write-time
+        // cost only, the read path never sees it.
+        zCols.map { c =>
+          val bs = df.stat.approxQuantile(c,
+            (1 until cells.toInt).map(_.toDouble / cells).toArray, 0.001)
+          val arr = array(bs.toSeq.map(lit): _*)
+          aggregate(arr, lit(0L), (acc, b) =>
+            acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+        }
+      } else {
+        val statCols = zCols.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double"))))
+        val mm = df.agg(statCols.head, statCols.tail: _*).head()
+        zCols.zipWithIndex.map { case (c, i) =>
+          val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+          if (hi == lo) lit(0L)
+          else least(greatest(
+            width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(cells)) - 1,
+            lit(0L)), lit(cells - 1))
+        }
+      }
     df.withColumn("__z", morton(buckets, bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

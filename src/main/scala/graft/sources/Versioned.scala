@@ -128,6 +128,65 @@ object Versioned {
   def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long =
     writeManifest(spark, basePath, manifestFiles(spark, basePath, v))
 
+  /** Copy-on-write DELETE: publish a new version without the matching
+    * rows — the transactional form of the engine's anti-join delete
+    * (SURVEY §2.9 D2): readers see the old snapshot until the commit
+    * lands, then the new one, never a half-deleted table, and the
+    * pre-delete version stays readable for audit/undo until vacuumed. */
+  def deleteWhere(spark: SparkSession, basePath: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // SQL DELETE semantics: remove rows where cond is TRUE; rows where
+    // cond is NULL are kept (a bare !cond would silently drop them)
+    commit(read(spark, basePath)
+      .filter(not(coalesce(cond, lit(false)))), basePath)
+  }
+
+  /** Copy-on-write UPDATE: publish a new version with `assignments`
+    * applied to the rows matching `cond` (the D1 UPDATE…WHERE form,
+    * transactionally). Each assignment column keeps its old value where
+    * the condition does not hold. */
+  def updateWhere(spark: SparkSession, basePath: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val cur = read(spark, basePath)
+    val updated = assignments.foldLeft(cur) { case (df, (c, e)) =>
+      df.withColumn(c,
+        org.apache.spark.sql.functions.when(cond, e).otherwise(df(c)))
+    }
+    commit(updated, basePath)
+  }
+
+  /** Streaming publication: every micro-batch lands as ONE atomic append
+    * commit, so downstream readers always see a complete snapshot — never
+    * a half-written batch (the plain `parquet` streaming sink exposes
+    * in-progress files to any reader that lists mid-write). Delivery is
+    * at-least-once at the batch boundary on restart-without-checkpoint,
+    * same as every foreachBatch sink; with checkpointing the batch IDs
+    * make replays idempotent at the commit level (a replayed batch is a
+    * new commit of the same rows — dedup downstream or key the batch).
+    * Returns the started query; caller owns its lifecycle. */
+  def commitStream(stream: org.apache.spark.sql.DataFrame,
+      basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { commit(batch, basePath, SaveMode.Append); () }
+      }
+      .start()
+
+  /** Compaction INSIDE the protocol: rewrite the latest snapshot into
+    * `targetFiles` evenly-sized files and publish it as a new version.
+    * Readers never see a half-compacted table (the rewrite is just
+    * another atomic commit), prior versions stay readable until
+    * [[vacuum]], and an append-heavy [[commitStream]] table gets its
+    * small files folded away without a write lock. */
+  def compactLatest(spark: SparkSession, basePath: String,
+      targetFiles: Int): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    commit(read(spark, basePath).repartition(targetFiles), basePath)
+  }
+
   /** GC: drop manifests older than the last `keepVersions` and delete
     * every `data-*` directory no kept manifest references (including
     * crash-orphaned staging dirs that never made it into any manifest).

@@ -112,4 +112,48 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readZonePruned(spark, dir,
       Seq(("l_orderkey", maxOk + 1, maxOk + 2))).count() === 0)
   }
+
+  test("rank-bucketed z-order keeps its selectivity on a heavily skewed column") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble
+    // log-uniform values: >half the rows land in the lowest 1/256 of the
+    // value range — a uniform grid collapses them into one cell and a
+    // range slice in the dense region cannot prune
+    val skewed = li.withColumn("skew",
+      exp(col("l_orderkey").cast("double") / maxOk * lit(12.0)))
+    val Array(q40, q60) =
+      skewed.stat.approxQuantile("skew", Array(0.4, 0.6), 0.001)
+    val files = 16
+
+    val rankDir = Files.createTempDirectory("graft_zrank").toString + "/data"
+    Layout.writeZOrdered(skewed, rankDir, Seq("skew", "l_partkey"),
+      files, rankBuckets = true)
+    val uniDir = Files.createTempDirectory("graft_zuni").toString + "/data"
+    Layout.writeZOrdered(skewed, uniDir, Seq("skew", "l_partkey"), files)
+
+    // soundness on the rank layout
+    val slice = Seq(("skew", q40, q60))
+    val pruned = Layout.readZonePruned(spark, rankDir, slice)
+      .filter(col("skew") >= q40 && col("skew") <= q60)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val full = spark.read.parquet(rankDir)
+      .filter(col("skew") >= q40 && col("skew") <= q60)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(pruned === full)
+
+    // sharpness: the dense-region slice prunes under rank buckets and
+    // (essentially) cannot under the uniform grid
+    val rankKept = Layout.pruneFiles(spark, rankDir, slice).size
+    val uniKept = Layout.pruneFiles(spark, uniDir, slice).size
+    // a mid-range slice crosses high z-bit boundaries, so it keeps more
+    // files than an edge-anchored slice of the same width — the claim is
+    // pruning EXISTS under rank buckets and (essentially) cannot under
+    // the uniform grid, where >half the rows share cell 0
+    assert(rankKept <= (3 * files) / 4,
+      s"rank-bucketed slice kept $rankKept of $files")
+    assert(uniKept >= files - 2,
+      s"uniform grid unexpectedly pruned the dense region: $uniKept of $files")
+    assert(rankKept < uniKept,
+      s"rank buckets ($rankKept files) should beat the uniform grid ($uniKept) under skew")
+  }
 }

@@ -89,6 +89,56 @@ class VersionedSpec extends SparkSpec {
       Set("o_orderkey", "o_totalprice"))
   }
 
+  test("streaming sink: each micro-batch is one atomic append commit; compaction folds them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = freshBase()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Versioned.commitStream(
+      input.toDF().toDF("id", "payload"), base)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(Versioned.read(spark, base).count() === 2)
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      // one version per non-empty micro-batch, union visible atomically
+      assert(Versioned.versions(spark, base).size === 2)
+      assert(Versioned.read(spark, base).as[(Long, String)].collect().sorted
+        === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+    // compaction is itself a commit: same rows, one data dir, history kept
+    val v = Versioned.compactLatest(spark, base, targetFiles = 1)
+    assert(Versioned.read(spark, base).count() === 3)
+    assert(Versioned.readVersion(spark, base, v - 1).count() === 3)
+    Versioned.vacuum(spark, base, keepVersions = 1)
+    assert(Versioned.read(spark, base).count() === 3)
+  }
+
+  test("copy-on-write delete/update: transactional DML, null-cond rows survive delete") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq(
+      (1L, Some("drop"), 10.0), (2L, Some("keep"), 20.0),
+      (3L, None, 30.0)).toDF("id", "tag", "amt"), base)
+
+    // DELETE WHERE tag = 'drop': row 3's NULL condition must NOT delete it
+    Versioned.deleteWhere(spark, base, col("tag") === "drop")
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().sorted === Array(2L, 3L))
+
+    // UPDATE WHERE id = 2 SET amt = 0: only the matching row changes
+    val vUpd = Versioned.updateWhere(spark, base,
+      col("id") === 2, Map("amt" -> lit(0.0)))
+    val after = Versioned.read(spark, base)
+      .select("id", "amt").as[(Long, Double)].collect().sortBy(_._1)
+    assert(after === Array((2L, 0.0), (3L, 30.0)))
+    // history intact: the pre-update snapshot still shows amt = 20
+    assert(Versioned.readVersion(spark, base, vUpd - 1)
+      .filter(col("id") === 2).select("amt").as[Double].head() === 20.0)
+  }
+
   test("rollback is a new commit; vacuum keeps referenced data, reaps the rest") {
     val base = freshBase()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
