@@ -87,6 +87,9 @@ object TextAnalysis {
       .agg(mg(col("token")).as("cands"), count(lit(1)).as("n")).head()
     val cands = pass1.getSeq[String](0)
     val threshold = math.max(1L, math.ceil(phi * pass1.getLong(1)).toLong)
+    if (cands.isEmpty) // empty corpus: a schema-stable empty result
+      return toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .filter(lit(false))
     toks.filter(col("token").isInCollection(cands))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)

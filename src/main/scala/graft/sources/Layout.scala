@@ -170,20 +170,72 @@ object Layout {
   }
 
   /** Per-file min/max of `cols` → `path/_graft_zonemap` (a few rows per
-    * file — KB-scale however big the data). Built as one distributed
-    * group-by-file pass over the freshly written data; a production
-    * variant reads the same numbers straight from parquet footers. */
+    * file — KB-scale however big the data). Built from parquet FOOTER
+    * statistics, not a data scan: the writer already computed every
+    * row-group's min/max, so the zone map costs one footer read per file
+    * — distributed over the file list (a task reads a few KB of footer,
+    * never a data page), then the KB-scale stats collect to the driver
+    * and land as the sidecar. At 100 TB this is the difference between
+    * "free index at write time" and "second full pass". */
   def writeZoneMap(spark: SparkSession, path: String,
-      cols: Seq[String]): Unit =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(
-        min(col(cols.head).cast("double")).as(s"${cols.head}_min"),
-        cols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"${c}_min"),
-          max(col(c).cast("double")).as(s"${c}_max"))).drop(1): _*)
+      cols: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(path)
+    val f = fs(spark, p)
+    val files = f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => f.makeQualified(s.getPath).toString)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val colList = cols.toList
+    val stats = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { fp =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(fp), conf.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val chunks = reader.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+          val mm = colList.map { c =>
+            val vals = chunks
+              .filter(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+              .map(s => (toDouble(s.genericGetMin), toDouble(s.genericGetMax)))
+            if (vals.isEmpty) (None, None)
+            else (Some(vals.map(_._1).min), Some(vals.map(_._2).max))
+          }
+          (fp, mm)
+        } finally reader.close()
+      }
+      .collect().toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        colList.flatMap(c => Seq(s"${c}_min", s"${c}_max")).map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = stats.map { case (fp, mm) =>
+      org.apache.spark.sql.Row.fromSeq(fp +: mm.flatMap { case (lo, hi) =>
+        Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) })
+    }
+    spark.createDataFrame(rows.asJava, schema)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_zonemap")
+  }
+
+  /** Footer statistics carry their physical type; zone maps compare in
+    * double space (same as the bucketing), so narrow the numerics and
+    * reject non-numeric stats loudly. */
+  private def toDouble(v: Comparable[_]): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"zone map needs numeric column statistics, got ${other.getClass}")
+  }
+
+  private def fs(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Listing-time pruning: the files whose zone-map rectangles overlap
     * every `[lo, hi]` range. Sound for any layout (a file that holds a

@@ -167,9 +167,11 @@ object Versioned {
     * new commit of the same rows — dedup downstream or key the batch).
     * Returns the started query; caller owns its lifecycle. */
   def commitStream(stream: org.apache.spark.sql.DataFrame,
-      basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+      basePath: String, options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
+      .options(options) // production callers pass checkpointLocation here
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) { commit(batch, basePath, SaveMode.Append); () }
       }
