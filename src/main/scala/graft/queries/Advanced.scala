@@ -15,6 +15,30 @@ import graft.Tables._
 object Advanced {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-invocation scratch dirs for the layout/versioning queries,
+    * reaped at JVM exit — repeated harness invocations (oracle dump,
+    * plan gates, bench passes) would otherwise leak a rewritten table
+    * copy per call. Unique dirs keep concurrent bench invocations from
+    * racing each other; the hook deletes whatever accumulated. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // exit-time best effort
+      }))
+  private def scratch(prefix: String): String = {
+    scratchHook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // ROLLUP over (year, priority). Grouping nulls are labeled 'ALL' so the
     // oracle compare never depends on engine null-ordering.
@@ -137,8 +161,7 @@ object Advanced {
     // oracle) — pruning may only drop files with no matching rows.
     "x_zorder_scan" -> ((s, d) => {
       val li = lineitem(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_zorder_q").toString + "/data"
+      val dir = scratch("graft_zorder_q") + "/data"
       graft.sources.Layout.writeZOrdered(
         li, dir, Seq("l_orderkey", "l_partkey"), files = 16)
       val hiOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble / 8
@@ -158,8 +181,7 @@ object Advanced {
     // batches must equal the plain source aggregate (the oracle). The
     // isolation/time-travel/vacuum halves are VersionedSpec's.
     "x_versioned_scan" -> ((s, d) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_versioned_q").toString + "/t"
+      val base = scratch("graft_versioned_q") + "/t"
       val ord = orders(s, d)
       graft.sources.Versioned.commit(
         ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), base)

@@ -142,9 +142,13 @@ object Layout {
         // Boundaries are cells-1 doubles per column (driver KB); the
         // per-row bucket is a count-of-boundaries-≤-v fold — write-time
         // cost only, the read path never sees it.
-        zCols.map { c =>
-          val bs = df.stat.approxQuantile(c,
-            (1 until cells.toInt).map(_.toDouble / cells).toArray, 0.001)
+        // one pass for ALL columns' boundaries (the multi-column
+        // overload), not one scan per z-column
+        val bsAll = df.stat.approxQuantile(zCols.toArray,
+          (1 until cells.toInt).map(_.toDouble / cells).toArray, 0.001)
+        zCols.zip(bsAll).map { case (c, bs) =>
+          require(bs.nonEmpty,
+            s"writeZOrdered: no quantiles for z-column '$c' — empty input?")
           val arr = array(bs.toSeq.map(lit): _*)
           aggregate(arr, lit(0L), (acc, b) =>
             acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
@@ -154,6 +158,9 @@ object Layout {
           min(col(c).cast("double")), max(col(c).cast("double"))))
         val mm = df.agg(statCols.head, statCols.tail: _*).head()
         zCols.zipWithIndex.map { case (c, i) =>
+          require(!mm.isNullAt(2 * i) && !mm.isNullAt(2 * i + 1),
+            s"writeZOrdered: z-column '$c' has no non-null values " +
+              "(empty input or all-null column)")
           val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
           if (hi == lo) lit(0L)
           else least(greatest(
@@ -199,7 +206,10 @@ object Layout {
             .flatMap(_.getColumns.asScala)
           val mm = colList.map { c =>
             val vals = chunks
-              .filter(_.getPath.toDotString == c)
+              // Spark resolves columns case-insensitively; match footers
+              // the same way so a case-mismatched zCol doesn't silently
+              // produce an all-null (and thus all-pruning) zone map
+              .filter(_.getPath.toDotString.equalsIgnoreCase(c))
               .map(_.getStatistics)
               .filter(s => s != null && s.hasNonNullValue)
               .map(s => (toDouble(s.genericGetMin), toDouble(s.genericGetMax)))
@@ -210,6 +220,14 @@ object Layout {
         } finally reader.close()
       }
       .collect().toSeq
+    // fail loud on a column that matched NO file's footer stats: that is
+    // a wrong column name, not a legitimately all-null dataset — and the
+    // resulting all-null zone map would otherwise prune every file
+    colList.zipWithIndex.foreach { case (c, i) =>
+      require(files.isEmpty || stats.exists(_._2(i)._1.isDefined),
+        s"zone map column '$c' matched no parquet footer statistics in " +
+          s"any file under $path — check the column name")
+    }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("file",
         org.apache.spark.sql.types.StringType, nullable = false) +:
@@ -245,8 +263,13 @@ object Layout {
   def pruneFiles(spark: SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): Seq[String] = {
     require(ranges.nonEmpty, "pruneFiles needs at least one column range")
+    // fail OPEN on missing stats (null min/max = an all-null file, or a
+    // writer that skipped stats): a file whose bounds are unknown must
+    // be KEPT — pruning is only ever allowed to drop files proven empty
+    // of matches
     val pred = ranges.map { case (c, lo, hi) =>
-      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
     }.reduce(_ && _)
     spark.read.parquet(s"$path/_graft_zonemap")
       .filter(pred).select("file")

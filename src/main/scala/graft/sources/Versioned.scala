@@ -26,10 +26,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * before (3) leaves only unreferenced garbage (cleaned by [[vacuum]]);
   * after (3) the commit is complete. Concurrent writers: the rename-if-
   * absent is a compare-and-swap on HDFS (rename fails when the target
-  * exists → re-read N and retry); on a raw local FS or an object store the
-  * rename can clobber, so multi-writer deployments put step (3) behind a
-  * conditional put / lock service exactly as the public lakehouse formats
-  * do — the on-disk protocol is unchanged.
+  * exists), and a loser RE-DERIVES its manifest against the new head
+  * before retrying — an append folds the winner's files in rather than
+  * clobbering them, and the copy-on-write ops (delete/update/compact)
+  * abort with ConcurrentModificationException because their rewrite was
+  * derived from a snapshot that is no longer current. On a raw local FS
+  * or an object store the rename can clobber, so multi-writer
+  * deployments put step (3) behind a conditional put / lock service
+  * exactly as the public lakehouse formats do — the on-disk protocol is
+  * unchanged.
   *
   * Snapshot isolation falls out of immutability: data directories are
   * never rewritten (append commits add NEW dirs; overwrite commits just
@@ -63,33 +68,51 @@ object Versioned {
     finally in.close()
   }
 
+  /** Atomically publish the next version. `mkFiles(headVersion,
+    * headFiles)` derives the manifest contents and is RE-EVALUATED
+    * against the refreshed head on every CAS attempt — a writer that
+    * loses a race re-derives (an append folds in the winner's files)
+    * instead of renaming its stale list over the winner's commit, which
+    * would be a silent lost update. `mkFiles` may throw to abort (the
+    * optimistic-conflict path of the copy-on-write ops). */
   private def writeManifest(spark: SparkSession, basePath: String,
-      dirs: Seq[String]): Long = {
+      mkFiles: (Long, Seq[String]) => Seq[String]): Long = {
     val mdir = manifestDir(basePath)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
-    val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // CAS loop: claim the next version name; on HDFS rename-to-existing
-    // fails and we retry against the refreshed head (see scaladoc for the
-    // multi-writer caveat on stores without atomic exclusive rename)
-    var v = versions(spark, basePath).lastOption.getOrElse(0L) + 1
-    while (!f.rename(tmp, new Path(mdir, s"v$v"))) {
-      val head = versions(spark, basePath).lastOption.getOrElse(0L)
-      require(head >= v, s"manifest rename failed for v$v with head at $head")
-      v = head + 1
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 100,
+        s"manifest CAS did not converge after 100 attempts under $basePath")
+      val head = versions(spark, basePath).lastOption
+      val prev = head.map(manifestFiles(spark, basePath, _))
+        .getOrElse(Seq.empty)
+      val dirs = mkFiles(head.getOrElse(0L), prev)
+      val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val v = head.getOrElse(0L) + 1
+      if (f.rename(tmp, new Path(mdir, s"v$v"))) committed = v
+      else f.delete(tmp, false) // lost the race — re-derive and retry
     }
-    v
+    committed
   }
 
   /** Commit `df` as the next version. `Overwrite` (default): the new
     * snapshot is exactly this batch. `Append`: the new snapshot is the
-    * previous one plus this batch — the staged directory is the only
-    * data written either way. Returns the committed version. */
+    * HEAD AT PUBLICATION TIME plus this batch (re-derived under the CAS,
+    * so concurrent appends compose instead of clobbering) — the staged
+    * directory is the only data written either way. `expectedHead`
+    * (copy-on-write callers): abort with ConcurrentModificationException
+    * if another commit landed since the caller read that head — the
+    * rewrite was derived from a snapshot that is no longer current.
+    * Returns the committed version. */
   def commit(df: DataFrame, basePath: String,
-      mode: SaveMode = SaveMode.Overwrite): Long = {
+      mode: SaveMode = SaveMode.Overwrite,
+      expectedHead: Option[Long] = None): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned commits are Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -98,12 +121,15 @@ object Versioned {
     val raw = new Path(basePath, s"data-${java.util.UUID.randomUUID()}")
     val dataDir = fs(spark, raw).makeQualified(raw)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val prev =
-      if (mode == SaveMode.Append)
-        versions(spark, basePath).lastOption
-          .map(manifestFiles(spark, basePath, _)).getOrElse(Seq.empty)
-      else Seq.empty
-    writeManifest(spark, basePath, prev :+ dataDir.toString)
+    writeManifest(spark, basePath, (head, prev) => {
+      expectedHead.filter(_ != head).foreach { e =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit derived from v$e but head is v$head under $basePath — " +
+            "re-read the snapshot and retry")
+      }
+      if (mode == SaveMode.Append) prev :+ dataDir.toString
+      else Seq(dataDir.toString)
+    })
   }
 
   /** Read a specific committed snapshot (time travel). `mergeSchema`:
@@ -125,8 +151,10 @@ object Versioned {
 
   /** Undo without copying data: commit a NEW version whose manifest is
     * version `v`'s file list. History stays linear and complete. */
-  def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long =
-    writeManifest(spark, basePath, manifestFiles(spark, basePath, v))
+  def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long = {
+    val target = manifestFiles(spark, basePath, v)
+    writeManifest(spark, basePath, (_, _) => target)
+  }
 
   /** Copy-on-write DELETE: publish a new version without the matching
     * rows — the transactional form of the engine's anti-join delete
@@ -137,9 +165,13 @@ object Versioned {
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     // SQL DELETE semantics: remove rows where cond is TRUE; rows where
-    // cond is NULL are kept (a bare !cond would silently drop them)
-    commit(read(spark, basePath)
-      .filter(not(coalesce(cond, lit(false)))), basePath)
+    // cond is NULL are kept (a bare !cond would silently drop them).
+    // expectedHead: the rewrite is derived from THIS head — a concurrent
+    // commit in between must abort it, not be silently overwritten.
+    val head = versions(spark, basePath).last
+    commit(readVersion(spark, basePath, head)
+      .filter(not(coalesce(cond, lit(false)))), basePath,
+      expectedHead = Some(head))
   }
 
   /** Copy-on-write UPDATE: publish a new version with `assignments`
@@ -149,12 +181,13 @@ object Versioned {
   def updateWhere(spark: SparkSession, basePath: String,
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    val cur = read(spark, basePath)
+    val head = versions(spark, basePath).last
+    val cur = readVersion(spark, basePath, head)
     val updated = assignments.foldLeft(cur) { case (df, (c, e)) =>
       df.withColumn(c,
         org.apache.spark.sql.functions.when(cond, e).otherwise(df(c)))
     }
-    commit(updated, basePath)
+    commit(updated, basePath, expectedHead = Some(head))
   }
 
   /** Streaming publication: every micro-batch lands as ONE atomic append
@@ -186,16 +219,24 @@ object Versioned {
   def compactLatest(spark: SparkSession, basePath: String,
       targetFiles: Int): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    commit(read(spark, basePath).repartition(targetFiles), basePath)
+    val head = versions(spark, basePath).last
+    commit(readVersion(spark, basePath, head).repartition(targetFiles),
+      basePath, expectedHead = Some(head))
   }
 
   /** GC: drop manifests older than the last `keepVersions` and delete
     * every `data-*` directory no kept manifest references (including
     * crash-orphaned staging dirs that never made it into any manifest).
-    * Readers of vacuumed-away versions break — that is the documented
-    * retention trade, same as any lakehouse vacuum. */
+    * `minAgeMs` is the in-flight-commit guard: an unreferenced dir is
+    * reaped only when older than the retention horizon, because a FULLY
+    * STAGED dir may belong to a commit whose manifest has not renamed in
+    * yet — a newest-manifest-mtime guard would reap it the moment any
+    * other commit lands (the same reason every lakehouse vacuum uses a
+    * retention PERIOD, hours by default, not head time). Readers of
+    * vacuumed-away versions break — the documented retention trade. */
   def vacuum(spark: SparkSession, basePath: String,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2,
+      minAgeMs: Long = 24L * 60 * 60 * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val base = new Path(basePath)
     val f = fs(spark, base)
@@ -203,17 +244,11 @@ object Versioned {
     if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val referenced = keep.flatMap(manifestFiles(spark, basePath, _)).toSet
+    val horizon = System.currentTimeMillis() - minAgeMs
     f.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
       .filterNot(s => referenced.contains(s.getPath.toString))
-      // staged dirs could belong to an IN-FLIGHT commit whose manifest
-      // hasn't landed yet: only reap dirs older than the newest kept
-      // manifest, the same modification-time guard lakehouse vacuums use
-      .filter { s =>
-        val headTime = f.getFileStatus(
-          new Path(manifestDir(basePath), s"v${keep.last}")).getModificationTime
-        s.getModificationTime < headTime
-      }
+      .filter(_.getModificationTime < horizon)
       .foreach(s => f.delete(s.getPath, true))
     drop.foreach(v => f.delete(new Path(manifestDir(basePath), s"v$v"), false))
   }

@@ -112,8 +112,23 @@ class VersionedSpec extends SparkSpec {
     val v = Versioned.compactLatest(spark, base, targetFiles = 1)
     assert(Versioned.read(spark, base).count() === 3)
     assert(Versioned.readVersion(spark, base, v - 1).count() === 3)
-    Versioned.vacuum(spark, base, keepVersions = 1)
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0)
     assert(Versioned.read(spark, base).count() === 3)
+  }
+
+  test("optimistic conflict: a copy-on-write commit derived from a stale head aborts") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), base)
+    val staleHead = Versioned.versions(spark, base).last
+    Versioned.commit(Seq((2L, "b")).toDF("id", "v"), base, SaveMode.Append)
+    // a rewrite derived from v1 must NOT silently clobber v2's append
+    assertThrows[java.util.ConcurrentModificationException](
+      Versioned.commit(Seq((9L, "z")).toDF("id", "v"), base,
+        expectedHead = Some(staleHead)))
+    // nothing was published by the aborted attempt
+    assert(Versioned.versions(spark, base).size === 2)
+    assert(Versioned.read(spark, base).count() === 2)
   }
 
   test("copy-on-write delete/update: transactional DML, null-cond rows survive delete") {
@@ -154,7 +169,7 @@ class VersionedSpec extends SparkSpec {
     def dataDirs(): Int = new java.io.File(base).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("data-"))
     assert(dataDirs() === 2)
-    Versioned.vacuum(spark, base, keepVersions = 1)
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0)
     assert(Versioned.versions(spark, base) === Seq(3L))
     assert(Versioned.read(spark, base).count() === v1n)
     assert(dataDirs() === 1, "unreferenced v2 data dir should be reaped")
