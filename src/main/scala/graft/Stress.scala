@@ -95,6 +95,24 @@ object Stress {
       println(s"[stress] zorder files kept of 64: orderkey-slice $keptOk, " +
         s"partkey-slice $keptPk, both $keptBoth")
     }
+    // Versioned protocol at K×: ten 600k-row append commits, read-latest,
+    // in-protocol compaction, vacuum — the manifest layer's cost must be
+    // per-commit metadata, not per-row (the data writes dominate; the
+    // atomic-rename publication is a constant on top).
+    time("versioned_10_appends_compact_vacuum") {
+      // fresh table per run so both timed runs do identical work
+      val vbase = java.nio.file.Files
+        .createTempDirectory("graft_vstress").toString + "/t"
+      (0 until 10).foreach { i =>
+        graft.sources.Versioned.commit(
+          li.filter(pmod(col("l_orderkey"), lit(10)) === i), vbase,
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      graft.sources.Versioned.compactLatest(spark, vbase, targetFiles = 64)
+      graft.sources.Versioned.vacuum(spark, vbase,
+        keepVersions = 1, minAgeMs = 0)
+      graft.sources.Versioned.read(spark, vbase).count()
+    }
     time("window_topn_per_order") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_orderkey"))

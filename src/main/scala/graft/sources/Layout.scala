@@ -95,7 +95,7 @@ object Layout {
     * dimension touches only ~files^((n-1)/n) of a range-partitioned
     * layout instead of all of it. Pure integer shifts — codegen'd, no
     * UDF, bits·n terms. */
-  private def morton(buckets: Seq[Column], bits: Int): Column = {
+  private[graft] def morton(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.size
     val terms = for {
       (b, i) <- buckets.zipWithIndex

@@ -113,6 +113,27 @@ class LayoutSpec extends SparkSpec {
       Seq(("l_orderkey", maxOk + 1, maxOk + 2))).count() === 0)
   }
 
+  test("morton interleave matches the bit-definition reference on random buckets") {
+    import spark.implicits._
+    // reference: bit j of bucket i lands at output bit j*n + i
+    def ref(bs: Seq[Long], bits: Int): Long =
+      (for { (b, i) <- bs.zipWithIndex; j <- 0 until bits }
+        yield ((b >> j) & 1L) << (j * bs.size + i)).sum
+    val rnd = new scala.util.Random(42)
+    for (n <- 2 to 3; bits <- Seq(4, 8)) {
+      val rows = Seq.fill(200)(Seq.fill(n)(rnd.nextInt(1 << bits).toLong))
+      val df = rows.map {
+        case Seq(a, b) => (a, b, 0L)
+        case Seq(a, b, c) => (a, b, c)
+      }.toDF("b0", "b1", "b2")
+      val cols = (0 until n).map(i => col(s"b$i"))
+      val got = df.select(Layout.morton(cols, bits).as("z"))
+        .as[Long].collect()
+      val want = rows.map(ref(_, bits))
+      assert(got.toSeq === want, s"n=$n bits=$bits")
+    }
+  }
+
   test("rank-bucketed z-order keeps its selectivity on a heavily skewed column") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble
