@@ -195,6 +195,25 @@ object Advanced {
         .orderBy("o_orderpriority")
     }),
 
+    // Versioned copy-on-write DML under the correctness gate: commit the
+    // source, transactionally DELETE one slice and UPDATE another, then
+    // aggregate the LATEST snapshot — must equal the same DML applied
+    // relationally (the oracle). Time travel / isolation / conflict
+    // abort are VersionedSpec's.
+    "x_versioned_dml" -> ((s, d) => {
+      val base = scratch("graft_versioned_dml") + "/t"
+      val V = graft.sources.Versioned
+      V.commit(orders(s, d), base)
+      V.deleteWhere(s, base, pmod(col("o_orderkey"), lit(7)) === 0)
+      V.updateWhere(s, base, col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> lit(0.0)))
+      V.read(s, base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Explicit skew salting: two-phase aggregation through a salted key.
     // Result is identical to the direct groupBy (oracle = plain GROUP BY);
     // the shape is what matters — partial aggregation fans the hot key over
@@ -289,6 +308,15 @@ object Advanced {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_versioned_dml" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0
+        |         ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_versioned_scan" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
