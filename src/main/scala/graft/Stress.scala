@@ -77,8 +77,7 @@ object Stress {
     // then listing-time pruning for 1/8-range slices in each dimension —
     // kept-file counts are the artifact (the sqrt-ish bound is the win).
     locally {
-      val zdir = java.nio.file.Files
-        .createTempDirectory("graft_zstress").toString + "/data"
+      val zdir = graft.Scratch.dir("graft_zstress") + "/data"
       time("zorder_write") {
         graft.sources.Layout.writeZOrdered(
           li, zdir, Seq("l_orderkey", "l_partkey"), files = 64)
@@ -100,9 +99,9 @@ object Stress {
     // per-commit metadata, not per-row (the data writes dominate; the
     // atomic-rename publication is a constant on top).
     time("versioned_10_appends_compact_vacuum") {
-      // fresh table per run so both timed runs do identical work
-      val vbase = java.nio.file.Files
-        .createTempDirectory("graft_vstress").toString + "/t"
+      // fresh table per run so both timed runs do identical work;
+      // Scratch-tracked so the multi-GB copies are reaped at exit
+      val vbase = graft.Scratch.dir("graft_vstress") + "/t"
       (0 until 10).foreach { i =>
         graft.sources.Versioned.commit(
           li.filter(pmod(col("l_orderkey"), lit(10)) === i), vbase,

@@ -16,28 +16,10 @@ object Advanced {
   type Q = (SparkSession, String) => DataFrame
 
   /** Per-invocation scratch dirs for the layout/versioning queries,
-    * reaped at JVM exit — repeated harness invocations (oracle dump,
-    * plan gates, bench passes) would otherwise leak a rewritten table
-    * copy per call. Unique dirs keep concurrent bench invocations from
-    * racing each other; the hook deletes whatever accumulated. */
-  private val scratchDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val scratchHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchDirs.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () } // exit-time best effort
-      }))
-  private def scratch(prefix: String): String = {
-    scratchHook
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    scratchDirs.add(d)
-    d.toString
-  }
+    * reaped at JVM exit (see [[graft.Scratch]]) — repeated harness
+    * invocations (oracle dump, plan gates, bench passes) would otherwise
+    * leak a rewritten table copy per call. */
+  private def scratch(prefix: String): String = graft.Scratch.dir(prefix)
 
   val queries: Map[String, Q] = Map(
     // ROLLUP over (year, priority). Grouping nulls are labeled 'ALL' so the

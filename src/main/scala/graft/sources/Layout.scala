@@ -189,12 +189,31 @@ object Layout {
     import scala.jdk.CollectionConverters._
     val p = new Path(path)
     val f = fs(spark, p)
-    val files = f.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => f.makeQualified(s.getPath).toString)
+    // RECURSIVE listing: hive-partitioned datasets keep their files in
+    // key=value subdirectories; skip anything under a hidden (_ or .)
+    // segment — the zone map sidecar itself lives in one
+    val baseQualified = f.makeQualified(p).toString
+    val files = {
+      val it = f.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val full = it.next().getPath.toString
+        if (full.endsWith(".parquet")) {
+          val rel = full.stripPrefix(baseQualified).stripPrefix("/")
+          if (!rel.split('/').exists(s =>
+              s.startsWith("_") || s.startsWith(".")))
+            buf += full
+        }
+      }
+      buf.result()
+    }
+    require(files.nonEmpty,
+      s"no parquet data files under $path — refusing to write an empty " +
+        "zone map (it would prune every read to zero rows)")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val colList = cols.toList
+    // per file, per column: (present-in-footer-schema, min, max)
     val stats = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { fp =>
@@ -205,28 +224,44 @@ object Layout {
           val chunks = reader.getFooter.getBlocks.asScala
             .flatMap(_.getColumns.asScala)
           val mm = colList.map { c =>
-            val vals = chunks
-              // Spark resolves columns case-insensitively; match footers
-              // the same way so a case-mismatched zCol doesn't silently
-              // produce an all-null (and thus all-pruning) zone map
+            // Spark resolves columns case-insensitively; match footers
+            // the same way so a case-mismatched zCol doesn't silently
+            // produce an all-null (and thus useless) zone map
+            val matching = chunks
               .filter(_.getPath.toDotString.equalsIgnoreCase(c))
-              .map(_.getStatistics)
-              .filter(s => s != null && s.hasNonNullValue)
-              .map(s => (toDouble(s.genericGetMin), toDouble(s.genericGetMax)))
-            if (vals.isEmpty) (None, None)
-            else (Some(vals.map(_._1).min), Some(vals.map(_._2).max))
+            val vals = matching.flatMap { ch =>
+              val st = ch.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else {
+                // DECIMAL stats are stored UNSCALED (123.45 as 12345 at
+                // scale 2) — rescale, or the zone map is silently wrong
+                // and pruning drops files that hold matching rows
+                val scaleDiv = ch.getPrimitiveType
+                  .getLogicalTypeAnnotation match {
+                  case d: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .DecimalLogicalTypeAnnotation =>
+                    math.pow(10.0, d.getScale)
+                  case _ => 1.0
+                }
+                Some((toDouble(st.genericGetMin, scaleDiv),
+                  toDouble(st.genericGetMax, scaleDiv)))
+              }
+            }
+            (matching.nonEmpty,
+              if (vals.isEmpty) None else Some(vals.map(_._1).min),
+              if (vals.isEmpty) None else Some(vals.map(_._2).max))
           }
           (fp, mm)
         } finally reader.close()
       }
       .collect().toSeq
-    // fail loud on a column that matched NO file's footer stats: that is
-    // a wrong column name, not a legitimately all-null dataset — and the
-    // resulting all-null zone map would otherwise prune every file
+    // fail loud on a column ABSENT from every file's footer schema: that
+    // is a wrong column name. A column that is present but all-null is
+    // legitimate — it gets null bounds, which pruneFiles fails OPEN on.
     colList.zipWithIndex.foreach { case (c, i) =>
-      require(files.isEmpty || stats.exists(_._2(i)._1.isDefined),
-        s"zone map column '$c' matched no parquet footer statistics in " +
-          s"any file under $path — check the column name")
+      require(stats.exists(_._2(i)._1),
+        s"zone map column '$c' is absent from every parquet footer " +
+          s"under $path — check the column name")
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("file",
@@ -235,7 +270,7 @@ object Layout {
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.DoubleType, nullable = true)))
     val rows = stats.map { case (fp, mm) =>
-      org.apache.spark.sql.Row.fromSeq(fp +: mm.flatMap { case (lo, hi) =>
+      org.apache.spark.sql.Row.fromSeq(fp +: mm.flatMap { case (_, lo, hi) =>
         Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) })
     }
     spark.createDataFrame(rows.asJava, schema)
@@ -244,16 +279,20 @@ object Layout {
   }
 
   /** Footer statistics carry their physical type; zone maps compare in
-    * double space (same as the bucketing), so narrow the numerics and
-    * reject non-numeric stats loudly. */
-  private def toDouble(v: Comparable[_]): Double = v match {
-    case n: java.lang.Number => n.doubleValue()
+    * double space (same as the bucketing), so narrow the numerics —
+    * rescaling unscaled decimals, including binary-backed big decimals —
+    * and reject non-numeric stats loudly. */
+  private def toDouble(v: Comparable[_], scaleDiv: Double): Double = v match {
+    case n: java.lang.Number => n.doubleValue() / scaleDiv
+    case b: org.apache.parquet.io.api.Binary =>
+      // big-endian two's-complement unscaled decimal
+      new java.math.BigInteger(b.getBytes).doubleValue() / scaleDiv
     case other => throw new IllegalArgumentException(
       s"zone map needs numeric column statistics, got ${other.getClass}")
   }
 
   private def fs(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsUtil.fs(spark, p)
 
   /** Listing-time pruning: the files whose zone-map rectangles overlap
     * every `[lo, hi]` range. Sound for any layout (a file that holds a
@@ -299,7 +338,7 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new Path(inPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = FsUtil.fs(spark, p)
     val bytes = fs.listFiles(p, true)
     val total = Iterator.continually(bytes)
       .takeWhile(_.hasNext).map(_.next())

@@ -44,7 +44,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Versioned {
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsUtil.fs(spark, p)
 
   private def manifestDir(basePath: String) = new Path(basePath, "_manifests")
 
@@ -142,12 +142,18 @@ object Versioned {
     else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
-  /** Read the latest committed snapshot. */
-  def read(spark: SparkSession, basePath: String): DataFrame = {
+  /** Latest committed version, with a clear error on an uninitialized
+    * table (a bare `versions(...).last` would NoSuchElement with no
+    * mention of the path). */
+  private def headVersion(spark: SparkSession, basePath: String): Long = {
     val vs = versions(spark, basePath)
     require(vs.nonEmpty, s"no committed versions under $basePath")
-    readVersion(spark, basePath, vs.last)
+    vs.last
   }
+
+  /** Read the latest committed snapshot. */
+  def read(spark: SparkSession, basePath: String): DataFrame =
+    readVersion(spark, basePath, headVersion(spark, basePath))
 
   /** Undo without copying data: commit a NEW version whose manifest is
     * version `v`'s file list. History stays linear and complete. */
@@ -168,7 +174,7 @@ object Versioned {
     // cond is NULL are kept (a bare !cond would silently drop them).
     // expectedHead: the rewrite is derived from THIS head — a concurrent
     // commit in between must abort it, not be silently overwritten.
-    val head = versions(spark, basePath).last
+    val head = headVersion(spark, basePath)
     commit(readVersion(spark, basePath, head)
       .filter(not(coalesce(cond, lit(false)))), basePath,
       expectedHead = Some(head))
@@ -181,7 +187,7 @@ object Versioned {
   def updateWhere(spark: SparkSession, basePath: String,
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    val head = versions(spark, basePath).last
+    val head = headVersion(spark, basePath)
     val cur = readVersion(spark, basePath, head)
     val updated = assignments.foldLeft(cur) { case (df, (c, e)) =>
       df.withColumn(c,
@@ -219,7 +225,7 @@ object Versioned {
   def compactLatest(spark: SparkSession, basePath: String,
       targetFiles: Int): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    val head = versions(spark, basePath).last
+    val head = headVersion(spark, basePath)
     commit(readVersion(spark, basePath, head).repartition(targetFiles),
       basePath, expectedHead = Some(head))
   }

@@ -134,6 +134,49 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zone map handles partitioned layouts and decimal columns correctly") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    // hive-partitioned dataset: files live in key=value SUBDIRECTORIES —
+    // the zone map must list recursively or it would be silently empty
+    val pdir = Files.createTempDirectory("graft_zm_part").toString + "/data"
+    Layout.writePartitioned(li, pdir, "l_returnflag")
+    Layout.writeZoneMap(spark, pdir, Seq("l_orderkey"))
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble
+    val slice = Seq(("l_orderkey", 0.0, maxOk / 8))
+    val kept = Layout.pruneFiles(spark, pdir, slice)
+    assert(kept.nonEmpty, "recursive listing found no partitioned files")
+    val pruned = Layout.readZonePruned(spark, pdir, slice)
+      .filter(col("l_orderkey") <= maxOk / 8).count()
+    assert(pruned === li.filter(col("l_orderkey") <= maxOk / 8).count())
+
+    // DECIMAL column: parquet stores unscaled ints in the footer stats —
+    // the zone map must rescale or pruning drops files that hold matches
+    val ddir = Files.createTempDirectory("graft_zm_dec").toString + "/data"
+    val dec = li.withColumn("price_dec",
+      col("l_extendedprice").cast("decimal(12,2)"))
+    dec.repartitionByRange(4, col("price_dec"))
+      .write.mode("overwrite").parquet(ddir)
+    Layout.writeZoneMap(spark, ddir, Seq("price_dec"))
+    val (lo, hi) = (1000.0, 2000.0)
+    val keptD = Layout.readZonePruned(spark, ddir,
+        Seq(("price_dec", lo, hi)))
+      .filter(col("price_dec") >= lo && col("price_dec") <= hi).count()
+    val fullD = dec.filter(col("price_dec") >= lo
+      && col("price_dec") <= hi).count()
+    assert(fullD > 0, "test slice unexpectedly empty")
+    assert(keptD === fullD, "decimal zone map lost matching rows")
+    // and the bounds really are in VALUE space, not unscaled-int space
+    val zm = spark.read.parquet(s"$ddir/_graft_zonemap")
+    val gmin = zm.agg(min(col("price_dec_min"))).head().getDouble(0)
+    val trueMin = dec.agg(min(col("price_dec"))).head()
+      .getDecimal(0).doubleValue()
+    assert(math.abs(gmin - trueMin) < 0.01, s"$gmin vs $trueMin")
+
+    // wrong column name fails loud instead of writing an all-null map
+    assertThrows[IllegalArgumentException](
+      Layout.writeZoneMap(spark, ddir, Seq("no_such_column")))
+  }
+
   test("rank-bucketed z-order keeps its selectivity on a heavily skewed column") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble
