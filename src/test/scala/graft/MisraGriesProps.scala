@@ -65,6 +65,34 @@ object MisraGriesProps extends Properties("graft.misragries") {
       exact.filter(_._2 > floor).keys.forall(kept.contains)
     }
 
+  /** Random BINARY merge tree (not just a left fold): Spark's partial
+    * aggregation merges in whatever shape the scheduler produces. */
+  private def summarizeTree(cap: Int, xs: List[String], parts: Int,
+      seed: Long): MgBuf = {
+    val agg = MisraGriesAggregator.agg(cap)
+    val size = math.max(1, math.ceil(xs.size.toDouble / parts).toInt)
+    val rnd = new scala.util.Random(seed)
+    var bufs = xs.grouped(size).map(reduceAll(cap, _)).toVector
+    if (bufs.isEmpty) agg.zero
+    else {
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size - 1)
+        val merged = agg.merge(bufs(i), bufs(i + 1))
+        bufs = (bufs.take(i) :+ merged) ++ bufs.drop(i + 2)
+      }
+      bufs.head
+    }
+  }
+
+  property("any MERGE TREE shape keeps every freq > N/(cap+1) item") =
+    forAll(stream, capGen, Gen.choose(1, 6), Gen.choose(0L, 1000L)) {
+      (xs, cap, parts, seed) =>
+        val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+        val floor = xs.size.toDouble / (cap + 1)
+        val kept = summarizeTree(cap, xs, parts, seed).counts.keySet
+        exact.filter(_._2 > floor).keys.forall(kept.contains)
+    }
+
   property("summary counts never overcount the true frequency") =
     forAll(stream, capGen, Gen.choose(1, 6)) { (xs, cap, parts) =>
       val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
