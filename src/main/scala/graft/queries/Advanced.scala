@@ -196,6 +196,33 @@ object Advanced {
         .orderBy("o_orderpriority")
     }),
 
+    // Incremental rollup maintenance under the correctness gate: the
+    // event stream arrives as three batches (plus one REPLAYED delivery,
+    // which the commit-metadata guard must no-op), each folding additive
+    // partial states into the versioned rollup — the final snapshot must
+    // equal the one-shot GROUP BY over all events (the oracle). The raw
+    // history is never rescanned; each upsert touches the batch and the
+    // rollup's affected partitions only.
+    "x_incremental_rollup" -> ((s, d) => {
+      val base = scratch("graft_incr") + "/t"
+      val ev = events(s, d)
+      def proj(df: DataFrame): DataFrame = df.select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        lit(1L).as("cnt"),
+        cents(col("value")).as("val_cents"))
+      def ingest(i: Int): Unit = {
+        graft.sources.Incremental.upsertRollup(s, base,
+          proj(ev.filter(pmod(col("user_id"), lit(3)) === i)),
+          batchId = s"batch-$i", partitionKey = "day",
+          subKeys = Seq("event_type"), measures = Seq("cnt", "val_cents"))
+        ()
+      }
+      (0 until 3).foreach(ingest)
+      ingest(1) // replayed delivery: exactly-once at the batch level
+      graft.sources.Versioned.read(s, base).orderBy("day", "event_type")
+    }),
+
     // Explicit skew salting: two-phase aggregation through a salted key.
     // Result is identical to the direct groupBy (oracle = plain GROUP BY);
     // the shape is what matters — partial aggregation fans the hot key over
@@ -290,6 +317,12 @@ object Advanced {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_incremental_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS val_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "x_versioned_dml" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(

@@ -57,7 +57,7 @@ object Versioned {
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
   }
 
-  private def manifestFiles(spark: SparkSession, basePath: String,
+  private def manifestLines(spark: SparkSession, basePath: String,
       v: Long): Seq[String] = {
     val p = new Path(manifestDir(basePath), s"v$v")
     val f = fs(spark, p)
@@ -68,6 +68,25 @@ object Versioned {
     finally in.close()
   }
 
+  private def manifestFiles(spark: SparkSession, basePath: String,
+      v: Long): Seq[String] =
+    manifestLines(spark, basePath, v).filterNot(_.startsWith("#"))
+
+  /** Commit metadata (`#key=value` manifest lines) — rides in the SAME
+    * atomic rename as the file list, so "this batch was ingested" and
+    * "this batch's data is visible" are one indivisible fact: the replay
+    * guard incremental consumers need for batch-level exactly-once. */
+  def commitMeta(spark: SparkSession, basePath: String,
+      v: Long): Map[String, String] =
+    manifestLines(spark, basePath, v)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split("=", 2) match {
+          case Array(k, value) => Some(k -> value)
+          case _ => None
+        }
+      }.toMap
+
   /** Atomically publish the next version. `mkFiles(headVersion,
     * headFiles)` derives the manifest contents and is RE-EVALUATED
     * against the refreshed head on every CAS attempt — a writer that
@@ -76,7 +95,12 @@ object Versioned {
     * would be a silent lost update. `mkFiles` may throw to abort (the
     * optimistic-conflict path of the copy-on-write ops). */
   private def writeManifest(spark: SparkSession, basePath: String,
-      mkFiles: (Long, Seq[String]) => Seq[String]): Long = {
+      mkFiles: (Long, Seq[String]) => Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"commit meta must be line-safe with '='-free keys: ($k, $v)")
+    }
     val mdir = manifestDir(basePath)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -90,9 +114,11 @@ object Versioned {
       val prev = head.map(manifestFiles(spark, basePath, _))
         .getOrElse(Seq.empty)
       val dirs = mkFiles(head.getOrElse(0L), prev)
+      val lines = meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"#$k=$v" } ++ dirs
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
       val v = head.getOrElse(0L) + 1
       if (f.rename(tmp, new Path(mdir, s"v$v"))) committed = v
@@ -112,7 +138,8 @@ object Versioned {
     * Returns the committed version. */
   def commit(df: DataFrame, basePath: String,
       mode: SaveMode = SaveMode.Overwrite,
-      expectedHead: Option[Long] = None): Long = {
+      expectedHead: Option[Long] = None,
+      meta: Map[String, String] = Map.empty): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned commits are Overwrite or Append, got $mode")
     val spark = df.sparkSession
@@ -129,7 +156,7 @@ object Versioned {
       }
       if (mode == SaveMode.Append) prev :+ dataDir.toString
       else Seq(dataDir.toString)
-    })
+    }, meta)
   }
 
   /** Read a specific committed snapshot (time travel). `mergeSchema`:

@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 159/167 split") {
-    assert(SparkEntry.queries.size === 167)
-    assert(SparkEntry.oracleSql.size === 159)
+  test("oracle coverage matches the documented 160/168 split") {
+    assert(SparkEntry.queries.size === 168)
+    assert(SparkEntry.oracleSql.size === 160)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 8 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches — x_media_neardup routes through the IVF-PQ

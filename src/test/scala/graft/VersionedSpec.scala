@@ -154,6 +154,39 @@ class VersionedSpec extends SparkSpec {
       .filter(col("id") === 2).select("amt").as[Double].head() === 20.0)
   }
 
+  test("incremental rollup: additive merges, late partitions, batch-level exactly-once") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    val base = freshBase()
+    def up(rows: Seq[(String, String, Long, Long)], id: String): Long =
+      Incremental.upsertRollup(spark, base,
+        rows.toDF("day", "kind", "cnt", "cents"), id,
+        "day", Seq("kind"), Seq("cnt", "cents"))
+
+    up(Seq(("d1", "a", 1L, 100L), ("d1", "b", 1L, 50L)), "b0")
+    // merges into d1/a AND introduces the late partition d2
+    up(Seq(("d1", "a", 1L, 25L), ("d2", "a", 1L, 10L)), "b1")
+    def state(): Map[(String, String), (Long, Long)] =
+      Versioned.read(spark, base).as[(String, String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val expected = Map(
+      ("d1", "a") -> (2L, 125L), ("d1", "b") -> (1L, 50L),
+      ("d2", "a") -> (1L, 10L))
+    assert(state() === expected)
+    // replayed batch id: NOTHING changes — not the data, not the history
+    val headBefore = Versioned.versions(spark, base).last
+    up(Seq(("d1", "a", 99L, 9999L)), "b1")
+    assert(state() === expected)
+    assert(Versioned.versions(spark, base).last === headBefore)
+    // the batch id is committed atomically with its data
+    assert(Versioned.commitMeta(spark, base, headBefore)
+      .get("batch_id").contains("b1"))
+    // time travel still shows the pre-b1 rollup
+    assert(Versioned.readVersion(spark, base, 1)
+      .as[(String, String, Long, Long)].collect().toSet ===
+      Set(("d1", "a", 1L, 100L), ("d1", "b", 1L, 50L)))
+  }
+
   test("rollback is a new commit; vacuum keeps referenced data, reaps the rest") {
     val base = freshBase()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
