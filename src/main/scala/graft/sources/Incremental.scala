@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * policy. Concurrent refreshes: the copy-on-write `expectedHead` guard
   * aborts the loser, which re-reads and retries — lost updates are
   * structurally impossible.
+  *
+  * Replay-guard horizon: the guard's memory IS the retained manifest
+  * history (one tiny read per retained version at upsert time), so size
+  * [[Versioned.vacuum]]'s `keepVersions`/`minAgeMs` to exceed the
+  * maximum redelivery window — a batch replayed after its manifest was
+  * vacuumed re-applies. This is the same transaction-retention trade
+  * the public lakehouse formats document for their txn/idempotency ids.
   */
 object Incremental {
 
