@@ -77,4 +77,28 @@ object Incremental {
     Versioned.commit(untouched.unionByName(merged), basePath,
       expectedHead = Some(head), meta = Map("batch_id" -> batchId))
   }
+
+  /** Continuous refresh: [[upsertRollup]] per micro-batch, keyed by the
+    * STREAMING batch id — after a restart from checkpoint, Structured
+    * Streaming redelivers the same epoch under the same id, the replay
+    * guard no-ops it, and the rollup is EXACTLY-ONCE end to end without
+    * Spark's state store (aggregation state lives in the versioned
+    * table itself, which is also what makes it queryable mid-stream and
+    * durable across stream restarts). `options` should carry
+    * `checkpointLocation` in production. */
+  def rollupStream(stream: DataFrame, basePath: String,
+      partitionKey: String, subKeys: Seq[String], measures: Seq[String],
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          upsertRollup(batch.sparkSession, basePath, batch,
+            s"stream-epoch-$epochId", partitionKey, subKeys, measures)
+          ()
+        }
+      }
+      .start()
 }
