@@ -129,6 +129,18 @@ object Layout {
     * scheduling them. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 8, rankBuckets: Boolean = false): Unit = {
+    zOrderFrame(df, zCols, files, bits, rankBuckets)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeZoneMap(df.sparkSession, path, zCols)
+  }
+
+  /** The clustering half of [[writeZOrdered]] without the sink: rows
+    * range-partitioned and sorted by their Morton z-value, ready for any
+    * writer — in particular `Versioned.commit(zOrderFrame(...), path,
+    * statsCols = zCols)`, which stages the clustered files and attaches
+    * the zone-map sidecar inside the versioned protocol. */
+  def zOrderFrame(df: DataFrame, zCols: Seq[String],
+      files: Int, bits: Int = 8, rankBuckets: Boolean = false): DataFrame = {
     require(zCols.size >= 2,
       s"z-order needs >= 2 columns (one column = plain range sort), got $zCols")
     require(bits >= 1 && bits * zCols.size <= 62,
@@ -172,8 +184,6 @@ object Layout {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    writeZoneMap(df.sparkSession, path, zCols)
   }
 
   /** Per-file min/max of `cols` → `path/_graft_zonemap` (a few rows per
@@ -243,8 +253,8 @@ object Layout {
                     math.pow(10.0, d.getScale)
                   case _ => 1.0
                 }
-                Some((toDouble(st.genericGetMin, scaleDiv),
-                  toDouble(st.genericGetMax, scaleDiv)))
+                Some((widenLo(toDouble(st.genericGetMin, scaleDiv)),
+                  widenHi(toDouble(st.genericGetMax, scaleDiv))))
               }
             }
             (matching.nonEmpty,
@@ -277,6 +287,20 @@ object Layout {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_zonemap")
   }
+
+  /** Conservative widening for stats narrowed to double: each narrowing
+    * step (int64/decimal → double, then the decimal rescale division)
+    * rounds to NEAREST, so a recorded min can land ABOVE the true value
+    * (or a max below it) by up to ~1.5 ulp for magnitudes past 2^53 —
+    * and a zone map whose rectangle excludes a real row would let
+    * [[pruneFiles]] drop a file that holds matches, breaking soundness.
+    * Two ulps of widening per bound cover the worst-case compounded
+    * rounding; the rectangle must always CONTAIN the true bounds
+    * (slightly looser = slightly less sharp, never wrong). */
+  private def widenLo(x: Double): Double =
+    Math.nextDown(Math.nextDown(x))
+  private def widenHi(x: Double): Double =
+    Math.nextUp(Math.nextUp(x))
 
   /** Footer statistics carry their physical type; zone maps compare in
     * double space (same as the bucketing), so narrow the numerics —
@@ -323,7 +347,11 @@ object Layout {
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     val files = pruneFiles(spark, path, ranges)
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    // basePath: on a hive-partitioned layout the partition columns live
+    // in the directory names ABOVE the surviving files — without it the
+    // explicit-file read would silently lose those columns and break
+    // row-identity with the full scan
+    else spark.read.option("basePath", path).parquet(files: _*)
   }
 
   /** Small-file compaction: rewrite a parquet dataset into

@@ -2,7 +2,17 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** One line of a versioned-table manifest: an immutable data directory,
+  * optionally tagged with the SET of partition values its rows are known
+  * to be confined to. Tags are what make copy-on-write cheap: a writer
+  * that touches partitions {p} can carry every directory whose tag is
+  * disjoint from {p} forward BY REFERENCE — zero bytes rewritten — and
+  * only rewrite the intersecting ones. Untagged (`parts = None`)
+  * directories make no confinement claim and are treated as potentially
+  * intersecting everything (always safe, never fast). */
+final case class ManifestEntry(path: String, parts: Option[Set[String]])
 
 /** Versioned parquet tables: an atomic-manifest snapshot protocol (the
   * public Delta/Iceberg commit shape, reduced to its load-bearing core) —
@@ -14,14 +24,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Layout under `basePath`:
   * {{{
   *   data-<uuid>/part-*.parquet     immutable staged data directories
-  *   _manifests/v<N>                one line per data directory in snapshot N
+  *   data-<uuid>/_graft_zonemap/    optional per-file min/max sidecar
+  *                                  (underscore-invisible to plain reads)
+  *   _manifests/v<N>                one line per data directory in
+  *                                  snapshot N, `#key=value` meta first
   *   _manifests/.tmp-<uuid>         in-flight manifest (invisible: readers
   *                                  only follow v<N> names)
   * }}}
   *
   * The commit protocol: (1) stage the batch into a fresh `data-<uuid>`
   * directory — readers never list data dirs, so half-written files are
-  * unreachable, not just unlikely; (2) write the new file list to a `.tmp`
+  * unreachable, not just unlikely; (2) write the new entry list to a `.tmp`
   * manifest; (3) RENAME it to `v<N+1>` — the one atomic step. A crash
   * before (3) leaves only unreferenced garbage (cleaned by [[vacuum]]);
   * after (3) the commit is complete. Concurrent writers: the rename-if-
@@ -40,13 +53,48 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * never rewritten (append commits add NEW dirs; overwrite commits just
   * reference fewer), so a reader that resolved version N keeps reading
   * exactly N's files however many commits land after it.
+  *
+  * COPY-ON-WRITE IS FILE-LEVEL (since r9): [[deleteWhere]] /
+  * [[updateWhere]] first discover which data directories actually CONTAIN
+  * matching rows (one column-pruned scan of the predicate columns plus
+  * the `_metadata.file_path` virtual column — no data rewrite), rewrite
+  * only those, and carry every untouched directory forward by reference
+  * in the new manifest. A selective DELETE on a 100 TB table costs the
+  * touched directories, not the table. [[compactLatest]] takes a
+  * smallness threshold for the same reason: fold the accreted small
+  * directories, carry the big ones.
+  *
+  * THE APPLIED-BATCH LEDGER: every manifest's metadata carries forward
+  * the (bounded, most-recent-first-out) list of ingested batch ids under
+  * `#applied=` — maintained by the protocol itself on every commit, so
+  * the exactly-once replay guard ([[appendOnce]],
+  * [[Incremental.upsertRollup]]) is ONE head-manifest read regardless of
+  * retained-history depth, and it survives [[vacuum]] (the guard's
+  * horizon is the ledger cap of [[AppliedCap]] most recent batch ids,
+  * not the manifest retention window). Legacy tables whose head predates
+  * the ledger fall back to scanning retained `#batch_id=` lines once;
+  * the next commit writes the consolidated ledger.
   */
 object Versioned {
+
+  /** Replay-guard horizon: the ledger keeps this many most-recent batch
+    * ids. A batch redelivered more than `AppliedCap` ingested batches
+    * later re-applies — size redelivery windows (stream checkpoint lag,
+    * at-least-once queue retention) under this, the same bounded-txn-id
+    * trade the public lakehouse formats document. */
+  val AppliedCap = 512
+
+  private val AppliedKey = "applied"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     FsUtil.fs(spark, p)
 
   private def manifestDir(basePath: String) = new Path(basePath, "_manifests")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
 
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, basePath: String): Seq[Long] = {
@@ -68,9 +116,36 @@ object Versioned {
     finally in.close()
   }
 
-  private def manifestFiles(spark: SparkSession, basePath: String,
+  /** `path` alone, or `path<TAB>parts=<url-enc>,<url-enc>` for a
+    * partition-confined directory. Plain-path lines (pre-r9 manifests)
+    * decode as untagged — always-intersecting, so always correct. */
+  private def encodeEntry(e: ManifestEntry): String = e.parts match {
+    case None => e.path
+    case Some(ps) =>
+      require(ps.nonEmpty, "a tagged manifest entry needs >= 1 partition value")
+      e.path + "\tparts=" + ps.toSeq.sorted.map(enc).mkString(",")
+  }
+
+  private def decodeEntry(l: String): ManifestEntry = l.split('\t') match {
+    case Array(p) => ManifestEntry(p, None)
+    case Array(p, tag) if tag.startsWith("parts=") =>
+      ManifestEntry(p,
+        Some(tag.drop("parts=".length).split(',').iterator
+          .filter(_.nonEmpty).map(dec).toSet))
+    case _ => throw new IllegalArgumentException(
+      s"unparseable manifest line: $l")
+  }
+
+  /** The manifest entries of snapshot `v` (paths + partition tags). */
+  def entries(spark: SparkSession, basePath: String,
+      v: Long): Seq[ManifestEntry] =
+    manifestLines(spark, basePath, v)
+      .filterNot(_.startsWith("#")).map(decodeEntry)
+
+  /** The data-directory paths of snapshot `v`. */
+  def manifestFiles(spark: SparkSession, basePath: String,
       v: Long): Seq[String] =
-    manifestLines(spark, basePath, v).filterNot(_.startsWith("#"))
+    entries(spark, basePath, v).map(_.path)
 
   /** Commit metadata (`#key=value` manifest lines) — rides in the SAME
     * atomic rename as the file list, so "this batch was ingested" and
@@ -87,20 +162,47 @@ object Versioned {
         }
       }.toMap
 
-  /** Atomically publish the next version. `mkFiles(headVersion,
-    * headFiles)` derives the manifest contents and is RE-EVALUATED
+  /** The applied-batch-id ledger: ONE manifest read in the steady state
+    * (the head's `#applied=` line, maintained by every commit), with a
+    * one-time retained-history scan for legacy tables whose head
+    * predates the ledger. Ordered oldest→newest, capped at
+    * [[AppliedCap]]. */
+  def appliedBatchIds(spark: SparkSession, basePath: String): Seq[String] =
+    appliedFromHistory(spark, basePath, versions(spark, basePath))
+
+  private def appliedFromHistory(spark: SparkSession, basePath: String,
+      vs: Seq[Long]): Seq[String] =
+    vs.lastOption match {
+      case None => Seq.empty
+      case Some(h) =>
+        commitMeta(spark, basePath, h).get(AppliedKey) match {
+          case Some(s) =>
+            s.split(',').iterator.filter(_.nonEmpty).map(dec).toSeq
+          case None => // legacy: derive once from retained history
+            vs.flatMap(v =>
+              commitMeta(spark, basePath, v).get("batch_id"))
+        }
+    }
+
+  /** Atomically publish the next version. `mkEntries(headVersion,
+    * headEntries)` derives the manifest contents and is RE-EVALUATED
     * against the refreshed head on every CAS attempt — a writer that
     * loses a race re-derives (an append folds in the winner's files)
     * instead of renaming its stale list over the winner's commit, which
-    * would be a silent lost update. `mkFiles` may throw to abort (the
-    * optimistic-conflict path of the copy-on-write ops). */
-  private def writeManifest(spark: SparkSession, basePath: String,
-      mkFiles: (Long, Seq[String]) => Seq[String],
+    * would be a silent lost update. `mkEntries` may throw to abort (the
+    * optimistic-conflict path of the copy-on-write ops). The applied-
+    * batch ledger is carried forward automatically: `meta("batch_id")`,
+    * when present, is appended to the head's ledger under the cap. */
+  private[sources] def publish(spark: SparkSession, basePath: String,
+      mkEntries: (Long, Seq[ManifestEntry]) => Seq[ManifestEntry],
       meta: Map[String, String] = Map.empty): Long = {
     meta.foreach { case (k, v) =>
-      require(!k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r'),
+      require(!k.contains("=") && !(k + v).exists(c =>
+          c == '\n' || c == '\r' || c == '\t'),
         s"commit meta must be line-safe with '='-free keys: ($k, $v)")
     }
+    require(!meta.contains(AppliedKey),
+      s"#$AppliedKey is maintained by the protocol — pass batch_id instead")
     val mdir = manifestDir(basePath)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -110,12 +212,19 @@ object Versioned {
       attempts += 1
       require(attempts <= 100,
         s"manifest CAS did not converge after 100 attempts under $basePath")
-      val head = versions(spark, basePath).lastOption
-      val prev = head.map(manifestFiles(spark, basePath, _))
-        .getOrElse(Seq.empty)
-      val dirs = mkFiles(head.getOrElse(0L), prev)
-      val lines = meta.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"#$k=$v" } ++ dirs
+      val vs = versions(spark, basePath)
+      val head = vs.lastOption
+      val prev = head.map(entries(spark, basePath, _)).getOrElse(Seq.empty)
+      val newEntries = mkEntries(head.getOrElse(0L), prev)
+      // ledger derivation happens INSIDE the CAS loop: a lost race means
+      // the winner may have ingested batches this attempt must remember
+      val ledger = (appliedFromHistory(spark, basePath, vs) ++
+        meta.get("batch_id")).takeRight(AppliedCap)
+      val fullMeta =
+        if (ledger.isEmpty) meta
+        else meta + (AppliedKey -> ledger.map(enc).mkString(","))
+      val lines = fullMeta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"#$k=$v" } ++ newEntries.map(encodeEntry)
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -127,6 +236,40 @@ object Versioned {
     committed
   }
 
+  /** [[publish]] pinned to an expected head: the copy-on-write form. The
+    * new entry list was derived from snapshot `expectedHead`; any commit
+    * that landed since makes that derivation stale, so abort instead of
+    * silently overwriting the interleaved commit. */
+  private[sources] def publishEntries(spark: SparkSession, basePath: String,
+      expectedHead: Long, newEntries: Seq[ManifestEntry],
+      meta: Map[String, String] = Map.empty): Long =
+    publish(spark, basePath, (head, _) => {
+      if (head != expectedHead)
+        throw new java.util.ConcurrentModificationException(
+          s"commit derived from v$expectedHead but head is v$head under " +
+            s"$basePath — re-read the snapshot and retry")
+      newEntries
+    }, meta)
+
+  /** Stage `df` into a fresh immutable `data-<uuid>` directory (with an
+    * optional zone-map sidecar over `statsCols`, read from the parquet
+    * footers the write just produced — near-free, enables
+    * [[readPruned]]). Returns the qualified path. Staging is invisible
+    * until a manifest references it; a crash here leaves vacuumable
+    * garbage, never a visible half-commit. */
+  private[sources] def stage(df: DataFrame, basePath: String,
+      statsCols: Seq[String] = Seq.empty): String = {
+    val spark = df.sparkSession
+    // fully qualified from the start: manifests are compared textually
+    // against qualified listing paths (vacuum), so one canonical form
+    val raw = new Path(basePath, s"data-${java.util.UUID.randomUUID()}")
+    val dataDir = fs(spark, raw).makeQualified(raw)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    if (statsCols.nonEmpty)
+      Layout.writeZoneMap(spark, dataDir.toString, statsCols)
+    dataDir.toString
+  }
+
   /** Commit `df` as the next version. `Overwrite` (default): the new
     * snapshot is exactly this batch. `Append`: the new snapshot is the
     * HEAD AT PUBLICATION TIME plus this batch (re-derived under the CAS,
@@ -135,29 +278,56 @@ object Versioned {
     * (copy-on-write callers): abort with ConcurrentModificationException
     * if another commit landed since the caller read that head — the
     * rewrite was derived from a snapshot that is no longer current.
-    * Returns the committed version. */
+    * `statsCols`: write a zone-map sidecar into the staged directory
+    * (see [[readPruned]]). `parts`: declare the staged directory
+    * partition-confined (see [[ManifestEntry]]). Returns the committed
+    * version. */
   def commit(df: DataFrame, basePath: String,
       mode: SaveMode = SaveMode.Overwrite,
       expectedHead: Option[Long] = None,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty,
+      parts: Option[Set[String]] = None): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned commits are Overwrite or Append, got $mode")
     val spark = df.sparkSession
-    // fully qualified from the start: manifests are compared textually
-    // against qualified listing paths (vacuum), so one canonical form
-    val raw = new Path(basePath, s"data-${java.util.UUID.randomUUID()}")
-    val dataDir = fs(spark, raw).makeQualified(raw)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    writeManifest(spark, basePath, (head, prev) => {
+    val dataDir = stage(df, basePath, statsCols)
+    publish(spark, basePath, (head, prev) => {
       expectedHead.filter(_ != head).foreach { e =>
         throw new java.util.ConcurrentModificationException(
           s"commit derived from v$e but head is v$head under $basePath — " +
             "re-read the snapshot and retry")
       }
-      if (mode == SaveMode.Append) prev :+ dataDir.toString
-      else Seq(dataDir.toString)
+      val entry = ManifestEntry(dataDir, parts)
+      if (mode == SaveMode.Append) prev :+ entry
+      else Seq(entry)
     }, meta)
   }
+
+  /** Idempotent append: commit `batch` under `batchId` unless the ledger
+    * already records that id — the batch-level exactly-once primitive
+    * ([[commitStream]] builds on it; so does any at-least-once delivery
+    * pipeline). Returns Some(version) when committed, None when the id
+    * was a replay. The check-then-commit window is closed by the ledger
+    * re-derivation inside the CAS: a concurrent commit of the SAME id
+    * loses the rename race, re-derives, and (because ledger membership
+    * is re-checked here against the refreshed head) aborts. */
+  def appendOnce(batch: DataFrame, basePath: String,
+      batchId: String): Option[Long] = {
+    val spark = batch.sparkSession
+    if (appliedBatchIds(spark, basePath).contains(batchId)) return None
+    val dataDir = stage(batch, basePath)
+    try {
+      Some(publish(spark, basePath, (_, prev) => {
+        if (appliedFromHistory(spark, basePath,
+            versions(spark, basePath)).contains(batchId))
+          throw new ReplayedBatch
+        prev :+ ManifestEntry(dataDir, None)
+      }, Map("batch_id" -> batchId)))
+    } catch { case _: ReplayedBatch => None }
+  }
+
+  private final class ReplayedBatch extends RuntimeException
 
   /** Read a specific committed snapshot (time travel). `mergeSchema`:
     * append batches may ADD columns over time; the union schema is
@@ -182,79 +352,195 @@ object Versioned {
   def read(spark: SparkSession, basePath: String): DataFrame =
     readVersion(spark, basePath, headVersion(spark, basePath))
 
+  /** Read the latest snapshot with LISTING-time zone-map pruning: data
+    * directories committed with `statsCols` carry a per-file min/max
+    * sidecar, and only the files whose rectangles overlap every
+    * `[lo, hi]` range are planned. Directories without a sidecar are
+    * read in full (fail open — pruning may only drop files proven empty
+    * of matches), so mixed tables stay row-identical to
+    * `read(...).filter(ranges)`. Callers re-apply their precise
+    * predicate; the sidecar is file-granular. */
+  def readPruned(spark: SparkSession, basePath: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "readPruned needs at least one column range")
+    val head = headVersion(spark, basePath)
+    val dirs = manifestFiles(spark, basePath, head)
+    val (mapped, unmapped) = dirs.partition { d =>
+      val zm = new Path(d, "_graft_zonemap")
+      fs(spark, zm).exists(zm)
+    }
+    val pruned = mapped.flatMap(d => Layout.pruneFiles(spark, d, ranges))
+    val sources = pruned ++ unmapped
+    if (sources.isEmpty) readVersion(spark, basePath, head).filter(
+      org.apache.spark.sql.functions.lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(sources: _*)
+  }
+
   /** Undo without copying data: commit a NEW version whose manifest is
-    * version `v`'s file list. History stays linear and complete. */
+    * version `v`'s entry list (partition tags preserved). History stays
+    * linear and complete; the ledger carries forward, so a rollback
+    * cannot resurrect a replayed batch. */
   def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long = {
-    val target = manifestFiles(spark, basePath, v)
-    writeManifest(spark, basePath, (_, _) => target)
+    val target = entries(spark, basePath, v)
+    publish(spark, basePath, (_, _) => target)
+  }
+
+  /** Scheme-and-duplicate-slash-insensitive path form, for matching the
+    * `_metadata.file_path` virtual column (whose qualification Spark
+    * owns) against manifest paths (qualified by this module). Both sides
+    * come from the same filesystem in one session, so stripping the
+    * scheme and collapsing slashes yields a common form. */
+  private def normPath(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:", "").replaceAll("/+", "/")
+
+  /** The manifest entries whose directories CONTAIN rows matching `cond`
+    * — discovered with ONE column-pruned scan (the predicate columns
+    * plus the `_metadata.file_path` virtual column; no data is
+    * rewritten, and parquet pushdown/pruning apply as in any filter
+    * query). Driver state is the distinct matching parent directories —
+    * bounded by the snapshot's directory count. */
+  private def touchedEntries(spark: SparkSession, ents: Seq[ManifestEntry],
+      cond: Column): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    val matchDirs = spark.read.option("mergeSchema", "true")
+      .parquet(ents.map(_.path): _*)
+      .filter(coalesce(cond, lit(false)))
+      .select(regexp_replace(col("_metadata.file_path"), "/[^/]+$", "")
+        .as("__dir"))
+      .distinct().collect().map(r => normPath(r.getString(0))).toSet
+    ents.filter { e =>
+      val p = normPath(e.path)
+      matchDirs.exists(d => d == p || d.startsWith(p + "/"))
+    }
+  }
+
+  /** File-level copy-on-write: rewrite ONLY the directories containing
+    * rows matching `cond`, carry the rest forward by reference.
+    * `keepParts`: the rewrite provably cannot move rows across
+    * partitions (DELETE), so surviving rows still honor the touched
+    * directories' union tag. Returns the unchanged head when nothing
+    * matches — publishing an identical snapshot would be churn. */
+  private def cowRewrite(spark: SparkSession, basePath: String,
+      cond: Column, rewrite: DataFrame => DataFrame,
+      keepParts: Boolean): Long = {
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    val touched = touchedEntries(spark, ents, cond)
+    if (touched.isEmpty) return head
+    val touchedPaths = touched.map(_.path).toSet
+    val rewritten = rewrite(spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_.path): _*))
+    val tag =
+      if (keepParts && touched.forall(_.parts.isDefined)) {
+        val u = touched.flatMap(_.parts.get).toSet
+        if (u.nonEmpty) Some(u) else None
+      } else None
+    val staged = stage(rewritten, basePath)
+    publishEntries(spark, basePath, head,
+      ents.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
   }
 
   /** Copy-on-write DELETE: publish a new version without the matching
     * rows — the transactional form of the engine's anti-join delete
     * (SURVEY §2.9 D2): readers see the old snapshot until the commit
     * lands, then the new one, never a half-deleted table, and the
-    * pre-delete version stays readable for audit/undo until vacuumed. */
+    * pre-delete version stays readable for audit/undo until vacuumed.
+    * FILE-LEVEL: only directories containing matches are rewritten;
+    * untouched directories are carried by reference, so a selective
+    * delete costs the touched data, not the table. Returns the
+    * committed version (the unchanged head when nothing matched). */
   def deleteWhere(spark: SparkSession, basePath: String,
-      cond: org.apache.spark.sql.Column): Long = {
+      cond: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     // SQL DELETE semantics: remove rows where cond is TRUE; rows where
-    // cond is NULL are kept (a bare !cond would silently drop them).
-    // expectedHead: the rewrite is derived from THIS head — a concurrent
-    // commit in between must abort it, not be silently overwritten.
-    val head = headVersion(spark, basePath)
-    commit(readVersion(spark, basePath, head)
-      .filter(not(coalesce(cond, lit(false)))), basePath,
-      expectedHead = Some(head))
+    // cond is NULL are kept (a bare !cond would silently drop them)
+    cowRewrite(spark, basePath, cond,
+      df => df.filter(not(coalesce(cond, lit(false)))), keepParts = true)
   }
 
   /** Copy-on-write UPDATE: publish a new version with `assignments`
     * applied to the rows matching `cond` (the D1 UPDATE…WHERE form,
     * transactionally). Each assignment column keeps its old value where
-    * the condition does not hold. */
+    * the condition does not hold. FILE-LEVEL like [[deleteWhere]];
+    * rewritten directories drop their partition tags (an assignment may
+    * move rows across partition values, so the confinement claim no
+    * longer holds — dropping it is always safe). */
   def updateWhere(spark: SparkSession, basePath: String,
-      cond: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    val head = headVersion(spark, basePath)
-    val cur = readVersion(spark, basePath, head)
-    val updated = assignments.foldLeft(cur) { case (df, (c, e)) =>
-      df.withColumn(c,
-        org.apache.spark.sql.functions.when(cond, e).otherwise(df(c)))
-    }
-    commit(updated, basePath, expectedHead = Some(head))
+      cond: Column, assignments: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    cowRewrite(spark, basePath, cond, { df =>
+      assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(cond, e).otherwise(d(c)))
+      }
+    }, keepParts = false)
   }
 
   /** Streaming publication: every micro-batch lands as ONE atomic append
-    * commit, so downstream readers always see a complete snapshot — never
-    * a half-written batch (the plain `parquet` streaming sink exposes
-    * in-progress files to any reader that lists mid-write). Delivery is
-    * at-least-once at the batch boundary on restart-without-checkpoint,
-    * same as every foreachBatch sink; with checkpointing the batch IDs
-    * make replays idempotent at the commit level (a replayed batch is a
-    * new commit of the same rows — dedup downstream or key the batch).
-    * Returns the started query; caller owns its lifecycle. */
-  def commitStream(stream: org.apache.spark.sql.DataFrame,
-      basePath: String, options: Map[String, String] = Map.empty)
+    * commit via [[appendOnce]], keyed by `(streamName, epochId)` — so
+    * downstream readers always see a complete snapshot (the plain
+    * `parquet` streaming sink exposes in-progress files to any reader
+    * that lists mid-write) AND a checkpoint-replayed micro-batch is a
+    * no-op: exactly-once at the commit level. `streamName` must be
+    * stable across restarts of the same logical stream (epoch ids are
+    * per-checkpoint — a fresh checkpoint restarts them at 0, and two
+    * streams feeding one table must not share a name, or new batches
+    * would be misread as replays). `options` should carry
+    * `checkpointLocation` in production. Returns the started query;
+    * caller owns its lifecycle. */
+  def commitStream(stream: DataFrame, basePath: String, streamName: String,
+      options: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .options(options) // production callers pass checkpointLocation here
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { commit(batch, basePath, SaveMode.Append); () }
+      .options(options)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          appendOnce(batch, basePath, s"stream-$streamName-epoch-$epochId")
+          ()
+        }
       }
       .start()
 
-  /** Compaction INSIDE the protocol: rewrite the latest snapshot into
-    * `targetFiles` evenly-sized files and publish it as a new version.
-    * Readers never see a half-compacted table (the rewrite is just
-    * another atomic commit), prior versions stay readable until
-    * [[vacuum]], and an append-heavy [[commitStream]] table gets its
-    * small files folded away without a write lock. */
+  private def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val it = fs(spark, p).listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) total += s.getLen
+    }
+    total
+  }
+
+  /** Compaction INSIDE the protocol: fold data directories smaller than
+    * `onlyDirsUnderBytes` into one `targetFiles`-file directory and
+    * publish as a new version — an append-heavy [[commitStream]] table
+    * gets its small files folded away without a write lock, and readers
+    * never see a half-compacted table (the rewrite is just another
+    * atomic commit; prior versions stay readable until [[vacuum]]).
+    * Directories at or above the threshold are carried by reference —
+    * at 100 TB, compaction must cost the accreted small files, not the
+    * settled bulk. The default threshold folds everything (full
+    * re-layout). Returns the committed version (the unchanged head when
+    * nothing qualifies). */
   def compactLatest(spark: SparkSession, basePath: String,
-      targetFiles: Int): Long = {
+      targetFiles: Int, onlyDirsUnderBytes: Long = Long.MaxValue): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val head = headVersion(spark, basePath)
-    commit(readVersion(spark, basePath, head).repartition(targetFiles),
-      basePath, expectedHead = Some(head))
+    val ents = entries(spark, basePath, head)
+    val (fold, carry) =
+      if (onlyDirsUnderBytes == Long.MaxValue) (ents, Seq.empty[ManifestEntry])
+      else ents.partition(e => dirBytes(spark, e.path) < onlyDirsUnderBytes)
+    if (fold.isEmpty) return head
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(fold.map(_.path): _*).repartition(targetFiles)
+    val tag =
+      if (fold.forall(_.parts.isDefined)) {
+        val u = fold.flatMap(_.parts.get).toSet
+        if (u.nonEmpty) Some(u) else None
+      } else None
+    val staged = stage(df, basePath)
+    publishEntries(spark, basePath, head, carry :+ ManifestEntry(staged, tag))
   }
 
   /** GC: drop manifests older than the last `keepVersions` and delete
@@ -266,7 +552,9 @@ object Versioned {
     * yet — a newest-manifest-mtime guard would reap it the moment any
     * other commit lands (the same reason every lakehouse vacuum uses a
     * retention PERIOD, hours by default, not head time). Readers of
-    * vacuumed-away versions break — the documented retention trade. */
+    * vacuumed-away versions break — the documented retention trade. The
+    * replay guard does NOT weaken with vacuum: its memory is the head
+    * manifest's ledger, not the dropped manifests. */
   def vacuum(spark: SparkSession, basePath: String,
       keepVersions: Int = 2,
       minAgeMs: Long = 24L * 60 * 60 * 1000): Unit = {

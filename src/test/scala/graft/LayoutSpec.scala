@@ -220,4 +220,44 @@ class LayoutSpec extends SparkSpec {
     assert(rankKept < uniKept,
       s"rank buckets ($rankKept files) should beat the uniform grid ($uniKept) under skew")
   }
+
+  test("pruned read of a partitioned layout reconstructs the partition columns") {
+    // without basePath the explicit-file read silently loses the hive
+    // partition column and breaks row-identity with the full scan
+    val pdir = Files.createTempDirectory("graft_zm_bp").toString + "/data"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Layout.writePartitioned(li, pdir, "l_returnflag")
+    Layout.writeZoneMap(spark, pdir, Seq("l_orderkey"))
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble
+    val slice = Seq(("l_orderkey", 0.0, maxOk / 8))
+    val pruned = Layout.readZonePruned(spark, pdir, slice)
+    assert(pruned.columns.toSet === spark.read.parquet(pdir).columns.toSet,
+      "pruned read lost the partition column")
+    val byFlag = pruned.filter(col("l_orderkey") <= maxOk / 8)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = li.filter(col("l_orderkey") <= maxOk / 8)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFlag === full)
+  }
+
+  test("zone-map bounds widen conservatively past double precision") {
+    import spark.implicits._
+    // (1L << 62) + 513 rounds to NEAREST double (1L << 62) + 1024 — a
+    // naively narrowed min would sit ABOVE the true value and pruning
+    // could drop the file; the widened rectangle must contain it
+    val x = (1L << 62) + 513L
+    val dir = Files.createTempDirectory("graft_zm_wide").toString + "/data"
+    Seq(x).toDF("big").write.mode("overwrite").parquet(dir)
+    Layout.writeZoneMap(spark, dir, Seq("big"))
+    val zm = spark.read.parquet(s"$dir/_graft_zonemap")
+      .select("big_min", "big_max").head()
+    val (lo, hi) = (zm.getDouble(0), zm.getDouble(1))
+    val exact = new java.math.BigDecimal(x)
+    assert(new java.math.BigDecimal(lo).compareTo(exact) <= 0,
+      s"zone-map min $lo sits above the true value $x")
+    assert(new java.math.BigDecimal(hi).compareTo(exact) >= 0,
+      s"zone-map max $hi sits below the true value $x")
+  }
 }

@@ -96,7 +96,7 @@ class VersionedSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val q = Versioned.commitStream(
-      input.toDF().toDF("id", "payload"), base)
+      input.toDF().toDF("id", "payload"), base, streamName = "s1")
     try {
       input.addData((1L, "a"), (2L, "b"))
       q.processAllAvailable()
@@ -196,7 +196,7 @@ class VersionedSpec extends SparkSpec {
     val input = MemoryStream[(String, String, Long, Long)]
     val q = Incremental.rollupStream(
       input.toDF().toDF("day", "kind", "cnt", "cents"), base,
-      "day", Seq("kind"), Seq("cnt", "cents"))
+      "r1", "day", Seq("kind"), Seq("cnt", "cents"))
     try {
       input.addData(("d1", "a", 1L, 10L), ("d1", "a", 1L, 20L))
       q.processAllAvailable()
@@ -210,7 +210,7 @@ class VersionedSpec extends SparkSpec {
       Incremental.upsertRollup(spark, base,
         Seq(("d1", "a", 1L, 10L), ("d1", "a", 1L, 20L))
           .toDF("day", "kind", "cnt", "cents"),
-        "stream-epoch-0", "day", Seq("kind"), Seq("cnt", "cents"))
+        "stream-r1-epoch-0", "day", Seq("kind"), Seq("cnt", "cents"))
       assert(Versioned.read(spark, base)
         .as[(String, String, Long, Long)].collect().toSet === state)
     } finally q.stop()
@@ -235,5 +235,184 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.versions(spark, base) === Seq(3L))
     assert(Versioned.read(spark, base).count() === v1n)
     assert(dataDirs() === 1, "unreferenced v2 data dir should be reaped")
+  }
+
+  test("selective copy-on-write: untouched data dirs are carried by reference") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    // three append commits with disjoint key ranges → three data dirs
+    Versioned.commit(ord.filter(col("o_orderkey") < 100), base)
+    Versioned.commit(ord.filter(col("o_orderkey") >= 100
+      && col("o_orderkey") < 300), base, SaveMode.Append)
+    Versioned.commit(ord.filter(col("o_orderkey") >= 300), base,
+      SaveMode.Append)
+    val before = Versioned.manifestFiles(spark, base, 3)
+    assert(before.size === 3)
+
+    // the delete predicate only matches the MIDDLE dir's rows
+    val v = Versioned.deleteWhere(spark, base,
+      col("o_orderkey") >= 150 && col("o_orderkey") < 250)
+    val after = Versioned.manifestFiles(spark, base, v)
+    assert(after.contains(before(0)) && after.contains(before(2)),
+      "untouched dirs must be carried forward verbatim")
+    assert(!after.contains(before(1)), "the matching dir must be rewritten")
+    assert(after.size === 3, s"expected 2 carried + 1 rewritten, got $after")
+    assert(Versioned.read(spark, base).count() ===
+      ord.filter(!(col("o_orderkey") >= 150 && col("o_orderkey") < 250))
+        .count())
+
+    // a predicate matching NOTHING publishes no new version at all
+    assert(Versioned.deleteWhere(spark, base,
+      col("o_orderkey") === -1) === v)
+    assert(Versioned.versions(spark, base).last === v)
+
+    // file-level UPDATE: same carry-forward, only the matching dir rewritten
+    val before2 = Versioned.entries(spark, base, v)
+    val v2 = Versioned.updateWhere(spark, base, col("o_orderkey") === 42,
+      Map("o_totalprice" -> lit(0.0)))
+    val after2 = Versioned.manifestFiles(spark, base, v2)
+    assert(before2.tail.map(_.path).forall(after2.contains),
+      "update must not rewrite dirs without matches")
+    assert(Versioned.read(spark, base)
+      .filter(col("o_orderkey") === 42)
+      .agg(min(col("o_totalprice"))).head().getDouble(0) === 0.0)
+  }
+
+  test("rollup upserts carry disjoint-partition dirs by reference") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    val base = freshBase()
+    def up(rows: Seq[(String, String, Long)], id: String): Long =
+      Incremental.upsertRollup(spark, base,
+        rows.toDF("day", "kind", "cnt"), id, "day", Seq("kind"), Seq("cnt"))
+
+    up(Seq(("d1", "a", 1L)), "b0")               // dir tagged {d1}
+    val v2 = up(Seq(("d2", "a", 1L)), "b1")      // touches only d2
+    val d1Dir = Versioned.manifestFiles(spark, base, 1).head
+    assert(Versioned.manifestFiles(spark, base, v2).contains(d1Dir),
+      "the {d1}-tagged dir must be carried by reference when d2 is upserted")
+    // partition tags recorded and disjointness honored on the next upsert
+    val ents = Versioned.entries(spark, base, v2)
+    assert(ents.exists(_.parts.contains(Set("d1"))))
+    assert(ents.exists(_.parts.contains(Set("d2"))))
+    val v3 = up(Seq(("d2", "b", 2L)), "b2")      // touches only d2 again
+    assert(Versioned.manifestFiles(spark, base, v3).contains(d1Dir),
+      "a second d2 upsert still must not rewrite the d1 dir")
+    // contents stay exact throughout
+    assert(Versioned.read(spark, base).as[(String, String, Long)]
+      .collect().toSet === Set(("d1", "a", 1L), ("d2", "a", 1L),
+        ("d2", "b", 2L)))
+  }
+
+  test("replay guard reads one head manifest and survives vacuum") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    val base = freshBase()
+    def up(day: String, n: Long, id: String): Long =
+      Incremental.upsertRollup(spark, base,
+        Seq((day, "k", n)).toDF("day", "kind", "cnt"), id,
+        "day", Seq("kind"), Seq("cnt"))
+    up("d1", 1L, "b0"); up("d2", 2L, "b1"); up("d3", 3L, "b2")
+    // ledger in the HEAD manifest carries every applied id
+    assert(Versioned.appliedBatchIds(spark, base).toSet
+      === Set("b0", "b1", "b2"))
+    // vacuum away all but the newest manifest: the OLD manifests' batch_id
+    // lines are gone, but the guard's memory is the head ledger — a replay
+    // of the first batch must STILL no-op (pre-r9 this re-applied)
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0)
+    val head = Versioned.versions(spark, base).last
+    up("d1", 99L, "b0")
+    assert(Versioned.versions(spark, base).last === head,
+      "a replayed batch id must not publish after vacuum")
+    assert(Versioned.read(spark, base).as[(String, String, Long)]
+      .collect().toSet === Set(("d1", "k", 1L), ("d2", "k", 2L),
+        ("d3", "k", 3L)))
+  }
+
+  test("bootstrap commits are CAS-pinned; concurrent first upserts both land") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    // the mechanism: a commit pinned to head 0 aborts once anything lands
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), base)
+    assertThrows[java.util.ConcurrentModificationException](
+      Versioned.commit(Seq((2L, "b")).toDF("id", "v"), base,
+        expectedHead = Some(0L)))
+
+    // the behavior: two threads racing the FIRST upsert of an empty
+    // rollup — the loser must retry through the merge path, never
+    // overwrite the winner (the pre-r9 lost-update was permanent because
+    // the winner's batch id was recorded, blocking re-application)
+    val ec = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 3).foreach { round =>
+        val b = freshBase()
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val fs = (0 to 1).map { i =>
+          ec.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              Incremental.upsertRollup(spark, b,
+                Seq((s"d$i", "k", 1L)).toDF("day", "kind", "cnt"),
+                s"boot-$i", "day", Seq("kind"), Seq("cnt"))
+            }
+          })
+        }
+        gate.countDown()
+        fs.foreach(_.get())
+        assert(Versioned.read(spark, b).as[(String, String, Long)]
+          .collect().toSet === Set(("d0", "k", 1L), ("d1", "k", 1L)),
+          s"round $round lost a bootstrap batch")
+      }
+    } finally ec.shutdown()
+  }
+
+  test("appendOnce: a replayed batch id is a no-op, a new id commits") {
+    import spark.implicits._
+    val base = freshBase()
+    assert(Versioned.appendOnce(
+      Seq((1L, "a")).toDF("id", "v"), base, "batch-A").contains(1L))
+    // replay: no new version, no duplicate rows
+    assert(Versioned.appendOnce(
+      Seq((1L, "a")).toDF("id", "v"), base, "batch-A").isEmpty)
+    assert(Versioned.versions(spark, base) === Seq(1L))
+    assert(Versioned.appendOnce(
+      Seq((2L, "b")).toDF("id", "v"), base, "batch-B").contains(2L))
+    assert(Versioned.read(spark, base).count() === 2)
+    // the commitStream path derives its ids the same way: a replayed
+    // (streamName, epoch) pair is the same no-op
+    assert(Versioned.appendOnce(
+      Seq((9L, "z")).toDF("id", "v"), base, "stream-s1-epoch-0").isDefined)
+    assert(Versioned.appendOnce(
+      Seq((9L, "z")).toDF("id", "v"), base, "stream-s1-epoch-0").isEmpty)
+    assert(Versioned.read(spark, base).count() === 3)
+  }
+
+  test("zone-map sidecars in commits: readPruned is row-identical and prunes files") {
+    import graft.sources.Layout
+    val base = freshBase()
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val z = Seq("l_orderkey", "l_partkey")
+    // two z-ordered commits, each staged with a per-file min/max sidecar
+    Versioned.commit(Layout.zOrderFrame(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0), z, files = 8),
+      base, statsCols = z)
+    Versioned.commit(Layout.zOrderFrame(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 1), z, files = 8),
+      base, SaveMode.Append, statsCols = z)
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0).toDouble
+    val maxPk = li.agg(max(col("l_partkey"))).head().getLong(0).toDouble
+    val ranges = Seq(("l_orderkey", 0.0, maxOk / 8),
+      ("l_partkey", 0.0, maxPk / 8))
+    val pruned = Versioned.readPruned(spark, base, ranges)
+    val all = Versioned.read(spark, base)
+    // listing-time pruning really dropped files…
+    assert(pruned.inputFiles.length * 2 <= all.inputFiles.length,
+      s"${pruned.inputFiles.length} of ${all.inputFiles.length} planned")
+    // …and the precise-filtered result is row-identical to the full scan
+    def slice(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("l_orderkey") <= maxOk / 8
+        && col("l_partkey") <= maxPk / 8).count()
+    assert(slice(pruned) === slice(all))
   }
 }
