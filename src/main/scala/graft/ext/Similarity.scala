@@ -173,10 +173,13 @@ object Similarity {
         s"""array_union(array(bucket),
            |  transform(sequence(0, ${bits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
           .stripMargin)).as("bucket"))
+    // no dropDuplicates pre-pass: the same pair surfacing via several
+    // tables/probes scores identically, and TopKAggregator is idempotent
+    // on identical (score, id) — duplicates die inside the partial
+    // aggregation instead of costing a full exchange of the pair stream
     val pairs = cand.join(qProbe, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
-      .dropDuplicates("q_id", "c_id") // same pair via several tables/probes
     val cVecs = vectors.select(col("vec_id").as("c_id"),
       col("embedding").as("v_c"))
     val qVecs = vectors.select(col("vec_id").as("q_id"),
@@ -727,10 +730,12 @@ object Similarity {
 
   /** ANN operating-point knobs. The RECALL_r*.json sweep documents the
     * recall-vs-cost grid (probes × rerank, tables × bits); these session
-    * confs let a consumer pick a point WITHOUT code changes — e.g.
-    * `spark.graft.ann.ivfpq.rerank=100` converges the probe settings at
-    * recall ~0.95 for ~2× the shortlist cost. Defaults are the benched
-    * shapes, so an unset session is byte-identical to earlier rounds. */
+    * confs let a consumer pick a point WITHOUT code changes. Defaults
+    * are the MEASURED sweep winners (r8 grid, promoted in r9): pq
+    * rerank 100 (recall 0.62 → 0.80 for ~2× shortlist cost) and ivfpq
+    * probes=1/rerank=100 (0.82 → 0.96/0.8 — on these isotropic
+    * embeddings extra probes only dilute the shortlist; rerank depth is
+    * the lever, confirmed by the committed probes×rerank grid). */
   private def intConf(s: SparkSession, key: String, dflt: Int): Int = {
     val v = s.conf.get(key, dflt.toString).trim.toInt
     require(v > 0, s"$key must be positive, got $v")
@@ -757,13 +762,13 @@ object Similarity {
     // Product-quantization ANN (ADC shortlist + exact rerank).
     "x_ann_pq" -> ((s, d) =>
       pqTopK(emb(s, d), col("vec_id") < 10,
-        rerank = intConf(s, "spark.graft.ann.pq.rerank", 50))
+        rerank = intConf(s, "spark.graft.ann.pq.rerank", 100))
         .orderBy("q_id", "rank")),
     // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.
     "x_ann_ivfpq" -> ((s, d) =>
       ivfpqTopK(emb(s, d), col("vec_id") < 10,
-        probes = intConf(s, "spark.graft.ann.ivfpq.probes", 2),
-        rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 50))
+        probes = intConf(s, "spark.graft.ann.ivfpq.probes", 1),
+        rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 100))
         .orderBy("q_id", "rank")),
     // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
     // primitive: blocked-grid equi-join + bounded top-k aggregation.

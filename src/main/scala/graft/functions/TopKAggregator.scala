@@ -19,6 +19,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * reduce = O(k) sorted insertion, merge = O(k) sorted merge — both
   * associative and commutative, so partial aggregation is sound.
+  *
+  * Both are also IDEMPOTENT on identical `(score, id)` pairs: a
+  * duplicate of an entry already banked is dropped instead of occupying
+  * a second slot. That lets candidate generators that surface the same
+  * pair through several routes (multi-table LSH banding, multi-probe
+  * IVF) feed the aggregation DIRECTLY — no `dropDuplicates` pre-pass,
+  * which at scale is a full extra shuffle of the candidate stream.
   */
 object TopKAggregator {
 
@@ -39,19 +46,25 @@ object TopKAggregator {
       override def reduce(b: Buf, e: Entry): Buf = {
         if (b.items.size < k || before(e, b.items.last)) {
           val (hd, tl) = b.items.span(before(_, e))
-          b.items = ((hd :+ e) ++ tl).take(k)
-        }
-        b
+          // idempotent: an entry equal to the one at its insertion point
+          // is already banked (equal pairs are adjacent in sort order)
+          if (tl.headOption.contains(e)) b
+          else { b.items = ((hd :+ e) ++ tl).take(k); b }
+        } else b
       }
 
       override def merge(a: Buf, b: Buf): Buf = {
-        // sorted merge of two ≤k-element runs, truncated at k
+        // sorted merge of two ≤k-element runs, truncated at k; an entry
+        // present in BOTH runs is emitted once (idempotent on duplicates)
         val out = Vector.newBuilder[Entry]
         var (i, j, n) = (0, 0, 0)
         val (x, y) = (a.items, b.items)
         while (n < k && (i < x.size || j < y.size)) {
-          val takeA = j >= y.size || (i < x.size && before(x(i), y(j)))
-          if (takeA) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+          if (i < x.size && j < y.size && x(i) == y(j)) {
+            out += x(i); i += 1; j += 1
+          } else if (j >= y.size || (i < x.size && before(x(i), y(j)))) {
+            out += x(i); i += 1
+          } else { out += y(j); j += 1 }
           n += 1
         }
         a.items = out.result()

@@ -752,7 +752,8 @@ class ExtSpec extends SparkSpec {
       spark.conf.set(key, "0")
       intercept[IllegalArgumentException](plan())
     } finally spark.conf.unset(key)
-    assert(plan().contains("<= 50"), "unset conf must restore the default")
+    // r9 default = the committed sweep winner (probes=1/rerank=100)
+    assert(plan().contains("<= 100"), "unset conf must restore the default")
   }
 
   test("centroid aggregator: mean of identical vectors is the vector") {

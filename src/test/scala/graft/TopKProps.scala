@@ -26,9 +26,12 @@ object TopKProps extends Properties("graft.topk") {
   private val entries: Gen[List[Entry]] = Gen.listOf(entry)
   private val kGen: Gen[Int] = Gen.choose(1, 12)
 
-  /** The specification: global sort by (score desc, id asc), take k. */
+  /** The specification: DISTINCT entries (the aggregator is idempotent
+    * on identical (score, id) pairs — set semantics, which is what lets
+    * multi-route candidate generators skip their dropDuplicates
+    * pre-pass), global sort by (score desc, id asc), take k. */
   private def reference(xs: List[Entry], k: Int): Seq[Entry] =
-    xs.sortBy(e => (-e.score, e.id)).take(k)
+    xs.distinct.sortBy(e => (-e.score, e.id)).take(k)
 
   private def reduceAll(agg: org.apache.spark.sql.expressions.Aggregator[
       Entry, Buf, Seq[Entry]], xs: List[Entry]): Buf =
@@ -64,17 +67,31 @@ object TopKProps extends Properties("graft.topk") {
       fwd == rev
     }
 
-  property("buffer never exceeds k and stays sorted") =
+  property("buffer never exceeds k, stays STRICTLY sorted (no duplicates)") =
     forAll(entries, kGen) { (xs, k) =>
       val agg = TopKAggregator.agg(k)
       val b = reduceAll(agg, xs)
-      // non-strict: duplicate (score, id) INPUT rows are distinct
-      // candidates and legitimately coexist in the buffer
+      // strict: idempotent insertion means equal (score, id) pairs never
+      // occupy two slots, so consecutive entries are strictly ordered
       val sorted = b.items.sliding(2).forall {
         case Seq(a, c) => a.score > c.score ||
-          (a.score == c.score && a.id <= c.id)
+          (a.score == c.score && a.id < c.id)
         case _ => true
       }
-      b.items.size <= math.min(k, xs.size) && sorted
+      b.items.size <= math.min(k, xs.distinct.size) && sorted
+    }
+
+  property("duplicated inputs change nothing: reduce and merge are idempotent") =
+    forAll(entries, kGen, Gen.choose(1, 4)) { (xs, k, copies) =>
+      val agg = TopKAggregator.agg(k)
+      val once = agg.finish(reduceAll(agg, xs))
+      // duplicates inside one partition (sequential reduce path)…
+      val inline = agg.finish(reduceAll(agg,
+        List.fill(copies + 1)(xs).flatten))
+      // …and duplicates ACROSS partitions (the multi-table LSH shape:
+      // every partial holds the same pairs, merged at the final stage)
+      val across = agg.finish(
+        List.fill(copies + 1)(reduceAll(agg, xs)).reduce(agg.merge))
+      inline == once && across == once
     }
 }
