@@ -160,7 +160,14 @@ object Recall {
       "Read the registered recall block as the seed-adjacent operating " +
       "point and nonseed_queries as the isotropic-corpus floor; " +
       "clustered real corpora sit between, and the spark.graft.ann.* " +
-      "confs plus the sweep grids are the tuning path"
+      "confs plus the sweep grids are the tuning path. r9: the " +
+      "registered defaults moved to the r8 sweep winners (pq rerank " +
+      "50->100, ivfpq probes 2->1 + rerank 50->100) — diff r8->r9 " +
+      "registered pq 0.62->0.80 and ivfpq 0.82->0.96 is that " +
+      "promotion, not an algorithm change; the sweep grid itself is " +
+      "unchanged. knn_join_lsh r9 drops its dedup pre-pass (idempotent " +
+      "top-k) — recall must match r8 exactly, pinning the rewrite as " +
+      "plan-only"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +

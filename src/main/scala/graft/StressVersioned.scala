@@ -173,6 +173,62 @@ object StressVersioned {
         s"PASS (${threads} writers, state exact)")
     }
 
+    // --- 5. selective-delete cost ∝ touched data, not table size ------
+    locally {
+      val base = freshBase()
+      val (dirsN, rowsPerDir) = (16, 600000) // ~9.6M rows, 16 data dirs
+      (0 until dirsN).foreach { i =>
+        Versioned.commit(
+          spark.range(i.toLong * rowsPerDir, (i + 1).toLong * rowsPerDir)
+            .select(col("id"), pmod(col("id") * 31, lit(1000)).as("payload"),
+              sha2(col("id").cast("string"), 256).as("pad")),
+          base, SaveMode.Append)
+      }
+      def bytesOf(paths: Seq[String]): Long = paths.map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val it = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .listFiles(hp, true)
+        var t = 0L
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) t += s.getLen
+        }
+        t
+      }.sum
+      val before = Versioned.manifestFiles(spark, base, dirsN.toLong)
+      val tableBytes = bytesOf(before)
+      val total = spark.range(0, dirsN.toLong * rowsPerDir).count() // warm
+      check(total == dirsN.toLong * rowsPerDir, "warmup sanity")
+
+      // delete a slice INSIDE one dir's id range: 1/16 of the table holds
+      // matches, so only that dir may be rewritten
+      val (lo, hi) = (3L * rowsPerDir + 1000, 3L * rowsPerDir + 200000)
+      val t0 = System.nanoTime()
+      val v = Versioned.deleteWhere(spark, base,
+        col("id") >= lo && col("id") < hi)
+      val selSecs = (System.nanoTime() - t0) / 1e9
+      val after = Versioned.manifestFiles(spark, base, v)
+      val carried = after.count(before.contains)
+      val stagedBytes = bytesOf(after.filterNot(before.contains))
+      check(carried == dirsN - 1,
+        s"expected ${dirsN - 1} dirs carried by reference, got $carried")
+      check(stagedBytes * 4 < tableBytes,
+        s"selective delete staged $stagedBytes of $tableBytes table bytes " +
+          "— not proportional to touched data")
+      check(Versioned.read(spark, base).count() ==
+        dirsN.toLong * rowsPerDir - (hi - lo), "row count after delete")
+
+      // anchor: what the pre-r9 full rewrite costs on the same table
+      val t1 = System.nanoTime()
+      Versioned.compactLatest(spark, base, targetFiles = dirsN)
+      val fullSecs = (System.nanoTime() - t1) / 1e9
+      println(f"5. selective delete ∝ touched data: PASS — " +
+        f"${dirsN * rowsPerDir / 1e6}%.1fM rows/$dirsN dirs: selective " +
+        f"$selSecs%.1f s (staged ${stagedBytes / 1e6}%.0f MB of " +
+        f"${tableBytes / 1e6}%.0f MB, $carried dirs by reference) vs " +
+        f"full rewrite $fullSecs%.1f s")
+    }
+
     println("StressVersioned: ALL SECTIONS PASS")
     spark.stop()
   }

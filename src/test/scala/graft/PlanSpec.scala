@@ -125,6 +125,20 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("partial_topkaggregator") || p.contains("partial_"), p)
     assert(!p.contains("Window"), p)
+
+    // the LSH variant: since the top-k aggregator is idempotent on
+    // identical (score, id), the multi-table candidate stream feeds the
+    // aggregation DIRECTLY — the plan must NOT contain the old
+    // dropDuplicates pre-pass (a keyed HashAggregate over (q_id, c_id)
+    // with no aggregate functions, costing a full exchange of the pair
+    // stream); duplicates die inside the partial top-k instead
+    val pl = explain(q("x_knn_join_lsh"))
+    // the dedup's signature was an Exchange hash-partitioned on BOTH pair
+    // keys; the surviving aggregation exchanges on q_id alone
+    assert(!pl.matches("(?s).*hashpartitioning\\(q_id#\\d+L?, c_id#.*"),
+      "knn_join_lsh still plans the (q_id, c_id) dedup exchange")
+    assert("ObjectHashAggregate".r.findAllIn(pl).size >= 2, pl)
+    assert(!pl.contains("CartesianProduct"), pl)
   }
 
   test("no query plans a nested-loop join except the known all-pairs/scalar shapes") {
