@@ -250,6 +250,31 @@ object Advanced {
         .orderBy("o_orderpriority")
     }),
 
+    // Transactional MERGE under the correctness gate: commit the source
+    // table, then one file-level upsert — matched keys (every 5th order)
+    // take the source's doubled price, unmatched source rows (every 7th
+    // ≡ 3, re-keyed beyond the key space) INSERT — and the latest
+    // snapshot's aggregate must equal the same MERGE applied
+    // relationally (the oracle). Carry-by-reference and schema-evolution
+    // halves are VersionedSpec's.
+    "x_versioned_merge" -> ((s, d) => {
+      val base = scratch("graft_versioned_mrg") + "/t"
+      val V = graft.sources.Versioned
+      val ord = orders(s, d)
+      V.commit(ord, base)
+      val src = ord.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(ord.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      V.mergeInto(s, base, src, keys = Seq("o_orderkey"),
+        updateCols = Seq("o_totalprice"))
+      V.read(s, base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Incremental rollup maintenance under the correctness gate: the
     // event stream arrives as three batches (plus one REPLAYED delivery,
     // which the commit-metadata guard must no-op), each folding additive
@@ -385,6 +410,20 @@ object Advanced {
         |    AS total_cents
         |FROM orders
         |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_versioned_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_versioned_pruned" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

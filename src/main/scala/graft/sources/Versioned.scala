@@ -475,6 +475,92 @@ object Versioned {
     }, keepParts = false)
   }
 
+  /** Transactional MERGE (upsert) — the third DML form, completing
+    * delete/update/merge, file-level like both others. Semantics (the
+    * standard SQL MERGE reduced to its load-bearing upsert core):
+    * target rows matching a `source` row on equality of `keys` get their
+    * `updateCols` replaced by the source's values; source rows with no
+    * target match are INSERTED (full source schema — an insert batch may
+    * ADD columns, which the snapshot's mergeSchema read reconciles, the
+    * same evolution contract as append commits); unmatched target rows
+    * pass through untouched.
+    *
+    * File-level copy-on-write: one key-column discovery scan finds the
+    * data dirs holding matched rows; only those are rewritten (their
+    * unmatched rows pass through inside the rewrite); every other dir is
+    * carried by reference, and the inserts land as their own new dir.
+    * So a trickle upsert into a 100 TB table costs the touched dirs plus
+    * the insert batch — not the table.
+    *
+    * `source` must be key-unique (enforced — a duplicate source key
+    * would multiply target rows, the standard MERGE cardinality
+    * violation) and must contain `keys ++ updateCols`. Returns the
+    * committed version (the unchanged head when source is empty). */
+  def mergeInto(spark: SparkSession, basePath: String, source: DataFrame,
+      keys: Seq[String], updateCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    require(updateCols.nonEmpty,
+      "mergeInto needs at least one update column (pure-insert = append)")
+    require(!updateCols.exists(keys.contains),
+      "mergeInto cannot update a match key (standard MERGE restriction)")
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dup == 0,
+      s"mergeInto source is not unique on ${keys.mkString(",")} — a " +
+        "duplicate source key would multiply target rows")
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+
+    // discovery: dirs holding a key present in the source — a key-column-
+    // pruned semi-join, no rewrite. The source side carries keys only.
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    import org.apache.spark.sql.functions.regexp_replace
+    val matchDirs = spark.read.option("mergeSchema", "true")
+      .parquet(ents.map(_.path): _*)
+      .select((keys.map(col) :+
+        regexp_replace(col("_metadata.file_path"), "/[^/]+$", "")
+          .as("__dir")): _*)
+      .join(srcKeys, keys, "left_semi")
+      .select("__dir").distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    val touched = ents.filter { e =>
+      val p = normPath(e.path)
+      matchDirs.exists(d => d == p || d.startsWith(p + "/"))
+    }
+    val touchedPaths = touched.map(_.path).toSet
+
+    // rewrite of touched dirs: matched rows take the source's updateCols
+    val rewrittenEntry = if (touched.isEmpty) Seq.empty else {
+      val t = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(_.path): _*)
+      val s = source.select((keys.map(col) ++
+        updateCols.map(c => col(c).as(s"__src_$c")) :+
+        lit(true).as("__matched")): _*)
+      val joined = t.join(s, keys, "left")
+      val updated = updateCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c,
+          when(col("__matched"), col(s"__src_$c")).otherwise(df(c)))
+      }.drop("__matched").drop(updateCols.map(c => s"__src_$c"): _*)
+      // updates cannot move rows across partition values only if the
+      // partition column is not updated — not knowable here, so drop tags
+      Seq(ManifestEntry(stage(updated, basePath), None))
+    }
+
+    // inserts: source rows whose key exists nowhere in the target
+    val allKeys = spark.read.option("mergeSchema", "true")
+      .parquet(ents.map(_.path): _*).select(keys.map(col): _*)
+    val inserts = source.join(allKeys, keys, "left_anti")
+    val insertEntry =
+      if (inserts.isEmpty) Seq.empty
+      else Seq(ManifestEntry(stage(inserts, basePath), None))
+
+    if (rewrittenEntry.isEmpty && insertEntry.isEmpty) return head
+    publishEntries(spark, basePath, head,
+      ents.filterNot(e => touchedPaths(e.path)) ++ rewrittenEntry ++
+        insertEntry)
+  }
+
   /** Streaming publication: every micro-batch lands as ONE atomic append
     * commit via [[appendOnce]], keyed by `(streamName, epochId)` — so
     * downstream readers always see a complete snapshot (the plain

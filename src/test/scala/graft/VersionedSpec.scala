@@ -388,6 +388,54 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, base).count() === 3)
   }
 
+  test("mergeInto: matched rows update, unmatched insert, untouched dirs carry by reference") {
+    import spark.implicits._
+    val base = freshBase()
+    // two dirs with disjoint key ranges
+    Versioned.commit(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "tag", "amt"), base)
+    Versioned.commit(Seq((10L, "c", 30.0), (11L, "d", 40.0))
+      .toDF("id", "tag", "amt"), base, SaveMode.Append)
+    val before = Versioned.manifestFiles(spark, base, 2)
+
+    // source matches only dir 2's keys (update) plus a brand-new key
+    // (insert) carrying a NEW column — schema evolution through merge
+    val src = Seq((10L, 99.0, "fresh"), (77L, 7.0, "fresh"))
+      .toDF("id", "amt", "origin")
+    val v = Versioned.mergeInto(spark, base, src,
+      keys = Seq("id"), updateCols = Seq("amt"))
+
+    val after = Versioned.manifestFiles(spark, base, v)
+    assert(after.contains(before(0)),
+      "the unmatched dir must be carried by reference")
+    assert(!after.contains(before(1)), "the matched dir must be rewritten")
+    assert(after.size === 3, s"carried + rewritten + inserts: $after")
+
+    val state = Versioned.read(spark, base)
+      .select("id", "amt").as[(Long, Double)].collect().toMap
+    assert(state === Map(1L -> 10.0, 2L -> 20.0, 10L -> 99.0,
+      11L -> 40.0, 77L -> 7.0))
+    // the insert batch's new column widened the snapshot; old rows null
+    val origins = Versioned.read(spark, base)
+      .select("id", "origin").as[(Long, Option[String])].collect().toMap
+    assert(origins(77L).contains("fresh") && origins(1L).isEmpty)
+    // pre-merge snapshot intact (time travel)
+    assert(Versioned.readVersion(spark, base, 2)
+      .filter(col("id") === 10).select("amt").as[Double].head() === 30.0)
+
+    // cardinality violation rejected loudly
+    assertThrows[IllegalArgumentException](Versioned.mergeInto(spark, base,
+      Seq((1L, 0.0), (1L, 1.0)).toDF("id", "amt"), Seq("id"), Seq("amt")))
+    // match-key update rejected
+    assertThrows[IllegalArgumentException](Versioned.mergeInto(spark, base,
+      src, Seq("id"), Seq("id", "amt")))
+    // empty-effect merge publishes nothing
+    val headNow = Versioned.versions(spark, base).last
+    assert(Versioned.mergeInto(spark, base,
+      Seq.empty[(Long, Double)].toDF("id", "amt"),
+      Seq("id"), Seq("amt")) === headNow)
+  }
+
   test("zone-map sidecars in commits: readPruned is row-identical and prunes files") {
     import graft.sources.Layout
     val base = freshBase()
