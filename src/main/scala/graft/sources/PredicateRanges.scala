@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.util.Locale
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Conservative per-column range extraction from a filter predicate —
+  * the bridge that lets the copy-on-write DML ops consult zone-map
+  * sidecars BEFORE their discovery scan, with no caller-facing API.
+  *
+  * Soundness model: for `cond = c1 AND c2 AND …`, every matching row
+  * satisfies EACH conjunct, so a per-column interval that over-
+  * approximates one conjunct's support over-approximates the whole
+  * predicate's. A data directory whose zone-map rectangle is disjoint
+  * from ANY extracted interval provably holds no matching rows and can
+  * be skipped entirely. Anything unrecognized (ORs, casts, functions,
+  * non-numeric literals, subqueries) extracts NOTHING for its columns —
+  * fail open, never wrong.
+  *
+  * Extracted shapes (attribute ⋈ numeric literal, either operand order):
+  * `>= > <= < = IN`. Spark 4's Column API builds analysis-stage trees
+  * (`UnresolvedFunction(">=", …)`); both those and the resolved catalyst
+  * comparison classes are recognized. Bounds widen one ulp per side:
+  * literals narrow to the zone map's double space, and a nearest-rounded
+  * bound sitting a hair inside the true one could otherwise prune a file
+  * that holds the boundary row — the same widening discipline as the
+  * zone-map stats themselves (`Layout.widenLo/Hi`).
+  */
+object PredicateRanges {
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def lit(e: Expression): Option[Double] = e match {
+    case Literal(v, _) if v != null => numeric(v)
+    case _ => None
+  }
+
+  /** Bare column references only — a Cast may change comparison
+    * semantics (string→double, timestamp truncation), so fail open. */
+  private def attr(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+      Some(u.nameParts.head)
+    case _ => None
+  }
+
+  /** Analysis-stage function nodes by (lower-cased) name. */
+  private object Fn {
+    def unapply(e: Expression): Option[(String, Seq[Expression])] =
+      e match {
+        case f: UnresolvedFunction if f.nameParts.size == 1 =>
+          Some((f.nameParts.head.toLowerCase(Locale.ROOT), f.arguments))
+        case _ => None
+      }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case Fn("and", args) if args.size == 2 => args.flatMap(conjuncts)
+    case x => Seq(x)
+  }
+
+  private val Inf = Double.PositiveInfinity
+
+  /** `l ⋈ r` with the operator spelled as a string — the shared core of
+    * the typed and analysis-stage paths. Open bounds (`>` `<`) reuse the
+    * closed interval: wider, still sound. */
+  private def binary(op: String, l: Expression,
+      r: Expression): Option[(String, Double, Double)] = {
+    def dir(c: String, x: Double): Option[(String, Double, Double)] =
+      op match {
+        case ">=" | ">" => Some((c, Math.nextDown(x), Inf))
+        case "<=" | "<" => Some((c, -Inf, Math.nextUp(x)))
+        case "=" | "==" => Some((c, Math.nextDown(x), Math.nextUp(x)))
+        case _ => None
+      }
+    def mirrored(op: String): String = op match {
+      case ">=" => "<="
+      case ">" => "<"
+      case "<=" => ">="
+      case "<" => ">"
+      case other => other
+    }
+    (attr(l), lit(r)) match {
+      case (Some(c), Some(x)) => dir(c, x)
+      case _ => (attr(r), lit(l)) match {
+        case (Some(c), Some(x)) =>
+          op match {
+            case "=" | "==" => dir(c, x)
+            case _ => binaryDir(mirrored(op), c, x)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  private def binaryDir(op: String, c: String,
+      x: Double): Option[(String, Double, Double)] = op match {
+    case ">=" | ">" => Some((c, Math.nextDown(x), Inf))
+    case "<=" | "<" => Some((c, -Inf, Math.nextUp(x)))
+    case _ => None
+  }
+
+  private def inEnvelope(a: Expression,
+      vs: Seq[Expression]): Option[(String, Double, Double)] =
+    for {
+      c <- attr(a)
+      xs <- Some(vs.flatMap(lit)) if xs.size == vs.size && xs.nonEmpty
+    } yield (c, Math.nextDown(xs.min), Math.nextUp(xs.max))
+
+  private def bound(e: Expression): Option[(String, Double, Double)] =
+    e match {
+      case GreaterThanOrEqual(l, r) => binary(">=", l, r)
+      case GreaterThan(l, r) => binary(">", l, r)
+      case LessThanOrEqual(l, r) => binary("<=", l, r)
+      case LessThan(l, r) => binary("<", l, r)
+      case EqualTo(l, r) => binary("=", l, r)
+      case In(a, vs) => inEnvelope(a, vs)
+      case Fn("in", args) if args.size >= 2 =>
+        inEnvelope(args.head, args.tail)
+      case Fn(op, args) if args.size == 2 =>
+        binary(op, args.head, args(1))
+      case _ => None
+    }
+
+  /** Per-column intervals over-approximating `cond`'s support; multiple
+    * bounds on one column intersect. Empty when nothing extractable. */
+  def extract(cond: Column): Seq[(String, Double, Double)] = {
+    val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
+    conjuncts(expr).flatMap(bound(_))
+      .groupBy(_._1).map { case (c, bs: Seq[(String, Double, Double)]) =>
+        (c, bs.map(_._2).max, bs.map(_._3).min)
+      }.toSeq.sortBy(_._1)
+  }
+}

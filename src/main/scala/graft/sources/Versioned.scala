@@ -414,18 +414,44 @@ object Versioned {
     }
   }
 
+  /** The entries whose zone-map sidecars cannot rule them out for
+    * `ranges` — a dir WITH a sidecar whose per-file rectangles are all
+    * disjoint from the intervals provably holds no matching rows and is
+    * dropped; dirs without a sidecar (or whose sidecar lacks a range's
+    * column) always survive. Fail open at every step. */
+  private[graft] def zoneSurvivors(spark: SparkSession,
+      ents: Seq[ManifestEntry],
+      ranges: Seq[(String, Double, Double)]): Seq[ManifestEntry] =
+    if (ranges.isEmpty) ents
+    else ents.filter { e =>
+      val zm = new Path(e.path, "_graft_zonemap")
+      !fs(spark, zm).exists(zm) || {
+        val cols = spark.read.parquet(zm.toString).schema.fieldNames.toSet
+        val usable = ranges.filter(r => cols.contains(s"${r._1}_min"))
+        usable.isEmpty ||
+          Layout.pruneFiles(spark, e.path, usable).nonEmpty
+      }
+    }
+
   /** File-level copy-on-write: rewrite ONLY the directories containing
     * rows matching `cond`, carry the rest forward by reference.
-    * `keepParts`: the rewrite provably cannot move rows across
-    * partitions (DELETE), so surviving rows still honor the touched
-    * directories' union tag. Returns the unchanged head when nothing
-    * matches — publishing an identical snapshot would be churn. */
+    * Directories whose zone-map sidecars are provably disjoint from the
+    * predicate's extracted per-column intervals ([[PredicateRanges]])
+    * are skipped before the discovery scan even plans them — the
+    * listing-time layer applied to the WRITE path. `keepParts`: the
+    * rewrite provably cannot move rows across partitions (DELETE), so
+    * surviving rows still honor the touched directories' union tag.
+    * Returns the unchanged head when nothing matches — publishing an
+    * identical snapshot would be churn. */
   private def cowRewrite(spark: SparkSession, basePath: String,
       cond: Column, rewrite: DataFrame => DataFrame,
       keepParts: Boolean): Long = {
     val head = headVersion(spark, basePath)
     val ents = entries(spark, basePath, head)
-    val touched = touchedEntries(spark, ents, cond)
+    val candidates =
+      zoneSurvivors(spark, ents, PredicateRanges.extract(cond))
+    if (candidates.isEmpty) return head
+    val touched = touchedEntries(spark, candidates, cond)
     if (touched.isEmpty) return head
     val touchedPaths = touched.map(_.path).toSet
     val rewritten = rewrite(spark.read.option("mergeSchema", "true")
@@ -513,18 +539,39 @@ object Versioned {
     val ents = entries(spark, basePath, head)
 
     // discovery: dirs holding a key present in the source — a key-column-
-    // pruned semi-join, no rewrite. The source side carries keys only.
+    // pruned semi-join, no rewrite. The source side carries keys only,
+    // and dirs whose zone-map sidecars exclude the source keys' numeric
+    // envelope are skipped before the scan plans them.
     val srcKeys = source.select(keys.map(col): _*).distinct()
+    val keyRanges: Seq[(String, Double, Double)] = {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val numericKeys = srcKeys.schema.fields.filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
+      if (numericKeys.isEmpty) Seq.empty
+      else {
+        val aggs = numericKeys.toSeq.flatMap(k =>
+          Seq(fmin(col(k).cast("double")), fmax(col(k).cast("double"))))
+        val row = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+        numericKeys.toSeq.zipWithIndex.flatMap { case (k, i) =>
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+          else Some((k, Math.nextDown(row.getDouble(2 * i)),
+            Math.nextUp(row.getDouble(2 * i + 1))))
+        }
+      }
+    }
+    val candidates = zoneSurvivors(spark, ents, keyRanges)
     import org.apache.spark.sql.functions.regexp_replace
-    val matchDirs = spark.read.option("mergeSchema", "true")
-      .parquet(ents.map(_.path): _*)
-      .select((keys.map(col) :+
-        regexp_replace(col("_metadata.file_path"), "/[^/]+$", "")
-          .as("__dir")): _*)
-      .join(srcKeys, keys, "left_semi")
-      .select("__dir").distinct()
-      .collect().map(r => normPath(r.getString(0))).toSet
-    val touched = ents.filter { e =>
+    val matchDirs =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(_.path): _*)
+        .select((keys.map(col) :+
+          regexp_replace(col("_metadata.file_path"), "/[^/]+$", "")
+            .as("__dir")): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select("__dir").distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+    val touched = candidates.filter { e =>
       val p = normPath(e.path)
       matchDirs.exists(d => d == p || d.startsWith(p + "/"))
     }

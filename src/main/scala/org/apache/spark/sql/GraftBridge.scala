@@ -13,6 +13,17 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The FULLY CONVERTED catalyst expression of a Column: Spark 4's
+    * `ExpressionUtils.expression` returns a lazy `ColumnNodeExpression`
+    * wrapper; unwrap it through the classic converter so callers see the
+    * real (possibly still analysis-stage) expression tree. */
+  def catalystExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c) match {
+      case classic.ColumnNodeExpression(node) =>
+        classic.ColumnNodeToExpressionConverter(node)
+      case e => e
+    }
+
   /** Every graft native expression as a SQL function, one definition shared
     * by the live-session path below and the config-time injector
     * ([[graft.GraftExtensions]]). */

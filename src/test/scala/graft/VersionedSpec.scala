@@ -436,6 +436,51 @@ class VersionedSpec extends SparkSpec {
       Seq("id"), Seq("amt")) === headNow)
   }
 
+  test("predicate ranges: conjunct extraction is conservative and fail-open") {
+    import graft.sources.PredicateRanges
+    def r(c: org.apache.spark.sql.Column) = PredicateRanges.extract(c)
+      .map { case (n, lo, hi) => (n, math.ceil(lo), math.floor(hi)) }
+    // conjuncts intersect per column; = is a point; IN is an envelope
+    assert(r(col("a") >= 5 && col("a") < 10 && col("b") === 3
+      && col("c").isin(7, 9, 8)) ===
+      Seq(("a", 5.0, 10.0), ("b", 3.0, 3.0), ("c", 7.0, 9.0)))
+    // reversed operand order
+    assert(r(lit(5) <= col("a") && lit(10) > col("a")) ===
+      Seq(("a", 5.0, 10.0)))
+    // ORs, casts, functions, strings: extract NOTHING for those columns
+    assert(r((col("d") > 1 || col("e") < 2) && col("f") === "x"
+      && abs(col("g")) > 3) === Seq.empty)
+    // ...but a recognizable conjunct still extracts next to opaque ones
+    assert(r((col("d") > 1 || col("e") < 2) && col("h") <= 4) ===
+      Seq(("h", -Double.PositiveInfinity, 4.0)))
+  }
+
+  test("COW discovery skips dirs whose zone maps exclude the predicate") {
+    import graft.sources.{Layout, PredicateRanges, Versioned => V}
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    val maxK = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mid = maxK / 2
+    val z = Seq("o_orderkey", "o_custkey")
+    // two sidecar-equipped commits split on the key range
+    V.commit(Layout.zOrderFrame(ord.filter(col("o_orderkey") <= mid),
+      z, files = 4), base, statsCols = z)
+    V.commit(Layout.zOrderFrame(ord.filter(col("o_orderkey") > mid),
+      z, files = 4), base, SaveMode.Append, statsCols = z)
+    val ents = V.entries(spark, base, 2)
+    // the mechanism: a low-range predicate's intervals exclude dir 2
+    val cond = col("o_orderkey") <= mid / 2
+    val survivors = V.zoneSurvivors(spark, ents, PredicateRanges.extract(cond))
+    assert(survivors.map(_.path) === Seq(ents.head.path),
+      "the high-range dir's sidecar must rule it out pre-scan")
+    // and the full op stays correct: delete through the pruned discovery
+    val v = V.deleteWhere(spark, base, cond)
+    assert(V.manifestFiles(spark, base, v).contains(ents(1).path),
+      "the skipped dir is carried by reference")
+    assert(V.read(spark, base).count() ===
+      ord.filter(!(col("o_orderkey") <= mid / 2)).count())
+  }
+
   test("zone-map sidecars in commits: readPruned is row-identical and prunes files") {
     import graft.sources.Layout
     val base = freshBase()
