@@ -250,6 +250,27 @@ object Advanced {
         .orderBy("o_orderpriority")
     }),
 
+    // Merge-on-read DML under the correctness gate: commit the source,
+    // then a deletion-vector DELETE (every 7th order tombstoned — zero
+    // data dirs rewritten) and a tombstone+patch UPDATE (urgent orders
+    // zero-priced), then aggregate the LATEST snapshot — must equal the
+    // same DML applied relationally (the oracle; identical to
+    // x_versioned_dml's twin by design, proving COW and MOR agree).
+    // Vector mechanics / compaction materialization are VersionedSpec's.
+    "x_versioned_mor" -> ((s, d) => {
+      val base = scratch("graft_versioned_mor") + "/t"
+      val V = graft.sources.Versioned
+      V.commit(orders(s, d), base)
+      V.deleteWhereMor(s, base, pmod(col("o_orderkey"), lit(7)) === 0)
+      V.updateWhereMor(s, base, col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> lit(0.0)))
+      V.read(s, base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Transactional MERGE under the correctness gate: commit the source
     // table, then one file-level upsert — matched keys (every 5th order)
     // take the source's doubled price, unmatched source rows (every 7th
@@ -403,6 +424,15 @@ object Advanced {
         |    AS val_cents
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "x_versioned_dml" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0
+        |         ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_versioned_mor" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0

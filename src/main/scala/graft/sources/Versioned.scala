@@ -4,15 +4,19 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
-/** One line of a versioned-table manifest: an immutable data directory,
-  * optionally tagged with the SET of partition values its rows are known
-  * to be confined to. Tags are what make copy-on-write cheap: a writer
-  * that touches partitions {p} can carry every directory whose tag is
+/** One line of a versioned-table manifest: an immutable directory that
+  * is either DATA or a TOMBSTONE set (`tombstone = true` — a deletion
+  * vector of `(file_path, row_index)` pairs that reads subtract from the
+  * snapshot; see `Versioned.deleteWhereMor`). Data directories may be
+  * tagged with the SET of partition values their rows are known to be
+  * confined to. Tags are what make copy-on-write cheap: a writer that
+  * touches partitions {p} can carry every directory whose tag is
   * disjoint from {p} forward BY REFERENCE — zero bytes rewritten — and
   * only rewrite the intersecting ones. Untagged (`parts = None`)
   * directories make no confinement claim and are treated as potentially
   * intersecting everything (always safe, never fast). */
-final case class ManifestEntry(path: String, parts: Option[Set[String]])
+final case class ManifestEntry(path: String, parts: Option[Set[String]],
+    tombstone: Boolean = false)
 
 /** Versioned parquet tables: an atomic-manifest snapshot protocol (the
   * public Delta/Iceberg commit shape, reduced to its load-bearing core) —
@@ -116,18 +120,24 @@ object Versioned {
     finally in.close()
   }
 
-  /** `path` alone, or `path<TAB>parts=<url-enc>,<url-enc>` for a
-    * partition-confined directory. Plain-path lines (pre-r9 manifests)
-    * decode as untagged — always-intersecting, so always correct. */
-  private def encodeEntry(e: ManifestEntry): String = e.parts match {
-    case None => e.path
-    case Some(ps) =>
-      require(ps.nonEmpty, "a tagged manifest entry needs >= 1 partition value")
-      e.path + "\tparts=" + ps.toSeq.sorted.map(enc).mkString(",")
-  }
+  /** `path` alone, `path<TAB>parts=<url-enc>,<url-enc>` for a
+    * partition-confined data directory, or `path<TAB>del` for a
+    * deletion-vector directory. Plain-path lines (pre-r9 manifests)
+    * decode as untagged data — always-intersecting, so always correct. */
+  private def encodeEntry(e: ManifestEntry): String =
+    if (e.tombstone) {
+      require(e.parts.isEmpty, "a tombstone entry cannot carry a parts tag")
+      e.path + "\tdel"
+    } else e.parts match {
+      case None => e.path
+      case Some(ps) =>
+        require(ps.nonEmpty, "a tagged manifest entry needs >= 1 partition value")
+        e.path + "\tparts=" + ps.toSeq.sorted.map(enc).mkString(",")
+    }
 
   private def decodeEntry(l: String): ManifestEntry = l.split('\t') match {
     case Array(p) => ManifestEntry(p, None)
+    case Array(p, "del") => ManifestEntry(p, None, tombstone = true)
     case Array(p, tag) if tag.startsWith("parts=") =>
       ManifestEntry(p,
         Some(tag.drop("parts=".length).split(',').iterator
@@ -142,10 +152,43 @@ object Versioned {
     manifestLines(spark, basePath, v)
       .filterNot(_.startsWith("#")).map(decodeEntry)
 
-  /** The data-directory paths of snapshot `v`. */
+  /** Every referenced directory path of snapshot `v` (data AND
+    * tombstone directories — vacuum's reachability set). */
   def manifestFiles(spark: SparkSession, basePath: String,
       v: Long): Seq[String] =
     entries(spark, basePath, v).map(_.path)
+
+  private[sources] def dataEntries(ents: Seq[ManifestEntry]): Seq[ManifestEntry] =
+    ents.filterNot(_.tombstone)
+  private[sources] def delPaths(ents: Seq[ManifestEntry]): Seq[String] =
+    ents.filter(_.tombstone).map(_.path)
+
+  /** Subtract the snapshot's deletion vectors from a RAW parquet read of
+    * its data directories (`df` must come straight from `spark.read` so
+    * the `_metadata` virtual columns resolve). Tombstones are
+    * `(file_path, row_index)` pairs — position deletes, the public
+    * Iceberg-v2/Delta-DV shape; a pair referencing a file absent from
+    * `df` simply matches nothing, so stale vectors dangle harmlessly
+    * after a rewrite materializes them. `keepMeta` leaves the `__fp` /
+    * `__ri` identity columns attached for callers that need them. */
+  private[sources] def applyDels(spark: SparkSession, df: DataFrame,
+      dels: Seq[String], keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (dels.isEmpty) {
+      if (keepMeta) df.select(col("*"),
+        col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__ri"))
+      else df
+    } else {
+      val dv = spark.read.parquet(dels: _*)
+        .select(col("file_path").as("__fp"), col("row_index").as("__ri"))
+      val w = df.select(col("*"),
+          col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri"))
+        .join(dv, Seq("__fp", "__ri"), "left_anti")
+      if (keepMeta) w else w.drop("__fp", "__ri")
+    }
+  }
 
   /** Commit metadata (`#key=value` manifest lines) — rides in the SAME
     * atomic rename as the file list, so "this batch was ingested" and
@@ -334,9 +377,12 @@ object Versioned {
     * reconciled across the snapshot's files, older files reading the new
     * columns as null — schema evolution without rewriting history. */
   def readVersion(spark: SparkSession, basePath: String, v: Long): DataFrame = {
-    val dirs = manifestFiles(spark, basePath, v)
+    val ents = entries(spark, basePath, v)
+    val dirs = dataEntries(ents).map(_.path)
     if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else applyDels(spark,
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
+      delPaths(ents))
   }
 
   /** Latest committed version, with a clear error on an uninitialized
@@ -364,8 +410,8 @@ object Versioned {
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "readPruned needs at least one column range")
     val head = headVersion(spark, basePath)
-    val dirs = manifestFiles(spark, basePath, head)
-    val (mapped, unmapped) = dirs.partition { d =>
+    val ents = entries(spark, basePath, head)
+    val (mapped, unmapped) = dataEntries(ents).map(_.path).partition { d =>
       val zm = new Path(d, "_graft_zonemap")
       fs(spark, zm).exists(zm)
     }
@@ -373,7 +419,9 @@ object Versioned {
     val sources = pruned ++ unmapped
     if (sources.isEmpty) readVersion(spark, basePath, head).filter(
       org.apache.spark.sql.functions.lit(false))
-    else spark.read.option("mergeSchema", "true").parquet(sources: _*)
+    else applyDels(spark,
+      spark.read.option("mergeSchema", "true").parquet(sources: _*),
+      delPaths(ents))
   }
 
   /** Undo without copying data: commit a NEW version whose manifest is
@@ -399,16 +447,20 @@ object Versioned {
     * rewritten, and parquet pushdown/pruning apply as in any filter
     * query). Driver state is the distinct matching parent directories —
     * bounded by the snapshot's directory count. */
-  private def touchedEntries(spark: SparkSession, ents: Seq[ManifestEntry],
+  private def touchedEntries(spark: SparkSession,
+      dataEnts: Seq[ManifestEntry], dels: Seq[String],
       cond: Column): Seq[ManifestEntry] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
-    val matchDirs = spark.read.option("mergeSchema", "true")
-      .parquet(ents.map(_.path): _*)
+    // existing deletion vectors are applied first: a dir whose only
+    // matching rows are already tombstoned must not be rewritten
+    val matchDirs = applyDels(spark,
+        spark.read.option("mergeSchema", "true")
+          .parquet(dataEnts.map(_.path): _*),
+        dels, keepMeta = true)
       .filter(coalesce(cond, lit(false)))
-      .select(regexp_replace(col("_metadata.file_path"), "/[^/]+$", "")
-        .as("__dir"))
+      .select(regexp_replace(col("__fp"), "/[^/]+$", "").as("__dir"))
       .distinct().collect().map(r => normPath(r.getString(0))).toSet
-    ents.filter { e =>
+    dataEnts.filter { e =>
       val p = normPath(e.path)
       matchDirs.exists(d => d == p || d.startsWith(p + "/"))
     }
@@ -448,14 +500,20 @@ object Versioned {
       keepParts: Boolean): Long = {
     val head = headVersion(spark, basePath)
     val ents = entries(spark, basePath, head)
+    val dels = delPaths(ents)
     val candidates =
-      zoneSurvivors(spark, ents, PredicateRanges.extract(cond))
+      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
     if (candidates.isEmpty) return head
-    val touched = touchedEntries(spark, candidates, cond)
+    val touched = touchedEntries(spark, candidates, dels, cond)
     if (touched.isEmpty) return head
     val touchedPaths = touched.map(_.path).toSet
-    val rewritten = rewrite(spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(_.path): _*))
+    // apply existing tombstones BEFORE rewriting: a raw re-read of a
+    // touched dir would silently resurrect its deleted rows. Tombstone
+    // entries are carried — still live for untouched dirs, harmlessly
+    // dangling for the files this rewrite replaces.
+    val rewritten = rewrite(applyDels(spark,
+      spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(_.path): _*), dels))
     val tag =
       if (keepParts && touched.forall(_.parts.isDefined)) {
         val u = touched.flatMap(_.parts.get).toSet
@@ -501,6 +559,70 @@ object Versioned {
     }, keepParts = false)
   }
 
+  /** Merge-on-read DELETE: instead of rewriting the directories holding
+    * matches ([[deleteWhere]]), write a DELETION VECTOR — the matching
+    * rows' `(file_path, row_index)` identities, found by the same
+    * column-pruned discovery scan — and publish a snapshot whose reads
+    * subtract it. Position deletes, the public Iceberg-v2 / Delta-DV
+    * shape: write cost is proportional to the MATCHES, not the touched
+    * directories, which is what a trickle of row-level deletes against
+    * a 100 TB table needs; the read side pays one anti-join until
+    * [[compactLatest]] materializes the vectors away. Composes with
+    * every other op: copy-on-write rewrites apply outstanding vectors
+    * before re-staging (no resurrection), stale vectors dangle
+    * harmlessly, vacuum treats vector dirs as referenced. Returns the
+    * committed version (the unchanged head when nothing matches). */
+  def deleteWhereMor(spark: SparkSession, basePath: String,
+      cond: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    val dels = delPaths(ents)
+    val candidates =
+      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
+    if (candidates.isEmpty) return head
+    val dv = applyDels(spark,
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
+    if (dv.isEmpty) return head
+    val staged = stage(dv, basePath)
+    publishEntries(spark, basePath, head,
+      ents :+ ManifestEntry(staged, None, tombstone = true))
+  }
+
+  /** Merge-on-read UPDATE: tombstone the matching rows and append their
+    * updated copies as a new data directory — one discovery scan, write
+    * cost proportional to the matches. The patch directory is untagged
+    * (updated rows may cross partition values). Returns the committed
+    * version (the unchanged head when nothing matches). */
+  def updateWhereMor(spark: SparkSession, basePath: String,
+      cond: Column, assignments: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    val dels = delPaths(ents)
+    val candidates =
+      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
+    if (candidates.isEmpty) return head
+    val matched = applyDels(spark,
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
+      .filter(coalesce(cond, lit(false)))
+    if (matched.isEmpty) return head
+    val dv = matched
+      .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
+    val patched = assignments.foldLeft(matched) { case (d, (c, e)) =>
+      d.withColumn(c, e)
+    }.drop("__fp", "__ri")
+    val dvDir = stage(dv, basePath)
+    val patchDir = stage(patched, basePath)
+    publishEntries(spark, basePath, head,
+      ents :+ ManifestEntry(dvDir, None, tombstone = true)
+        :+ ManifestEntry(patchDir, None))
+  }
+
   /** Transactional MERGE (upsert) — the third DML form, completing
     * delete/update/merge, file-level like both others. Semantics (the
     * standard SQL MERGE reduced to its load-bearing upsert core):
@@ -537,6 +659,7 @@ object Versioned {
         "duplicate source key would multiply target rows")
     val head = headVersion(spark, basePath)
     val ents = entries(spark, basePath, head)
+    val dels = delPaths(ents)
 
     // discovery: dirs holding a key present in the source — a key-column-
     // pruned semi-join, no rewrite. The source side carries keys only,
@@ -559,15 +682,14 @@ object Versioned {
         }
       }
     }
-    val candidates = zoneSurvivors(spark, ents, keyRanges)
+    val candidates = zoneSurvivors(spark, dataEntries(ents), keyRanges)
     import org.apache.spark.sql.functions.regexp_replace
     val matchDirs =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(_.path): _*)
+      else applyDels(spark, spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
         .select((keys.map(col) :+
-          regexp_replace(col("_metadata.file_path"), "/[^/]+$", "")
-            .as("__dir")): _*)
+          regexp_replace(col("__fp"), "/[^/]+$", "").as("__dir")): _*)
         .join(srcKeys, keys, "left_semi")
         .select("__dir").distinct()
         .collect().map(r => normPath(r.getString(0))).toSet
@@ -578,9 +700,10 @@ object Versioned {
     val touchedPaths = touched.map(_.path).toSet
 
     // rewrite of touched dirs: matched rows take the source's updateCols
+    // (outstanding deletion vectors applied first — no resurrection)
     val rewrittenEntry = if (touched.isEmpty) Seq.empty else {
-      val t = spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(_.path): _*)
+      val t = applyDels(spark, spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(_.path): _*), dels)
       val s = source.select((keys.map(col) ++
         updateCols.map(c => col(c).as(s"__src_$c")) :+
         lit(true).as("__matched")): _*)
@@ -595,8 +718,10 @@ object Versioned {
     }
 
     // inserts: source rows whose key exists nowhere in the target
-    val allKeys = spark.read.option("mergeSchema", "true")
-      .parquet(ents.map(_.path): _*).select(keys.map(col): _*)
+    // (key-column-pruned; a tombstoned row's key no longer blocks)
+    val allKeys = applyDels(spark, spark.read.option("mergeSchema", "true")
+      .parquet(dataEntries(ents).map(_.path): _*), dels)
+      .select(keys.map(col): _*)
     val inserts = source.join(allKeys, keys, "left_anti")
     val insertEntry =
       if (inserts.isEmpty) Seq.empty
@@ -661,19 +786,30 @@ object Versioned {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val head = headVersion(spark, basePath)
     val ents = entries(spark, basePath, head)
+    val dels = delPaths(ents)
+    val datas = dataEntries(ents)
     val (fold, carry) =
-      if (onlyDirsUnderBytes == Long.MaxValue) (ents, Seq.empty[ManifestEntry])
-      else ents.partition(e => dirBytes(spark, e.path) < onlyDirsUnderBytes)
+      if (onlyDirsUnderBytes == Long.MaxValue)
+        (datas, Seq.empty[ManifestEntry])
+      else datas.partition(e => dirBytes(spark, e.path) < onlyDirsUnderBytes)
     if (fold.isEmpty) return head
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(fold.map(_.path): _*).repartition(targetFiles)
+    // outstanding deletion vectors MATERIALIZE here: the folded rows are
+    // re-staged with tombstoned rows subtracted. A full compaction
+    // (everything folded) therefore drops the vector entries entirely; a
+    // partial one keeps them for the carried dirs (their rows referencing
+    // folded files dangle harmlessly).
+    val df = applyDels(spark, spark.read.option("mergeSchema", "true")
+      .parquet(fold.map(_.path): _*), dels).repartition(targetFiles)
     val tag =
       if (fold.forall(_.parts.isDefined)) {
         val u = fold.flatMap(_.parts.get).toSet
         if (u.nonEmpty) Some(u) else None
       } else None
+    val delEnts =
+      if (carry.isEmpty) Seq.empty else ents.filter(_.tombstone)
     val staged = stage(df, basePath)
-    publishEntries(spark, basePath, head, carry :+ ManifestEntry(staged, tag))
+    publishEntries(spark, basePath, head,
+      carry ++ delEnts :+ ManifestEntry(staged, tag))
   }
 
   /** GC: drop manifests older than the last `keepVersions` and delete

@@ -436,6 +436,60 @@ class VersionedSpec extends SparkSpec {
       Seq("id"), Seq("amt")) === headNow)
   }
 
+  test("merge-on-read: deletion vectors, patch updates, materializing compaction") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "amt"), base)
+    Versioned.commit(Seq((10L, 100.0), (11L, 110.0))
+      .toDF("id", "amt"), base, SaveMode.Append)
+    val dataBefore = Versioned.manifestFiles(spark, base, 2)
+
+    // MOR delete: NO data dir is rewritten — a tombstone entry appears
+    val v3 = Versioned.deleteWhereMor(spark, base, col("id") === 2)
+    val e3 = Versioned.entries(spark, base, v3)
+    assert(e3.filterNot(_.tombstone).map(_.path) === dataBefore,
+      "every data dir must be carried verbatim")
+    assert(e3.count(_.tombstone) === 1)
+    def ids(): Seq[Long] = Versioned.read(spark, base)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() === Seq(1L, 3L, 10L, 11L))
+    // time travel: the pre-delete snapshot still shows the row
+    assert(Versioned.readVersion(spark, base, 2).count() === 5)
+
+    // vectors compose; a no-match delete publishes nothing
+    Versioned.deleteWhereMor(spark, base, col("id") === 10)
+    assert(ids() === Seq(1L, 3L, 11L))
+    val headNow = Versioned.versions(spark, base).last
+    assert(Versioned.deleteWhereMor(spark, base, col("id") === 999)
+      === headNow)
+    // deleting an ALREADY-tombstoned row is also a no-op (the discovery
+    // scan applies outstanding vectors first)
+    assert(Versioned.deleteWhereMor(spark, base, col("id") === 2)
+      === headNow)
+
+    // MOR update: tombstone + patch dir, matched row only
+    Versioned.updateWhereMor(spark, base, col("id") === 3,
+      Map("amt" -> lit(0.0)))
+    val state = Versioned.read(spark, base)
+      .select("id", "amt").as[(Long, Double)].collect().toMap
+    assert(state === Map(1L -> 10.0, 3L -> 0.0, 11L -> 110.0))
+
+    // a copy-on-write rewrite must NOT resurrect tombstoned rows
+    Versioned.deleteWhere(spark, base, col("id") === 1)
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().sorted === Array(3L, 11L))
+
+    // full compaction materializes every vector away
+    val vc = Versioned.compactLatest(spark, base, targetFiles = 1)
+    val ec = Versioned.entries(spark, base, vc)
+    assert(ec.count(_.tombstone) === 0, "full compaction must drop vectors")
+    assert(ec.size === 1)
+    assert(Versioned.read(spark, base)
+      .select("id", "amt").as[(Long, Double)].collect().toMap ===
+      Map(3L -> 0.0, 11L -> 110.0))
+  }
+
   test("predicate ranges: conjunct extraction is conservative and fail-open") {
     import graft.sources.PredicateRanges
     def r(c: org.apache.spark.sql.Column) = PredicateRanges.extract(c)
