@@ -218,15 +218,41 @@ object StressVersioned {
       check(Versioned.read(spark, base).count() ==
         dirsN.toLong * rowsPerDir - (hi - lo), "row count after delete")
 
+      // the MOR tier on the same table: a second slice deleted via a
+      // deletion vector — ZERO data dirs rewritten, staged bytes ∝ the
+      // tombstoned row identities
+      val (lo2, hi2) = (5L * rowsPerDir + 1000, 5L * rowsPerDir + 200000)
+      val t2 = System.nanoTime()
+      val vMor = Versioned.deleteWhereMor(spark, base,
+        col("id") >= lo2 && col("id") < hi2)
+      val morSecs = (System.nanoTime() - t2) / 1e9
+      val entsMor = Versioned.entries(spark, base, vMor)
+      check(entsMor.filterNot(_.tombstone).map(_.path).toSet == after.toSet,
+        "MOR delete must rewrite no data dir")
+      val morBytes = bytesOf(entsMor.filter(_.tombstone).map(_.path))
+      check(morBytes * 20 < stagedBytes,
+        s"deletion vector ($morBytes B) should be far below the COW " +
+          s"rewrite ($stagedBytes B)")
+      val expectRows =
+        dirsN.toLong * rowsPerDir - (hi - lo) - (hi2 - lo2)
+      check(Versioned.read(spark, base).count() == expectRows,
+        "row count after MOR delete")
+
       // anchor: what the pre-r9 full rewrite costs on the same table
+      // (also materializes the vector away — verified below)
       val t1 = System.nanoTime()
-      Versioned.compactLatest(spark, base, targetFiles = dirsN)
+      val vc = Versioned.compactLatest(spark, base, targetFiles = dirsN)
       val fullSecs = (System.nanoTime() - t1) / 1e9
+      check(Versioned.entries(spark, base, vc).count(_.tombstone) == 0,
+        "full compaction must materialize vectors away")
+      check(Versioned.read(spark, base).count() == expectRows,
+        "row count after materializing compaction")
       println(f"5. selective delete ∝ touched data: PASS — " +
-        f"${dirsN * rowsPerDir / 1e6}%.1fM rows/$dirsN dirs: selective " +
+        f"${dirsN * rowsPerDir / 1e6}%.1fM rows/$dirsN dirs: COW " +
         f"$selSecs%.1f s (staged ${stagedBytes / 1e6}%.0f MB of " +
-        f"${tableBytes / 1e6}%.0f MB, $carried dirs by reference) vs " +
-        f"full rewrite $fullSecs%.1f s")
+        f"${tableBytes / 1e6}%.0f MB, $carried dirs by reference); MOR " +
+        f"$morSecs%.1f s (staged ${morBytes / 1e3}%.0f KB, 0 dirs " +
+        f"rewritten) vs full rewrite $fullSecs%.1f s")
     }
 
     println("StressVersioned: ALL SECTIONS PASS")

@@ -246,6 +246,8 @@ object Versioned {
     }
     require(!meta.contains(AppliedKey),
       s"#$AppliedKey is maintained by the protocol — pass batch_id instead")
+    require(!meta.contains("ts"),
+      "#ts (the commit timestamp) is stamped by the protocol")
     val mdir = manifestDir(basePath)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -263,9 +265,10 @@ object Versioned {
       // the winner may have ingested batches this attempt must remember
       val ledger = (appliedFromHistory(spark, basePath, vs) ++
         meta.get("batch_id")).takeRight(AppliedCap)
+      val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
       val fullMeta =
-        if (ledger.isEmpty) meta
-        else meta + (AppliedKey -> ledger.map(enc).mkString(","))
+        if (ledger.isEmpty) stamped
+        else stamped + (AppliedKey -> ledger.map(enc).mkString(","))
       val lines = fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ newEntries.map(encodeEntry)
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -431,6 +434,52 @@ object Versioned {
   def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long = {
     val target = entries(spark, basePath, v)
     publish(spark, basePath, (_, _) => target)
+  }
+
+  /** The commit log as a DataFrame: one row per retained version —
+    * `(version, ts, batch_id, data_dirs, tombstone_dirs)`. Driver-side
+    * manifest reads only (retained history is vacuum-bounded); `ts` is
+    * the protocol-stamped commit wall clock, null for pre-r9 manifests. */
+  def history(spark: SparkSession, basePath: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = versions(spark, basePath).map { v =>
+      val meta = commitMeta(spark, basePath, v)
+      val ents = entries(spark, basePath, v)
+      org.apache.spark.sql.Row(v, meta.get("ts").map(_.toLong).map(Long.box).orNull,
+        meta.get("batch_id").orNull,
+        ents.count(!_.tombstone), ents.count(_.tombstone))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("data_dirs",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tombstone_dirs",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Timestamp time travel: read the newest snapshot whose protocol-
+    * stamped commit time is ≤ `tsMillis` (the AS OF TIMESTAMP form).
+    * Pre-r9 unstamped versions are treated as older than any stamp.
+    * Fails loudly when every retained version is newer than the stamp —
+    * the snapshot that WAS current then is vacuumed or predates the
+    * table, and silently serving a newer one would lie. */
+  def readAsOf(spark: SparkSession, basePath: String,
+      tsMillis: Long): DataFrame = {
+    val vs = versions(spark, basePath)
+    require(vs.nonEmpty, s"no committed versions under $basePath")
+    val eligible = vs.filter { v =>
+      commitMeta(spark, basePath, v).get("ts").forall(_.toLong <= tsMillis)
+    }
+    require(eligible.nonEmpty,
+      s"no retained version at or before ts=$tsMillis under $basePath " +
+        "(vacuumed away, or the table is younger than the stamp)")
+    readVersion(spark, basePath, eligible.last)
   }
 
   /** Scheme-and-duplicate-slash-insensitive path form, for matching the

@@ -436,6 +436,33 @@ class VersionedSpec extends SparkSpec {
       Seq("id"), Seq("amt")) === headNow)
   }
 
+  test("history and timestamp time travel") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), base,
+      meta = Map("batch_id" -> "b0"))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Versioned.commit(Seq((2L, "b")).toDF("id", "v"), base, SaveMode.Append)
+    Versioned.deleteWhereMor(spark, base, col("id") === 1)
+
+    val h = Versioned.history(spark, base).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h(0).getAs[String]("batch_id") === "b0")
+    val stamps = h.map(_.getLong(1))
+    assert(stamps.sorted.toSeq === stamps.toSeq, "commit stamps monotone")
+    assert(h(2).getAs[Int]("tombstone_dirs") === 1)
+    assert(h(2).getAs[Int]("data_dirs") === 2)
+
+    // AS OF between v1 and v2 resolves v1; AS OF now resolves head
+    assert(Versioned.readAsOf(spark, base, afterV1).count() === 1)
+    assert(Versioned.readAsOf(spark, base, System.currentTimeMillis())
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    // a stamp before the table existed fails loudly, never lies
+    assertThrows[IllegalArgumentException](
+      Versioned.readAsOf(spark, base, stamps(0) - 1000))
+  }
+
   test("merge-on-read: deletion vectors, patch updates, materializing compaction") {
     import spark.implicits._
     val base = freshBase()
