@@ -34,9 +34,20 @@ object TopKAggregator {
 
   case class Buf(var items: Seq[Entry])
 
-  /** true iff a ranks strictly before b: (score desc, id asc). */
-  private def before(a: Entry, b: Entry): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** true iff a ranks strictly before b: (score desc, id asc). Ordering
+    * and equality go through `Double.compare` — a TOTAL order in which
+    * NaN equals NaN (and sorts above +Inf) — so a NaN-scored duplicate
+    * still dedups instead of filling the buffer with copies (raw `==`
+    * is false for NaN against itself). Garbage scores stay garbage, but
+    * bounded and idempotent. */
+  private def before(a: Entry, b: Entry): Boolean = {
+    val c = java.lang.Double.compare(b.score, a.score)
+    c < 0 || (c == 0 && a.id < b.id)
+  }
+
+  /** Total-order equality: same id and Double.compare-equal score. */
+  private def same(a: Entry, b: Entry): Boolean =
+    a.id == b.id && java.lang.Double.compare(a.score, b.score) == 0
 
   def agg(k: Int): Aggregator[Entry, Buf, Seq[Entry]] = {
     require(k > 0, s"top-k needs k > 0, got $k")
@@ -48,7 +59,7 @@ object TopKAggregator {
           val (hd, tl) = b.items.span(before(_, e))
           // idempotent: an entry equal to the one at its insertion point
           // is already banked (equal pairs are adjacent in sort order)
-          if (tl.headOption.contains(e)) b
+          if (tl.headOption.exists(same(_, e))) b
           else { b.items = ((hd :+ e) ++ tl).take(k); b }
         } else b
       }
@@ -60,7 +71,7 @@ object TopKAggregator {
         var (i, j, n) = (0, 0, 0)
         val (x, y) = (a.items, b.items)
         while (n < k && (i < x.size || j < y.size)) {
-          if (i < x.size && j < y.size && x(i) == y(j)) {
+          if (i < x.size && j < y.size && same(x(i), y(j))) {
             out += x(i); i += 1; j += 1
           } else if (j >= y.size || (i < x.size && before(x(i), y(j)))) {
             out += x(i); i += 1

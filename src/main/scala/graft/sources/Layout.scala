@@ -231,8 +231,9 @@ object Layout {
           .fromPath(new Path(fp), conf.value)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
-          val chunks = reader.getFooter.getBlocks.asScala
-            .flatMap(_.getColumns.asScala)
+          val blocks = reader.getFooter.getBlocks.asScala
+          val chunks = blocks.flatMap(_.getColumns.asScala)
+          val hasRows = blocks.nonEmpty
           val mm = colList.map { c =>
             // Spark resolves columns case-insensitively; match footers
             // the same way so a case-mismatched zCol doesn't silently
@@ -261,10 +262,16 @@ object Layout {
               if (vals.isEmpty) None else Some(vals.map(_._1).min),
               if (vals.isEmpty) None else Some(vals.map(_._2).max))
           }
-          (fp, mm)
+          (fp, mm, hasRows)
         } finally reader.close()
       }
       .collect().toSeq
+    // a dataset whose every file is EMPTY (zero row groups) has no
+    // column chunks to map — skip the sidecar entirely (the dir has no
+    // rows; reading it unpruned is free) instead of tripping the
+    // wrong-column check below, so rewrite paths can thread statsCols
+    // through unconditionally
+    if (stats.forall(!_._3)) return
     // fail loud on a column ABSENT from every file's footer schema: that
     // is a wrong column name. A column that is present but all-null is
     // legitimate — it gets null bounds, which pruneFiles fails OPEN on.
@@ -279,7 +286,7 @@ object Layout {
         colList.flatMap(c => Seq(s"${c}_min", s"${c}_max")).map(n =>
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.DoubleType, nullable = true)))
-    val rows = stats.map { case (fp, mm) =>
+    val rows = stats.map { case (fp, mm, _) =>
       org.apache.spark.sql.Row.fromSeq(fp +: mm.flatMap { case (_, lo, hi) =>
         Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) })
     }

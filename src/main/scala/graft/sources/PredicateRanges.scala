@@ -69,42 +69,33 @@ object PredicateRanges {
 
   /** `l ⋈ r` with the operator spelled as a string — the shared core of
     * the typed and analysis-stage paths. Open bounds (`>` `<`) reuse the
-    * closed interval: wider, still sound. */
-  private def binary(op: String, l: Expression,
-      r: Expression): Option[(String, Double, Double)] = {
-    def dir(c: String, x: Double): Option[(String, Double, Double)] =
-      op match {
-        case ">=" | ">" => Some((c, Math.nextDown(x), Inf))
-        case "<=" | "<" => Some((c, -Inf, Math.nextUp(x)))
-        case "=" | "==" => Some((c, Math.nextDown(x), Math.nextUp(x)))
-        case _ => None
-      }
-    def mirrored(op: String): String = op match {
-      case ">=" => "<="
-      case ">" => "<"
-      case "<=" => ">="
-      case "<" => ">"
-      case other => other
-    }
-    (attr(l), lit(r)) match {
-      case (Some(c), Some(x)) => dir(c, x)
-      case _ => (attr(r), lit(l)) match {
-        case (Some(c), Some(x)) =>
-          op match {
-            case "=" | "==" => dir(c, x)
-            case _ => binaryDir(mirrored(op), c, x)
-          }
-        case _ => None
-      }
-    }
-  }
-
-  private def binaryDir(op: String, c: String,
+    * closed interval: wider, still sound. The literal-⋈-attribute order
+    * routes through the SAME table with the operator mirrored. */
+  private def dir(op: String, c: String,
       x: Double): Option[(String, Double, Double)] = op match {
     case ">=" | ">" => Some((c, Math.nextDown(x), Inf))
     case "<=" | "<" => Some((c, -Inf, Math.nextUp(x)))
+    case "=" | "==" => Some((c, Math.nextDown(x), Math.nextUp(x)))
     case _ => None
   }
+
+  private def mirrored(op: String): String = op match {
+    case ">=" => "<="
+    case ">" => "<"
+    case "<=" => ">="
+    case "<" => ">"
+    case other => other
+  }
+
+  private def binary(op: String, l: Expression,
+      r: Expression): Option[(String, Double, Double)] =
+    (attr(l), lit(r)) match {
+      case (Some(c), Some(x)) => dir(op, c, x)
+      case _ => (attr(r), lit(l)) match {
+        case (Some(c), Some(x)) => dir(mirrored(op), c, x)
+        case _ => None
+      }
+    }
 
   private def inEnvelope(a: Expression,
       vs: Seq[Expression]): Option[(String, Double, Double)] =

@@ -132,6 +132,12 @@ object Versioned {
       case None => e.path
       case Some(ps) =>
         require(ps.nonEmpty, "a tagged manifest entry needs >= 1 partition value")
+        // an empty-string VALUE would vanish in the round-trip (enc("")
+        // encodes to nothing, the decoder drops empty tokens) and the
+        // dir would falsely claim disjointness — callers sentinel it
+        // (Incremental.partTag)
+        require(ps.forall(_.nonEmpty),
+          "partition tag values must be non-empty — sentinel empty strings")
         e.path + "\tparts=" + ps.toSeq.sorted.map(enc).mkString(",")
     }
 
@@ -263,12 +269,28 @@ object Versioned {
       val newEntries = mkEntries(head.getOrElse(0L), prev)
       // ledger derivation happens INSIDE the CAS loop: a lost race means
       // the winner may have ingested batches this attempt must remember
-      val ledger = (appliedFromHistory(spark, basePath, vs) ++
-        meta.get("batch_id")).takeRight(AppliedCap)
-      val stamped = meta + ("ts" -> System.currentTimeMillis().toString)
-      val fullMeta =
-        if (ledger.isEmpty) stamped
-        else stamped + (AppliedKey -> ledger.map(enc).mkString(","))
+      val headMeta = head.map(commitMeta(spark, basePath, _))
+        .getOrElse(Map.empty[String, String])
+      val ledgerBase = headMeta.get(AppliedKey) match {
+        case Some(s) =>
+          s.split(',').iterator.filter(_.nonEmpty).map(dec).toSeq
+        case None if head.isDefined => // legacy head: one-time history scan
+          vs.flatMap(v => commitMeta(spark, basePath, v).get("batch_id"))
+        case None => Seq.empty
+      }
+      val ledger =
+        (ledgerBase ++ meta.get("batch_id")).takeRight(AppliedCap)
+      // ts is clamped monotone over the head's stamp: a clock step-back
+      // must not let readAsOf resolve a NEWER snapshot for an OLDER
+      // stamp (version order and stamp order stay aligned)
+      val ts = math.max(System.currentTimeMillis(),
+        headMeta.get("ts").map(_.toLong + 1).getOrElse(Long.MinValue))
+      // the ledger key is written even when EMPTY: its presence is what
+      // tells the next reader "consolidated — no legacy scan needed", so
+      // omitting it would cost every future publish of a batch-id-free
+      // table an O(versions) manifest sweep
+      val fullMeta = meta + ("ts" -> ts.toString) +
+        (AppliedKey -> ledger.map(enc).mkString(","))
       val lines = fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ newEntries.map(encodeEntry)
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -418,7 +440,17 @@ object Versioned {
       val zm = new Path(d, "_graft_zonemap")
       fs(spark, zm).exists(zm)
     }
-    val pruned = mapped.flatMap(d => Layout.pruneFiles(spark, d, ranges))
+    val pruned = mapped.flatMap { d =>
+      // fail open per dir AND per column: commits may have been staged
+      // with different statsCols, so a sidecar missing one of the
+      // requested columns prunes on the columns it does have (none
+      // usable → the whole dir is read)
+      val cols = spark.read.parquet(s"$d/_graft_zonemap")
+        .schema.fieldNames.toSet
+      val usable = ranges.filter(r => cols.contains(s"${r._1}_min"))
+      if (usable.isEmpty) Seq(d)
+      else Layout.pruneFiles(spark, d, usable)
+    }
     val sources = pruned ++ unmapped
     if (sources.isEmpty) readVersion(spark, basePath, head).filter(
       org.apache.spark.sql.functions.lit(false))
@@ -515,6 +547,23 @@ object Versioned {
     }
   }
 
+  /** The zone-map stats columns EVERY one of `paths` carries (sidecar
+    * schema, `_min` fields), or empty when any dir lacks a sidecar —
+    * rewrite paths thread this through [[stage]] so DML on a statsCols
+    * table keeps its listing-time skipping layer instead of silently
+    * shedding it one rewritten dir at a time. */
+  private def sharedStatsCols(spark: SparkSession,
+      paths: Seq[String]): Seq[String] = {
+    val sets = paths.map { d =>
+      val zm = new Path(d, "_graft_zonemap")
+      if (!fs(spark, zm).exists(zm)) Set.empty[String]
+      else spark.read.parquet(zm.toString).schema.fieldNames
+        .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSet
+    }
+    if (sets.isEmpty || sets.exists(_.isEmpty)) Seq.empty
+    else sets.reduce(_ intersect _).toSeq.sorted
+  }
+
   /** The entries whose zone-map sidecars cannot rule them out for
     * `ranges` — a dir WITH a sidecar whose per-file rectangles are all
     * disjoint from the intervals provably holds no matching rows and is
@@ -568,7 +617,10 @@ object Versioned {
         val u = touched.flatMap(_.parts.get).toSet
         if (u.nonEmpty) Some(u) else None
       } else None
-    val staged = stage(rewritten, basePath)
+    // the replacement dir inherits the touched dirs' shared stats
+    // columns, so the skipping layer survives DML
+    val staged = stage(rewritten, basePath,
+      sharedStatsCols(spark, touched.map(_.path)))
     publishEntries(spark, basePath, head,
       ents.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
   }
@@ -600,10 +652,14 @@ object Versioned {
     * longer holds — dropping it is always safe). */
   def updateWhere(spark: SparkSession, basePath: String,
       cond: Column, assignments: Map[String, Column]): Long = {
-    import org.apache.spark.sql.functions.when
+    import org.apache.spark.sql.functions.{lit, when}
     cowRewrite(spark, basePath, cond, { df =>
       assignments.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(cond, e).otherwise(d(c)))
+        // schema evolution: the TOUCHED dirs may predate column `c`
+        // (their rows read it as null through the snapshot's union
+        // schema), so the keep-old-value branch is a literal null there
+        val old = if (d.columns.contains(c)) d(c) else lit(null)
+        d.withColumn(c, when(cond, e).otherwise(old))
       }
     }, keepParts = false)
   }
@@ -630,15 +686,20 @@ object Versioned {
     val candidates =
       zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
     if (candidates.isEmpty) return head
+    // cached: the discovery scan is the dominant cost — pay it once for
+    // the emptiness probe AND the stage write
     val dv = applyDels(spark,
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
       .filter(coalesce(cond, lit(false)))
       .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
-    if (dv.isEmpty) return head
-    val staged = stage(dv, basePath)
-    publishEntries(spark, basePath, head,
-      ents :+ ManifestEntry(staged, None, tombstone = true))
+      .cache()
+    try {
+      if (dv.isEmpty) return head
+      val staged = stage(dv, basePath)
+      publishEntries(spark, basePath, head,
+        ents :+ ManifestEntry(staged, None, tombstone = true))
+    } finally dv.unpersist()
   }
 
   /** Merge-on-read UPDATE: tombstone the matching rows and append their
@@ -655,21 +716,26 @@ object Versioned {
     val candidates =
       zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
     if (candidates.isEmpty) return head
+    // cached: one discovery scan feeds the emptiness probe, the vector,
+    // and the patch rows
     val matched = applyDels(spark,
         spark.read.option("mergeSchema", "true")
           .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
       .filter(coalesce(cond, lit(false)))
-    if (matched.isEmpty) return head
-    val dv = matched
-      .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
-    val patched = assignments.foldLeft(matched) { case (d, (c, e)) =>
-      d.withColumn(c, e)
-    }.drop("__fp", "__ri")
-    val dvDir = stage(dv, basePath)
-    val patchDir = stage(patched, basePath)
-    publishEntries(spark, basePath, head,
-      ents :+ ManifestEntry(dvDir, None, tombstone = true)
-        :+ ManifestEntry(patchDir, None))
+      .cache()
+    try {
+      if (matched.isEmpty) return head
+      val dv = matched
+        .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
+      val patched = assignments.foldLeft(matched: DataFrame) {
+        case (d, (c, e)) => d.withColumn(c, e)
+      }.drop("__fp", "__ri")
+      val dvDir = stage(dv, basePath)
+      val patchDir = stage(patched, basePath)
+      publishEntries(spark, basePath, head,
+        ents :+ ManifestEntry(dvDir, None, tombstone = true)
+          :+ ManifestEntry(patchDir, None))
+    } finally matched.unpersist()
   }
 
   /** Transactional MERGE (upsert) — the third DML form, completing
@@ -758,28 +824,43 @@ object Versioned {
         lit(true).as("__matched")): _*)
       val joined = t.join(s, keys, "left")
       val updated = updateCols.foldLeft(joined) { (df, c) =>
-        df.withColumn(c,
-          when(col("__matched"), col(s"__src_$c")).otherwise(df(c)))
+        // schema evolution: a touched dir may predate column `c` (an
+        // earlier merge's insert batch introduced it) — unmatched rows
+        // there keep their implicit null
+        val old = if (df.columns.contains(c)) df(c) else lit(null)
+        df.withColumn(c, when(col("__matched"), col(s"__src_$c"))
+          .otherwise(old))
       }.drop("__matched").drop(updateCols.map(c => s"__src_$c"): _*)
       // updates cannot move rows across partition values only if the
       // partition column is not updated — not knowable here, so drop tags
-      Seq(ManifestEntry(stage(updated, basePath), None))
+      Seq(ManifestEntry(stage(updated, basePath,
+        sharedStatsCols(spark, touched.map(_.path))), None))
     }
 
     // inserts: source rows whose key exists nowhere in the target
-    // (key-column-pruned; a tombstoned row's key no longer blocks)
+    // (key-column-pruned; a tombstoned row's key no longer blocks).
+    // Cached: the anti-join scan feeds both the emptiness probe and the
+    // stage write.
     val allKeys = applyDels(spark, spark.read.option("mergeSchema", "true")
       .parquet(dataEntries(ents).map(_.path): _*), dels)
       .select(keys.map(col): _*)
-    val inserts = source.join(allKeys, keys, "left_anti")
-    val insertEntry =
-      if (inserts.isEmpty) Seq.empty
-      else Seq(ManifestEntry(stage(inserts, basePath), None))
+    val inserts = source.join(allKeys, keys, "left_anti").cache()
+    try {
+      val insertEntry =
+        if (inserts.isEmpty) Seq.empty
+        else {
+          // the insert dir joins the skipping layer only when the source
+          // actually carries every shared stats column
+          val stats = sharedStatsCols(spark, dataEntries(ents).map(_.path))
+            .filter(inserts.columns.contains)
+          Seq(ManifestEntry(stage(inserts, basePath, stats), None))
+        }
 
-    if (rewrittenEntry.isEmpty && insertEntry.isEmpty) return head
-    publishEntries(spark, basePath, head,
-      ents.filterNot(e => touchedPaths(e.path)) ++ rewrittenEntry ++
-        insertEntry)
+      if (rewrittenEntry.isEmpty && insertEntry.isEmpty) return head
+      publishEntries(spark, basePath, head,
+        ents.filterNot(e => touchedPaths(e.path)) ++ rewrittenEntry ++
+          insertEntry)
+    } finally inserts.unpersist()
   }
 
   /** Streaming publication: every micro-batch lands as ONE atomic append
@@ -856,7 +937,8 @@ object Versioned {
       } else None
     val delEnts =
       if (carry.isEmpty) Seq.empty else ents.filter(_.tombstone)
-    val staged = stage(df, basePath)
+    val staged = stage(df, basePath,
+      sharedStatsCols(spark, fold.map(_.path)))
     publishEntries(spark, basePath, head,
       carry ++ delEnts :+ ManifestEntry(staged, tag))
   }

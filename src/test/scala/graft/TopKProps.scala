@@ -81,6 +81,20 @@ object TopKProps extends Properties("graft.topk") {
       b.items.size <= math.min(k, xs.distinct.size) && sorted
     }
 
+  property("NaN-scored duplicates dedup too (total-order equality)") =
+    forAll(entries, kGen, Gen.choose(1L, 5L)) { (xs, k, nanId) =>
+      // raw == is false for NaN against itself — the aggregator compares
+      // through Double.compare, so a NaN duplicate must not fill slots
+      val withNan = Entry(Double.NaN, nanId) :: xs
+      val agg = TopKAggregator.agg(k)
+      val once = agg.finish(reduceAll(agg, withNan))
+      val dup = agg.finish(reduceAll(agg, withNan ++ withNan))
+      val acrossParts = agg.finish(agg.merge(
+        reduceAll(agg, withNan), reduceAll(agg, withNan)))
+      once == dup && once == acrossParts &&
+        once.count(e => e.score.isNaN && e.id == nanId) <= 1
+    }
+
   property("duplicated inputs change nothing: reduce and merge are idempotent") =
     forAll(entries, kGen, Gen.choose(1, 4)) { (xs, k, copies) =>
       val agg = TopKAggregator.agg(k)

@@ -436,6 +436,107 @@ class VersionedSpec extends SparkSpec {
       Seq("id"), Seq("amt")) === headNow)
   }
 
+  test("degenerate partition values: empty-string and null groups merge exactly") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    val base = freshBase()
+    def up(rows: Seq[(String, String, Long)], id: String): Long =
+      Incremental.upsertRollup(spark, base,
+        rows.toDF("day", "kind", "cnt"), id, "day", Seq("kind"), Seq("cnt"))
+    // "" must NOT round-trip to an empty tag set (which would falsely
+    // claim disjointness from everything and duplicate the group)
+    up(Seq(("", "a", 1L), ("d1", "a", 1L)), "b0")
+    up(Seq(("", "a", 2L)), "b1")
+    val state = Versioned.read(spark, base)
+      .as[(String, String, Long)].collect().toSet
+    assert(state === Set(("", "a", 3L), ("d1", "a", 1L)),
+      "empty-string partition groups must merge, not duplicate")
+    // the d1 dir from b0's era is NOT blindly carried: "" intersects it
+    // (both values live in one dir) — correctness over reuse here
+    up(Seq((null.asInstanceOf[String], "a", 5L)), "b2")
+    assert(Versioned.read(spark, base).filter(col("day").isNull)
+      .select("cnt").as[Long].head() === 5L)
+    // a raw empty tag is rejected loudly at the protocol level
+    assertThrows[IllegalArgumentException](
+      Versioned.commit(Seq((1L, "x")).toDF("id", "v"), base,
+        org.apache.spark.sql.SaveMode.Append, parts = Some(Set(""))))
+  }
+
+  test("mixed statsCols across commits: readPruned fails open per column") {
+    import graft.sources.Layout
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    val mid = ord.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    // first commit maps only o_orderkey; second maps both columns
+    Versioned.commit(Layout.zOrderFrame(
+      ord.filter(col("o_orderkey") <= mid),
+      Seq("o_orderkey", "o_custkey"), files = 4),
+      base, statsCols = Seq("o_orderkey"))
+    Versioned.commit(Layout.zOrderFrame(
+      ord.filter(col("o_orderkey") > mid),
+      Seq("o_orderkey", "o_custkey"), files = 4),
+      base, SaveMode.Append, statsCols = Seq("o_orderkey", "o_custkey"))
+    val hiCk = ord.agg(max(col("o_custkey"))).head().getLong(0).toDouble / 4
+    // pre-fix this threw UNRESOLVED_COLUMN on the first dir's sidecar
+    val pruned = Versioned.readPruned(spark, base,
+      Seq(("o_orderkey", 0.0, mid.toDouble), ("o_custkey", 0.0, hiCk)))
+    val expect = ord.filter(col("o_orderkey") <= mid
+      && col("o_custkey") <= hiCk).count()
+    assert(pruned.filter(col("o_orderkey") <= mid
+      && col("o_custkey") <= hiCk).count() === expect)
+  }
+
+  test("schema-evolved columns: update and merge resolve against old dirs") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 10.0)).toDF("id", "amt"), base)
+    Versioned.commit(Seq((2L, 20.0, "tagged"))
+      .toDF("id", "amt", "note"), base, SaveMode.Append)
+    // update `note` where the ONLY touched dir predates the column —
+    // pre-fix: AnalysisException from d("note") on the old dir's schema
+    Versioned.updateWhere(spark, base, col("id") === 1,
+      Map("note" -> lit("backfilled")))
+    val notes = Versioned.read(spark, base)
+      .select("id", "note").as[(Long, Option[String])].collect().toMap
+    assert(notes === Map(1L -> Some("backfilled"), 2L -> Some("tagged")))
+
+    // merge updating a column the matched dir lacks: same hole, same fix
+    val base2 = freshBase()
+    Versioned.commit(Seq((1L, 10.0)).toDF("id", "amt"), base2)
+    Versioned.commit(Seq((2L, 20.0, "x")).toDF("id", "amt", "origin"),
+      base2, SaveMode.Append)
+    Versioned.mergeInto(spark, base2,
+      Seq((1L, "merged")).toDF("id", "origin"),
+      keys = Seq("id"), updateCols = Seq("origin"))
+    val origins = Versioned.read(spark, base2)
+      .select("id", "origin").as[(Long, Option[String])].collect().toMap
+    assert(origins === Map(1L -> Some("merged"), 2L -> Some("x")))
+  }
+
+  test("DML keeps the zone-map skipping layer on rewritten dirs") {
+    import graft.sources.Layout
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    val z = Seq("o_orderkey", "o_custkey")
+    Versioned.commit(Layout.zOrderFrame(ord, z, files = 4), base,
+      statsCols = z)
+    // a COW delete rewrites the (single) dir; its replacement must carry
+    // a fresh sidecar, not shed the layer
+    Versioned.deleteWhere(spark, base, col("o_orderkey") === 1)
+    val head = Versioned.versions(spark, base).last
+    val newDir = Versioned.manifestFiles(spark, base, head).head
+    assert(new java.io.File(
+      new java.net.URI(s"$newDir/_graft_zonemap").getPath).exists(),
+      "rewritten dir lost its zone-map sidecar")
+    // and compaction preserves it too
+    Versioned.compactLatest(spark, base, targetFiles = 2)
+    val cDir = Versioned.manifestFiles(spark, base,
+      Versioned.versions(spark, base).last).head
+    assert(new java.io.File(
+      new java.net.URI(s"$cDir/_graft_zonemap").getPath).exists(),
+      "compacted dir lost its zone-map sidecar")
+  }
+
   test("history and timestamp time travel") {
     import spark.implicits._
     val base = freshBase()
@@ -450,7 +551,10 @@ class VersionedSpec extends SparkSpec {
     assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(h(0).getAs[String]("batch_id") === "b0")
     val stamps = h.map(_.getLong(1))
-    assert(stamps.sorted.toSeq === stamps.toSeq, "commit stamps monotone")
+    // STRICTLY monotone: publish clamps each stamp past the head's, so
+    // version order and stamp order stay aligned even under clock skew
+    assert(stamps.sliding(2).forall { case Array(a, b) => a < b },
+      s"commit stamps must strictly increase: ${stamps.toSeq}")
     assert(h(2).getAs[Int]("tombstone_dirs") === 1)
     assert(h(2).getAs[Int]("data_dirs") === 2)
 
