@@ -250,6 +250,29 @@ object Advanced {
         .orderBy("o_orderpriority")
     }),
 
+    // Net change feed under the correctness gate: three commits (full
+    // load → COW delete of every 7th key → append of every 11th≡5 key),
+    // then the v1→v3 change feed aggregated by change type — must equal
+    // the relational diff (the oracle): deletes are the removed-only
+    // keys, inserts the re-added-only keys, and a key hit by BOTH ops
+    // nets to nothing. Per-op feed shapes (MOR deltas, update pairs,
+    // rollback resurrection) are VersionedSpec's.
+    "x_versioned_cdc" -> ((s, d) => {
+      val base = scratch("graft_versioned_cdc") + "/t"
+      val V = graft.sources.Versioned
+      val ord = orders(s, d)
+      V.commit(ord, base)
+      V.deleteWhere(s, base, pmod(col("o_orderkey"), lit(7)) === 0)
+      V.commit(ord.filter(pmod(col("o_orderkey"), lit(11)) === 5), base,
+        org.apache.spark.sql.SaveMode.Append)
+      V.changes(s, base, 1L, 3L)
+        .withColumnRenamed("_change", "change_type")
+        .groupBy(col("change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("change_type", "o_orderpriority")
+    }),
+
     // Merge-on-read DML under the correctness gate: commit the source,
     // then a deletion-vector DELETE (every 7th order tombstoned — zero
     // data dirs rewritten) and a tombstone+patch UPDATE (urgent orders
@@ -432,6 +455,25 @@ object Advanced {
         |FROM orders
         |WHERE o_orderkey % 7 <> 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_versioned_cdc" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM orders
+        |  WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey % 11 = 5)
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM orders
+        |  WHERE o_orderkey % 11 = 5 AND NOT (o_orderkey % 7 = 0)
+        |  GROUP BY o_orderpriority
+        |)
+        |ORDER BY change_type, o_orderpriority""".stripMargin,
     "x_versioned_mor" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(

@@ -468,6 +468,100 @@ object Versioned {
     publish(spark, basePath, (_, _) => target)
   }
 
+  /** Net row-level CHANGE FEED between two retained snapshots — what an
+    * incremental downstream consumer applies to catch up from `fromV`
+    * to `toV`: each output row is a data row plus a `_change` column
+    * (`insert` | `delete`), with multiset semantics (a row appended
+    * twice yields two inserts).
+    *
+    * Manifest-aware, so the cost scales with the CHANGE, not the table:
+    * directories common to both snapshots contribute only the rows
+    * their deletion-vector DELTA touches (read file-by-file from the
+    * delta's file list); directories present in one snapshot only are
+    * read in full. A copy-on-write rewrite physically drops one dir and
+    * adds another while most rows are identical — the net step cancels
+    * those pairs (`exceptAll` both ways), so a COW DELETE surfaces only
+    * the deleted rows, an UPDATE surfaces one delete + one insert per
+    * changed row, and a rollback surfaces the rows it resurrects.
+    * Schema evolution is aligned to the union schema (absent columns
+    * read as null on both sides — the same reconciliation reads use).
+    *
+    * Both versions must still be retained ([[vacuum]] horizon); the
+    * call fails loudly otherwise. */
+  def changes(spark: SparkSession, basePath: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV <= toV, s"changes: fromV $fromV must be <= toV $toV")
+    val from = entries(spark, basePath, fromV)
+    val to = entries(spark, basePath, toV)
+    val fromPaths = dataEntries(from).map(_.path)
+    val toPaths = dataEntries(to).map(_.path)
+    val added = toPaths.filterNot(fromPaths.toSet)
+    val removed = fromPaths.filterNot(toPaths.toSet)
+    val (dvFrom, dvTo) = (delPaths(from), delPaths(to))
+
+    def dv(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.emptyDataFrame
+          .withColumn("__fp", lit(null).cast("string"))
+          .withColumn("__ri", lit(null).cast("long"))
+      else spark.read.parquet(paths: _*)
+        .select(col("file_path").as("__fp"), col("row_index").as("__ri"))
+    // positions newly tombstoned (deletes in common dirs) and positions
+    // un-tombstoned (a rollback resurrecting rows — inserts)
+    val deltaDel = dv(dvTo).exceptAll(dv(dvFrom))
+    val deltaIns = dv(dvFrom).exceptAll(dv(dvTo))
+
+    def rowsAt(delta: DataFrame, keepDirs: Seq[String]): Option[DataFrame] = {
+      val keep = keepDirs.map(normPath).toSet
+      val files = delta.select("__fp").distinct()
+        .collect().map(_.getString(0))
+        .filter { f =>
+          val p = normPath(f)
+          keep.exists(d => p.startsWith(d + "/"))
+        }
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(files: _*)
+        .select(col("*"),
+          col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri"))
+        .join(delta, Seq("__fp", "__ri"), "left_semi")
+        .drop("__fp", "__ri"))
+    }
+    val common = fromPaths.filter(toPaths.toSet)
+    def whole(paths: Seq[String], dels: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(applyDels(spark,
+        spark.read.option("mergeSchema", "true").parquet(paths: _*), dels))
+
+    val insertsRaw = whole(added, dvTo).toSeq ++ rowsAt(deltaIns, common)
+    val deletesRaw = whole(removed, dvFrom).toSeq ++ rowsAt(deltaDel, common)
+    if (insertsRaw.isEmpty && deletesRaw.isEmpty)
+      return readVersion(spark, basePath, toV)
+        .filter(lit(false))
+        .withColumn("_change", lit(null).cast("string"))
+    val allCols = (insertsRaw ++ deletesRaw)
+      .flatMap(_.columns).distinct.sorted
+    // set-operation type coercion widens the NullType placeholders of
+    // absent columns against the other side's real type
+    def align(dfs: Seq[DataFrame]): Option[DataFrame] =
+      dfs.map(df => df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).as(c)): _*)).reduceOption(_ union _)
+    // net: a COW rewrite's carried-over identical rows appear on both
+    // sides — cancel them, multiset-exact
+    (align(insertsRaw), align(deletesRaw)) match {
+      case (Some(ins), Some(del)) =>
+        ins.exceptAll(del).withColumn("_change", lit("insert"))
+          .unionByName(
+            del.exceptAll(ins).withColumn("_change", lit("delete")))
+      case (Some(ins), None) => ins.withColumn("_change", lit("insert"))
+      case (None, Some(del)) => del.withColumn("_change", lit("delete"))
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** The commit log as a DataFrame: one row per retained version —
     * `(version, ts, batch_id, data_dirs, tombstone_dirs)`. Driver-side
     * manifest reads only (retained history is vacuum-bounded); `ts` is

@@ -537,6 +537,47 @@ class VersionedSpec extends SparkSpec {
       "compacted dir lost its zone-map sidecar")
   }
 
+  test("change feed: net inserts/deletes across append, COW, MOR, update, rollback") {
+    import spark.implicits._
+    val base = freshBase()
+    def feed(a: Long, b: Long): Set[(String, Long, Double)] =
+      Versioned.changes(spark, base, a, b)
+        .select("_change", "id", "amt").as[(String, Long, Double)]
+        .collect().toSet
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "amt"), base)                                   // v1
+    Versioned.commit(Seq((4L, 40.0)).toDF("id", "amt"), base,
+      SaveMode.Append)                                            // v2
+    assert(feed(1, 2) === Set(("insert", 4L, 40.0)))
+
+    // COW delete physically drops one dir and stages another — the net
+    // step must cancel the carried-over identical rows
+    Versioned.deleteWhere(spark, base, col("id") === 2)           // v3
+    assert(feed(2, 3) === Set(("delete", 2L, 20.0)))
+
+    // MOR delete surfaces through the deletion-vector delta, read only
+    // from the delta's files
+    Versioned.deleteWhereMor(spark, base, col("id") === 4)        // v4
+    assert(feed(3, 4) === Set(("delete", 4L, 40.0)))
+
+    // MOR update = one delete + one insert for the changed row
+    Versioned.updateWhereMor(spark, base, col("id") === 3,
+      Map("amt" -> lit(0.0)))                                     // v5
+    assert(feed(4, 5) === Set(("delete", 3L, 30.0), ("insert", 3L, 0.0)))
+
+    // composite net across every op: the appended-then-deleted (4, 40)
+    // cancels entirely
+    assert(feed(1, 5) === Set(("delete", 2L, 20.0),
+      ("delete", 3L, 30.0), ("insert", 3L, 0.0)))
+    // identical versions → empty feed with the _change column present
+    assert(Versioned.changes(spark, base, 5, 5).count() === 0)
+
+    // rollback resurrects: the feed shows what a consumer must re-apply
+    Versioned.rollbackTo(spark, base, 1)                          // v6
+    assert(feed(5, 6) === Set(("insert", 2L, 20.0),
+      ("insert", 3L, 30.0), ("delete", 3L, 0.0)))
+  }
+
   test("history and timestamp time travel") {
     import spark.implicits._
     val base = freshBase()
