@@ -68,6 +68,15 @@ final case class ManifestEntry(path: String, parts: Option[Set[String]],
   * smallness threshold for the same reason: fold the accreted small
   * directories, carry the big ones.
   *
+  * MERGE-ON-READ (since r9): [[deleteWhereMor]] / [[updateWhereMor]]
+  * write deletion VECTORS (position tombstones) instead of rewriting
+  * anything — the trickle-delete tier whose write cost is the matches
+  * themselves; reads subtract outstanding vectors, every rewrite path
+  * applies them before re-staging, and [[compactLatest]] materializes
+  * them away. [[mergeInto]] is the transactional upsert;
+  * [[changes]] the net row-level feed between snapshots; [[history]] /
+  * [[readAsOf]] the commit log and timestamp time travel.
+  *
   * THE APPLIED-BATCH LEDGER: every manifest's metadata carries forward
   * the (bounded, most-recent-first-out) list of ingested batch ids under
   * `#applied=` — maintained by the protocol itself on every commit, so
