@@ -34,20 +34,30 @@ object TopKAggregator {
 
   case class Buf(var items: Seq[Entry])
 
-  /** true iff a ranks strictly before b: (score desc, id asc). Ordering
-    * and equality go through `Double.compare` — a TOTAL order in which
-    * NaN equals NaN (and sorts above +Inf) — so a NaN-scored duplicate
-    * still dedups instead of filling the buffer with copies (raw `==`
-    * is false for NaN against itself). Garbage scores stay garbage, but
-    * bounded and idempotent. */
+  /** Order-preserving long key for a score, with two deliberate NaN
+    * properties: all NaNs collapse to ONE key (so a NaN duplicate
+    * dedups — raw `==` is false for NaN against itself) and that key is
+    * the MINIMUM (so garbage scores rank strictly below every real
+    * score, -Inf included, and are the first evicted — a total order
+    * that put NaN first would hand rank #1 to a corrupt embedding).
+    * Non-NaN doubles use the standard sign-fold bit trick, which
+    * matches numeric order exactly. */
+  private def rank(s: Double): Long =
+    if (java.lang.Double.isNaN(s)) Long.MinValue
+    else {
+      val b = java.lang.Double.doubleToLongBits(s)
+      b ^ ((b >> 63) & 0x7fffffffffffffffL)
+    }
+
+  /** true iff a ranks strictly before b: (score desc, id asc). */
   private def before(a: Entry, b: Entry): Boolean = {
-    val c = java.lang.Double.compare(b.score, a.score)
-    c < 0 || (c == 0 && a.id < b.id)
+    val (ra, rb) = (rank(a.score), rank(b.score))
+    ra > rb || (ra == rb && a.id < b.id)
   }
 
-  /** Total-order equality: same id and Double.compare-equal score. */
+  /** Total-order equality: same id and same score key. */
   private def same(a: Entry, b: Entry): Boolean =
-    a.id == b.id && java.lang.Double.compare(a.score, b.score) == 0
+    a.id == b.id && rank(a.score) == rank(b.score)
 
   def agg(k: Int): Aggregator[Entry, Buf, Seq[Entry]] = {
     require(k > 0, s"top-k needs k > 0, got $k")

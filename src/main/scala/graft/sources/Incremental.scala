@@ -53,7 +53,11 @@ object Incremental {
     * appear in a real toString) so both degenerate groups get tag
     * semantics. A raw "" tag would vanish in the manifest encoding
     * (enc("") is empty, the decoder drops empty tokens) and the dir
-    * would falsely claim disjointness from everything. */
+    * would falsely claim disjointness from everything. (The null
+    * sentinel was briefly " null" within r9 before release — no
+    * persisted manifest ever carried that form, so no migration path
+    * exists or is needed; a REAL " null" string value collides with
+    * nothing now because NUL cannot appear in a toString.) */
   private val NullPart = "\u0000null"
   private val EmptyPart = "\u0000empty"
 

@@ -220,6 +220,13 @@ object Versioned {
         }
       }.toMap
 
+  /** Defensive timestamp parse: "ts" only became protocol-reserved in
+    * r9, so a legacy manifest may carry a caller-written non-numeric
+    * value — treat it as unstamped rather than bricking every publish/
+    * history/readAsOf on the table. */
+  private def parseTs(meta: Map[String, String]): Option[Long] =
+    meta.get("ts").flatMap(v => scala.util.Try(v.toLong).toOption)
+
   /** The applied-batch-id ledger: ONE manifest read in the steady state
     * (the head's `#applied=` line, maintained by every commit), with a
     * one-time retained-history scan for legacy tables whose head
@@ -293,7 +300,7 @@ object Versioned {
       // must not let readAsOf resolve a NEWER snapshot for an OLDER
       // stamp (version order and stamp order stay aligned)
       val ts = math.max(System.currentTimeMillis(),
-        headMeta.get("ts").map(_.toLong + 1).getOrElse(Long.MinValue))
+        parseTs(headMeta).map(_ + 1).getOrElse(Long.MinValue))
       // the ledger key is written even when EMPTY: its presence is what
       // tells the next reader "consolidated — no legacy scan needed", so
       // omitting it would cost every future publish of a batch-id-free
@@ -336,6 +343,11 @@ object Versioned {
     * garbage, never a visible half-commit. */
   private[sources] def stage(df: DataFrame, basePath: String,
       statsCols: Seq[String] = Seq.empty): String = {
+    // __fp/__ri are the read path's row-identity aliases (applyDels);
+    // a data column with either name would make every deletion-vector
+    // read ambiguous, so reject it at the only door data enters through
+    require(!df.columns.exists(c => c == "__fp" || c == "__ri"),
+      "column names __fp and __ri are reserved by the versioned protocol")
     val spark = df.sparkSession
     // fully qualified from the start: manifests are compared textually
     // against qualified listing paths (vacuum), so one canonical form
@@ -445,22 +457,17 @@ object Versioned {
     require(ranges.nonEmpty, "readPruned needs at least one column range")
     val head = headVersion(spark, basePath)
     val ents = entries(spark, basePath, head)
-    val (mapped, unmapped) = dataEntries(ents).map(_.path).partition { d =>
-      val zm = new Path(d, "_graft_zonemap")
-      fs(spark, zm).exists(zm)
+    // fail open per dir AND per column ([[sidecarUsable]]): commits may
+    // have been staged with different statsCols, so a sidecar missing a
+    // requested column prunes on the columns it does have (none usable,
+    // or no sidecar → the whole dir is read)
+    val sources = dataEntries(ents).map(_.path).flatMap { d =>
+      sidecarUsable(spark, d, ranges) match {
+        case Some(usable) if usable.nonEmpty =>
+          Layout.pruneFiles(spark, d, usable)
+        case _ => Seq(d)
+      }
     }
-    val pruned = mapped.flatMap { d =>
-      // fail open per dir AND per column: commits may have been staged
-      // with different statsCols, so a sidecar missing one of the
-      // requested columns prunes on the columns it does have (none
-      // usable → the whole dir is read)
-      val cols = spark.read.parquet(s"$d/_graft_zonemap")
-        .schema.fieldNames.toSet
-      val usable = ranges.filter(r => cols.contains(s"${r._1}_min"))
-      if (usable.isEmpty) Seq(d)
-      else Layout.pruneFiles(spark, d, usable)
-    }
-    val sources = pruned ++ unmapped
     if (sources.isEmpty) readVersion(spark, basePath, head).filter(
       org.apache.spark.sql.functions.lit(false))
     else applyDels(spark,
@@ -580,7 +587,7 @@ object Versioned {
     val rows = versions(spark, basePath).map { v =>
       val meta = commitMeta(spark, basePath, v)
       val ents = entries(spark, basePath, v)
-      org.apache.spark.sql.Row(v, meta.get("ts").map(_.toLong).map(Long.box).orNull,
+      org.apache.spark.sql.Row(v, parseTs(meta).map(Long.box).orNull,
         meta.get("batch_id").orNull,
         ents.count(!_.tombstone), ents.count(_.tombstone))
     }
@@ -609,7 +616,7 @@ object Versioned {
     val vs = versions(spark, basePath)
     require(vs.nonEmpty, s"no committed versions under $basePath")
     val eligible = vs.filter { v =>
-      commitMeta(spark, basePath, v).get("ts").forall(_.toLong <= tsMillis)
+      parseTs(commitMeta(spark, basePath, v)).forall(_ <= tsMillis)
     }
     require(eligible.nonEmpty,
       s"no retained version at or before ts=$tsMillis under $basePath " +
@@ -667,6 +674,21 @@ object Versioned {
     else sets.reduce(_ intersect _).toSeq.sorted
   }
 
+  /** The subset of `ranges` a dir's sidecar can actually evaluate —
+    * None when the dir has no sidecar at all. The single fail-open
+    * gate shared by the read ([[readPruned]]) and write
+    * ([[zoneSurvivors]]) pruning paths, so the two cannot drift. */
+  private def sidecarUsable(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Double, Double)])
+      : Option[Seq[(String, Double, Double)]] = {
+    val zm = new Path(dir, "_graft_zonemap")
+    if (!fs(spark, zm).exists(zm)) None
+    else {
+      val cols = spark.read.parquet(zm.toString).schema.fieldNames.toSet
+      Some(ranges.filter(r => cols.contains(s"${r._1}_min")))
+    }
+  }
+
   /** The entries whose zone-map sidecars cannot rule them out for
     * `ranges` — a dir WITH a sidecar whose per-file rectangles are all
     * disjoint from the intervals provably holds no matching rows and is
@@ -677,11 +699,9 @@ object Versioned {
       ranges: Seq[(String, Double, Double)]): Seq[ManifestEntry] =
     if (ranges.isEmpty) ents
     else ents.filter { e =>
-      val zm = new Path(e.path, "_graft_zonemap")
-      !fs(spark, zm).exists(zm) || {
-        val cols = spark.read.parquet(zm.toString).schema.fieldNames.toSet
-        val usable = ranges.filter(r => cols.contains(s"${r._1}_min"))
-        usable.isEmpty ||
+      sidecarUsable(spark, e.path, ranges) match {
+        case None => true
+        case Some(usable) => usable.isEmpty ||
           Layout.pruneFiles(spark, e.path, usable).nonEmpty
       }
     }

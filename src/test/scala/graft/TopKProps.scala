@@ -81,18 +81,27 @@ object TopKProps extends Properties("graft.topk") {
       b.items.size <= math.min(k, xs.distinct.size) && sorted
     }
 
-  property("NaN-scored duplicates dedup too (total-order equality)") =
+  property("NaN-scored duplicates dedup and rank LAST (total-order keys)") =
     forAll(entries, kGen, Gen.choose(1L, 5L)) { (xs, k, nanId) =>
       // raw == is false for NaN against itself — the aggregator compares
-      // through Double.compare, so a NaN duplicate must not fill slots
+      // through canonical score keys, so a NaN duplicate must not fill
+      // slots; compare results the same way (case-class == on NaN would
+      // only pass via a shared-instance shortcut, a refactor trap)
+      def canon(s: Seq[Entry]): Seq[(Long, Long)] =
+        s.map(e => (java.lang.Double.doubleToLongBits(e.score), e.id))
       val withNan = Entry(Double.NaN, nanId) :: xs
       val agg = TopKAggregator.agg(k)
       val once = agg.finish(reduceAll(agg, withNan))
       val dup = agg.finish(reduceAll(agg, withNan ++ withNan))
       val acrossParts = agg.finish(agg.merge(
         reduceAll(agg, withNan), reduceAll(agg, withNan)))
-      once == dup && once == acrossParts &&
-        once.count(e => e.score.isNaN && e.id == nanId) <= 1
+      // garbage never outranks a real score: NaN entries form a SUFFIX
+      val nanLast = {
+        val i = once.indexWhere(_.score.isNaN)
+        i == -1 || once.drop(i).forall(_.score.isNaN)
+      }
+      canon(once) == canon(dup) && canon(once) == canon(acrossParts) &&
+        once.count(e => e.score.isNaN && e.id == nanId) <= 1 && nanLast
     }
 
   property("duplicated inputs change nothing: reduce and merge are idempotent") =
