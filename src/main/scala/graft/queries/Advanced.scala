@@ -56,6 +56,30 @@ object Advanced {
       base
     })
 
+  private val versionedBloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def versionedBloomFor(s: SparkSession, d: String): String =
+    versionedBloomCache.computeIfAbsent((s, d), { _ =>
+      val base = scratch("graft_versioned_bf") + "/t"
+      val ord = orders(s, d)
+      // per-file filters sized to the bench files (≈20k rows each)
+      s.conf.set("spark.graft.bloom.items", (1L << 15).toString)
+      s.conf.set("spark.graft.bloom.bits", (1L << 18).toString)
+      // two range-clustered commits, each staged with a per-file bloom
+      // sidecar: a point probe is confined to few files of EITHER commit
+      def clustered(df: DataFrame): DataFrame =
+        df.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+      graft.sources.Versioned.commit(
+        clustered(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+        base, bloomCols = Seq("o_orderkey"))
+      graft.sources.Versioned.commit(
+        clustered(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
+        base, org.apache.spark.sql.SaveMode.Append,
+        bloomCols = Seq("o_orderkey"))
+      base
+    })
+
   val queries: Map[String, Q] = Map(
     // ROLLUP over (year, priority). Grouping nulls are labeled 'ALL' so the
     // oracle compare never depends on engine null-ordering.
@@ -231,6 +255,57 @@ object Advanced {
         .orderBy("o_orderpriority")
     }),
 
+    // Per-file bloom sidecars under the correctness gate — the POINT-
+    // LOOKUP twin of x_versioned_pruned: both commits staged with a
+    // bloom filter per (file, key column), so an equality probe on two
+    // needle keys plans only the files that might contain them (no
+    // false negatives — pruning may only drop files provably empty of
+    // the probes); the probed read must equal the plain IN-list scan
+    // (the oracle). Sidecar mechanics / DML survival / fail-open are
+    // VersionedSpec's. Bench cost is the read path (train-once table).
+    "x_versioned_bloomprune" -> ((s, d) => {
+      val base = versionedBloomFor(s, d)
+      val ord = orders(s, d)
+      val mm = ord.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val probes = Seq(mm.getLong(0), mm.getLong(1))
+      graft.sources.Versioned.readPointPruned(s, base,
+          Seq(("o_orderkey", probes)))
+        .filter(col("o_orderkey").isin(probes: _*))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_orderkey")
+    }),
+
+    // CHECK constraints under the correctness gate: commit half the
+    // table, add a price-cap constraint, attempt an append whose
+    // transformed prices partly violate it — the batch must be rejected
+    // WHOLE (all-or-nothing, no version published) — then append the
+    // clean subset; the final snapshot must equal the relational
+    // equivalent (the oracle). Add-time validation / carry / schema-
+    // evolution null semantics / DML gating are VersionedSpec's.
+    "x_versioned_constraints" -> ((s, d) => {
+      val base = scratch("graft_versioned_ck") + "/t"
+      val V = graft.sources.Versioned
+      val ord = orders(s, d)
+      V.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), base)
+      V.addConstraint(s, base, "price_cap", "o_totalprice <= 500000")
+      val dirty = ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 10)
+      val rejected =
+        try { V.commit(dirty, base, org.apache.spark.sql.SaveMode.Append); false }
+        catch { case _: graft.sources.ConstraintViolation => true }
+      require(rejected, "the dirty batch must be rejected")
+      require(V.versions(s, base).size == 2, // commit + addConstraint only
+        "a rejected batch must publish nothing")
+      V.commit(dirty.filter(col("o_totalprice") <= 500000), base,
+        org.apache.spark.sql.SaveMode.Append)
+      V.read(s, base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Versioned copy-on-write DML under the correctness gate: commit the
     // source, transactionally DELETE one slice and UPDATE another, then
     // aggregate the LATEST snapshot — must equal the same DML applied
@@ -316,6 +391,43 @@ object Advanced {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Change-feed-driven rollup sync under the correctness gate — the
+    // incremental MATERIALIZED VIEW loop: bootstrap-sync a rollup from
+    // the source's v1, run the full DML spectrum against the SOURCE (a
+    // COW delete, a count-neutral measure update, a whole-group delete,
+    // an append), then one catch-up sync that folds the net v1→v5 change
+    // feed as SIGNED partial states — the rollup must equal the one-shot
+    // GROUP BY over the final source state (the oracle), with the
+    // deleted group VANISHED (its count netted to zero). Raw history is
+    // never rescanned; offset recovery / empty windows / vacuumed-gap
+    // rebuild are VersionedSpec's.
+    "x_versioned_sync" -> ((s, d) => {
+      val root = scratch("graft_versioned_sync")
+      val src = root + "/t"; val roll = root + "/mv"
+      val V = graft.sources.Versioned
+      val ord = orders(s, d)
+      def prep(df: DataFrame): DataFrame = df.select(col("o_orderpriority"),
+        lit(1L).as("cnt"), cents(col("o_totalprice")).as("total_cents"))
+      def sync(): Unit = {
+        graft.sources.Incremental.syncRollup(s, src, roll, "mv", prep,
+          partitionKey = "o_orderpriority", subKeys = Seq.empty,
+          measures = Seq("cnt", "total_cents"), countMeasure = "cnt")
+        ()
+      }
+      V.commit(ord, src)
+      sync() // bootstrap: full load of v1
+      V.deleteWhere(s, src, pmod(col("o_orderkey"), lit(7)) === 0)
+      V.updateWhere(s, src, col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> lit(0.0)))
+      V.deleteWhere(s, src, col("o_orderpriority") === "5-LOW")
+      V.commit(ord.filter(pmod(col("o_orderkey"), lit(11)) === 5
+        && col("o_orderpriority") =!= "5-LOW"), src,
+        org.apache.spark.sql.SaveMode.Append)
+      sync() // catch-up: folds the net v1→v5 change feed, signed
+      V.read(s, roll).select("o_orderpriority", "cnt", "total_cents")
         .orderBy("o_orderpriority")
     }),
 
@@ -495,6 +607,42 @@ object Advanced {
         |  UNION ALL
         |  SELECT o_orderpriority, o_totalprice AS p
         |  FROM orders WHERE o_orderkey % 7 = 3
+        |)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_versioned_constraints" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice * 10 AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_totalprice * 10 <= 500000
+        |)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_versioned_bloomprune" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |   OR o_orderkey = (SELECT max(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x_versioned_sync" ->
+      """SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |  CAST(sum(c) AS BIGINT) AS total_cents
+        |FROM (
+        |  SELECT o_orderpriority, 1 AS cnt,
+        |    CAST(round(CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0
+        |         ELSE o_totalprice END * 100) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderpriority <> '5-LOW'
+        |  UNION ALL
+        |  SELECT o_orderpriority, 1 AS cnt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE o_orderkey % 11 = 5 AND o_orderpriority <> '5-LOW'
         |)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_versioned_pruned" ->

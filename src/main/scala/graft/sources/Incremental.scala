@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * raw fact stream is APPEND-ONLY and enormous, the rollup is
   * (partitions × keys) and small, so each batch folds its ADDITIVE
   * partial states into the rollup and the raw history is NEVER rescanned.
+  * Two drive modes: callers hand batches to [[upsertRollup]] /
+  * [[rollupStream]], or — when the SOURCE is itself a versioned table
+  * whose history includes DML — [[syncRollup]] derives the batches from
+  * the net change feed, making the rollup a true incremental
+  * materialized VIEW (deletes subtract, updates re-point, vanished
+  * groups vanish).
   *
   * Shape per batch:
   * 1. Pre-aggregate the batch to partial states per (partitionKey,
@@ -65,6 +71,27 @@ object Incremental {
     if (v == null) NullPart
     else { val s = v.toString; if (s.isEmpty) EmptyPart else s }
 
+  /** Bounded CAS retry with randomized exponential backoff: a merge
+    * derivation spans several jobs, so under hot contention a bare retry
+    * loop livelocks (every slow derivation loses to a faster writer) —
+    * jittered spacing de-synchronizes the writers, the same answer the
+    * public lakehouse commit services use. */
+  private def retryCas[A](label: String)(body: => A): A = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50,
+        s"$label lost $attempts consecutive commit races — giving up")
+      try return body
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          val capMs = math.min(100L << math.min(attempts, 6), 5000L)
+          Thread.sleep((capMs * math.random()).toLong)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Fold one batch into the rollup at `basePath`. `batch` carries
     * `partitionKey`, `subKeys`, and numeric `measures` columns (one row
     * per raw event; pre-projected — e.g. `lit(1L).as("cnt")`,
@@ -76,59 +103,84 @@ object Incremental {
     * already-current) version. */
   def upsertRollup(spark: SparkSession, basePath: String, batch: DataFrame,
       batchId: String, partitionKey: String, subKeys: Seq[String],
-      measures: Seq[String], maxEntries: Int = 64): Long = {
+      measures: Seq[String], maxEntries: Int = 64,
+      dropZeroMeasure: Option[String] = None): Long = {
     require(measures.nonEmpty, "upsertRollup needs at least one measure")
+    dropZeroMeasure.foreach(m => require(measures.contains(m),
+      s"dropZeroMeasure $m must be one of the measures"))
     val keys = (partitionKey +: subKeys).map(col)
     def reAgg(df: DataFrame): DataFrame =
       df.groupBy(keys: _*).agg(
         sum(col(measures.head)).as(measures.head),
         measures.tail.map(m => sum(col(m)).as(m)): _*)
+    // applied to FINAL states only (merged rollup rows about to be
+    // staged), never to batch partials: in a signed delta a pure-update
+    // group nets its count to zero while carrying a real measure delta —
+    // dropping it from the PARTIALS would lose the update, while a FINAL
+    // group whose count reaches zero has vanished from the source and
+    // must vanish from the rollup
+    def finalizeState(df: DataFrame): DataFrame =
+      dropZeroMeasure.fold(df)(m => df.filter(col(m) =!= 0))
 
     val partials = reAgg(batch).cache()
     try {
       val touchedSet: Set[String] = partials
         .select(col(partitionKey)).distinct()
         .collect().map(r => partTag(r.get(0))).toSet
-      var attempts = 0
-      while (true) {
-        attempts += 1
-        require(attempts <= 50,
-          s"upsertRollup($batchId) lost $attempts consecutive commit races " +
-            s"under $basePath — giving up")
-        try {
-          return attemptUpsert(spark, basePath, partials, batchId,
-            partitionKey, touchedSet, reAgg, maxEntries)
-        } catch {
-          case _: java.util.ConcurrentModificationException =>
-            // randomized exponential backoff: the merge derivation spans
-            // several jobs, so under hot contention a bare retry loop
-            // livelocks (every slow derivation loses to a faster writer)
-            // — jittered spacing de-synchronizes the writers, the same
-            // answer the public lakehouse commit services use
-            val capMs = math.min(100L << math.min(attempts, 6), 5000L)
-            Thread.sleep((capMs * math.random()).toLong)
+      if (touchedSet.isEmpty)
+        // nothing to fold (empty batch, or every group netted to zero
+        // against itself) — still RECORD the batch id, so an offset-
+        // tracking consumer's window advances instead of re-reading the
+        // same empty delta forever
+        return retryCas(s"upsertRollup($batchId) under $basePath") {
+          recordBatchId(spark, basePath, batchId)
         }
+      retryCas(s"upsertRollup($batchId) under $basePath") {
+        attemptUpsert(spark, basePath, partials, batchId,
+          partitionKey, touchedSet, reAgg, finalizeState,
+          mayVanish = dropZeroMeasure.isDefined, maxEntries)
       }
-      throw new IllegalStateException("unreachable")
     } finally partials.unpersist()
+  }
+
+  /** Metadata-only commit: the entry list is unchanged (or empty on an
+    * uninitialized table); the atomic rename records `batchId` in the
+    * ledger. A replayed id is a no-op; two RACING no-op recordings may
+    * both land, which just records the id twice — harmless, since the
+    * guard only tests membership and no data rides on either commit. */
+  private def recordBatchId(spark: SparkSession, basePath: String,
+      batchId: String): Long = {
+    val vs = Versioned.versions(spark, basePath)
+    if (Versioned.appliedBatchIds(spark, basePath).contains(batchId))
+      return vs.last
+    Versioned.publish(spark, basePath, (_, prev) => prev,
+      Map("batch_id" -> batchId))
   }
 
   private def attemptUpsert(spark: SparkSession, basePath: String,
       partials: DataFrame, batchId: String, partitionKey: String,
       touchedSet: Set[String], reAgg: DataFrame => DataFrame,
+      finalizeState: DataFrame => DataFrame, mayVanish: Boolean,
       maxEntries: Int): Long = {
     val vs = Versioned.versions(spark, basePath)
     // batch-level exactly-once: ONE head-manifest ledger read; the id was
     // committed atomically WITH its data, so presence means fully applied
     if (Versioned.appliedBatchIds(spark, basePath).contains(batchId))
       return vs.last
-    if (vs.isEmpty)
+    if (vs.isEmpty) {
       // CAS-pinned bootstrap: two racing first batches must NOT both see
       // an empty table and Overwrite — the loser aborts here and retries
       // through the non-empty merge path above
-      return Versioned.commit(partials, basePath,
+      val boot = finalizeState(partials)
+      return if (mayVanish && boot.isEmpty)
+        // every group vanished against itself — record the id on an
+        // empty v1 (staging an empty frame would be an unreadable dir)
+        Versioned.publishEntries(spark, basePath, 0L, Seq.empty,
+          Map("batch_id" -> batchId))
+      else Versioned.commit(boot, basePath,
         expectedHead = Some(0L), meta = Map("batch_id" -> batchId),
         parts = Some(touchedSet))
+    }
 
     val head = vs.last
     val ents = Versioned.entries(spark, basePath, head)
@@ -148,13 +200,17 @@ object Incremental {
     val delEnts =
       if (foldAll || carried.isEmpty) Seq.empty[ManifestEntry]
       else ents.filter(_.tombstone)
-    if (intersecting.isEmpty)
+    if (intersecting.isEmpty) {
       // every existing dir is provably disjoint (a brand-new partition):
       // the batch partials ARE the merged state — nothing to read at all
+      val st = finalizeState(partials)
+      val stEntry =
+        if (mayVanish && st.isEmpty) Seq.empty // all new groups vanished
+        else Seq(ManifestEntry(
+          Versioned.stage(st, basePath), Some(touchedSet)))
       return Versioned.publishEntries(spark, basePath, head,
-        delEnts ++ carried :+ ManifestEntry(
-          Versioned.stage(partials, basePath), Some(touchedSet)),
-        Map("batch_id" -> batchId))
+        delEnts ++ carried ++ stEntry, Map("batch_id" -> batchId))
+    }
     val cur = Versioned.applyDels(spark,
         spark.read.option("mergeSchema", "true")
           .parquet(intersecting.map(_.path): _*), dels)
@@ -164,13 +220,15 @@ object Incremental {
     val tp = partials.select(col(partitionKey).as("__tp")).distinct()
     val remainder = cur.join(broadcast(tp),
       cur(partitionKey) <=> col("__tp"), "left_anti")
-    val merged = reAgg(
+    val merged = finalizeState(reAgg(
       cur.join(broadcast(tp), cur(partitionKey) <=> col("__tp"), "left_semi")
         .drop("__tp")
-        .unionByName(partials))
+        .unionByName(partials)))
 
-    val mergedEntry =
-      ManifestEntry(Versioned.stage(merged, basePath), Some(touchedSet))
+    val mergedEntries =
+      if (mayVanish && merged.isEmpty) Seq.empty // every touched group vanished
+      else Seq(ManifestEntry(Versioned.stage(merged, basePath),
+        Some(touchedSet)))
     // the remainder keeps the intersecting dirs' confinement minus the
     // touched values — but only if EVERY intersecting dir was tagged
     val remTag = {
@@ -185,8 +243,140 @@ object Incremental {
     // a lost CAS leaves the freshly staged dirs orphaned — vacuumable
     // garbage, never visible
     Versioned.publishEntries(spark, basePath, head,
-      delEnts ++ carried ++ remEntries :+ mergedEntry,
+      delEnts ++ carried ++ remEntries ++ mergedEntries,
       Map("batch_id" -> batchId))
+  }
+
+  /** The newest source version consumer `consumerName` has fully folded
+    * into the rollup at `rollupBase`, recovered from the applied-batch
+    * ledger (ONE head-manifest read; survives vacuum) — None when the
+    * consumer has never synced, or its newest sync id has aged past the
+    * ledger cap ([[Versioned.AppliedCap]] ingested batches), in which
+    * case [[syncRollup]] falls back to a full rebuild. */
+  def syncedSourceVersion(spark: SparkSession, rollupBase: String,
+      consumerName: String): Option[Long] = {
+    val re = ("^sync-" + java.util.regex.Pattern.quote(consumerName) +
+      "-to-(\\d+)$").r
+    Versioned.appliedBatchIds(spark, rollupBase)
+      .flatMap(id => re.findFirstMatchIn(id).map(_.group(1).toLong))
+      .maxOption
+  }
+
+  /** CHANGE-FEED-DRIVEN rollup maintenance — the loop that makes a
+    * rollup a true incremental MATERIALIZED VIEW of a [[Versioned]]
+    * source table, DML included: each call catches the rollup up from
+    * the consumer's last synced source version to the source head by
+    * folding the NET row-level change feed ([[Versioned.changes]]) as
+    * signed partial states — inserted rows contribute `prepare`'s
+    * measures positively, deleted rows negatively — so a COW/MOR DELETE
+    * subtracts exactly its rows, an UPDATE lands as one −old +new pair,
+    * and a group whose `countMeasure` nets to zero VANISHES from the
+    * rollup (it vanished from the source). Cost per sync is the CHANGE
+    * (feed cost is manifest-aware) plus the rollup's touched partitions
+    * — the raw history is never rescanned.
+    *
+    * `prepare` maps source-shaped rows to the rollup shape
+    * (`partitionKey`, `subKeys`, numeric `measures`) ROW-WISE — one
+    * output row per input row, each row's contribution independent of
+    * every other (the additivity contract; a `prepare` that aggregates
+    * or joins would break signed application). `countMeasure` must be a
+    * measure counting contributing rows (`lit(1L)`), the witness for
+    * group vanishing.
+    *
+    * Exactly-once: the sync window's batch id is
+    * `sync-<consumer>-to-<srcVersion>`, recorded through the same
+    * ledger as every ingest — a replayed sync no-ops, an empty window
+    * still advances the offset (metadata-only commit). The consumer's
+    * offset is itself recovered FROM the ledger, so it survives vacuum
+    * of both tables and needs no side state.
+    *
+    * Fallback: when the consumer has never synced, or its catch-up
+    * window was vacuumed away on the source, or its sync id aged past
+    * the ledger cap, the rollup is REBUILT from the source head (one
+    * full `prepare` + aggregate, committed as an Overwrite) — correct
+    * at any gap, at full-recompute cost.
+    *
+    * Contracts: one sync driver per (rollup, consumer) at a time — two
+    * CONCURRENT syncs of the same consumer observing different source
+    * heads would double-apply the shared window (the same
+    * caller-stable-identity rule as the streaming forms). The rollup
+    * must be maintained exclusively through this consumer's syncs (or
+    * bootstrap rebuilds overwrite whatever else was folded in).
+    * Returns the committed (or already-current) rollup version. */
+  def syncRollup(spark: SparkSession, sourceBase: String, rollupBase: String,
+      consumerName: String, prepare: DataFrame => DataFrame,
+      partitionKey: String, subKeys: Seq[String], measures: Seq[String],
+      countMeasure: String, maxEntries: Int = 64): Long = {
+    require(consumerName.matches("[A-Za-z0-9._-]+"),
+      s"consumer name must be [A-Za-z0-9._-]+, got '$consumerName'")
+    require(measures.contains(countMeasure),
+      s"countMeasure $countMeasure must be one of the measures")
+    val srcVs = Versioned.versions(spark, sourceBase)
+    require(srcVs.nonEmpty, s"no committed versions under $sourceBase")
+    val toV = srcVs.last
+    val from = syncedSourceVersion(spark, rollupBase, consumerName)
+    if (from.contains(toV))
+      return Versioned.versions(spark, rollupBase).last
+    val batchId = s"sync-$consumerName-to-$toV"
+    from match {
+      case Some(f) if srcVs.contains(f) =>
+        // incremental catch-up: fold the net change feed, signed
+        val feed = Versioned.changes(spark, sourceBase, f, toV).cache()
+        try {
+          val ins = prepare(
+            feed.filter(col("_change") === "insert").drop("_change"))
+          val del = measures.foldLeft(prepare(
+              feed.filter(col("_change") === "delete").drop("_change"))) {
+            (df, m) => df.withColumn(m, negate(col(m)))
+          }
+          upsertRollup(spark, rollupBase, ins.unionByName(del), batchId,
+            partitionKey, subKeys, measures, maxEntries,
+            dropZeroMeasure = Some(countMeasure))
+        } finally feed.unpersist()
+      case _ =>
+        // never synced / window vacuumed / offset aged out: full rebuild
+        fullLoad(spark, sourceBase, rollupBase, toV, batchId, prepare,
+          partitionKey, subKeys, measures)
+    }
+  }
+
+  /** Rebuild the rollup as an Overwrite of the source head's full
+    * aggregate — the bootstrap and gap-recovery path of [[syncRollup]],
+    * CAS-guarded and ledger-recorded like every ingest. */
+  private def fullLoad(spark: SparkSession, sourceBase: String,
+      rollupBase: String, toV: Long, batchId: String,
+      prepare: DataFrame => DataFrame, partitionKey: String,
+      subKeys: Seq[String], measures: Seq[String]): Long = {
+    val keys = (partitionKey +: subKeys).map(col)
+    val src = Versioned.readVersion(spark, sourceBase, toV)
+    val partials =
+      if (src.columns.isEmpty) spark.emptyDataFrame
+      else prepare(src).groupBy(keys: _*).agg(
+        sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*).cache()
+    try {
+      val parts: Set[String] =
+        if (partials.columns.isEmpty) Set.empty
+        else partials.select(col(partitionKey)).distinct()
+          .collect().map(r => partTag(r.get(0))).toSet
+      retryCas(s"syncRollup($batchId) rebuild under $rollupBase") {
+        val vs = Versioned.versions(spark, rollupBase)
+        if (Versioned.appliedBatchIds(spark, rollupBase).contains(batchId))
+          vs.last
+        else if (parts.isEmpty)
+          // empty source snapshot: the rollup is empty too — publish an
+          // empty entry list (an empty staged dir would be unreadable)
+          Versioned.publish(spark, rollupBase, (head, _) => {
+            if (head != vs.lastOption.getOrElse(0L))
+              throw new java.util.ConcurrentModificationException(
+                s"rebuild derived from a stale head under $rollupBase")
+            Seq.empty
+          }, Map("batch_id" -> batchId))
+        else Versioned.commit(partials, rollupBase,
+          expectedHead = Some(vs.lastOption.getOrElse(0L)),
+          meta = Map("batch_id" -> batchId), parts = Some(parts))
+      }
+    } finally if (!partials.columns.isEmpty) partials.unpersist()
   }
 
   /** Continuous refresh: [[upsertRollup]] per micro-batch, keyed by

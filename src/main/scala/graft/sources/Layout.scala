@@ -361,6 +361,92 @@ object Layout {
     else spark.read.option("basePath", path).parquet(files: _*)
   }
 
+  /** Per-file BLOOM FILTERS over `cols` → `path/_graft_bloom` — the
+    * POINT-LOOKUP complement to the zone map: a min/max rectangle is
+    * useless for an equality probe on a high-cardinality key scattered
+    * through range-covering files, while a bloom answers "can this file
+    * contain key v?" with no false negatives. One distributed pass over
+    * the just-written data (grouped on `_metadata.file_path`, Catalyst's
+    * own `BloomFilterAggregate` — the same primitive as the runtime
+    * filter), so the build cost is a scan of the NEW data only; the
+    * sidecar is `numBits/8` bytes per (file, column) — size it to the
+    * per-file row count (defaults: 1M items / 1 MiB → ~3% fpp), and at
+    * any size the probe side stays distributed over the sidecar frame.
+    *
+    * Values hash through a canonical STRING cast on both build and probe
+    * sides: a caller probing an Int literal against a Long column would
+    * otherwise hash differently and silently BREAK soundness (missed
+    * files), the one failure mode a skipping index must never have.
+    * Columns with zero non-null values in a file get a null filter —
+    * [[pruneFilesBloom]] fails OPEN on it. */
+  def writeBloomSidecar(spark: SparkSession, path: String,
+      cols: Seq[String], expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): Unit = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(cols.nonEmpty, "writeBloomSidecar needs at least one column")
+    val df = spark.read.parquet(path)
+    cols.foreach(c => require(
+      df.columns.exists(_.equalsIgnoreCase(c)),
+      s"bloom column '$c' is absent from the data under $path"))
+    val aggs = cols.map { c =>
+      GraftBridge.column(new BloomFilterAggregate(
+        new XxHash64(Seq(GraftBridge.expression(col(c).cast("string")))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as(s"${c}_bloom")
+    }
+    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_bloom")
+  }
+
+  /** The exact long [[writeBloomSidecar]]'s aggregate inserts for value
+    * `v`: Catalyst's own `xxhash64(cast(v as string))`, evaluated once
+    * driver-side through the SAME expressions — build and probe hashing
+    * cannot drift. Null probes are rejected (equality with null never
+    * matches a row; a null probe would only weaken pruning). */
+  private def probeHash(v: Any): Long = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    require(v != null, "bloom probe values must be non-null")
+    new XxHash64(Seq(Cast(Literal(v), org.apache.spark.sql.types.StringType)))
+      .eval(InternalRow.empty).asInstanceOf[Long]
+  }
+
+  /** Listing-time point-lookup pruning: the files that MIGHT contain, for
+    * EVERY probed column, AT LEAST ONE of its probe values (conjunctive
+    * across columns, IN-list within one — the `k1 IN (…) AND k2 IN (…)`
+    * shape). Sound: no bloom false negatives + fail-open on null/absent
+    * filters means a dropped file provably holds no matching row. The
+    * membership test runs DISTRIBUTED over the sidecar frame (each task
+    * deserializes its rows' filters through the public
+    * `spark.util.sketch.BloomFilter` — the exact format
+    * `BloomFilterAggregate` serializes — and tests the pre-hashed probe
+    * longs); only surviving file names collect. */
+  def pruneFilesBloom(spark: SparkSession, path: String,
+      probes: Seq[(String, Seq[Any])]): Seq[String] = {
+    require(probes.nonEmpty && probes.forall(_._2.nonEmpty),
+      "pruneFilesBloom needs at least one probe value per column")
+    val hashes: Seq[Array[Long]] =
+      probes.map(_._2.map(probeHash).toArray)
+    val bloomDf = spark.read.parquet(s"$path/_graft_bloom")
+      .select(col("file") +: probes.map(p => col(s"${p._1}_bloom")): _*)
+    bloomDf.filter { (r: org.apache.spark.sql.Row) =>
+      hashes.indices.forall { i =>
+        val bytes = r.getAs[Array[Byte]](i + 1)
+        // fail open: a null filter (all-null column in that file, or an
+        // elder sidecar missing the column) keeps the file
+        bytes == null || {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          hashes(i).exists(bf.mightContainLong)
+        }
+      }
+    }.select("file").collect().map(_.getString(0)).toSeq
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(totalBytes / targetFileBytes) evenly-sized files. Streaming
     * sinks and fine-grained incremental loads accrete thousands of tiny

@@ -18,6 +18,11 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 final case class ManifestEntry(path: String, parts: Option[Set[String]],
     tombstone: Boolean = false)
 
+/** A write was rejected because staged rows violate a table CHECK
+  * constraint ([[Versioned.addConstraint]]). The commit published
+  * nothing; the staged directory is unreferenced vacuumable garbage. */
+final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
 /** Versioned parquet tables: an atomic-manifest snapshot protocol (the
   * public Delta/Iceberg commit shape, reduced to its load-bearing core) —
   * the piece that turns SURVEY §2.9's "transactions are a no-op under the
@@ -75,7 +80,13 @@ final case class ManifestEntry(path: String, parts: Option[Set[String]],
   * applies them before re-staging, and [[compactLatest]] materializes
   * them away. [[mergeInto]] is the transactional upsert;
   * [[changes]] the net row-level feed between snapshots; [[history]] /
-  * [[readAsOf]] the commit log and timestamp time travel.
+  * [[readAsOf]] the commit log and timestamp time travel;
+  * [[cloneTable]] the zero-copy shallow fork (verbatim references +
+  * inherited ledger). Data skipping: [[readPruned]] (zone-map ranges)
+  * and [[readPointPruned]] (per-file bloom equality probes), both
+  * listing-time, both fail-open, both surviving DML rewrites. CHECK
+  * constraints ([[addConstraint]]) are protocol-carried metadata
+  * enforced on every data-adding write at the staging door.
   *
   * THE APPLIED-BATCH LEDGER: every manifest's metadata carries forward
   * the (bounded, most-recent-first-out) list of ingested batch ids under
@@ -98,6 +109,7 @@ object Versioned {
   val AppliedCap = 512
 
   private val AppliedKey = "applied"
+  private val ConstraintsKey = "constraints"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     FsUtil.fs(spark, p)
@@ -249,6 +261,89 @@ object Versioned {
         }
     }
 
+  private def encodeConstraints(cs: Map[String, String]): String =
+    cs.toSeq.sortBy(_._1).map { case (n, e) => n + ":" + enc(e) }
+      .mkString(",")
+
+  private def decodeConstraints(s: String): Map[String, String] =
+    s.split(',').iterator.filter(_.nonEmpty).map { tok =>
+      tok.split(":", 2) match {
+        case Array(n, e) => n -> dec(e)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable constraint token: $tok")
+      }
+    }.toMap
+
+  /** The table's CHECK constraints: `name -> SQL boolean expression`,
+    * carried forward by every commit (protocol metadata, like the
+    * ledger) and enforced on every data-adding write. */
+  def constraints(spark: SparkSession, basePath: String): Map[String, String] =
+    versions(spark, basePath).lastOption
+      .flatMap(v => commitMeta(spark, basePath, v).get(ConstraintsKey))
+      .map(decodeConstraints).getOrElse(Map.empty)
+
+  /** The rows of `df` that VIOLATE any of `cs` — standard SQL CHECK
+    * semantics: a row violates only when the expression is FALSE
+    * (UNKNOWN/null passes). Columns a constraint references that are
+    * absent from `df` read as null — exactly what a snapshot read would
+    * materialize for them — so a `c IS NOT NULL` constraint correctly
+    * rejects a batch that omits `c`. */
+  private def violations(df: DataFrame, cs: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val exprs = cs.toSeq.sortBy(_._1).map { case (n, e) => (n, expr(e)) }
+    // catalystExpression, not expression: Spark 4 wraps Columns in a
+    // lazy ColumnNodeExpression whose collect sees no children
+    val refs = exprs.flatMap { case (_, c) =>
+      org.apache.spark.sql.GraftBridge.catalystExpression(c).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+    }
+    val missing = refs.distinct
+      .filterNot(r => df.columns.exists(_.equalsIgnoreCase(r)))
+    val widened = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+    widened.filter(
+      exprs.map { case (_, c) => not(coalesce(c, lit(true))) }
+        .reduce(_ || _))
+  }
+
+  /** ALTER TABLE … ADD CONSTRAINT … CHECK: validate that every EXISTING
+    * row satisfies `sqlExpr` (one scan — the standard one-time cost),
+    * then publish a metadata-only commit recording it. From that commit
+    * on, every data-adding write ([[commit]], [[appendOnce]], DML
+    * rewrites, merges, rollup upserts) validates its STAGED rows — a
+    * scan of the new data only — and a violating batch is rejected
+    * whole with [[ConstraintViolation]], publishing nothing.
+    *
+    * Scope honestly stated: enforcement is as-of staging time (a write
+    * racing the addConstraint itself may land unvalidated — the
+    * optimistic-concurrency window the public formats share), and
+    * [[rollbackTo]] / [[cloneTable]] republish references without
+    * re-validation (constraints gate WRITES, they are not a retroactive
+    * audit — [[violations]]-style checks of old snapshots are one
+    * filter away for callers that want one). */
+  def addConstraint(spark: SparkSession, basePath: String,
+      name: String, sqlExpr: String): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"constraint name must be [A-Za-z0-9._-]+, got '$name'")
+    val head = headVersion(spark, basePath)
+    val cur = readVersion(spark, basePath, head)
+    if (cur.columns.nonEmpty
+        && violations(cur, Map(name -> sqlExpr)).limit(1).count() > 0)
+      throw new ConstraintViolation(
+        s"cannot add constraint $name CHECK ($sqlExpr) under $basePath: " +
+          "existing rows violate it")
+    publish(spark, basePath, (_, prev) => prev,
+      editConstraints = Some(_ + (name -> sqlExpr)))
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit). Unknown names
+    * no-op rather than fail — drops are idempotent. */
+  def dropConstraint(spark: SparkSession, basePath: String,
+      name: String): Long =
+    publish(spark, basePath, (_, prev) => prev,
+      editConstraints = Some(_ - name))
+
   /** Atomically publish the next version. `mkEntries(headVersion,
     * headEntries)` derives the manifest contents and is RE-EVALUATED
     * against the refreshed head on every CAS attempt — a writer that
@@ -260,7 +355,10 @@ object Versioned {
     * when present, is appended to the head's ledger under the cap. */
   private[sources] def publish(spark: SparkSession, basePath: String,
       mkEntries: (Long, Seq[ManifestEntry]) => Seq[ManifestEntry],
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      seedLedger: Seq[String] = Seq.empty,
+      editConstraints: Option[Map[String, String] => Map[String, String]]
+        = None): Long = {
     meta.foreach { case (k, v) =>
       require(!k.contains("=") && !(k + v).exists(c =>
           c == '\n' || c == '\r' || c == '\t'),
@@ -270,6 +368,8 @@ object Versioned {
       s"#$AppliedKey is maintained by the protocol — pass batch_id instead")
     require(!meta.contains("ts"),
       "#ts (the commit timestamp) is stamped by the protocol")
+    require(!meta.contains(ConstraintsKey),
+      s"#$ConstraintsKey is maintained by the protocol — use addConstraint")
     val mdir = manifestDir(basePath)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -292,7 +392,7 @@ object Versioned {
           s.split(',').iterator.filter(_.nonEmpty).map(dec).toSeq
         case None if head.isDefined => // legacy head: one-time history scan
           vs.flatMap(v => commitMeta(spark, basePath, v).get("batch_id"))
-        case None => Seq.empty
+        case None => seedLedger // uninitialized table: a clone inherits
       }
       val ledger =
         (ledgerBase ++ meta.get("batch_id")).takeRight(AppliedCap)
@@ -301,12 +401,26 @@ object Versioned {
       // stamp (version order and stamp order stay aligned)
       val ts = math.max(System.currentTimeMillis(),
         parseTs(headMeta).map(_ + 1).getOrElse(Long.MinValue))
+      // constraints are PROTOCOL-CARRIED like the ledger: every commit
+      // re-reads the refreshed head's set inside the CAS (a concurrent
+      // addConstraint cannot be silently dropped by a racing writer);
+      // editConstraints (add/dropConstraint) rewrites the set instead
+      val headCons = headMeta.get(ConstraintsKey)
+        .map(decodeConstraints).getOrElse(Map.empty[String, String])
+      val consOut: Option[String] = editConstraints match {
+        case None =>
+          if (headMeta.contains(ConstraintsKey))
+            Some(encodeConstraints(headCons))
+          else None
+        case Some(f) => Some(encodeConstraints(f(headCons)))
+      }
       // the ledger key is written even when EMPTY: its presence is what
       // tells the next reader "consolidated — no legacy scan needed", so
       // omitting it would cost every future publish of a batch-id-free
       // table an O(versions) manifest sweep
       val fullMeta = meta + ("ts" -> ts.toString) +
-        (AppliedKey -> ledger.map(enc).mkString(","))
+        (AppliedKey -> ledger.map(enc).mkString(",")) ++
+        consOut.map(ConstraintsKey -> _)
       val lines = fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ newEntries.map(encodeEntry)
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -342,7 +456,9 @@ object Versioned {
     * until a manifest references it; a crash here leaves vacuumable
     * garbage, never a visible half-commit. */
   private[sources] def stage(df: DataFrame, basePath: String,
-      statsCols: Seq[String] = Seq.empty): String = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      validate: Boolean = true): String = {
     // __fp/__ri are the read path's row-identity aliases (applyDels);
     // a data column with either name would make every deletion-vector
     // read ambiguous, so reject it at the only door data enters through
@@ -354,10 +470,43 @@ object Versioned {
     val raw = new Path(basePath, s"data-${java.util.UUID.randomUUID()}")
     val dataDir = fs(spark, raw).makeQualified(raw)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    // CHECK constraints gate the staging door — the one door all DATA
+    // enters through (commits, DML rewrites, merges, rollup states);
+    // deletion-vector stages pass validate=false (row identities, not
+    // rows). Validated against the files just written, i.e. exactly
+    // what readers would see; a violating batch is rejected WHOLE.
+    if (validate) {
+      val cs = constraints(spark, basePath)
+      if (cs.nonEmpty) {
+        val staged = spark.read.parquet(dataDir.toString)
+        if (violations(staged, cs).limit(1).count() > 0) {
+          // error-path only: one pass per constraint to name the broken
+          val broken = cs.filter { case (n, e) =>
+            violations(staged, Map(n -> e)).limit(1).count() > 0
+          }.keys.toSeq.sorted
+          fs(spark, dataDir).delete(dataDir, true)
+          throw new ConstraintViolation(
+            s"staged batch violates CHECK constraint(s) " +
+              s"${broken.mkString(", ")} under $basePath — " +
+              "nothing was committed")
+        }
+      }
+    }
     if (statsCols.nonEmpty)
       Layout.writeZoneMap(spark, dataDir.toString, statsCols)
+    if (bloomCols.nonEmpty && !isDirEmpty(spark, dataDir.toString))
+      Layout.writeBloomSidecar(spark, dataDir.toString, bloomCols,
+        expectedItems = spark.conf
+          .get("spark.graft.bloom.items", (1L << 20).toString).toLong,
+        numBits = spark.conf
+          .get("spark.graft.bloom.bits", (1L << 23).toString).toLong)
     dataDir.toString
   }
+
+  /** A staged dir with zero data rows (an empty batch) has no files to
+    * bloom-index — the sidecar build would have nothing to group on. */
+  private def isDirEmpty(spark: SparkSession, dir: String): Boolean =
+    spark.read.parquet(dir).isEmpty
 
   /** Commit `df` as the next version. `Overwrite` (default): the new
     * snapshot is exactly this batch. `Append`: the new snapshot is the
@@ -368,7 +517,9 @@ object Versioned {
     * if another commit landed since the caller read that head — the
     * rewrite was derived from a snapshot that is no longer current.
     * `statsCols`: write a zone-map sidecar into the staged directory
-    * (see [[readPruned]]). `parts`: declare the staged directory
+    * (see [[readPruned]]). `bloomCols`: write a per-file bloom sidecar
+    * (see [[readPointPruned]]; sized by `spark.graft.bloom.items` /
+    * `spark.graft.bloom.bits`). `parts`: declare the staged directory
     * partition-confined (see [[ManifestEntry]]). Returns the committed
     * version. */
   def commit(df: DataFrame, basePath: String,
@@ -376,11 +527,12 @@ object Versioned {
       expectedHead: Option[Long] = None,
       meta: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty,
-      parts: Option[Set[String]] = None): Long = {
+      parts: Option[Set[String]] = None,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned commits are Overwrite or Append, got $mode")
     val spark = df.sparkSession
-    val dataDir = stage(df, basePath, statsCols)
+    val dataDir = stage(df, basePath, statsCols, bloomCols)
     publish(spark, basePath, (head, prev) => {
       expectedHead.filter(_ != head).foreach { e =>
         throw new java.util.ConcurrentModificationException(
@@ -482,6 +634,47 @@ object Versioned {
   def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long = {
     val target = entries(spark, basePath, v)
     publish(spark, basePath, (_, _) => target)
+  }
+
+  /** SHALLOW CLONE: initialize `dstBase` as a ZERO-COPY snapshot of
+    * `srcBase`'s version `v` (default: its head) — the clone's v1
+    * manifest references the source's immutable data and tombstone
+    * directories verbatim, so cloning a 100 TB table writes one
+    * manifest file. The clone then evolves independently: every DML /
+    * append / compaction stages ITS dirs under `dstBase` and carries the
+    * still-shared source dirs by reference, exactly like any other
+    * copy-on-write — a dev/test fork, a reproducible-experiment pin, or
+    * a blue/green cutover staging table at zero storage cost.
+    *
+    * The clone INHERITS the source's applied-batch ledger: its state
+    * includes those batches' rows, so a pipeline redelivering one of
+    * them to the clone correctly no-ops (the same txn-id carry the
+    * public shallow clones do).
+    *
+    * Safety: [[vacuum]] on the CLONE only ever deletes `data-*` dirs
+    * under `dstBase`, so it can never reap shared source data. The
+    * reverse is the documented shallow-clone hazard (as in the public
+    * formats): vacuum on the SOURCE does not know about the clone's
+    * references — hold source retention while clones live, or compact
+    * the clone (a full [[compactLatest]] rewrites it self-contained).
+    * The target must be uninitialized; fails loudly otherwise. */
+  def cloneTable(spark: SparkSession, srcBase: String, dstBase: String,
+      v: Option[Long] = None): Long = {
+    val srcV = v.getOrElse(headVersion(spark, srcBase))
+    val srcEnts = entries(spark, srcBase, srcV)
+    // the ledger AS OF the cloned version — the head's may record
+    // batches whose data postdates (and so is absent from) the clone
+    val ledger = commitMeta(spark, srcBase, srcV).get(AppliedKey) match {
+      case Some(s) => s.split(',').iterator.filter(_.nonEmpty).map(dec).toSeq
+      case None => versions(spark, srcBase).filter(_ <= srcV) // legacy
+        .flatMap(pv => commitMeta(spark, srcBase, pv).get("batch_id"))
+    }
+    publish(spark, dstBase, (head, _) => {
+      if (head != 0L) throw new IllegalStateException(
+        s"cloneTable target $dstBase is already initialized (head v$head)" +
+          " — clones must start from an empty table")
+      srcEnts
+    }, Map("cloned_from" -> s"$srcBase@v$srcV"), seedLedger = ledger)
   }
 
   /** Net row-level CHANGE FEED between two retained snapshots — what an
@@ -674,6 +867,67 @@ object Versioned {
     else sets.reduce(_ intersect _).toSeq.sorted
   }
 
+  /** Bloom analog of [[sharedStatsCols]]: the columns EVERY one of
+    * `paths` carries a bloom sidecar for — rewrite paths thread this
+    * through [[stage]] so DML on a bloom-indexed table keeps its
+    * point-lookup skipping layer. */
+  private def sharedBloomCols(spark: SparkSession,
+      paths: Seq[String]): Seq[String] = {
+    val sets = paths.map { d =>
+      val bm = new Path(d, "_graft_bloom")
+      if (!fs(spark, bm).exists(bm)) Set.empty[String]
+      else spark.read.parquet(bm.toString).schema.fieldNames
+        .filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSet
+    }
+    if (sets.isEmpty || sets.exists(_.isEmpty)) Seq.empty
+    else sets.reduce(_ intersect _).toSeq.sorted
+  }
+
+  /** The subset of `probes` a dir's bloom sidecar can evaluate — None
+    * when the dir has no sidecar. The fail-open gate of the point-
+    * lookup path, mirroring [[sidecarUsable]]. */
+  private def bloomUsable(spark: SparkSession, dir: String,
+      probes: Seq[(String, Seq[Any])])
+      : Option[Seq[(String, Seq[Any])]] = {
+    val bm = new Path(dir, "_graft_bloom")
+    if (!fs(spark, bm).exists(bm)) None
+    else {
+      val cols = spark.read.parquet(bm.toString).schema.fieldNames.toSet
+      Some(probes.filter(p => cols.contains(s"${p._1}_bloom")))
+    }
+  }
+
+  /** Read the latest snapshot with LISTING-time BLOOM pruning — the
+    * point-lookup twin of [[readPruned]]: data directories committed
+    * with `bloomCols` carry a per-file bloom sidecar, and only the
+    * files that MIGHT contain, for every probed column, at least one of
+    * its probe values are planned (the `k1 IN (…) AND k2 IN (…)`
+    * shape). Zone maps answer ranges; blooms answer equality on
+    * high-cardinality keys scattered through range-covering files —
+    * the needle-in-100-TB case. Fail-open per directory and per column
+    * exactly like [[readPruned]]; callers re-apply their precise
+    * predicate (the sidecar is file-granular, and bloom positives may
+    * be false — never its negatives). */
+  def readPointPruned(spark: SparkSession, basePath: String,
+      probes: Seq[(String, Seq[Any])]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_._2.nonEmpty),
+      "readPointPruned needs at least one probe value per column")
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    val sources = dataEntries(ents).map(_.path).flatMap { d =>
+      bloomUsable(spark, d, probes) match {
+        case Some(usable) if usable.nonEmpty =>
+          Layout.pruneFilesBloom(spark, d, usable)
+        case _ => Seq(d)
+      }
+    }
+    if (sources.isEmpty) readVersion(spark, basePath, head).filter(
+      org.apache.spark.sql.functions.lit(false))
+    else applyDels(spark,
+      spark.read.option("mergeSchema", "true").parquet(sources: _*),
+      delPaths(ents))
+  }
+
   /** The subset of `ranges` a dir's sidecar can actually evaluate —
     * None when the dir has no sidecar at all. The single fail-open
     * gate shared by the read ([[readPruned]]) and write
@@ -740,10 +994,11 @@ object Versioned {
         val u = touched.flatMap(_.parts.get).toSet
         if (u.nonEmpty) Some(u) else None
       } else None
-    // the replacement dir inherits the touched dirs' shared stats
-    // columns, so the skipping layer survives DML
+    // the replacement dir inherits the touched dirs' shared stats and
+    // bloom columns, so both skipping layers survive DML
     val staged = stage(rewritten, basePath,
-      sharedStatsCols(spark, touched.map(_.path)))
+      sharedStatsCols(spark, touched.map(_.path)),
+      sharedBloomCols(spark, touched.map(_.path)))
     publishEntries(spark, basePath, head,
       ents.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
   }
@@ -769,12 +1024,21 @@ object Versioned {
   /** Copy-on-write UPDATE: publish a new version with `assignments`
     * applied to the rows matching `cond` (the D1 UPDATE…WHERE form,
     * transactionally). Each assignment column keeps its old value where
-    * the condition does not hold. FILE-LEVEL like [[deleteWhere]];
-    * rewritten directories drop their partition tags (an assignment may
-    * move rows across partition values, so the confinement claim no
-    * longer holds — dropping it is always safe). */
+    * the condition does not hold. FILE-LEVEL like [[deleteWhere]].
+    *
+    * Partition tags on rewritten directories: by default they are
+    * DROPPED (an assignment may move rows across partition values, so
+    * the confinement claim no longer holds — dropping is always safe,
+    * never fast). `partitionCol` is the caller's declaration that the
+    * table's directory tags confine values of THAT column; when the
+    * update does not assign it, rows provably cannot change partition
+    * value, so the rewritten directory keeps the touched directories'
+    * union tag and stays skippable by future partition-pruned writers
+    * ([[Incremental.upsertRollup]]). An update that DOES assign the
+    * declared column falls back to dropping the tag. */
   def updateWhere(spark: SparkSession, basePath: String,
-      cond: Column, assignments: Map[String, Column]): Long = {
+      cond: Column, assignments: Map[String, Column],
+      partitionCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{lit, when}
     cowRewrite(spark, basePath, cond, { df =>
       assignments.foldLeft(df) { case (d, (c, e)) =>
@@ -784,7 +1048,7 @@ object Versioned {
         val old = if (d.columns.contains(c)) d(c) else lit(null)
         d.withColumn(c, when(cond, e).otherwise(old))
       }
-    }, keepParts = false)
+    }, keepParts = partitionCol.exists(pc => !assignments.contains(pc)))
   }
 
   /** Merge-on-read DELETE: instead of rewriting the directories holding
@@ -819,7 +1083,7 @@ object Versioned {
       .cache()
     try {
       if (dv.isEmpty) return head
-      val staged = stage(dv, basePath)
+      val staged = stage(dv, basePath, validate = false)
       publishEntries(spark, basePath, head,
         ents :+ ManifestEntry(staged, None, tombstone = true))
     } finally dv.unpersist()
@@ -853,7 +1117,7 @@ object Versioned {
       val patched = assignments.foldLeft(matched: DataFrame) {
         case (d, (c, e)) => d.withColumn(c, e)
       }.drop("__fp", "__ri")
-      val dvDir = stage(dv, basePath)
+      val dvDir = stage(dv, basePath, validate = false)
       val patchDir = stage(patched, basePath)
       publishEntries(spark, basePath, head,
         ents :+ ManifestEntry(dvDir, None, tombstone = true)
@@ -880,10 +1144,15 @@ object Versioned {
     *
     * `source` must be key-unique (enforced — a duplicate source key
     * would multiply target rows, the standard MERGE cardinality
-    * violation) and must contain `keys ++ updateCols`. Returns the
+    * violation) and must contain `keys ++ updateCols`. `partitionCol`
+    * preserves partition tags on rewritten directories when the merge
+    * does not update the declared column ([[updateWhere]]'s contract);
+    * insert directories are always untagged (their partition values
+    * make no confinement claim — safe, never fast). Returns the
     * committed version (the unchanged head when source is empty). */
   def mergeInto(spark: SparkSession, basePath: String, source: DataFrame,
-      keys: Seq[String], updateCols: Seq[String]): Long = {
+      keys: Seq[String], updateCols: Seq[String],
+      partitionCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, when}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     require(updateCols.nonEmpty,
@@ -954,10 +1223,19 @@ object Versioned {
         df.withColumn(c, when(col("__matched"), col(s"__src_$c"))
           .otherwise(old))
       }.drop("__matched").drop(updateCols.map(c => s"__src_$c"): _*)
-      // updates cannot move rows across partition values only if the
-      // partition column is not updated — not knowable here, so drop tags
+      // updates cannot move rows across partition values only when the
+      // caller-declared partition column is not among the updateCols —
+      // then the touched dirs' union tag still confines the rewrite
+      // ([[updateWhere]]'s contract); otherwise drop the tag (safe)
+      val tag =
+        if (partitionCol.exists(pc => !updateCols.contains(pc))
+            && touched.forall(_.parts.isDefined)) {
+          val u = touched.flatMap(_.parts.get).toSet
+          if (u.nonEmpty) Some(u) else None
+        } else None
       Seq(ManifestEntry(stage(updated, basePath,
-        sharedStatsCols(spark, touched.map(_.path))), None))
+        sharedStatsCols(spark, touched.map(_.path)),
+        sharedBloomCols(spark, touched.map(_.path))), tag))
     }
 
     // inserts: source rows whose key exists nowhere in the target
@@ -972,11 +1250,13 @@ object Versioned {
       val insertEntry =
         if (inserts.isEmpty) Seq.empty
         else {
-          // the insert dir joins the skipping layer only when the source
-          // actually carries every shared stats column
+          // the insert dir joins the skipping layers only when the source
+          // actually carries every shared stats/bloom column
           val stats = sharedStatsCols(spark, dataEntries(ents).map(_.path))
             .filter(inserts.columns.contains)
-          Seq(ManifestEntry(stage(inserts, basePath, stats), None))
+          val blooms = sharedBloomCols(spark, dataEntries(ents).map(_.path))
+            .filter(inserts.columns.contains)
+          Seq(ManifestEntry(stage(inserts, basePath, stats, blooms), None))
         }
 
       if (rewrittenEntry.isEmpty && insertEntry.isEmpty) return head
@@ -1061,9 +1341,45 @@ object Versioned {
     val delEnts =
       if (carry.isEmpty) Seq.empty else ents.filter(_.tombstone)
     val staged = stage(df, basePath,
-      sharedStatsCols(spark, fold.map(_.path)))
+      sharedStatsCols(spark, fold.map(_.path)),
+      sharedBloomCols(spark, fold.map(_.path)))
     publishEntries(spark, basePath, head,
       carry ++ delEnts :+ ManifestEntry(staged, tag))
+  }
+
+  /** OPTIMIZE … ZORDER BY inside the protocol: rewrite the LATEST
+    * snapshot as one z-ordered directory ([[Layout.zOrderFrame]] —
+    * every output file covers a small hyper-rectangle of the z-column
+    * space) staged with a zone-map sidecar over `zCols` (and optionally
+    * a bloom sidecar over `bloomCols`), published as just another
+    * atomic commit — readers never see a half-optimized table, the
+    * pre-optimize snapshot stays readable until [[vacuum]], and a
+    * concurrent commit aborts the optimize (its rewrite is stale), not
+    * the other way round. Outstanding deletion vectors MATERIALIZE away
+    * (the rewrite subtracts them), like a full [[compactLatest]] —
+    * which this is, plus clustering: run it where a plain compaction
+    * would run but range/point reads dominate. Rows are unchanged, so
+    * partition confinement (the union of the folded dirs' tags) and
+    * CHECK constraints are preserved without re-validation. */
+  def optimizeZOrder(spark: SparkSession, basePath: String,
+      zCols: Seq[String], files: Int,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    val datas = dataEntries(ents)
+    if (datas.isEmpty) return head
+    val df = applyDels(spark,
+      spark.read.option("mergeSchema", "true")
+        .parquet(datas.map(_.path): _*), delPaths(ents))
+    val clustered = Layout.zOrderFrame(df, zCols, files)
+    val tag =
+      if (datas.forall(_.parts.isDefined)) {
+        val u = datas.flatMap(_.parts.get).toSet
+        if (u.nonEmpty) Some(u) else None
+      } else None
+    val staged = stage(clustered, basePath, statsCols = zCols,
+      bloomCols = bloomCols, validate = false)
+    publishEntries(spark, basePath, head, Seq(ManifestEntry(staged, tag)))
   }
 
   /** GC: drop manifests older than the last `keepVersions` and delete

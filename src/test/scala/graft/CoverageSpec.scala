@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 164/172 split") {
-    assert(SparkEntry.queries.size === 172)
-    assert(SparkEntry.oracleSql.size === 164)
+  test("oracle coverage matches the documented 167/175 split") {
+    assert(SparkEntry.queries.size === 175)
+    assert(SparkEntry.oracleSql.size === 167)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 8 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches — x_media_neardup routes through the IVF-PQ

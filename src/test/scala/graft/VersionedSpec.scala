@@ -734,4 +734,321 @@ class VersionedSpec extends SparkSpec {
         && col("l_partkey") <= maxPk / 8).count()
     assert(slice(pruned) === slice(all))
   }
+
+  test("partitionCol hint: update and merge preserve partition tags") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq(("a", 1L, 10.0), ("a", 2L, 20.0))
+      .toDF("part", "id", "amt"), base, parts = Some(Set("a")))
+    Versioned.commit(Seq(("b", 10L, 30.0)).toDF("part", "id", "amt"),
+      base, SaveMode.Append, parts = Some(Set("b")))
+
+    // update that does NOT assign the declared partition column: the
+    // rewritten dir keeps the touched dirs' union tag, the disjoint dir
+    // is carried verbatim
+    val bDir = Versioned.entries(spark, base, 2)
+      .find(_.parts.contains(Set("b"))).get.path
+    val v3 = Versioned.updateWhere(spark, base, col("id") === 1L,
+      Map("amt" -> lit(0.0)), partitionCol = Some("part"))
+    val e3 = Versioned.entries(spark, base, v3)
+    assert(e3.exists(e => e.path == bDir && e.parts.contains(Set("b"))))
+    assert(e3.exists(_.parts.contains(Set("a"))),
+      "the rewritten dir must keep its tag when part is not assigned")
+
+    // merge that does not update the partition column: same preservation
+    val v4 = Versioned.mergeInto(spark, base,
+      Seq(("a", 2L, 99.0)).toDF("part", "id", "amt"),
+      keys = Seq("id"), updateCols = Seq("amt"),
+      partitionCol = Some("part"))
+    assert(Versioned.entries(spark, base, v4)
+      .exists(_.parts.contains(Set("a"))),
+      "merge must keep the tag when partitionCol is not an updateCol")
+
+    // update that DOES assign the partition column: tag dropped (safe)
+    val v5 = Versioned.updateWhere(spark, base, col("id") === 2L,
+      Map("part" -> lit("z")), partitionCol = Some("part"))
+    val rewritten = Versioned.entries(spark, base, v5)
+      .filterNot(e => e.path == bDir)
+    assert(rewritten.forall(_.parts.isEmpty),
+      "assigning the declared partition column must drop the tag")
+    // contents exact throughout
+    assert(Versioned.read(spark, base).select("part", "id", "amt")
+      .as[(String, Long, Double)].collect().toSet ===
+      Set(("a", 1L, 0.0), ("z", 2L, 99.0), ("b", 10L, 30.0)))
+  }
+
+  test("shallow clone: zero-copy fork, independent evolution, inherited ledger") {
+    import spark.implicits._
+    val src = freshBase(); val dst = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.filter(col("o_orderkey") < 500), src)
+    Versioned.appendOnce(
+      ord.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 900),
+      src, "load-2")
+
+    val v = Versioned.cloneTable(spark, src, dst)
+    assert(v === 1L)
+    // verbatim references, zero data copied under the clone
+    assert(Versioned.entries(spark, dst, 1) ===
+      Versioned.entries(spark, src, 2))
+    val dstData = new java.io.File(dst).listFiles()
+    assert(dstData.forall(f => !f.getName.startsWith("data-")),
+      "a shallow clone must not copy any data directory")
+    assert(Versioned.read(spark, dst).count() ===
+      Versioned.read(spark, src).count())
+
+    // inherited ledger: a batch already folded into the source no-ops
+    assert(Versioned.appendOnce(ord.limit(5), dst, "load-2").isEmpty,
+      "the clone must remember the source's applied batches")
+
+    // independent evolution: DML on the clone leaves the source intact
+    val srcCount = Versioned.read(spark, src).count()
+    Versioned.deleteWhere(spark, dst, col("o_orderkey") < 100)
+    assert(Versioned.read(spark, src).count() === srcCount)
+    assert(Versioned.read(spark, dst).count() ===
+      srcCount - ord.filter(col("o_orderkey") < 100).count())
+
+    // vacuum on the CLONE cannot reap shared source data
+    Versioned.vacuum(spark, dst, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.read(spark, src).count() === srcCount,
+      "clone vacuum must never delete source-owned directories")
+    assert(Versioned.read(spark, dst).count() ===
+      srcCount - ord.filter(col("o_orderkey") < 100).count())
+
+    // time-travel clone of an older version; target-in-use rejected
+    val dst2 = freshBase()
+    Versioned.cloneTable(spark, src, dst2, v = Some(1L))
+    assert(Versioned.read(spark, dst2).count() ===
+      ord.filter(col("o_orderkey") < 500).count())
+    assertThrows[IllegalStateException](
+      Versioned.cloneTable(spark, src, dst2))
+  }
+
+  test("bloom sidecars: point-lookup pruning is row-identical and survives DML") {
+    import spark.implicits._
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    // size the per-file filters to the tiny test files
+    spark.conf.set("spark.graft.bloom.items", (1L << 14).toString)
+    spark.conf.set("spark.graft.bloom.bits", (1L << 17).toString)
+    // range-clustered files so single-key probes are confined to few files
+    Versioned.commit(ord.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"), base,
+      bloomCols = Seq("o_orderkey"))
+
+    val mm = ord.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val probes = Seq(mm.getLong(0), mm.getLong(1))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.filter(col("o_orderkey").isin(probes: _*))
+        .select("o_orderkey").as[Long].collect().toSeq.sorted
+    val pruned = Versioned.readPointPruned(spark, base,
+      Seq(("o_orderkey", probes)))
+    val full = Versioned.read(spark, base)
+    assert(pruned.inputFiles.length * 2 <= full.inputFiles.length,
+      s"${pruned.inputFiles.length} of ${full.inputFiles.length} planned")
+    assert(rowsOf(pruned) === rowsOf(full))
+
+    // probe-literal type width must not break soundness (Int vs Long
+    // hash differently raw; the canonical string cast makes them agree)
+    assert(Versioned.readPointPruned(spark, base,
+        Seq(("o_orderkey", Seq(probes.head.toInt))))
+      .filter(col("o_orderkey") === probes.head).count() === 1L)
+
+    // DML keeps the bloom layer: the rewritten dir carries a rebuilt
+    // sidecar, and the deleted key is gone from the pruned read
+    val v = Versioned.deleteWhere(spark, base,
+      col("o_orderkey") === probes.head)
+    val newDirs = Versioned.manifestFiles(spark, base, v)
+      .filterNot(Versioned.manifestFiles(spark, base, 1).toSet)
+    assert(newDirs.nonEmpty)
+    assert(newDirs.forall(d => new java.io.File(
+      d.stripPrefix("file:"), "_graft_bloom").exists()),
+      "DML must not shed the bloom skipping layer")
+    assert(rowsOf(Versioned.readPointPruned(spark, base,
+      Seq(("o_orderkey", probes)))) === Seq(probes.last))
+
+    // fail open: an appended commit WITHOUT bloomCols is read in full
+    Versioned.commit(ord.limit(50), base, SaveMode.Append)
+    assert(rowsOf(Versioned.readPointPruned(spark, base,
+        Seq(("o_orderkey", probes)))) ===
+      rowsOf(Versioned.read(spark, base)))
+  }
+
+  test("CHECK constraints: protocol-carried, enforced at the staging door") {
+    import spark.implicits._
+    import graft.sources.ConstraintViolation
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), base)
+
+    // adding a constraint existing rows violate is rejected
+    assertThrows[ConstraintViolation](
+      Versioned.addConstraint(spark, base, "amt_neg", "amt < 0"))
+    Versioned.addConstraint(spark, base, "amt_pos", "amt >= 0")
+    Versioned.addConstraint(spark, base, "id_set", "id IS NOT NULL")
+    assert(Versioned.constraints(spark, base).keySet ===
+      Set("amt_pos", "id_set"))
+
+    // a violating append is rejected WHOLE: nothing published
+    val headBefore = Versioned.versions(spark, base).last
+    assertThrows[ConstraintViolation](Versioned.commit(
+      Seq((3L, 5.0), (4L, -1.0)).toDF("id", "amt"), base, SaveMode.Append))
+    assert(Versioned.versions(spark, base).last === headBefore)
+    assert(Versioned.read(spark, base).count() === 2)
+
+    // a valid append passes; the set is carried by every commit
+    Versioned.commit(Seq((3L, 5.0)).toDF("id", "amt"), base, SaveMode.Append)
+    assert(Versioned.constraints(spark, base).keySet ===
+      Set("amt_pos", "id_set"))
+
+    // schema evolution: omitting a NOT-NULL-constrained column is a
+    // violation (snapshot reads would materialize null for it)…
+    assertThrows[ConstraintViolation](Versioned.commit(
+      Seq(Tuple1(9.0)).toDF("amt"), base, SaveMode.Append))
+    // …while under a plain CHECK the null row passes (SQL UNKNOWN)
+    Versioned.dropConstraint(spark, base, "id_set")
+    Versioned.commit(Seq(Tuple1(9.0)).toDF("amt"), base, SaveMode.Append)
+
+    // DML rewrites cannot smuggle a violation in
+    assertThrows[ConstraintViolation](Versioned.updateWhere(spark, base,
+      col("id") === 3L, Map("amt" -> lit(-5.0))))
+    // a deletion-vector stage is row identities, not rows — not gated
+    Versioned.deleteWhereMor(spark, base, col("id") === 2L)
+    assert(Versioned.read(spark, base).filter(col("id") === 2L).count() === 0)
+  }
+
+  test("optimizeZOrder: one clustered commit, vectors materialized, prunable") {
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), base)
+    Versioned.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+      base, SaveMode.Append)
+    Versioned.deleteWhereMor(spark, base,
+      pmod(col("o_orderkey"), lit(13)) === 0)
+    val expect = Versioned.read(spark, base).count()
+
+    val v = Versioned.optimizeZOrder(spark, base,
+      Seq("o_orderkey", "o_custkey"), files = 8)
+    val ents = Versioned.entries(spark, base, v)
+    assert(ents.size === 1 && !ents.head.tombstone,
+      "optimize folds everything and materializes the deletion vectors")
+    assert(Versioned.read(spark, base).count() === expect)
+
+    // the rewrite carries a zone map: a range read prunes files
+    val maxOk = ord.agg(max(col("o_orderkey"))).head().getLong(0).toDouble
+    val pruned = Versioned.readPruned(spark, base,
+      Seq(("o_orderkey", 0.0, maxOk / 8)))
+    assert(pruned.inputFiles.length * 2 <=
+      Versioned.read(spark, base).inputFiles.length)
+    assert(pruned.filter(col("o_orderkey") <= maxOk / 8).count() ===
+      Versioned.read(spark, base)
+        .filter(col("o_orderkey") <= maxOk / 8).count())
+  }
+
+  // ---- change-feed-driven rollup sync (incremental materialized view) --
+
+  private def syncPrep(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("o_orderpriority"), lit(1L).as("cnt"),
+      Tables.cents(col("o_totalprice")).as("total_cents"))
+
+  private def syncOnce(srcBase: String, rollBase: String): Long =
+    graft.sources.Incremental.syncRollup(spark, srcBase, rollBase,
+      consumerName = "mv", prepare = syncPrep,
+      partitionKey = "o_orderpriority", subKeys = Seq.empty,
+      measures = Seq("cnt", "total_cents"), countMeasure = "cnt")
+
+  private def rollupOf(df: org.apache.spark.sql.DataFrame)
+      : Seq[(String, Long, Long)] =
+    syncPrep(df).groupBy("o_orderpriority")
+      .agg(sum("cnt").as("cnt"), sum("total_cents").as("total_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  private def readRollup(base: String): Seq[(String, Long, Long)] =
+    Versioned.read(spark, base)
+      .select("o_orderpriority", "cnt", "total_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  test("syncRollup: bootstrap, DML catch-up, group vanishing, replay no-op") {
+    val I = graft.sources.Incremental
+    val src = freshBase(); val roll = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+
+    Versioned.commit(ord, src) // v1
+    syncOnce(src, roll) // bootstrap = full load of v1
+    assert(readRollup(roll) === rollupOf(ord))
+    assert(I.syncedSourceVersion(spark, roll, "mv") === Some(1L))
+
+    // DML between syncs: a COW delete, a pure-measure update (count nets
+    // to zero in the delta while the cents delta is real — the partials
+    // must NOT drop it), a whole-group delete (the group must VANISH),
+    // and an append
+    Versioned.deleteWhere(spark, src, pmod(col("o_orderkey"), lit(7)) === 0)
+    Versioned.updateWhere(spark, src, col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" -> lit(0.0)))
+    Versioned.deleteWhere(spark, src, col("o_orderpriority") === "5-LOW")
+    Versioned.commit(
+      ord.filter(pmod(col("o_orderkey"), lit(11)) === 5
+        && col("o_orderpriority") =!= "5-LOW"),
+      src, SaveMode.Append) // v5
+    syncOnce(src, roll) // incremental: folds the v1→v5 net change feed
+
+    val expect = rollupOf(Versioned.read(spark, src))
+    assert(readRollup(roll) === expect)
+    assert(!readRollup(roll).exists(_._1 == "5-LOW"),
+      "a group whose count netted to zero must vanish from the rollup")
+    // fixture sanity for the pure-measure update: surviving pre-append
+    // urgent rows were zero-priced, so the group's cents must equal the
+    // APPENDED urgent rows' cents alone — proving the count-neutral
+    // update delta was folded, not dropped
+    val appendedUrgentCents = syncPrep(
+      ord.filter(pmod(col("o_orderkey"), lit(11)) === 5
+        && col("o_orderpriority") === "1-URGENT"))
+      .agg(sum("total_cents")).head().getLong(0)
+    assert(expect.exists { case (p, _, c) =>
+      p == "1-URGENT" && c == appendedUrgentCents },
+      "the urgent group's cents must be the appended rows' cents only")
+    assert(I.syncedSourceVersion(spark, roll, "mv") === Some(5L))
+
+    // replayed sync (same source head): no new rollup version
+    val before = Versioned.versions(spark, roll)
+    syncOnce(src, roll)
+    assert(Versioned.versions(spark, roll) === before,
+      "a sync at an already-synced head must be a pure no-op")
+  }
+
+  test("syncRollup: an empty change window still advances the offset") {
+    val I = graft.sources.Incremental
+    val src = freshBase(); val roll = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord, src) // v1
+    syncOnce(src, roll)
+    // a rollback to the CURRENT head publishes v2 with an identical entry
+    // list — a commit whose net change feed is empty
+    Versioned.rollbackTo(spark, src, 1L)
+    syncOnce(src, roll)
+    assert(I.syncedSourceVersion(spark, roll, "mv") === Some(2L),
+      "an empty delta must advance the offset (metadata-only commit)")
+    assert(readRollup(roll) === rollupOf(ord))
+    // and the offset commit carried the data forward untouched
+    syncOnce(src, roll) // no-op again
+    assert(I.syncedSourceVersion(spark, roll, "mv") === Some(2L))
+  }
+
+  test("syncRollup: a vacuumed catch-up window falls back to a full rebuild") {
+    val src = freshBase(); val roll = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    Versioned.commit(ord.filter(col("o_orderkey") < 1000), src) // v1
+    syncOnce(src, roll)
+    Versioned.commit(ord, src) // v2 (overwrite: the full table)
+    Versioned.deleteWhere(spark, src, pmod(col("o_orderkey"), lit(3)) === 0)
+    Versioned.vacuum(spark, src, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, src) === Seq(3L),
+      "fixture sanity: the sync offset's version must be gone")
+    syncOnce(src, roll) // v1 is vacuumed — must rebuild, not fail
+    assert(readRollup(roll) === rollupOf(Versioned.read(spark, src)))
+    assert(graft.sources.Incremental
+      .syncedSourceVersion(spark, roll, "mv") === Some(3L))
+  }
 }
