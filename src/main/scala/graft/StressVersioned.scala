@@ -255,6 +255,96 @@ object StressVersioned {
         f"rewritten) vs full rewrite $fullSecs%.1f s")
     }
 
+    // --- 6. CDC-driven view sync: catch-up cost ∝ change ---------------
+    locally {
+      val src = freshBase(); val roll = freshBase()
+      val (dirsN, rowsPerDir) = (8, 500000) // 4M rows
+      (0 until dirsN).foreach { i =>
+        Versioned.commit(
+          spark.range(i.toLong * rowsPerDir, (i + 1).toLong * rowsPerDir)
+            .select(col("id"), pmod(col("id"), lit(100)).as("grp"),
+              (col("id") % 1000).as("v")),
+          src, SaveMode.Append)
+      }
+      def prep(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("grp"), lit(1L).as("cnt"), col("v").as("v_sum"))
+      def sync(): Long = Incremental.syncRollup(spark, src, roll, "mv",
+        prep, "grp", Seq.empty, Seq("cnt", "v_sum"), "cnt")
+
+      val tB = System.nanoTime()
+      sync() // bootstrap: full 4M-row aggregate — the anchor cost
+      val bootSecs = (System.nanoTime() - tB) / 1e9
+
+      // a SMALL change: one in-dir delete slice + one appended batch
+      Versioned.deleteWhere(spark, src,
+        col("id") >= 2L * rowsPerDir + 1000 && col("id") < 2L * rowsPerDir + 51000)
+      Versioned.commit(
+        spark.range(100000000L, 100100000L)
+          .select(col("id"), pmod(col("id"), lit(100)).as("grp"),
+            (col("id") % 1000).as("v")),
+        src, SaveMode.Append)
+      val tC = System.nanoTime()
+      sync() // catch-up folds ONLY the net delta
+      val catchSecs = (System.nanoTime() - tC) / 1e9
+
+      val got = Versioned.read(spark, roll)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = prep(Versioned.read(spark, src))
+        .groupBy("grp").agg(sum("cnt").as("cnt"), sum("v_sum").as("v_sum"))
+        .as[(Long, Long, Long)].collect().toSet
+      check(got == want, "synced rollup diverged from one-shot aggregate")
+      check(Incremental.syncedSourceVersion(spark, roll, "mv")
+        .contains(Versioned.versions(spark, src).last), "offset not advanced")
+      // the scale contract is WORK, not toy-SF wall clock (at 4M narrow
+      // rows the full aggregate is one cheap column-pruned scan while
+      // the CDC machinery pays ~15 fixed-overhead jobs): the NET feed
+      // the catch-up folded must be exactly the change — 50k deletes +
+      // 100k inserts — however large the source grows
+      val feedRows = Versioned.changes(spark, src, dirsN.toLong,
+        Versioned.versions(spark, src).last).count()
+      check(feedRows == 150000L,
+        s"net change feed must be change-sized: got $feedRows rows")
+      println(f"6. CDC view sync: PASS — 4M-row source, net feed " +
+        f"$feedRows rows (= the change), bootstrap $bootSecs%.1f s, " +
+        f"catch-up $catchSecs%.1f s (overhead-bound at this SF)")
+    }
+
+    // --- 7. bloom point-probe at scale ---------------------------------
+    locally {
+      val base = freshBase()
+      val rows = 4000000L
+      spark.conf.set("spark.graft.bloom.items", (1L << 19).toString)
+      spark.conf.set("spark.graft.bloom.bits", (1L << 22).toString)
+      Versioned.commit(
+        spark.range(0L, rows)
+          .select(col("id"), sha2(col("id").cast("string"), 256).as("pad"))
+          .repartitionByRange(16, col("id"))
+          .sortWithinPartitions("id"),
+        base, bloomCols = Seq("id"))
+      val probes: Seq[Any] = Seq(12345L, 2000001L, 3999999L)
+      val t0 = System.nanoTime()
+      val pruned = Versioned.readPointPruned(spark, base,
+        Seq(("id", probes)))
+      val hits = pruned.filter(col("id").isin(probes: _*))
+        .select("id").as[Long].collect().toSet
+      val probeSecs = (System.nanoTime() - t0) / 1e9
+      val planned = pruned.inputFiles.length
+      val all = Versioned.read(spark, base).inputFiles.length
+      check(hits == probes.map(_.asInstanceOf[Long]).toSet,
+        s"bloom probe lost rows: $hits")
+      check(planned * 2 <= all,
+        s"bloom pruning planned $planned of $all files — no skipping")
+      val t1 = System.nanoTime()
+      val fullHits = Versioned.read(spark, base)
+        .filter(col("id").isin(probes: _*)).select("id").as[Long]
+        .collect().toSet
+      val fullSecs = (System.nanoTime() - t1) / 1e9
+      check(fullHits == hits, "full-scan twin disagrees")
+      println(f"7. bloom point-probe: PASS — 4M rows/16 files: " +
+        f"$planned files planned (of $all), probe $probeSecs%.1f s vs " +
+        f"full scan $fullSecs%.1f s")
+    }
+
     println("StressVersioned: ALL SECTIONS PASS")
     spark.stop()
   }
