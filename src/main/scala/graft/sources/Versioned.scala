@@ -326,13 +326,22 @@ object Versioned {
       name: String, sqlExpr: String): Long = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"constraint name must be [A-Za-z0-9._-]+, got '$name'")
-    val head = headVersion(spark, basePath)
-    val cur = readVersion(spark, basePath, head)
-    if (cur.columns.nonEmpty
-        && violations(cur, Map(name -> sqlExpr)).limit(1).count() > 0)
-      throw new ConstraintViolation(
-        s"cannot add constraint $name CHECK ($sqlExpr) under $basePath: " +
-          "existing rows violate it")
+    // parse eagerly so a malformed expression fails HERE, not on the
+    // first write it would gate (catalystExpression forces the
+    // conversion — Spark 4 Columns are lazy about it)
+    org.apache.spark.sql.GraftBridge.catalystExpression(
+      org.apache.spark.sql.functions.expr(sqlExpr))
+    // uninitialized table: nothing to validate — the constraint lands as
+    // an empty v1 and gates every write from the first one on (the
+    // natural declare-before-load flow)
+    versions(spark, basePath).lastOption.foreach { head =>
+      val cur = readVersion(spark, basePath, head)
+      if (cur.columns.nonEmpty
+          && violations(cur, Map(name -> sqlExpr)).limit(1).count() > 0)
+        throw new ConstraintViolation(
+          s"cannot add constraint $name CHECK ($sqlExpr) under $basePath: " +
+            "existing rows violate it")
+    }
     publish(spark, basePath, (_, prev) => prev,
       editConstraints = Some(_ + (name -> sqlExpr)))
   }
@@ -646,10 +655,12 @@ object Versioned {
     * copy-on-write — a dev/test fork, a reproducible-experiment pin, or
     * a blue/green cutover staging table at zero storage cost.
     *
-    * The clone INHERITS the source's applied-batch ledger: its state
-    * includes those batches' rows, so a pipeline redelivering one of
-    * them to the clone correctly no-ops (the same txn-id carry the
-    * public shallow clones do).
+    * The clone INHERITS the source's applied-batch ledger AND its CHECK
+    * constraints, both as-of the cloned version: its state includes
+    * those batches' rows (so a pipeline redelivering one correctly
+    * no-ops), and a fork of a gated table must not silently lose its
+    * gate (the same property/txn-id carry the public shallow clones
+    * do).
     *
     * Safety: [[vacuum]] on the CLONE only ever deletes `data-*` dirs
     * under `dstBase`, so it can never reap shared source data. The
@@ -664,17 +675,23 @@ object Versioned {
     val srcEnts = entries(spark, srcBase, srcV)
     // the ledger AS OF the cloned version — the head's may record
     // batches whose data postdates (and so is absent from) the clone
-    val ledger = commitMeta(spark, srcBase, srcV).get(AppliedKey) match {
+    val srcMeta = commitMeta(spark, srcBase, srcV)
+    val ledger = srcMeta.get(AppliedKey) match {
       case Some(s) => s.split(',').iterator.filter(_.nonEmpty).map(dec).toSeq
       case None => versions(spark, srcBase).filter(_ <= srcV) // legacy
         .flatMap(pv => commitMeta(spark, srcBase, pv).get("batch_id"))
     }
+    // constraints inherit as-of the cloned version too: a fork of a
+    // gated table must not silently lose its CHECK gate
+    val srcCons = srcMeta.get(ConstraintsKey)
+      .map(decodeConstraints).getOrElse(Map.empty[String, String])
     publish(spark, dstBase, (head, _) => {
       if (head != 0L) throw new IllegalStateException(
         s"cloneTable target $dstBase is already initialized (head v$head)" +
           " — clones must start from an empty table")
       srcEnts
-    }, Map("cloned_from" -> s"$srcBase@v$srcV"), seedLedger = ledger)
+    }, Map("cloned_from" -> s"$srcBase@v$srcV"), seedLedger = ledger,
+      editConstraints = if (srcCons.isEmpty) None else Some(_ ++ srcCons))
   }
 
   /** Net row-level CHANGE FEED between two retained snapshots — what an

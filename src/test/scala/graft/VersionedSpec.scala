@@ -914,6 +914,25 @@ class VersionedSpec extends SparkSpec {
     // a deletion-vector stage is row identities, not rows — not gated
     Versioned.deleteWhereMor(spark, base, col("id") === 2L)
     assert(Versioned.read(spark, base).filter(col("id") === 2L).count() === 0)
+
+    // a shallow clone inherits the gate (as-of the cloned version)
+    val dst = freshBase()
+    Versioned.cloneTable(spark, base, dst)
+    assert(Versioned.constraints(spark, dst).keySet === Set("amt_pos"))
+    assertThrows[ConstraintViolation](Versioned.commit(
+      Seq((7L, -1.0)).toDF("id", "amt"), dst, SaveMode.Append))
+
+    // declare-before-load: a constraint on an uninitialized table gates
+    // the very first write
+    val fresh = freshBase()
+    Versioned.addConstraint(spark, fresh, "amt_pos", "amt >= 0")
+    assertThrows[ConstraintViolation](Versioned.commit(
+      Seq((1L, -2.0)).toDF("id", "amt"), fresh))
+    Versioned.commit(Seq((1L, 2.0)).toDF("id", "amt"), fresh)
+    assert(Versioned.read(spark, fresh).count() === 1)
+    // malformed expressions fail at declaration, not first write
+    assertThrows[Exception](
+      Versioned.addConstraint(spark, fresh, "broken", "amt >=== 0"))
   }
 
   test("optimizeZOrder: one clustered commit, vectors materialized, prunable") {
