@@ -313,14 +313,14 @@ object StressVersioned {
     locally {
       val base = freshBase()
       val rows = 4000000L
-      spark.conf.set("spark.graft.bloom.items", (1L << 19).toString)
-      spark.conf.set("spark.graft.bloom.bits", (1L << 22).toString)
-      Versioned.commit(
-        spark.range(0L, rows)
-          .select(col("id"), sha2(col("id").cast("string"), 256).as("pad"))
-          .repartitionByRange(16, col("id"))
-          .sortWithinPartitions("id"),
-        base, bloomCols = Seq("id"))
+      Versioned.withBloomSizing(spark, 1L << 19, 1L << 22) {
+        Versioned.commit(
+          spark.range(0L, rows)
+            .select(col("id"), sha2(col("id").cast("string"), 256).as("pad"))
+            .repartitionByRange(16, col("id"))
+            .sortWithinPartitions("id"),
+          base, bloomCols = Seq("id"))
+      }
       val probes: Seq[Any] = Seq(12345L, 2000001L, 3999999L)
       val t0 = System.nanoTime()
       val pruned = Versioned.readPointPruned(spark, base,

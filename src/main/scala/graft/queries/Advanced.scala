@@ -62,21 +62,22 @@ object Advanced {
     versionedBloomCache.computeIfAbsent((s, d), { _ =>
       val base = scratch("graft_versioned_bf") + "/t"
       val ord = orders(s, d)
-      // per-file filters sized to the bench files (≈20k rows each)
-      s.conf.set("spark.graft.bloom.items", (1L << 15).toString)
-      s.conf.set("spark.graft.bloom.bits", (1L << 18).toString)
       // two range-clustered commits, each staged with a per-file bloom
-      // sidecar: a point probe is confined to few files of EITHER commit
+      // sidecar: a point probe is confined to few files of EITHER
+      // commit. Sizing scoped to this build (≈20k rows per bench file)
+      // — a leaked session conf would undersize every later bloom table.
       def clustered(df: DataFrame): DataFrame =
         df.repartitionByRange(8, col("o_orderkey"))
           .sortWithinPartitions("o_orderkey")
-      graft.sources.Versioned.commit(
-        clustered(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
-        base, bloomCols = Seq("o_orderkey"))
-      graft.sources.Versioned.commit(
-        clustered(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
-        base, org.apache.spark.sql.SaveMode.Append,
-        bloomCols = Seq("o_orderkey"))
+      graft.sources.Versioned.withBloomSizing(s, 1L << 15, 1L << 18) {
+        graft.sources.Versioned.commit(
+          clustered(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+          base, bloomCols = Seq("o_orderkey"))
+        graft.sources.Versioned.commit(
+          clustered(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
+          base, org.apache.spark.sql.SaveMode.Append,
+          bloomCols = Seq("o_orderkey"))
+      }
       base
     })
 

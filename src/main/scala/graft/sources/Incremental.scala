@@ -224,27 +224,32 @@ object Incremental {
       cur.join(broadcast(tp), cur(partitionKey) <=> col("__tp"), "left_semi")
         .drop("__tp")
         .unionByName(partials)))
-
-    val mergedEntries =
-      if (mayVanish && merged.isEmpty) Seq.empty // every touched group vanished
-      else Seq(ManifestEntry(Versioned.stage(merged, basePath),
-        Some(touchedSet)))
-    // the remainder keeps the intersecting dirs' confinement minus the
-    // touched values — but only if EVERY intersecting dir was tagged
-    val remTag = {
-      if (intersecting.forall(_.parts.isDefined)) {
-        val u = intersecting.flatMap(_.parts.get).toSet -- touchedSet
-        if (u.nonEmpty) Some(u) else None
-      } else None
-    }
-    val remEntries =
-      if (remainder.isEmpty) Seq.empty
-      else Seq(ManifestEntry(Versioned.stage(remainder, basePath), remTag))
-    // a lost CAS leaves the freshly staged dirs orphaned — vacuumable
-    // garbage, never visible
-    Versioned.publishEntries(spark, basePath, head,
-      delEnts ++ carried ++ remEntries ++ mergedEntries,
-      Map("batch_id" -> batchId))
+    // the vanish probe would otherwise run the whole merge pipeline
+    // (scan + semi-join + union + re-agg) once for isEmpty and AGAIN
+    // for the stage — cache it around both
+    if (mayVanish) merged.cache()
+    try {
+      val mergedEntries =
+        if (mayVanish && merged.isEmpty) Seq.empty // all touched groups vanished
+        else Seq(ManifestEntry(Versioned.stage(merged, basePath),
+          Some(touchedSet)))
+      // the remainder keeps the intersecting dirs' confinement minus the
+      // touched values — but only if EVERY intersecting dir was tagged
+      val remTag = {
+        if (intersecting.forall(_.parts.isDefined)) {
+          val u = intersecting.flatMap(_.parts.get).toSet -- touchedSet
+          if (u.nonEmpty) Some(u) else None
+        } else None
+      }
+      val remEntries =
+        if (remainder.isEmpty) Seq.empty
+        else Seq(ManifestEntry(Versioned.stage(remainder, basePath), remTag))
+      // a lost CAS leaves the freshly staged dirs orphaned — vacuumable
+      // garbage, never visible
+      Versioned.publishEntries(spark, basePath, head,
+        delEnts ++ carried ++ remEntries ++ mergedEntries,
+        Map("batch_id" -> batchId))
+    } finally if (mayVanish) merged.unpersist()
   }
 
   /** The newest source version consumer `consumerName` has fully folded

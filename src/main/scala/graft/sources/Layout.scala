@@ -374,11 +374,14 @@ object Layout {
     * any size the probe side stays distributed over the sidecar frame.
     *
     * Values hash through a canonical STRING cast on both build and probe
-    * sides: a caller probing an Int literal against a Long column would
-    * otherwise hash differently and silently BREAK soundness (missed
-    * files), the one failure mode a skipping index must never have.
-    * Columns with zero non-null values in a file get a null filter —
-    * [[pruneFilesBloom]] fails OPEN on it. */
+    * sides, and the sidecar RECORDS each column's data type so the probe
+    * canonicalizes its literals through it first (`cast(cast(v as t) as
+    * string)`): a caller probing Int 100 against a DOUBLE column hashes
+    * "100.0" like the build did, not "100" — a raw-literal hash would
+    * silently BREAK soundness (missed files), the one failure mode a
+    * skipping index must never have. Columns with zero non-null values
+    * in a file get a null filter — [[pruneFilesBloom]] fails OPEN on
+    * it. */
   def writeBloomSidecar(spark: SparkSession, path: String,
       cols: Seq[String], expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): Unit = {
@@ -387,32 +390,65 @@ object Layout {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(cols.nonEmpty, "writeBloomSidecar needs at least one column")
     val df = spark.read.parquet(path)
-    cols.foreach(c => require(
-      df.columns.exists(_.equalsIgnoreCase(c)),
-      s"bloom column '$c' is absent from the data under $path"))
+    val types = cols.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column '$c' is absent from the data under $path"))
+      // equality-key types only: timestamps/dates render through the
+      // SESSION time zone, so a probe from a differently-zoned session
+      // would hash differently — a silent false negative, the one
+      // failure a skipping index must never have. Reject them loudly.
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          || f.dataType == org.apache.spark.sql.types.StringType
+          || f.dataType == org.apache.spark.sql.types.BooleanType,
+        s"bloom column '$c' has type ${f.dataType.simpleString} — bloom " +
+          "sidecars support numeric, string, and boolean equality keys")
+      f.dataType
+    }
     val aggs = cols.map { c =>
       GraftBridge.column(new BloomFilterAggregate(
         new XxHash64(Seq(GraftBridge.expression(col(c).cast("string")))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
         .as(s"${c}_bloom")
     }
+    // the COLUMN TYPE rides in the sidecar (constant per column): the
+    // probe side canonicalizes its literals through it, so an Int probe
+    // against a DOUBLE column hashes as "100.0", not "100"
+    val typeCols = cols.zip(types).map { case (c, t) =>
+      lit(t.json).as(s"${c}_type")
+    }
     df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
-      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .groupBy("file").agg(aggs.head, (aggs.tail ++ typeCols): _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_bloom")
   }
 
   /** The exact long [[writeBloomSidecar]]'s aggregate inserts for value
-    * `v`: Catalyst's own `xxhash64(cast(v as string))`, evaluated once
-    * driver-side through the SAME expressions — build and probe hashing
-    * cannot drift. Null probes are rejected (equality with null never
-    * matches a row; a null probe would only weaken pruning). */
-  private def probeHash(v: Any): Long = {
+    * `v` in a column of type `t`: Catalyst's own
+    * `xxhash64(cast(cast(v as t) as string))`, evaluated once driver-side
+    * through the SAME expressions as the build — probe-literal type width
+    * or family (Int vs Long vs Double vs Decimal scale) cannot make the
+    * hashes drift. Null probes are rejected (equality with null never
+    * matches a row); a literal that cannot cast to `t` hashes its null
+    * rendering and at worst keeps extra files — never drops one. */
+  private def probeHash(v: Any,
+      t: org.apache.spark.sql.types.DataType): Option[Long] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
     require(v != null, "bloom probe values must be non-null")
-    new XxHash64(Seq(Cast(Literal(v), org.apache.spark.sql.types.StringType)))
-      .eval(InternalRow.empty).asInstanceOf[Long]
+    // Try, not bare eval: ANSI mode throws on a malformed cast ('abc'
+    // probed against BIGINT) — an uncastable probe matches no row, so
+    // it simply drops
+    val canon = scala.util.Try(
+      Cast(Cast(Literal(v), t), org.apache.spark.sql.types.StringType)
+        .eval(InternalRow.empty)).getOrElse(null)
+    // a probe that casts to null (e.g. "abc" against a LONG column) can
+    // match no row: the caller may drop it — build-side nulls were never
+    // inserted, so hashing null here would only add a meaningless probe
+    if (canon == null) None
+    else Some(new XxHash64(Seq(Literal(canon,
+        org.apache.spark.sql.types.StringType)))
+      .eval(InternalRow.empty).asInstanceOf[Long])
   }
 
   /** Listing-time point-lookup pruning: the files that MIGHT contain, for
@@ -429,15 +465,34 @@ object Layout {
       probes: Seq[(String, Seq[Any])]): Seq[String] = {
     require(probes.nonEmpty && probes.forall(_._2.nonEmpty),
       "pruneFilesBloom needs at least one probe value per column")
-    val hashes: Seq[Array[Long]] =
-      probes.map(_._2.map(probeHash).toArray)
-    val bloomDf = spark.read.parquet(s"$path/_graft_bloom")
-      .select(col("file") +: probes.map(p => col(s"${p._1}_bloom")): _*)
+    val bloomAll = spark.read.parquet(s"$path/_graft_bloom")
+    val fields = bloomAll.schema.fieldNames.toSet
+    def allFiles(): Seq[String] = bloomAll.select("file")
+      .collect().map(_.getString(0)).toSeq
+    // a probe column is usable only with BOTH its filter and its
+    // recorded type (a sidecar without the type cannot canonicalize the
+    // literal, so testing it could silently miss — fail OPEN instead)
+    val usable = probes.filter(p =>
+      fields.contains(s"${p._1}_bloom") && fields.contains(s"${p._1}_type"))
+    if (usable.isEmpty) return allFiles()
+    val typeRow = bloomAll
+      .select(usable.map(p => col(s"${p._1}_type")): _*).limit(1).collect()
+    if (typeRow.isEmpty) return Seq.empty // sidecar with zero rows
+    val hashes: Seq[Array[Long]] = usable.zipWithIndex.map { case ((_, vs), i) =>
+      val t = org.apache.spark.sql.types.DataType.fromJson(
+        typeRow.head.getString(i))
+      vs.flatMap(v => probeHash(v, t)).toArray
+    }
+    // a column whose every probe failed to cast can match no row at all
+    // — every file is provably free of matches
+    if (hashes.exists(_.isEmpty)) return Seq.empty
+    val bloomDf = bloomAll
+      .select(col("file") +: usable.map(p => col(s"${p._1}_bloom")): _*)
     bloomDf.filter { (r: org.apache.spark.sql.Row) =>
       hashes.indices.forall { i =>
         val bytes = r.getAs[Array[Byte]](i + 1)
-        // fail open: a null filter (all-null column in that file, or an
-        // elder sidecar missing the column) keeps the file
+        // fail open: a null filter (all-null column in that file) keeps
+        // the file
         bytes == null || {
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(bytes))

@@ -488,7 +488,21 @@ object Versioned {
       val cs = constraints(spark, basePath)
       if (cs.nonEmpty) {
         val staged = spark.read.parquet(dataDir.toString)
-        if (violations(staged, cs).limit(1).count() > 0) {
+        // an unevaluable constraint (e.g. a non-boolean expression that
+        // could not be type-checked at declaration because the table was
+        // empty) must surface as a ConstraintViolation pointing at the
+        // fix, not a bare analysis error from deep inside a write
+        val broken0 =
+          try violations(staged, cs).limit(1).count() > 0
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            fs(spark, dataDir).delete(dataDir, true)
+            throw new ConstraintViolation(
+              s"CHECK constraint(s) ${cs.keys.toSeq.sorted.mkString(", ")} " +
+                s"under $basePath cannot be evaluated against this " +
+                s"batch's schema (${e.getMessage.linesIterator.next()}) — " +
+                "dropConstraint and re-add a boolean expression")
+          }
+        if (broken0) {
           // error-path only: one pass per constraint to name the broken
           val broken = cs.filter { case (n, e) =>
             violations(staged, Map(n -> e)).limit(1).count() > 0
@@ -516,6 +530,25 @@ object Versioned {
     * bloom-index — the sidecar build would have nothing to group on. */
   private def isDirEmpty(spark: SparkSession, dir: String): Boolean =
     spark.read.parquet(dir).isEmpty
+
+  /** Run `body` with the bloom-sidecar sizing confs
+    * (`spark.graft.bloom.items` / `.bits`) set, RESTORING the previous
+    * values after — a bare `conf.set` would leak a one-off sizing into
+    * every later bloom-staged commit of the session (undersized filters
+    * on production files ≈ 100% false positives ≈ pruning silently
+    * stops skipping). */
+  def withBloomSizing[A](spark: SparkSession, expectedItems: Long,
+      numBits: Long)(body: => A): A = {
+    val keys = Seq("spark.graft.bloom.items" -> expectedItems,
+      "spark.graft.bloom.bits" -> numBits)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v.toString) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   /** Commit `df` as the next version. `Overwrite` (default): the new
     * snapshot is exactly this batch. `Append`: the new snapshot is the
@@ -1065,7 +1098,11 @@ object Versioned {
         val old = if (d.columns.contains(c)) d(c) else lit(null)
         d.withColumn(c, when(cond, e).otherwise(old))
       }
-    }, keepParts = partitionCol.exists(pc => !assignments.contains(pc)))
+    }, keepParts = partitionCol.exists(pc =>
+      // case-INSENSITIVE: withColumn resolves the assignment name
+      // case-insensitively, so Map("Part" -> …) really rewrites `part`
+      // — a case-sensitive check would keep a tag the rewrite broke
+      !assignments.keys.exists(_.equalsIgnoreCase(pc))))
   }
 
   /** Merge-on-read DELETE: instead of rewriting the directories holding
@@ -1245,7 +1282,8 @@ object Versioned {
       // then the touched dirs' union tag still confines the rewrite
       // ([[updateWhere]]'s contract); otherwise drop the tag (safe)
       val tag =
-        if (partitionCol.exists(pc => !updateCols.contains(pc))
+        if (partitionCol.exists(pc => // case-insensitive like updateWhere
+              !updateCols.exists(_.equalsIgnoreCase(pc)))
             && touched.forall(_.parts.isDefined)) {
           val u = touched.flatMap(_.parts.get).toSet
           if (u.nonEmpty) Some(u) else None
@@ -1394,8 +1432,14 @@ object Versioned {
         val u = datas.flatMap(_.parts.get).toSet
         if (u.nonEmpty) Some(u) else None
       } else None
-    val staged = stage(clustered, basePath, statsCols = zCols,
-      bloomCols = bloomCols, validate = false)
+    // inherit the folded dirs' existing skipping columns on top of the
+    // requested ones — the op whose purpose is read acceleration must
+    // not shed the layers DML and compaction preserve
+    val stats = (zCols ++ sharedStatsCols(spark, datas.map(_.path))).distinct
+    val blooms =
+      (bloomCols ++ sharedBloomCols(spark, datas.map(_.path))).distinct
+    val staged = stage(clustered, basePath, statsCols = stats,
+      bloomCols = blooms, validate = false)
     publishEntries(spark, basePath, head, Seq(ManifestEntry(staged, tag)))
   }
 

@@ -775,6 +775,18 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, base).select("part", "id", "amt")
       .as[(String, Long, Double)].collect().toSet ===
       Set(("a", 1L, 0.0), ("z", 2L, 99.0), ("b", 10L, 30.0)))
+
+    // a CASE-MISMATCHED assignment still rewrites the partition column
+    // (withColumn resolves case-insensitively), so the tag must DROP
+    val before6 = Versioned.entries(spark, base, v5).map(_.path).toSet
+    val v6 = Versioned.updateWhere(spark, base, col("id") === 10L,
+      Map("PART" -> lit("y")), partitionCol = Some("part"))
+    val rewritten6 = Versioned.entries(spark, base, v6)
+      .filterNot(e => before6.contains(e.path))
+    assert(rewritten6.nonEmpty && rewritten6.forall(_.parts.isEmpty),
+      "a case-mismatched partition-column assignment must drop the tag")
+    assert(Versioned.read(spark, base).filter(col("id") === 10L)
+      .select("part").as[String].head() === "y")
   }
 
   test("shallow clone: zero-copy fork, independent evolution, inherited ledger") {
@@ -828,13 +840,13 @@ class VersionedSpec extends SparkSpec {
     import spark.implicits._
     val base = freshBase()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
-    // size the per-file filters to the tiny test files
-    spark.conf.set("spark.graft.bloom.items", (1L << 14).toString)
-    spark.conf.set("spark.graft.bloom.bits", (1L << 17).toString)
-    // range-clustered files so single-key probes are confined to few files
-    Versioned.commit(ord.repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey"), base,
-      bloomCols = Seq("o_orderkey"))
+    // per-file filters sized to the tiny test files, scoped (no leak)
+    Versioned.withBloomSizing(spark, 1L << 14, 1L << 17) {
+      // range-clustered files so single-key probes confine to few files
+      Versioned.commit(ord.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), base,
+        bloomCols = Seq("o_orderkey"))
+    }
 
     val mm = ord.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
     val probes = Seq(mm.getLong(0), mm.getLong(1))
@@ -933,14 +945,29 @@ class VersionedSpec extends SparkSpec {
     // malformed expressions fail at declaration, not first write
     assertThrows[Exception](
       Versioned.addConstraint(spark, fresh, "broken", "amt >=== 0"))
+
+    // a NON-BOOLEAN constraint on an empty table parses but cannot be
+    // type-checked there — the first write must surface it as a
+    // ConstraintViolation pointing at the fix, not a bare analysis error
+    val fresh2 = freshBase()
+    Versioned.addConstraint(spark, fresh2, "oops", "amt")
+    val e = intercept[ConstraintViolation](Versioned.commit(
+      Seq((1L, 2.0)).toDF("id", "amt"), fresh2))
+    assert(e.getMessage.contains("dropConstraint"))
+    Versioned.dropConstraint(spark, fresh2, "oops")
+    Versioned.commit(Seq((1L, 2.0)).toDF("id", "amt"), fresh2)
+    assert(Versioned.read(spark, fresh2).count() === 1)
   }
 
   test("optimizeZOrder: one clustered commit, vectors materialized, prunable") {
     val base = freshBase()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
-    Versioned.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), base)
-    Versioned.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1),
-      base, SaveMode.Append)
+    Versioned.withBloomSizing(spark, 1L << 13, 1L << 16) {
+      Versioned.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        base, bloomCols = Seq("o_orderkey"))
+      Versioned.commit(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+        base, SaveMode.Append, bloomCols = Seq("o_orderkey"))
+    }
     Versioned.deleteWhereMor(spark, base,
       pmod(col("o_orderkey"), lit(13)) === 0)
     val expect = Versioned.read(spark, base).count()
@@ -951,6 +978,11 @@ class VersionedSpec extends SparkSpec {
     assert(ents.size === 1 && !ents.head.tombstone,
       "optimize folds everything and materializes the deletion vectors")
     assert(Versioned.read(spark, base).count() === expect)
+    // the folded dirs' bloom layer is INHERITED, not shed — the op
+    // whose purpose is read acceleration must keep the skipping layers
+    assert(new java.io.File(
+      ents.head.path.stripPrefix("file:"), "_graft_bloom").exists(),
+      "optimize must inherit the folded dirs' bloom sidecars")
 
     // the rewrite carries a zone map: a range read prunes files
     val maxOk = ord.agg(max(col("o_orderkey"))).head().getLong(0).toDouble
@@ -961,6 +993,33 @@ class VersionedSpec extends SparkSpec {
     assert(pruned.filter(col("o_orderkey") <= maxOk / 8).count() ===
       Versioned.read(spark, base)
         .filter(col("o_orderkey") <= maxOk / 8).count())
+  }
+
+  test("bloom probes canonicalize through the recorded column type") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.withBloomSizing(spark, 1L << 10, 1L << 14) {
+      Versioned.commit(
+        Seq((1L, 100.0, "a"), (2L, 250.5, "b")).toDF("id", "price", "tag")
+          .repartition(2), base, bloomCols = Seq("id", "price"))
+    }
+    // an Int probe against the DOUBLE column must hash the way the
+    // column renders ("100.0"), or the file holding the match is
+    // silently pruned — the forbidden false negative
+    assert(Versioned.readPointPruned(spark, base, Seq(("price", Seq(100))))
+      .filter(col("price") === 100).count() === 1L)
+    // an uncastable probe can match no row: everything prunes, no error
+    assert(Versioned.readPointPruned(spark, base, Seq(("id", Seq("abc"))))
+      .count() === 0L)
+    // session-zone-dependent types are rejected at build time
+    assertThrows[IllegalArgumentException](
+      Versioned.withBloomSizing(spark, 1L << 10, 1L << 14) {
+        Versioned.commit(
+          Seq((1L, new java.sql.Timestamp(0))).toDF("id", "ts"),
+          freshBase(), bloomCols = Seq("ts"))
+      })
+    // and the sizing helper restored the session confs
+    assert(spark.conf.getOption("spark.graft.bloom.items").isEmpty)
   }
 
   // ---- change-feed-driven rollup sync (incremental materialized view) --
