@@ -81,6 +81,28 @@ object Advanced {
       base
     })
 
+  private val versionedWhereCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def versionedWhereFor(s: SparkSession, d: String): String =
+    versionedWhereCache.computeIfAbsent((s, d), { _ =>
+      val base = scratch("graft_versioned_w") + "/t"
+      val ord = orders(s, d)
+      val z = Seq("o_orderkey", "o_custkey")
+      // both skipping layers on one table: z-ordered commits with a
+      // zone map over the z-columns AND a bloom sidecar on the customer
+      // key — readWhere picks whichever its predicate can use
+      graft.sources.Versioned.withBloomSizing(s, 1L << 15, 1L << 18) {
+        graft.sources.Versioned.commit(graft.sources.Layout.zOrderFrame(
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), z, files = 8),
+          base, statsCols = z, bloomCols = Seq("o_custkey"))
+        graft.sources.Versioned.commit(graft.sources.Layout.zOrderFrame(
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === 1), z, files = 8),
+          base, org.apache.spark.sql.SaveMode.Append,
+          statsCols = z, bloomCols = Seq("o_custkey"))
+      }
+      base
+    })
+
   val queries: Map[String, Q] = Map(
     // ROLLUP over (year, priority). Grouping nulls are labeled 'ALL' so the
     // oracle compare never depends on engine null-ordering.
@@ -273,6 +295,27 @@ object Advanced {
           Seq(("o_orderkey", probes)))
         .filter(col("o_orderkey").isin(probes: _*))
         .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Predicate-driven reads under the correctness gate — readWhere is
+    // the planner face of both skipping layers: ONE ordinary filter
+    // expression, from which the storage layer extracts the range
+    // envelope (zone maps over the z-columns) AND the equality probe
+    // (bloom sidecar over the customer key), prunes the file listing
+    // through whichever each directory carries, and re-applies the
+    // precise predicate — row-identical to the plain filtered scan (the
+    // oracle). Index-selection sharpness / fail-open / contradiction
+    // short-circuit are VersionedSpec's. Bench cost is the read path.
+    "x_versioned_where" -> ((s, d) => {
+      val base = versionedWhereFor(s, d)
+      val ord = orders(s, d)
+      val ck = ord.agg(max(col("o_custkey"))).head().getLong(0)
+      val hiOk = ord.agg(max(col("o_orderkey"))).head().getLong(0) / 2.0
+      graft.sources.Versioned.readWhere(s, base,
+          col("o_custkey") === ck && col("o_orderkey") <= hiOk)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("price_cents"))
         .orderBy("o_orderkey")
     }),
@@ -610,6 +653,13 @@ object Advanced {
         |  FROM orders WHERE o_orderkey % 7 = 3
         |)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_versioned_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey = (SELECT max(o_custkey) FROM orders)
+        |  AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) / 2.0
+        |ORDER BY o_orderkey""".stripMargin,
     "x_versioned_constraints" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT)

@@ -128,4 +128,51 @@ object PredicateRanges {
         (c, bs.map(_._2).max, bs.map(_._3).min)
       }.toSeq.sortBy(_._1)
   }
+
+  /** A literal of ANY type as its external Scala value (blooms index
+    * strings too, unlike the numeric-only range envelope). */
+  private def anyLit(e: Expression): Option[Any] = e match {
+    case Literal(v, dt) if v != null => Some(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, dt))
+    case _ => None
+  }
+
+  private def eqProbe(l: Expression,
+      r: Expression): Option[(String, Seq[Any])] =
+    (attr(l), anyLit(r)) match {
+      case (Some(c), Some(v)) => Some((c, Seq(v)))
+      case _ => (attr(r), anyLit(l)) match {
+        case (Some(c), Some(v)) => Some((c, Seq(v)))
+        case _ => None
+      }
+    }
+
+  private def inProbe(a: Expression,
+      vs: Seq[Expression]): Option[(String, Seq[Any])] =
+    attr(a).flatMap { c =>
+      val xs = vs.flatMap(anyLit)
+      if (xs.size == vs.size && xs.nonEmpty) Some((c, xs)) else None
+    }
+
+  /** Per-column EQUALITY probe sets from `cond`'s conjuncts (`= IN`,
+    * either operand order, any literal type) — the bloom-sidecar twin of
+    * [[extract]]. Multiple conjuncts on one column INTERSECT their value
+    * sets (a matching row satisfies all of them); an empty intersection
+    * is returned as an empty list — the caller may conclude no row can
+    * match at all. Same fail-open stance: anything unrecognized
+    * contributes nothing for its columns. */
+  def extractProbes(cond: Column): Seq[(String, Seq[Any])] = {
+    val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
+    conjuncts(expr).flatMap {
+      case EqualTo(l, r) => eqProbe(l, r)
+      case In(a, vs) => inProbe(a, vs)
+      case Fn("in", args) if args.size >= 2 => inProbe(args.head, args.tail)
+      case Fn("=" , args) if args.size == 2 => eqProbe(args.head, args(1))
+      case Fn("==", args) if args.size == 2 => eqProbe(args.head, args(1))
+      case _ => None
+    }.groupBy(_._1).map { case (c, ps: Seq[(String, Seq[Any])]) =>
+      (c, ps.map(_._2.toSet).reduce(_ intersect _).toSeq)
+    }.toSeq.sortBy(_._1)
+  }
 }

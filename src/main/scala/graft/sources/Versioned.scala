@@ -23,6 +23,12 @@ final case class ManifestEntry(path: String, parts: Option[Set[String]],
   * nothing; the staged directory is unreferenced vacuumable garbage. */
 final class ConstraintViolation(msg: String) extends RuntimeException(msg)
 
+/** A write was rejected by the table's STRICT schema policy
+  * ([[Versioned.setSchemaPolicy]]): the batch carries a column the
+  * snapshot does not have, or changes an existing column's type. The
+  * commit published nothing. */
+final class SchemaPolicyViolation(msg: String) extends RuntimeException(msg)
+
 /** Versioned parquet tables: an atomic-manifest snapshot protocol (the
   * public Delta/Iceberg commit shape, reduced to its load-bearing core) —
   * the piece that turns SURVEY §2.9's "transactions are a no-op under the
@@ -85,8 +91,9 @@ final class ConstraintViolation(msg: String) extends RuntimeException(msg)
   * inherited ledger). Data skipping: [[readPruned]] (zone-map ranges)
   * and [[readPointPruned]] (per-file bloom equality probes), both
   * listing-time, both fail-open, both surviving DML rewrites. CHECK
-  * constraints ([[addConstraint]]) are protocol-carried metadata
-  * enforced on every data-adding write at the staging door.
+  * constraints ([[addConstraint]]) and the schema policy
+  * ([[setSchemaPolicy]] — strict vs evolve) are protocol-carried
+  * metadata enforced on every data-adding write at the staging door.
   *
   * THE APPLIED-BATCH LEDGER: every manifest's metadata carries forward
   * the (bounded, most-recent-first-out) list of ingested batch ids under
@@ -110,6 +117,7 @@ object Versioned {
 
   private val AppliedKey = "applied"
   private val ConstraintsKey = "constraints"
+  private val PolicyKey = "schema_policy"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     FsUtil.fs(spark, p)
@@ -307,6 +315,31 @@ object Versioned {
         .reduce(_ || _))
   }
 
+  /** The table's schema policy: `"evolve"` (the default — append/merge
+    * batches may ADD columns, reconciled by the snapshot's union-schema
+    * read) or `"strict"` (a batch carrying a column the snapshot lacks,
+    * or changing an existing column's type, is rejected whole). */
+  def schemaPolicy(spark: SparkSession, basePath: String): String =
+    versions(spark, basePath).lastOption
+      .flatMap(v => commitMeta(spark, basePath, v).get(PolicyKey))
+      .getOrElse("evolve")
+
+  /** Set the schema policy (metadata-only commit, protocol-carried like
+    * the constraint set — a racing writer cannot drop it). STRICT is
+    * the schema-enforcement half of the public formats: evolution stays
+    * possible, but only as a deliberate `setSchemaPolicy("evolve")`,
+    * never as a typo'd column silently widening a 100 TB table. Batches
+    * may still OMIT nullable columns under strict (the snapshot read
+    * materializes null). Works on an uninitialized table (the policy
+    * gates every write from the first on; the first batch establishes
+    * the schema it is then strict against). */
+  def setSchemaPolicy(spark: SparkSession, basePath: String,
+      policy: String): Long = {
+    require(policy == "strict" || policy == "evolve",
+      s"schema policy is 'strict' or 'evolve', got '$policy'")
+    publish(spark, basePath, (_, prev) => prev, editPolicy = Some(policy))
+  }
+
   /** ALTER TABLE … ADD CONSTRAINT … CHECK: validate that every EXISTING
     * row satisfies `sqlExpr` (one scan — the standard one-time cost),
     * then publish a metadata-only commit recording it. From that commit
@@ -367,7 +400,8 @@ object Versioned {
       meta: Map[String, String] = Map.empty,
       seedLedger: Seq[String] = Seq.empty,
       editConstraints: Option[Map[String, String] => Map[String, String]]
-        = None): Long = {
+        = None,
+      editPolicy: Option[String] = None): Long = {
     meta.foreach { case (k, v) =>
       require(!k.contains("=") && !(k + v).exists(c =>
           c == '\n' || c == '\r' || c == '\t'),
@@ -379,6 +413,8 @@ object Versioned {
       "#ts (the commit timestamp) is stamped by the protocol")
     require(!meta.contains(ConstraintsKey),
       s"#$ConstraintsKey is maintained by the protocol — use addConstraint")
+    require(!meta.contains(PolicyKey),
+      s"#$PolicyKey is maintained by the protocol — use setSchemaPolicy")
     val mdir = manifestDir(basePath)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -427,9 +463,12 @@ object Versioned {
       // tells the next reader "consolidated — no legacy scan needed", so
       // omitting it would cost every future publish of a batch-id-free
       // table an O(versions) manifest sweep
+      // the schema policy carries exactly like the constraint set
+      val polOut = editPolicy.orElse(headMeta.get(PolicyKey))
       val fullMeta = meta + ("ts" -> ts.toString) +
         (AppliedKey -> ledger.map(enc).mkString(",")) ++
-        consOut.map(ConstraintsKey -> _)
+        consOut.map(ConstraintsKey -> _) ++
+        polOut.map(PolicyKey -> _)
       val lines = fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ newEntries.map(encodeEntry)
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
@@ -478,6 +517,34 @@ object Versioned {
     // against qualified listing paths (vacuum), so one canonical form
     val raw = new Path(basePath, s"data-${java.util.UUID.randomUUID()}")
     val dataDir = fs(spark, raw).makeQualified(raw)
+    // ONE head-meta read feeds both staging-door gates (policy, then
+    // constraints after the write)
+    val headV = if (validate) versions(spark, basePath).lastOption else None
+    val headMeta = headV.map(commitMeta(spark, basePath, _))
+      .getOrElse(Map.empty[String, String])
+    // STRICT schema policy gates before any bytes land (only the
+    // batch's schema is needed): no unknown columns, no type changes.
+    // An empty-schema snapshot (policy declared before the first load)
+    // establishes nothing yet — the first batch defines the schema.
+    if (validate && headMeta.get(PolicyKey).contains("strict")) {
+      headV.foreach { head =>
+        val snap = readVersion(spark, basePath, head).schema
+        if (snap.fields.nonEmpty) df.schema.fields.foreach { f =>
+          snap.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case None => throw new SchemaPolicyViolation(
+              s"strict schema policy under $basePath: batch column " +
+                s"'${f.name}' does not exist in the snapshot — " +
+                "setSchemaPolicy(\"evolve\") to allow schema evolution")
+            case Some(h) if h.dataType != f.dataType =>
+              throw new SchemaPolicyViolation(
+                s"strict schema policy under $basePath: column " +
+                  s"'${f.name}' is ${h.dataType.simpleString} in the " +
+                  s"snapshot but ${f.dataType.simpleString} in the batch")
+            case _ => ()
+          }
+        }
+      }
+    }
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     // CHECK constraints gate the staging door — the one door all DATA
     // enters through (commits, DML rewrites, merges, rollup states);
@@ -485,7 +552,8 @@ object Versioned {
     // rows). Validated against the files just written, i.e. exactly
     // what readers would see; a violating batch is rejected WHOLE.
     if (validate) {
-      val cs = constraints(spark, basePath)
+      val cs = headMeta.get(ConstraintsKey)
+        .map(decodeConstraints).getOrElse(Map.empty[String, String])
       if (cs.nonEmpty) {
         val staged = spark.read.parquet(dataDir.toString)
         // an unevaluable constraint (e.g. a non-boolean expression that
@@ -724,7 +792,8 @@ object Versioned {
           " — clones must start from an empty table")
       srcEnts
     }, Map("cloned_from" -> s"$srcBase@v$srcV"), seedLedger = ledger,
-      editConstraints = if (srcCons.isEmpty) None else Some(_ ++ srcCons))
+      editConstraints = if (srcCons.isEmpty) None else Some(_ ++ srcCons),
+      editPolicy = srcMeta.get(PolicyKey)) // schema policy forks too
   }
 
   /** Net row-level CHANGE FEED between two retained snapshots — what an
@@ -976,6 +1045,55 @@ object Versioned {
     else applyDels(spark,
       spark.read.option("mergeSchema", "true").parquet(sources: _*),
       delPaths(ents))
+  }
+
+  /** Predicate-driven read — the planner face of BOTH skipping layers:
+    * extracts per-column range envelopes ([[PredicateRanges.extract]] →
+    * zone maps) and equality probe sets ([[PredicateRanges
+    * .extractProbes]] → bloom sidecars) from `cond`'s conjuncts, prunes
+    * each directory's file listing with whichever sidecars it carries
+    * (files must survive BOTH layers), reads the survivors, and
+    * re-applies the precise predicate — so the result is ROW-IDENTICAL
+    * to `read(...).filter(cond)` by construction, with the caller
+    * writing one ordinary filter expression and the storage layer
+    * choosing its indexes. Unextractable predicate shapes (ORs, casts,
+    * functions) and dirs without sidecars fail open; a contradictory
+    * conjunction (`k = 1 AND k = 2`) short-circuits to an empty
+    * result. */
+  def readWhere(spark: SparkSession, basePath: String,
+      cond: Column): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ranges = PredicateRanges.extract(cond)
+    val probes = PredicateRanges.extractProbes(cond)
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    if (probes.exists(_._2.isEmpty)) // k = 1 AND k = 2: no row can match
+      return readVersion(spark, basePath, head).filter(lit(false))
+    val sources = dataEntries(ents).map(_.path).flatMap { d =>
+      val zone: Option[Set[String]] = sidecarUsable(spark, d, ranges) match {
+        case Some(us) if us.nonEmpty =>
+          Some(Layout.pruneFiles(spark, d, us).toSet)
+        case _ => None
+      }
+      val bloom: Option[Set[String]] =
+        bloomUsable(spark, d, probes.filter(_._2.nonEmpty)) match {
+          case Some(us) if us.nonEmpty =>
+            Some(Layout.pruneFilesBloom(spark, d, us).toSet)
+          case _ => None
+        }
+      (zone, bloom) match {
+        case (None, None) => Seq(d)
+        case (Some(z), None) => z.toSeq
+        case (None, Some(b)) => b.toSeq
+        case (Some(z), Some(b)) => (z intersect b).toSeq
+      }
+    }
+    val base =
+      if (sources.isEmpty) readVersion(spark, basePath, head).filter(lit(false))
+      else applyDels(spark,
+        spark.read.option("mergeSchema", "true").parquet(sources: _*),
+        delPaths(ents))
+    base.filter(cond)
   }
 
   /** The subset of `ranges` a dir's sidecar can actually evaluate —

@@ -18,9 +18,9 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 167/175 split") {
-    assert(SparkEntry.queries.size === 175)
-    assert(SparkEntry.oracleSql.size === 167)
+  test("oracle coverage matches the documented 168/176 split") {
+    assert(SparkEntry.queries.size === 176)
+    assert(SparkEntry.oracleSql.size === 168)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the 8 intrinsically non-oracle-able operators (ANN internals /
     // approximate sketches — x_media_neardup routes through the IVF-PQ

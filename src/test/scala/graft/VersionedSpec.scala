@@ -1022,6 +1022,124 @@ class VersionedSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.graft.bloom.items").isEmpty)
   }
 
+  test("readWhere: predicate-driven index selection, fail-open, contradiction") {
+    import spark.implicits._
+    import graft.sources.Layout
+    val base = freshBase()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+    val z = Seq("o_orderkey", "o_custkey")
+    Versioned.withBloomSizing(spark, 1L << 13, 1L << 16) {
+      Versioned.commit(Layout.zOrderFrame(ord, z, files = 8), base,
+        statsCols = z, bloomCols = Seq("o_custkey"))
+    }
+    val ck = ord.agg(max(col("o_custkey"))).head().getLong(0)
+    val hiOk = ord.agg(max(col("o_orderkey"))).head().getLong(0) / 2.0
+    val cond = col("o_custkey") === ck && col("o_orderkey") <= hiOk
+
+    val got = Versioned.readWhere(spark, base, cond)
+    val want = Versioned.read(spark, base).filter(cond)
+    assert(got.select("o_orderkey").as[Long].collect().sorted.toSeq ===
+      want.select("o_orderkey").as[Long].collect().sorted.toSeq)
+    // both layers contributed: fewer files than either the full scan
+    assert(got.inputFiles.length * 2 <=
+      Versioned.read(spark, base).inputFiles.length,
+      s"${got.inputFiles.length} files planned")
+
+    // contradictory equality conjunction short-circuits to empty
+    assert(Versioned.readWhere(spark, base,
+      col("o_custkey") === 1L && col("o_custkey") === 2L).count() === 0L)
+
+    // fail open: an OR predicate extracts nothing and still answers
+    val orCond = col("o_custkey") === ck || col("o_orderkey") <= 10L
+    assert(Versioned.readWhere(spark, base, orCond).count() ===
+      Versioned.read(spark, base).filter(orCond).count())
+
+    // probes on a STRING column route through the bloom too
+    val prio = "1-URGENT"
+    val pBase = freshBase()
+    Versioned.withBloomSizing(spark, 1L << 13, 1L << 16) {
+      Versioned.commit(ord.repartition(4), pBase,
+        bloomCols = Seq("o_orderpriority"))
+    }
+    assert(Versioned.readWhere(spark, pBase,
+        col("o_orderpriority") === prio).count() ===
+      ord.filter(col("o_orderpriority") === prio).count())
+  }
+
+  test("strict schema policy: unknown columns and type changes reject whole") {
+    import spark.implicits._
+    import graft.sources.SchemaPolicyViolation
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 10.0)).toDF("id", "amt"), base)
+    assert(Versioned.schemaPolicy(spark, base) === "evolve")
+    Versioned.setSchemaPolicy(spark, base, "strict")
+
+    // unknown column rejected whole; nothing published
+    val head = Versioned.versions(spark, base).last
+    assertThrows[SchemaPolicyViolation](Versioned.commit(
+      Seq((2L, 5.0, "x")).toDF("id", "amt", "extra"), base, SaveMode.Append))
+    // type change rejected
+    assertThrows[SchemaPolicyViolation](Versioned.commit(
+      Seq((2L, 5)).toDF("id", "amt"), base, SaveMode.Append))
+    assert(Versioned.versions(spark, base).last === head)
+
+    // same-schema and column-omitting batches pass; policy carries
+    Versioned.commit(Seq((2L, 5.0)).toDF("id", "amt"), base, SaveMode.Append)
+    Versioned.commit(Seq(Tuple1(3L)).toDF("id"), base, SaveMode.Append)
+    assert(Versioned.schemaPolicy(spark, base) === "strict")
+    assert(Versioned.read(spark, base).count() === 3)
+
+    // a deliberate evolve re-opens evolution
+    Versioned.setSchemaPolicy(spark, base, "evolve")
+    Versioned.commit(Seq((4L, 1.0, "y")).toDF("id", "amt", "extra"),
+      base, SaveMode.Append)
+    assert(Versioned.read(spark, base).columns.toSet ===
+      Set("id", "amt", "extra"))
+
+    // declare-before-load: policy on an uninitialized table; the first
+    // batch establishes the schema it is then strict against
+    val fresh = freshBase()
+    Versioned.setSchemaPolicy(spark, fresh, "strict")
+    Versioned.commit(Seq((1L, "a")).toDF("id", "tag"), fresh)
+    assertThrows[SchemaPolicyViolation](Versioned.commit(
+      Seq((2L, "b", 0.5)).toDF("id", "tag", "w"), fresh, SaveMode.Append))
+
+    // a clone forks the policy with the table
+    val dst = freshBase()
+    Versioned.cloneTable(spark, fresh, dst)
+    assert(Versioned.schemaPolicy(spark, dst) === "strict")
+  }
+
+  test("syncRollup with subKeys: multi-key groups maintain exactly") {
+    import spark.implicits._
+    val I = graft.sources.Incremental
+    val src = freshBase(); val roll = freshBase()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    def prep(df: org.apache.spark.sql.DataFrame) = df.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+      lit(1L).as("cnt"), Tables.cents(col("value")).as("val_cents"))
+    def sync(): Long = I.syncRollup(spark, src, roll, "mv", prep,
+      "day", Seq("event_type"), Seq("cnt", "val_cents"), "cnt")
+
+    Versioned.commit(ev.filter(pmod(col("user_id"), lit(2)) === 0), src)
+    sync()
+    Versioned.commit(ev.filter(pmod(col("user_id"), lit(2)) === 1),
+      src, SaveMode.Append)
+    Versioned.deleteWhere(spark, src, col("event_type") === "click")
+    sync()
+
+    val got = Versioned.read(spark, roll)
+      .select("day", "event_type", "cnt", "val_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    val want = prep(Versioned.read(spark, src))
+      .groupBy("day", "event_type")
+      .agg(sum("cnt").as("cnt"), sum("val_cents").as("val_cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(!got.exists(_._2 == "click"),
+      "the deleted event type's groups must have vanished")
+  }
+
   // ---- change-feed-driven rollup sync (incremental materialized view) --
 
   private def syncPrep(df: org.apache.spark.sql.DataFrame)
