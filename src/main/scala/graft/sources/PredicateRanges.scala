@@ -155,13 +155,30 @@ object PredicateRanges {
       if (xs.size == vs.size && xs.nonEmpty) Some((c, xs)) else None
     }
 
+  /** Scala `Set` equality coincides with SQL equality only for these
+    * literal classes: same-class boxed primitives and strings. BigDecimal
+    * (`1.0 != 1.00` under equals, SQL-equal), byte arrays (reference
+    * equality), and MIXED classes (Int 1 vs String "1", which SQL
+    * coerces equal) would make a set intersection claim a contradiction
+    * SQL would not — and an over-eager "contradiction" becomes silently
+    * dropped rows downstream. */
+  private val intersectSafe: Set[Class[_]] = Set(
+    classOf[String], classOf[java.lang.Long], classOf[java.lang.Integer],
+    classOf[java.lang.Short], classOf[java.lang.Byte],
+    classOf[java.lang.Double], classOf[java.lang.Float],
+    classOf[java.lang.Boolean])
+
   /** Per-column EQUALITY probe sets from `cond`'s conjuncts (`= IN`,
     * either operand order, any literal type) — the bloom-sidecar twin of
-    * [[extract]]. Multiple conjuncts on one column INTERSECT their value
-    * sets (a matching row satisfies all of them); an empty intersection
-    * is returned as an empty list — the caller may conclude no row can
-    * match at all. Same fail-open stance: anything unrecognized
-    * contributes nothing for its columns. */
+    * [[extract]]. Multiple conjuncts on one column combine SOUNDLY: each
+    * conjunct's list individually over-approximates the matching rows'
+    * values, so when Scala equality is trustworthy for every involved
+    * literal (one shared [[intersectSafe]] class) the sets INTERSECT —
+    * an empty intersection means no row can match — and otherwise the
+    * SMALLEST single list is used (sharp enough, never a false
+    * contradiction: Scala's `1 != "1"` is not SQL's `1 = '1'`). Same
+    * fail-open stance as [[extract]]: anything unrecognized contributes
+    * nothing for its columns. */
   def extractProbes(cond: Column): Seq[(String, Seq[Any])] = {
     val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
     conjuncts(expr).flatMap {
@@ -172,7 +189,14 @@ object PredicateRanges {
       case Fn("==", args) if args.size == 2 => eqProbe(args.head, args(1))
       case _ => None
     }.groupBy(_._1).map { case (c, ps: Seq[(String, Seq[Any])]) =>
-      (c, ps.map(_._2.toSet).reduce(_ intersect _).toSeq)
+      val lists = ps.map(_._2)
+      val classes = lists.flatten.map(_.getClass).distinct
+      val merged =
+        if (lists.size == 1) lists.head
+        else if (classes.size == 1 && intersectSafe(classes.head))
+          lists.map(_.toSet).reduce(_ intersect _).toSeq
+        else lists.minBy(_.size)
+      (c, merged)
     }.toSeq.sortBy(_._1)
   }
 }

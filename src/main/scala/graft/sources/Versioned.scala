@@ -517,25 +517,23 @@ object Versioned {
     // against qualified listing paths (vacuum), so one canonical form
     val raw = new Path(basePath, s"data-${java.util.UUID.randomUUID()}")
     val dataDir = fs(spark, raw).makeQualified(raw)
-    // ONE head-meta read feeds both staging-door gates (policy, then
-    // constraints after the write)
-    val headV = if (validate) versions(spark, basePath).lastOption else None
-    val headMeta = headV.map(commitMeta(spark, basePath, _))
-      .getOrElse(Map.empty[String, String])
     // STRICT schema policy gates before any bytes land (only the
-    // batch's schema is needed): no unknown columns, no type changes.
-    // An empty-schema snapshot (policy declared before the first load)
-    // establishes nothing yet — the first batch defines the schema.
-    if (validate && headMeta.get(PolicyKey).contains("strict")) {
-      headV.foreach { head =>
-        val snap = readVersion(spark, basePath, head).schema
+    // batch's schema is needed): no unknown columns, no type changes
+    // (nullability-insensitive — a batch whose array/struct nullability
+    // is narrower than the snapshot's is compatible). An empty-schema
+    // snapshot (policy declared before the first load) establishes
+    // nothing yet — the first batch defines the schema.
+    if (validate && schemaPolicy(spark, basePath) == "strict") {
+      versions(spark, basePath).lastOption.foreach { head =>
+        val snap = snapshotSchema(spark, basePath, head)
         if (snap.fields.nonEmpty) df.schema.fields.foreach { f =>
           snap.fields.find(_.name.equalsIgnoreCase(f.name)) match {
             case None => throw new SchemaPolicyViolation(
               s"strict schema policy under $basePath: batch column " +
                 s"'${f.name}' does not exist in the snapshot — " +
                 "setSchemaPolicy(\"evolve\") to allow schema evolution")
-            case Some(h) if h.dataType != f.dataType =>
+            case Some(h) if !org.apache.spark.sql.GraftBridge
+                .sameType(h.dataType, f.dataType) =>
               throw new SchemaPolicyViolation(
                 s"strict schema policy under $basePath: column " +
                   s"'${f.name}' is ${h.dataType.simpleString} in the " +
@@ -552,8 +550,10 @@ object Versioned {
     // rows). Validated against the files just written, i.e. exactly
     // what readers would see; a violating batch is rejected WHOLE.
     if (validate) {
-      val cs = headMeta.get(ConstraintsKey)
-        .map(decodeConstraints).getOrElse(Map.empty[String, String])
+      // re-read AFTER the write (not a pre-write snapshot): a constraint
+      // added while a long batch write was in flight is enforced — the
+      // narrowest window the optimistic model allows
+      val cs = constraints(spark, basePath)
       if (cs.nonEmpty) {
         val staged = spark.read.parquet(dataDir.toString)
         // an unevaluable constraint (e.g. a non-boolean expression that
@@ -598,6 +598,24 @@ object Versioned {
     * bloom-index — the sidecar build would have nothing to group on. */
   private def isDirEmpty(spark: SparkSession, dir: String): Boolean =
     spark.read.parquet(dir).isEmpty
+
+  /** Snapshot union schema, cached per (table, version): deriving it
+    * merges parquet footers across the WHOLE snapshot, so a strict-
+    * policy table's per-batch type check must not pay O(table files) on
+    * every small append — a snapshot's schema is immutable, one entry
+    * per table suffices (stale versions overwrite). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+  private def snapshotSchema(spark: SparkSession, basePath: String,
+      v: Long): org.apache.spark.sql.types.StructType = {
+    val cached = schemaCache.get(basePath)
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val s = readVersion(spark, basePath, v).schema
+      schemaCache.put(basePath, (v, s))
+      s
+    }
+  }
 
   /** Run `body` with the bloom-sidecar sizing confs
     * (`spark.graft.bloom.items` / `.bits`) set, RESTORING the previous
@@ -1070,13 +1088,19 @@ object Versioned {
     if (probes.exists(_._2.isEmpty)) // k = 1 AND k = 2: no row can match
       return readVersion(spark, basePath, head).filter(lit(false))
     val sources = dataEntries(ents).map(_.path).flatMap { d =>
-      val zone: Option[Set[String]] = sidecarUsable(spark, d, ranges) match {
-        case Some(us) if us.nonEmpty =>
-          Some(Layout.pruneFiles(spark, d, us).toSet)
-        case _ => None
-      }
+      // each layer is consulted only when the predicate actually
+      // extracted something for it — an empty extraction must not pay
+      // an fs.exists + sidecar-schema read per dir for nothing
+      val zone: Option[Set[String]] =
+        if (ranges.isEmpty) None
+        else sidecarUsable(spark, d, ranges) match {
+          case Some(us) if us.nonEmpty =>
+            Some(Layout.pruneFiles(spark, d, us).toSet)
+          case _ => None
+        }
       val bloom: Option[Set[String]] =
-        bloomUsable(spark, d, probes.filter(_._2.nonEmpty)) match {
+        if (probes.isEmpty) None
+        else bloomUsable(spark, d, probes) match {
           case Some(us) if us.nonEmpty =>
             Some(Layout.pruneFilesBloom(spark, d, us).toSet)
           case _ => None

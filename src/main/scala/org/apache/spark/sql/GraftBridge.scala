@@ -13,6 +13,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Nullability-and-case-insensitive type equality (`DataType.sameType`
+    * is `private[spark]`) — strict schema enforcement must not reject an
+    * array<string> batch because its `containsNull` is narrower than the
+    * snapshot's. */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** The FULLY CONVERTED catalyst expression of a Column: Spark 4's
     * `ExpressionUtils.expression` returns a lazy `ColumnNodeExpression`
     * wrapper; unwrap it through the classic converter so callers see the

@@ -1049,6 +1049,15 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, base,
       col("o_custkey") === 1L && col("o_custkey") === 2L).count() === 0L)
 
+    // a MIXED-TYPE conjunction is NOT a contradiction: Scala's 1 != "1"
+    // is not SQL's 1 = '1' (which coerces and matches) — readWhere must
+    // stay row-identical to the plain filtered scan, never empty
+    val mixed = col("o_custkey") === ck && col("o_custkey") === ck.toString
+    assert(Versioned.readWhere(spark, base, mixed).count() ===
+      Versioned.read(spark, base).filter(mixed).count())
+    assert(Versioned.read(spark, base).filter(mixed).count() > 0,
+      "fixture sanity: SQL coercion must make the mixed conjunct match")
+
     // fail open: an OR predicate extracts nothing and still answers
     val orCond = col("o_custkey") === ck || col("o_orderkey") <= 10L
     assert(Versioned.readWhere(spark, base, orCond).count() ===
@@ -1086,6 +1095,17 @@ class VersionedSpec extends SparkSpec {
     // same-schema and column-omitting batches pass; policy carries
     Versioned.commit(Seq((2L, 5.0)).toDF("id", "amt"), base, SaveMode.Append)
     Versioned.commit(Seq(Tuple1(3L)).toDF("id"), base, SaveMode.Append)
+
+    // nested-nullability narrowing is NOT a type change: an
+    // array<string> batch must not be rejected because its containsNull
+    // is narrower than the snapshot's
+    val nb = freshBase()
+    Versioned.commit(Seq((1L, Seq(Option("x"), None)))
+      .toDF("id", "tags"), nb) // containsNull = true
+    Versioned.setSchemaPolicy(spark, nb, "strict")
+    Versioned.commit(Seq((2L, Seq("a", "b"))).toDF("id", "tags"),
+      nb, SaveMode.Append) // containsNull = false — compatible
+    assert(Versioned.read(spark, nb).count() === 2)
     assert(Versioned.schemaPolicy(spark, base) === "strict")
     assert(Versioned.read(spark, base).count() === 3)
 
