@@ -1585,6 +1585,51 @@ object Versioned {
     publishEntries(spark, basePath, head, Seq(ManifestEntry(staged, tag)))
   }
 
+  /** DESCRIBE DETAIL: one row summarizing the LATEST snapshot — version,
+    * commit stamp, directory/byte counts, how much of the table carries
+    * each skipping layer or a partition tag, and the governance state
+    * (constraint count, schema policy). Driver-side manifest + listing
+    * reads only (O(dirs)); the ops face of the protocol. */
+  def describe(spark: SparkSession, basePath: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val head = headVersion(spark, basePath)
+    val ents = entries(spark, basePath, head)
+    val datas = dataEntries(ents)
+    val meta = commitMeta(spark, basePath, head)
+    def hasSidecar(d: String, name: String): Boolean = {
+      val p = new Path(d, name)
+      fs(spark, p).exists(p)
+    }
+    val row = org.apache.spark.sql.Row(
+      head,
+      parseTs(meta).map(Long.box).orNull,
+      datas.size,
+      ents.count(_.tombstone),
+      datas.map(d => dirBytes(spark, d.path)).sum,
+      datas.count(_.parts.isDefined),
+      datas.count(e => hasSidecar(e.path, "_graft_zonemap")),
+      datas.count(e => hasSidecar(e.path, "_graft_bloom")),
+      meta.get(ConstraintsKey).map(decodeConstraints).fold(0)(_.size),
+      meta.getOrElse(PolicyKey, "evolve"),
+      versions(spark, basePath).size)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      ("version", org.apache.spark.sql.types.LongType),
+      ("ts", org.apache.spark.sql.types.LongType),
+      ("data_dirs", org.apache.spark.sql.types.IntegerType),
+      ("tombstone_dirs", org.apache.spark.sql.types.IntegerType),
+      ("bytes", org.apache.spark.sql.types.LongType),
+      ("tagged_dirs", org.apache.spark.sql.types.IntegerType),
+      ("zone_mapped_dirs", org.apache.spark.sql.types.IntegerType),
+      ("bloom_indexed_dirs", org.apache.spark.sql.types.IntegerType),
+      ("constraints", org.apache.spark.sql.types.IntegerType),
+      ("schema_policy", org.apache.spark.sql.types.StringType),
+      ("retained_versions", org.apache.spark.sql.types.IntegerType)
+    ).map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = n == "ts")
+    })
+    spark.createDataFrame(Seq(row).asJava, schema)
+  }
+
   /** GC: drop manifests older than the last `keepVersions` and delete
     * every `data-*` directory no kept manifest references (including
     * crash-orphaned staging dirs that never made it into any manifest).

@@ -1022,6 +1022,34 @@ class VersionedSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.graft.bloom.items").isEmpty)
   }
 
+  test("describe: one-row snapshot detail reflects layers and governance") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.withBloomSizing(spark, 1L << 12, 1L << 15) {
+      Versioned.commit(Seq((1L, 2.0), (3L, 4.0)).toDF("id", "amt"), base,
+        statsCols = Seq("id"), bloomCols = Seq("id"),
+        parts = Some(Set("p1")))
+    }
+    Versioned.commit(Seq((5L, 6.0)).toDF("id", "amt"), base,
+      SaveMode.Append)
+    Versioned.deleteWhereMor(spark, base, col("id") === 3L)
+    Versioned.addConstraint(spark, base, "amt_pos", "amt >= 0")
+    Versioned.setSchemaPolicy(spark, base, "strict")
+
+    val d = Versioned.describe(spark, base).head()
+    assert(d.getAs[Int]("data_dirs") === 2)
+    assert(d.getAs[Int]("tombstone_dirs") === 1)
+    assert(d.getAs[Long]("bytes") > 0L)
+    assert(d.getAs[Int]("tagged_dirs") === 1)
+    assert(d.getAs[Int]("zone_mapped_dirs") === 1)
+    assert(d.getAs[Int]("bloom_indexed_dirs") === 1)
+    assert(d.getAs[Int]("constraints") === 1)
+    assert(d.getAs[String]("schema_policy") === "strict")
+    assert(d.getAs[Int]("retained_versions") ===
+      Versioned.versions(spark, base).size)
+    assert(d.getAs[Long]("version") === Versioned.versions(spark, base).last)
+  }
+
   test("readWhere: predicate-driven index selection, fail-open, contradiction") {
     import spark.implicits._
     import graft.sources.Layout
