@@ -193,7 +193,17 @@ object Layout {
     * — distributed over the file list (a task reads a few KB of footer,
     * never a data page), then the KB-scale stats collect to the driver
     * and land as the sidecar. At 100 TB this is the difference between
-    * "free index at write time" and "second full pass". */
+    * "free index at write time" and "second full pass".
+    *
+    * TYPED: each column's footer logical type picks its [[ZoneCodec]]
+    * FAMILY (numeric / date / timestamp / string), bounds land encoded
+    * in that family's order-preserving double space, and the family is
+    * RECORDED in the sidecar (`{c}_family`, constant per column) — the
+    * probe side must encode its literals through the SAME family or
+    * refuse, which is what makes a date-range or string-prefix predicate
+    * prunable and a cross-family probe fail OPEN instead of wrong.
+    * Unsupported types (timestamp-NTZ, INT96, nested, plain binary) get
+    * family `unsupported` with null bounds — never pruned on. */
   def writeZoneMap(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = {
     import scala.jdk.CollectionConverters._
@@ -223,7 +233,7 @@ object Layout {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val colList = cols.toList
-    // per file, per column: (present-in-footer-schema, min, max)
+    // per file, per column: (present-in-footer-schema, family, min, max)
     val stats = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { fp =>
@@ -240,25 +250,19 @@ object Layout {
             // produce an all-null (and thus useless) zone map
             val matching = chunks
               .filter(_.getPath.toDotString.equalsIgnoreCase(c))
-            val vals = matching.flatMap { ch =>
-              val st = ch.getStatistics
-              if (st == null || !st.hasNonNullValue) None
-              else {
-                // DECIMAL stats are stored UNSCALED (123.45 as 12345 at
-                // scale 2) — rescale, or the zone map is silently wrong
-                // and pruning drops files that hold matching rows
-                val scaleDiv = ch.getPrimitiveType
-                  .getLogicalTypeAnnotation match {
-                  case d: org.apache.parquet.schema.LogicalTypeAnnotation
-                      .DecimalLogicalTypeAnnotation =>
-                    math.pow(10.0, d.getScale)
-                  case _ => 1.0
-                }
-                Some((widenLo(toDouble(st.genericGetMin, scaleDiv)),
-                  widenHi(toDouble(st.genericGetMax, scaleDiv))))
+            val fams = matching.map(ch => chunkFamily(ch.getPrimitiveType))
+              .distinct
+            val fam = // absent or mixed: no claim
+              if (fams.size == 1) fams.head else ZoneCodec.Unsupported
+            val vals =
+              if (fam == ZoneCodec.Unsupported) Seq.empty
+              else matching.flatMap { ch =>
+                val st = ch.getStatistics
+                if (st == null || !st.hasNonNullValue) None
+                else encodeStat(ch.getPrimitiveType, fam,
+                  st.genericGetMin, st.genericGetMax)
               }
-            }
-            (matching.nonEmpty,
+            (matching.nonEmpty, fam,
               if (vals.isEmpty) None else Some(vals.map(_._1).min),
               if (vals.isEmpty) None else Some(vals.map(_._2).max))
           }
@@ -280,70 +284,189 @@ object Layout {
         s"zone map column '$c' is absent from every parquet footer " +
           s"under $path — check the column name")
     }
+    // ONE family per column across the whole directory: the dominant
+    // (first supported) one; a file whose chunks disagree with it gets
+    // null bounds there — its stats are in a different space and
+    // comparing them would be unsound, so it simply never prunes
+    val colFam: Seq[String] = colList.indices.map { i =>
+      stats.iterator.map(_._2(i)._2).find(_ != ZoneCodec.Unsupported)
+        .getOrElse(ZoneCodec.Unsupported)
+    }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("file",
         org.apache.spark.sql.types.StringType, nullable = false) +:
-        colList.flatMap(c => Seq(s"${c}_min", s"${c}_max")).map(n =>
-          org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.DoubleType, nullable = true)))
+        colList.flatMap(c => Seq(
+          org.apache.spark.sql.types.StructField(s"${c}_min",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField(s"${c}_max",
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField(s"${c}_family",
+            org.apache.spark.sql.types.StringType, nullable = true))))
     val rows = stats.map { case (fp, mm, _) =>
-      org.apache.spark.sql.Row.fromSeq(fp +: mm.flatMap { case (_, lo, hi) =>
-        Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull) })
+      org.apache.spark.sql.Row.fromSeq(fp +:
+        mm.zipWithIndex.flatMap { case ((_, fam, lo, hi), i) =>
+          val ok = fam == colFam(i) && fam != ZoneCodec.Unsupported
+          Seq(if (ok) lo.map(Double.box).orNull else null,
+            if (ok) hi.map(Double.box).orNull else null,
+            colFam(i))
+        })
     }
     spark.createDataFrame(rows.asJava, schema)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_zonemap")
   }
 
-  /** Conservative widening for stats narrowed to double: each narrowing
-    * step (int64/decimal → double, then the decimal rescale division)
-    * rounds to NEAREST, so a recorded min can land ABOVE the true value
-    * (or a max below it) by up to ~1.5 ulp for magnitudes past 2^53 —
-    * and a zone map whose rectangle excludes a real row would let
-    * [[pruneFiles]] drop a file that holds matches, breaking soundness.
-    * Two ulps of widening per bound cover the worst-case compounded
-    * rounding; the rectangle must always CONTAIN the true bounds
-    * (slightly looser = slightly less sharp, never wrong). */
-  private def widenLo(x: Double): Double =
-    Math.nextDown(Math.nextDown(x))
-  private def widenHi(x: Double): Double =
-    Math.nextUp(Math.nextUp(x))
+  /** The [[ZoneCodec]] family a parquet column chunk's stats encode
+    * into, from its physical + logical type. Anything whose order in
+    * double space cannot be pinned down (timestamp-NTZ — wall-clock
+    * micros, not comparable to a UTC-adjusted literal; INT96; plain
+    * binary; interval types) is `unsupported` — recorded, never pruned
+    * on. */
+  private def chunkFamily(
+      pt: org.apache.parquet.schema.PrimitiveType): String = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    pt.getLogicalTypeAnnotation match {
+      case _: DecimalLogicalTypeAnnotation => ZoneCodec.Numeric
+      case _: DateLogicalTypeAnnotation => ZoneCodec.DateF
+      case t: TimestampLogicalTypeAnnotation =>
+        // only UTC-adjusted MILLIS/MICROS stats are absolute instants a
+        // TimestampType literal (epoch micros) can be compared to
+        if (t.isAdjustedToUTC && t.getUnit != TimeUnit.NANOS)
+          ZoneCodec.TimestampF
+        else ZoneCodec.Unsupported
+      case _: StringLogicalTypeAnnotation |
+           _: EnumLogicalTypeAnnotation =>
+        ZoneCodec.StringF
+      case _: IntLogicalTypeAnnotation => ZoneCodec.Numeric
+      case null => pt.getPrimitiveTypeName match {
+        case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN => ZoneCodec.Numeric
+        case _ => ZoneCodec.Unsupported
+      }
+      case _ => ZoneCodec.Unsupported
+    }
+  }
 
-  /** Footer statistics carry their physical type; zone maps compare in
-    * double space (same as the bucketing), so narrow the numerics —
-    * rescaling unscaled decimals, including binary-backed big decimals —
-    * and reject non-numeric stats loudly. */
-  private def toDouble(v: Comparable[_], scaleDiv: Double): Double = v match {
-    case n: java.lang.Number => n.doubleValue() / scaleDiv
-    case b: org.apache.parquet.io.api.Binary =>
-      // big-endian two's-complement unscaled decimal
-      new java.math.BigInteger(b.getBytes).doubleValue() / scaleDiv
-    case other => throw new IllegalArgumentException(
-      s"zone map needs numeric column statistics, got ${other.getClass}")
+  /** Encode one chunk's (min, max) stats into its family's double space
+    * ([[ZoneCodec]]'s order-preserving maps), widened two ulps per side
+    * — the narrowing rounds to NEAREST, and a rectangle that excludes a
+    * real row would let [[pruneFiles]] drop a file that holds matches.
+    * `None` for stats the family cannot encode (defensive — a chunk
+    * whose stats class contradicts its declared type). */
+  private def encodeStat(pt: org.apache.parquet.schema.PrimitiveType,
+      fam: String, mn: Comparable[_], mx: Comparable[_])
+      : Option[(Double, Double)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    def num(v: Comparable[_], scaleDiv: Double): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue() / scaleDiv)
+      case b: java.lang.Boolean => Some(if (b) 1.0 else 0.0)
+      case b: org.apache.parquet.io.api.Binary =>
+        // big-endian two's-complement unscaled decimal
+        Some(new java.math.BigInteger(b.getBytes).doubleValue() / scaleDiv)
+      case _ => None
+    }
+    val enc: Comparable[_] => Option[Double] = fam match {
+      case ZoneCodec.Numeric =>
+        val scaleDiv = pt.getLogicalTypeAnnotation match {
+          case d: DecimalLogicalTypeAnnotation => math.pow(10.0, d.getScale)
+          case _ => 1.0
+        }
+        num(_, scaleDiv)
+      case ZoneCodec.DateF => num(_, 1.0) // int32 epoch days
+      case ZoneCodec.TimestampF =>
+        val toMicros = pt.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == TimeUnit.MILLIS => 1000.0
+          case _ => 1.0 // MICROS (NANOS never reaches here)
+        }
+        v => num(v, 1.0).map(_ * toMicros)
+      case ZoneCodec.StringF => {
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(ZoneCodec.encodeStringPrefix(b.getBytes))
+        case _ => None
+      }
+      case _ => _ => None
+    }
+    for (lo <- enc(mn); hi <- enc(mx))
+      yield (ZoneCodec.widenLo(lo), ZoneCodec.widenHi(hi))
   }
 
   private def fs(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileSystem =
     FsUtil.fs(spark, p)
 
+  /** A zone-map sidecar loaded to the driver in ONE read (it is KB-scale
+    * by construction — a few doubles per file): per-file encoded bounds
+    * plus each column's recorded [[ZoneCodec]] FAMILY, against which the
+    * probe side resolves its literals. Sidecars written before families
+    * existed default every column to `numeric` — exactly the space their
+    * bounds were encoded in. */
+  final class ZoneMap private[sources] (
+      val columns: Set[String],
+      private val familyByCol: Map[String, String],
+      private[sources] val entries: Seq[
+        (String, Map[String, (Double, Double)])]) {
+
+    /** The recorded family of `c` — None when the sidecar does not carry
+      * the column at all (the caller must fail open for it). */
+    def family(c: String): Option[String] =
+      if (columns.contains(c))
+        Some(familyByCol.getOrElse(c, ZoneCodec.Numeric))
+      else None
+
+    /** Files whose rectangles overlap every `[lo, hi]` — the overlap
+      * test is a driver-side loop over #files entries. Fail OPEN on
+      * missing bounds (an all-null file, a family-mismatched file, or a
+      * column this sidecar lacks): a file whose bounds are unknown must
+      * be KEPT — pruning may only drop files proven empty of matches. */
+    def prune(ranges: Seq[(String, Double, Double)]): Seq[String] =
+      entries.filter { case (_, bounds) =>
+        ranges.forall { case (c, lo, hi) =>
+          bounds.get(c) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+      }.map(_._1)
+  }
+
+  /** Load `path`'s zone-map sidecar — None when there is none. One fs
+    * existence probe + one KB-scale parquet read. */
+  def loadZoneMap(spark: SparkSession, path: String): Option[ZoneMap] = {
+    val zm = new Path(s"$path/_graft_zonemap")
+    if (!fs(spark, zm).exists(zm)) return None
+    val df = spark.read.parquet(zm.toString)
+    val names = df.schema.fieldNames
+    val cols = names.filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+    val rows = df.collect()
+    val fams = cols.flatMap { c =>
+      val fi = names.indexOf(s"${c}_family")
+      if (fi < 0) None
+      else rows.iterator.map(r => if (r.isNullAt(fi)) null else r.getString(fi))
+        .find(_ != null).map(c -> _)
+    }.toMap
+    val fileIdx = names.indexOf("file")
+    val boundIdx = cols.map(c =>
+      (c, names.indexOf(s"${c}_min"), names.indexOf(s"${c}_max")))
+    val entries = rows.toSeq.map { r =>
+      (r.getString(fileIdx), boundIdx.flatMap { case (c, lo, hi) =>
+        if (r.isNullAt(lo) || r.isNullAt(hi)) None
+        else Some(c -> (r.getDouble(lo), r.getDouble(hi)))
+      }.toMap)
+    }
+    Some(new ZoneMap(cols.toSet, fams, entries))
+  }
+
   /** Listing-time pruning: the files whose zone-map rectangles overlap
-    * every `[lo, hi]` range. Sound for any layout (a file that holds a
-    * matching row always overlaps); z-ordering is what makes it SHARP on
-    * more than one column at once. The zone map is KB-scale, so the
-    * overlap test is a driver-side filter over #files rows. */
+    * every `[lo, hi]` range (ranges in the sidecar's ENCODED double
+    * space). Sound for any layout (a file that holds a matching row
+    * always overlaps); z-ordering is what makes it SHARP on more than
+    * one column at once. Fails open per column; requires the sidecar to
+    * exist. */
   def pruneFiles(spark: SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): Seq[String] = {
     require(ranges.nonEmpty, "pruneFiles needs at least one column range")
-    // fail OPEN on missing stats (null min/max = an all-null file, or a
-    // writer that skipped stats): a file whose bounds are unknown must
-    // be KEPT — pruning is only ever allowed to drop files proven empty
-    // of matches
-    val pred = ranges.map { case (c, lo, hi) =>
-      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
-        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
-    }.reduce(_ && _)
-    spark.read.parquet(s"$path/_graft_zonemap")
-      .filter(pred).select("file")
-      .collect().map(_.getString(0)).toSeq
+    loadZoneMap(spark, path).map(_.prune(ranges)).getOrElse(
+      throw new IllegalArgumentException(s"no zone map under $path"))
   }
 
   /** Scan only the zone-map-surviving files. Callers re-apply their

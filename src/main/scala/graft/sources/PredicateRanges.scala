@@ -2,43 +2,110 @@ package graft.sources
 
 import java.util.Locale
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
 
-/** Conservative per-column range extraction from a filter predicate —
-  * the bridge that lets the copy-on-write DML ops consult zone-map
-  * sidecars BEFORE their discovery scan, with no caller-facing API.
+/** The shared encoding that puts every zone-mappable column type on ONE
+  * double number line, so a single per-file (min, max) rectangle serves
+  * numeric, date, timestamp, AND string predicates. Each family's map is
+  * order-preserving into double space:
   *
-  * Soundness model: for `cond = c1 AND c2 AND …`, every matching row
-  * satisfies EACH conjunct, so a per-column interval that over-
-  * approximates one conjunct's support over-approximates the whole
-  * predicate's. A data directory whose zone-map rectangle is disjoint
-  * from ANY extracted interval provably holds no matching rows and can
-  * be skipped entirely. Anything unrecognized (ORs, casts, functions,
-  * non-numeric literals, subqueries) extracts NOTHING for its columns —
-  * fail open, never wrong.
+  *  - `numeric`: the value itself (decimals rescaled) — the r9 space.
+  *  - `date`: days since epoch (parquet's own physical int32).
+  *  - `timestamp`: microseconds since epoch, UTC-adjusted (parquet
+  *    MICROS; MILLIS scale up) — exact in double through year ~2255.
+  *  - `string`: the first [[strPrefixBytes]] UTF-8 bytes as a big-endian
+  *    unsigned integer (missing bytes read as 0x00, the minimum byte, so
+  *    truncation stays monotone). Monotone NON-STRICTLY w.r.t. Spark's
+  *    UTF8String binary collation: x <= y  ⇒  enc(x) <= enc(y), which is
+  *    all interval soundness needs — strings sharing a prefix collapse
+  *    to one point and simply fail to prune each other. 6 bytes keep the
+  *    integer under 2^48, exactly representable in double.
   *
-  * Extracted shapes (attribute ⋈ numeric literal, either operand order):
-  * `>= > <= < = IN`. Spark 4's Column API builds analysis-stage trees
-  * (`UnresolvedFunction(">=", …)`); both those and the resolved catalyst
-  * comparison classes are recognized. Bounds widen one ulp per side:
-  * literals narrow to the zone map's double space, and a nearest-rounded
-  * bound sitting a hair inside the true one could otherwise prune a file
-  * that holds the boundary row — the same widening discipline as the
-  * zone-map stats themselves (`Layout.widenLo/Hi`).
+  * Soundness at the type boundary: an encoded literal is comparable to
+  * encoded column stats ONLY within one family — the per-family encode
+  * REFUSES cross-family literals it cannot prove order-compatible
+  * (string literals cast to numeric/date/timestamp through Spark's OWN
+  * `Cast` in TRY mode, because that is exactly the coercion SQL applies
+  * to the comparison; everything else fails open). */
+private[sources] object ZoneCodec {
+  val Numeric = "numeric"
+  val DateF = "date"
+  val TimestampF = "timestamp"
+  val StringF = "string"
+  val Unsupported = "unsupported"
+
+  val strPrefixBytes = 6
+
+  /** First 6 UTF-8 bytes, big-endian unsigned → an exact double. */
+  def encodeStringPrefix(bytes: Array[Byte]): Double = {
+    var v = 0L
+    var i = 0
+    while (i < strPrefixBytes) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v.toDouble
+  }
+
+  /** Conservative widening for bounds narrowed to double: each narrowing
+    * step (int64/micros → double, decimal rescale) rounds to NEAREST, so
+    * a recorded min can land ABOVE the true value by up to ~1.5 ulp —
+    * and a rectangle that excludes a real row would prune a file that
+    * holds matches. Two ulps per side cover the compounded rounding;
+    * looser = less sharp, never wrong. */
+  def widenLo(x: Double): Double = Math.nextDown(Math.nextDown(x))
+  def widenHi(x: Double): Double = Math.nextUp(Math.nextUp(x))
+}
+
+/** Conservative per-column range + probe extraction from a filter
+  * predicate — the bridge between an ordinary `Column` condition and the
+  * listing-time skipping layers (zone-map rectangles, bloom sidecars).
+  *
+  * The predicate is first distilled to a [[PredicateRanges.Node]] tree
+  * (AND / OR / comparison atoms / opaque leaves), then RESOLVED against
+  * each data directory's sidecar metadata:
+  *
+  *  - [[ranges]] produces per-column intervals in the zone map's encoded
+  *    double space, given each column's recorded FAMILY ([[ZoneCodec]]).
+  *    Conjunctions intersect per column; disjunctions take the interval
+  *    HULL over columns constrained in EVERY branch (a branch that
+  *    leaves a column unconstrained makes the column unconstrained in
+  *    the union). A conjunction whose intervals cross (`x > 5 AND x <
+  *    3`) is UNSATISFIABLE — `None` — and an unsatisfiable OR branch
+  *    simply drops out.
+  *  - [[probes]] produces per-column equality probe-value sets for the
+  *    bloom layer: conjunctions intersect (only when Scala equality is
+  *    trustworthy for every literal — one shared [[intersectSafe]]
+  *    class; otherwise the smallest single list, never a false
+  *    contradiction), disjunctions UNION over columns probed in every
+  *    branch.
+  *
+  * Anything unrecognized (casts, functions, LIKE, subqueries, null
+  * checks) is an opaque leaf contributing nothing for its columns — fail
+  * open, never wrong. Literals keep their Catalyst type until
+  * resolution, so `o_orderdate >= '1995-01-01'` encodes as epoch days
+  * against a DATE-family column through Spark's own Cast semantics, and
+  * a numeric literal against a STRING-family column refuses to encode
+  * (string collation says nothing about numeric order).
   */
 object PredicateRanges {
 
-  private def numeric(v: Any): Option[Double] = v match {
-    case n: java.lang.Number => Some(n.doubleValue())
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-    case _ => None
-  }
+  /** Predicate distilled to skipping-relevant structure. Atoms keep the
+    * raw Catalyst literal; encoding happens at resolution time, per
+    * sidecar column family. */
+  sealed trait Node
+  final case class AndN(cs: Seq[Node]) extends Node
+  final case class OrN(cs: Seq[Node]) extends Node
+  /** `col op literal`, op ∈ `>= > <= < =` (literal-op-col arrives
+    * mirrored). */
+  final case class Cmp(col: String, op: String, lit: Literal) extends Node
+  final case class InN(col: String, lits: Seq[Literal]) extends Node
+  case object Opaque extends Node
 
-  private def lit(e: Expression): Option[Double] = e match {
-    case Literal(v, _) if v != null => numeric(v)
-    case _ => None
-  }
+  // ---------------------------------------------------------------- tree
 
   /** Bare column references only — a Cast may change comparison
     * semantics (string→double, timestamp truncation), so fail open. */
@@ -46,6 +113,11 @@ object PredicateRanges {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute if u.nameParts.size == 1 =>
       Some(u.nameParts.head)
+    case _ => None
+  }
+
+  private def literal(e: Expression): Option[Literal] = e match {
+    case l @ Literal(v, _) if v != null => Some(l)
     case _ => None
   }
 
@@ -59,26 +131,6 @@ object PredicateRanges {
       }
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case Fn("and", args) if args.size == 2 => args.flatMap(conjuncts)
-    case x => Seq(x)
-  }
-
-  private val Inf = Double.PositiveInfinity
-
-  /** `l ⋈ r` with the operator spelled as a string — the shared core of
-    * the typed and analysis-stage paths. Open bounds (`>` `<`) reuse the
-    * closed interval: wider, still sound. The literal-⋈-attribute order
-    * routes through the SAME table with the operator mirrored. */
-  private def dir(op: String, c: String,
-      x: Double): Option[(String, Double, Double)] = op match {
-    case ">=" | ">" => Some((c, Math.nextDown(x), Inf))
-    case "<=" | "<" => Some((c, -Inf, Math.nextUp(x)))
-    case "=" | "==" => Some((c, Math.nextDown(x), Math.nextUp(x)))
-    case _ => None
-  }
-
   private def mirrored(op: String): String = op match {
     case ">=" => "<="
     case ">" => "<"
@@ -87,73 +139,215 @@ object PredicateRanges {
     case other => other
   }
 
-  private def binary(op: String, l: Expression,
-      r: Expression): Option[(String, Double, Double)] =
-    (attr(l), lit(r)) match {
-      case (Some(c), Some(x)) => dir(op, c, x)
-      case _ => (attr(r), lit(l)) match {
-        case (Some(c), Some(x)) => dir(mirrored(op), c, x)
-        case _ => None
+  private def cmp(op: String, l: Expression, r: Expression): Node = {
+    val canon = if (op == "==") "=" else op
+    (attr(l), literal(r)) match {
+      case (Some(c), Some(x)) => Cmp(c, canon, x)
+      case _ => (attr(r), literal(l)) match {
+        case (Some(c), Some(x)) => Cmp(c, mirrored(canon), x)
+        case _ => Opaque
       }
     }
+  }
 
-  private def inEnvelope(a: Expression,
-      vs: Seq[Expression]): Option[(String, Double, Double)] =
-    for {
-      c <- attr(a)
-      xs <- Some(vs.flatMap(lit)) if xs.size == vs.size && xs.nonEmpty
-    } yield (c, Math.nextDown(xs.min), Math.nextUp(xs.max))
+  private def inNode(a: Expression, vs: Seq[Expression]): Node =
+    attr(a) match {
+      case Some(c) =>
+        val ls = vs.flatMap(literal)
+        if (ls.size == vs.size && ls.nonEmpty) InN(c, ls) else Opaque
+      case None => Opaque
+    }
 
-  private def bound(e: Expression): Option[(String, Double, Double)] =
-    e match {
-      case GreaterThanOrEqual(l, r) => binary(">=", l, r)
-      case GreaterThan(l, r) => binary(">", l, r)
-      case LessThanOrEqual(l, r) => binary("<=", l, r)
-      case LessThan(l, r) => binary("<", l, r)
-      case EqualTo(l, r) => binary("=", l, r)
-      case In(a, vs) => inEnvelope(a, vs)
-      case Fn("in", args) if args.size >= 2 =>
-        inEnvelope(args.head, args.tail)
-      case Fn(op, args) if args.size == 2 =>
-        binary(op, args.head, args(1))
+  private val cmpOps = Set(">=", ">", "<=", "<", "=", "==")
+
+  private def toNode(e: Expression): Node = e match {
+    case And(l, r) => AndN(Seq(toNode(l), toNode(r)))
+    case Or(l, r) => OrN(Seq(toNode(l), toNode(r)))
+    case Fn("and", args) if args.size == 2 =>
+      AndN(args.map(toNode))
+    case Fn("or", args) if args.size == 2 =>
+      OrN(args.map(toNode))
+    case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
+    case GreaterThan(l, r) => cmp(">", l, r)
+    case LessThanOrEqual(l, r) => cmp("<=", l, r)
+    case LessThan(l, r) => cmp("<", l, r)
+    case EqualTo(l, r) => cmp("=", l, r)
+    case In(a, vs) => inNode(a, vs)
+    case Fn("in", args) if args.size >= 2 => inNode(args.head, args.tail)
+    case Fn(op, args) if args.size == 2 && cmpOps(op) =>
+      cmp(op, args.head, args(1))
+    case _ => Opaque
+  }
+
+  /** Distill `cond` into a [[Node]] tree (both analysis-stage Column
+    * trees and resolved Catalyst predicates are recognized). */
+  def tree(cond: Column): Node =
+    toNode(org.apache.spark.sql.GraftBridge.catalystExpression(cond))
+
+  /** Whether the tree holds ANY range-resolvable atom — callers skip
+    * loading zone-map sidecars entirely when it does not (an all-opaque
+    * predicate must not pay a sidecar read per directory for nothing). */
+  def hasAtoms(n: Node): Boolean = n match {
+    case AndN(cs) => cs.exists(hasAtoms)
+    case OrN(cs) => cs.exists(hasAtoms)
+    case _: Cmp | _: InN => true
+    case Opaque => false
+  }
+
+  // ------------------------------------------------------------- ranges
+
+  private val Inf = Double.PositiveInfinity
+
+  /** Encode one literal into family `fam`'s double space — `None` when
+    * the literal's order under SQL's comparison coercion cannot be
+    * proven to carry into that space (fail open). String literals cast
+    * through Spark's own `Cast` in TRY mode (the session time zone for
+    * timestamps), because that IS the coercion SQL applies before
+    * comparing. */
+  private def encode(l: Literal, fam: String): Option[Double] = {
+    def tryCast(dt: DataType): Option[Any] = {
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      scala.util.Try(
+        Cast(l, dt, Some(tz), EvalMode.TRY).eval(InternalRow.empty))
+        .toOption.filter(_ != null)
+    }
+    fam match {
+      case ZoneCodec.Numeric => l.value match {
+        case n: java.lang.Number => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case b: java.lang.Boolean => Some(if (b) 1.0 else 0.0)
+        case _: org.apache.spark.unsafe.types.UTF8String =>
+          // SQL coerces both sides of a string-vs-numeric comparison to
+          // DOUBLE, so the numeric column's encoded space is the right
+          // one for the parsed literal
+          tryCast(DoubleType).map(_.asInstanceOf[Double])
+        case _ => None
+      }
+      case ZoneCodec.DateF => l.dataType match {
+        case DateType => Some(l.value.asInstanceOf[Int].toDouble)
+        case StringType =>
+          // date_col >= '1995-01-01': SQL casts the literal to DATE
+          tryCast(DateType).map(_.asInstanceOf[Int].toDouble)
+        // a TIMESTAMP literal promotes the DATE COLUMN to timestamp
+        // instead — epoch-day space cannot express that; fail open
+        case _ => None
+      }
+      case ZoneCodec.TimestampF => l.dataType match {
+        case TimestampType => Some(l.value.asInstanceOf[Long].toDouble)
+        case DateType | StringType =>
+          // ts_col >= DATE/'...': SQL casts the literal to TIMESTAMP
+          // through the session time zone — exactly what TRY Cast does
+          tryCast(TimestampType).map(_.asInstanceOf[Long].toDouble)
+        case _ => None
+      }
+      case ZoneCodec.StringF => l.dataType match {
+        case StringType => Some(ZoneCodec.encodeStringPrefix(
+          l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .getBytes))
+        // numeric-vs-string comparison coerces the COLUMN to double;
+        // string byte order says nothing about numeric order — fail open
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** `op` against encoded literal `x` as a closed interval. Open bounds
+    * (`>` `<`) reuse the closed one: wider, still sound (and required
+    * for the truncated string encoding, where enc is only non-strictly
+    * monotone). Bounds widen two ulps — the encode itself may round. */
+  private def ivl(op: String, x: Double): Option[(Double, Double)] =
+    op match {
+      case ">=" | ">" => Some((ZoneCodec.widenLo(x), Inf))
+      case "<=" | "<" => Some((-Inf, ZoneCodec.widenHi(x)))
+      case "=" => Some((ZoneCodec.widenLo(x), ZoneCodec.widenHi(x)))
       case _ => None
     }
 
-  /** Per-column intervals over-approximating `cond`'s support; multiple
-    * bounds on one column intersect. Empty when nothing extractable. */
-  def extract(cond: Column): Seq[(String, Double, Double)] = {
-    val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
-    conjuncts(expr).flatMap(bound(_))
-      .groupBy(_._1).map { case (c, bs: Seq[(String, Double, Double)]) =>
-        (c, bs.map(_._2).max, bs.map(_._3).min)
-      }.toSeq.sortBy(_._1)
-  }
+  private type Ivls = Map[String, (Double, Double)]
 
-  /** A literal of ANY type as its external Scala value (blooms index
-    * strings too, unlike the numeric-only range envelope). */
-  private def anyLit(e: Expression): Option[Any] = e match {
-    case Literal(v, dt) if v != null => Some(
-      org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .convertToScala(v, dt))
-    case _ => None
-  }
-
-  private def eqProbe(l: Expression,
-      r: Expression): Option[(String, Seq[Any])] =
-    (attr(l), anyLit(r)) match {
-      case (Some(c), Some(v)) => Some((c, Seq(v)))
-      case _ => (attr(r), anyLit(l)) match {
-        case (Some(c), Some(v)) => Some((c, Seq(v)))
-        case _ => None
+  /** Per-column intervals over-approximating `n`'s support under the
+    * given column→family resolution; `None` = provably unsatisfiable.
+    * Columns absent from the map are unconstrained. */
+  private def rangeMap(n: Node, family: String => Option[String])
+      : Option[Ivls] = n match {
+    case Cmp(c, op, l) =>
+      Some(family(c).flatMap(encode(l, _)).flatMap(ivl(op, _))
+        .map(iv => Map(c -> iv)).getOrElse(Map.empty))
+    case InN(c, ls) =>
+      Some(family(c).flatMap { f =>
+        val xs = ls.map(encode(_, f))
+        if (xs.exists(_.isEmpty)) None // one unencodable member: fail open
+        else {
+          val vs = xs.flatten
+          Some(Map(c ->
+            (ZoneCodec.widenLo(vs.min), ZoneCodec.widenHi(vs.max))))
+        }
+      }.getOrElse(Map.empty))
+    case AndN(cs) =>
+      val maps = cs.map(rangeMap(_, family))
+      if (maps.exists(_.isEmpty)) None // an unsat conjunct: unsat whole
+      else {
+        val merged = maps.flatMap(_.get.toSeq)
+          .groupBy(_._1).map { case (c, ivs) =>
+            (c, (ivs.map(_._2._1).max, ivs.map(_._2._2).min))
+          }
+        if (merged.values.exists { case (lo, hi) => lo > hi }) None
+        else Some(merged)
       }
-    }
+    case OrN(cs) =>
+      val sat = cs.map(rangeMap(_, family)).flatten // unsat branches drop
+      if (sat.isEmpty) None
+      else {
+        val shared = sat.map(_.keySet).reduce(_ intersect _)
+        Some(shared.map { c =>
+          val ivs = sat.map(_(c))
+          (c, (ivs.map(_._1).min, ivs.map(_._2).max)) // interval hull
+        }.toMap)
+      }
+    case Opaque => Some(Map.empty)
+  }
 
-  private def inProbe(a: Expression,
-      vs: Seq[Expression]): Option[(String, Seq[Any])] =
-    attr(a).flatMap { c =>
-      val xs = vs.flatMap(anyLit)
-      if (xs.size == vs.size && xs.nonEmpty) Some((c, xs)) else None
+  /** Resolve the tree to sorted per-column double intervals given each
+    * column's zone-map family (`None` family = column unindexed → it
+    * contributes nothing). Returns `None` when the predicate is provably
+    * UNSATISFIABLE under this resolution — every file prunes. */
+  def ranges(n: Node, family: String => Option[String])
+      : Option[Seq[(String, Double, Double)]] =
+    rangeMap(n, family).map(_.toSeq.map { case (c, (lo, hi)) =>
+      (c, lo, hi) }.sortBy(_._1))
+
+  /** Legacy numeric-only face (r9 contract, kept for callers that pass
+    * raw double intervals around): every column resolves as family
+    * `numeric`, unsatisfiable ⇒ an impossible interval on one involved
+    * column (so downstream overlap tests prune everything). */
+  def extract(cond: Column): Seq[(String, Double, Double)] = {
+    val n = tree(cond)
+    ranges(n, _ => Some(ZoneCodec.Numeric)).getOrElse {
+      firstCol(n).map(c => Seq((c, Inf, -Inf))).getOrElse(Seq.empty)
     }
+  }
+
+  private def firstCol(n: Node): Option[String] = n match {
+    case Cmp(c, _, _) => Some(c)
+    case InN(c, _) => Some(c)
+    case AndN(cs) => cs.flatMap(firstCol(_)).headOption
+    case OrN(cs) => cs.flatMap(firstCol(_)).headOption
+    case Opaque => None
+  }
+
+  /** Build a conjunction Node from raw numeric per-column envelopes —
+    * the bridge for callers whose bounds come from DATA (e.g. a MERGE
+    * source's key min/max), not from a predicate. Resolution then
+    * applies them only against `numeric`-family sidecar columns; a
+    * typed (date/string) column never sees a raw double. */
+  def numericEnvelope(ranges: Seq[(String, Double, Double)]): Node =
+    AndN(ranges.flatMap { case (c, lo, hi) =>
+      Seq(Cmp(c, ">=", Literal(lo, DoubleType)),
+        Cmp(c, "<=", Literal(hi, DoubleType)))
+    })
+
+  // ------------------------------------------------------------- probes
 
   /** Scala `Set` equality coincides with SQL equality only for these
     * literal classes: same-class boxed primitives and strings. BigDecimal
@@ -168,35 +362,67 @@ object PredicateRanges {
     classOf[java.lang.Double], classOf[java.lang.Float],
     classOf[java.lang.Boolean])
 
-  /** Per-column EQUALITY probe sets from `cond`'s conjuncts (`= IN`,
-    * either operand order, any literal type) — the bloom-sidecar twin of
-    * [[extract]]. Multiple conjuncts on one column combine SOUNDLY: each
-    * conjunct's list individually over-approximates the matching rows'
-    * values, so when Scala equality is trustworthy for every involved
-    * literal (one shared [[intersectSafe]] class) the sets INTERSECT —
-    * an empty intersection means no row can match — and otherwise the
-    * SMALLEST single list is used (sharp enough, never a false
-    * contradiction: Scala's `1 != "1"` is not SQL's `1 = '1'`). Same
-    * fail-open stance as [[extract]]: anything unrecognized contributes
-    * nothing for its columns. */
+  private def external(l: Literal): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(l.value, l.dataType)
+
+  /** Merge probe lists for one column across AND'ed conjuncts: each list
+    * individually over-approximates the matching rows' values, so when
+    * Scala equality is trustworthy for every involved literal the sets
+    * INTERSECT — an empty intersection is a contradiction (`None`
+    * upstream) — and otherwise the SMALLEST single list is used (sharp
+    * enough, never a false contradiction). */
+  private def mergeAnd(lists: Seq[Seq[Any]]): Option[Seq[Any]] = {
+    if (lists.size == 1) return Some(lists.head)
+    val classes = lists.flatten.map(_.getClass).distinct
+    if (classes.size == 1 && intersectSafe(classes.head)) {
+      val merged = lists.map(_.toSet).reduce(_ intersect _)
+      if (merged.isEmpty) None else Some(merged.toSeq)
+    } else Some(lists.minBy(_.size))
+  }
+
+  private type Probes = Map[String, Seq[Any]]
+
+  private def probeMap(n: Node): Option[Probes] = n match {
+    case Cmp(c, "=", l) => Some(Map(c -> Seq(external(l))))
+    case _: Cmp => Some(Map.empty)
+    case InN(c, ls) => Some(Map(c -> ls.map(external)))
+    case AndN(cs) =>
+      val maps = cs.map(probeMap)
+      if (maps.exists(_.isEmpty)) None
+      else {
+        val grouped = maps.flatMap(_.get.toSeq).groupBy(_._1)
+        val merged = grouped.map { case (c, ps) =>
+          mergeAnd(ps.map(_._2)).map(c -> _)
+        }
+        if (merged.exists(_.isEmpty)) None // contradictory conjuncts
+        else Some(merged.flatten.toMap)
+      }
+    case OrN(cs) =>
+      val sat = cs.map(probeMap).flatten // unsat branches drop out
+      if (sat.isEmpty) None
+      else {
+        // a column probed in EVERY branch is probed by the union; one
+        // unconstrained branch makes the column unconstrained
+        val shared = sat.map(_.keySet).reduce(_ intersect _)
+        Some(shared.map(c => (c, sat.flatMap(_(c)).distinct)).toMap)
+      }
+    case Opaque => Some(Map.empty)
+  }
+
+  /** Per-column EQUALITY probe-value sets (external Scala values — the
+    * bloom layer canonicalizes each through the sidecar-recorded column
+    * type at probe time). `None` = the predicate is provably
+    * unsatisfiable (contradictory equality conjuncts) — callers
+    * short-circuit to an empty result. */
+  def probes(n: Node): Option[Seq[(String, Seq[Any])]] =
+    probeMap(n).map(_.toSeq.sortBy(_._1))
+
+  /** Legacy face of [[probes]] (r9 contract): unsatisfiable surfaces as
+    * one column with an EMPTY value list. */
   def extractProbes(cond: Column): Seq[(String, Seq[Any])] = {
-    val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
-    conjuncts(expr).flatMap {
-      case EqualTo(l, r) => eqProbe(l, r)
-      case In(a, vs) => inProbe(a, vs)
-      case Fn("in", args) if args.size >= 2 => inProbe(args.head, args.tail)
-      case Fn("=" , args) if args.size == 2 => eqProbe(args.head, args(1))
-      case Fn("==", args) if args.size == 2 => eqProbe(args.head, args(1))
-      case _ => None
-    }.groupBy(_._1).map { case (c, ps: Seq[(String, Seq[Any])]) =>
-      val lists = ps.map(_._2)
-      val classes = lists.flatten.map(_.getClass).distinct
-      val merged =
-        if (lists.size == 1) lists.head
-        else if (classes.size == 1 && intersectSafe(classes.head))
-          lists.map(_.toSet).reduce(_ intersect _).toSeq
-        else lists.minBy(_.size)
-      (c, merged)
-    }.toSeq.sortBy(_._1)
+    val n = tree(cond)
+    probes(n).getOrElse(
+      firstCol(n).map(c => Seq((c, Seq.empty[Any]))).getOrElse(Seq.empty))
   }
 }

@@ -742,10 +742,17 @@ object Versioned {
     // requested column prunes on the columns it does have (none usable,
     // or no sidecar → the whole dir is read)
     val sources = dataEntries(ents).map(_.path).flatMap { d =>
-      sidecarUsable(spark, d, ranges) match {
-        case Some(usable) if usable.nonEmpty =>
-          Layout.pruneFiles(spark, d, usable)
-        case _ => Seq(d)
+      Layout.loadZoneMap(spark, d) match {
+        case Some(zm) =>
+          // caller-supplied double intervals live in the NUMERIC-like
+          // encoded spaces (raw value / epoch day / epoch micros);
+          // string-family columns encode through an internal prefix map
+          // the caller cannot target — fail open for those
+          val usable = ranges.filter(r => zm.family(r._1).exists(f =>
+            f == ZoneCodec.Numeric || f == ZoneCodec.DateF ||
+              f == ZoneCodec.TimestampF))
+          if (usable.isEmpty) Seq(d) else zm.prune(usable)
+        case None => Seq(d)
       }
     }
     if (sources.isEmpty) readVersion(spark, basePath, head).filter(
@@ -1066,37 +1073,45 @@ object Versioned {
   }
 
   /** Predicate-driven read — the planner face of BOTH skipping layers:
-    * extracts per-column range envelopes ([[PredicateRanges.extract]] →
-    * zone maps) and equality probe sets ([[PredicateRanges
-    * .extractProbes]] → bloom sidecars) from `cond`'s conjuncts, prunes
-    * each directory's file listing with whichever sidecars it carries
-    * (files must survive BOTH layers), reads the survivors, and
+    * distills `cond` into a typed predicate tree ([[PredicateRanges
+    * .tree]]), resolves per-column range envelopes against each
+    * directory's zone-map sidecar (through the sidecar-RECORDED column
+    * families, so date / string / timestamp predicates prune their own
+    * encoded spaces) and equality probe sets against each directory's
+    * bloom sidecar, prunes the file listing with whichever layers the
+    * dir carries (files must survive BOTH), reads the survivors, and
     * re-applies the precise predicate — so the result is ROW-IDENTICAL
     * to `read(...).filter(cond)` by construction, with the caller
     * writing one ordinary filter expression and the storage layer
-    * choosing its indexes. Unextractable predicate shapes (ORs, casts,
-    * functions) and dirs without sidecars fail open; a contradictory
-    * conjunction (`k = 1 AND k = 2`) short-circuits to an empty
+    * choosing its indexes. Disjunctions prune too (per-branch envelopes
+    * hulled, probe sets unioned, over columns constrained in every
+    * branch); genuinely unextractable shapes (casts, functions, LIKE)
+    * and dirs without sidecars fail open; a contradictory conjunction
+    * (`k = 1 AND k = 2`, `x > 5 AND x < 3`) short-circuits to an empty
     * result. */
   def readWhere(spark: SparkSession, basePath: String,
       cond: Column): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val ranges = PredicateRanges.extract(cond)
-    val probes = PredicateRanges.extractProbes(cond)
+    val node = PredicateRanges.tree(cond)
+    val probesOpt = PredicateRanges.probes(node)
     val head = headVersion(spark, basePath)
     val ents = entries(spark, basePath, head)
-    if (probes.exists(_._2.isEmpty)) // k = 1 AND k = 2: no row can match
+    if (probesOpt.isEmpty) // k = 1 AND k = 2: no row can match
       return readVersion(spark, basePath, head).filter(lit(false))
+    val probes = probesOpt.get
+    // each layer is consulted only when the predicate holds something
+    // it could resolve — an atom-free tree must not pay an fs.exists +
+    // sidecar read per dir for nothing
+    val hasAtoms = PredicateRanges.hasAtoms(node)
     val sources = dataEntries(ents).map(_.path).flatMap { d =>
-      // each layer is consulted only when the predicate actually
-      // extracted something for it — an empty extraction must not pay
-      // an fs.exists + sidecar-schema read per dir for nothing
       val zone: Option[Set[String]] =
-        if (ranges.isEmpty) None
-        else sidecarUsable(spark, d, ranges) match {
-          case Some(us) if us.nonEmpty =>
-            Some(Layout.pruneFiles(spark, d, us).toSet)
-          case _ => None
+        if (!hasAtoms) None
+        else Layout.loadZoneMap(spark, d).flatMap { zm =>
+          PredicateRanges.ranges(node, zm.family) match {
+            case None => Some(Set.empty[String]) // unsat under this dir
+            case Some(rs) if rs.nonEmpty => Some(zm.prune(rs).toSet)
+            case _ => None
+          }
         }
       val bloom: Option[Set[String]] =
         if (probes.isEmpty) None
@@ -1120,37 +1135,36 @@ object Versioned {
     base.filter(cond)
   }
 
-  /** The subset of `ranges` a dir's sidecar can actually evaluate —
-    * None when the dir has no sidecar at all. The single fail-open
-    * gate shared by the read ([[readPruned]]) and write
-    * ([[zoneSurvivors]]) pruning paths, so the two cannot drift. */
-  private def sidecarUsable(spark: SparkSession, dir: String,
-      ranges: Seq[(String, Double, Double)])
-      : Option[Seq[(String, Double, Double)]] = {
-    val zm = new Path(dir, "_graft_zonemap")
-    if (!fs(spark, zm).exists(zm)) None
-    else {
-      val cols = spark.read.parquet(zm.toString).schema.fieldNames.toSet
-      Some(ranges.filter(r => cols.contains(s"${r._1}_min")))
+  /** The entries whose zone-map sidecars cannot rule them out for the
+    * predicate tree — a dir WITH a sidecar whose per-file rectangles
+    * are all disjoint from the per-column envelopes (resolved through
+    * THAT dir's recorded column families) provably holds no matching
+    * rows and is dropped; dirs without a sidecar, and columns the
+    * predicate or sidecar cannot serve, always survive. Fail open at
+    * every step; a predicate unsatisfiable under a dir's families
+    * drops that dir outright. */
+  private[graft] def zoneSurvivors(spark: SparkSession,
+      ents: Seq[ManifestEntry],
+      node: PredicateRanges.Node): Seq[ManifestEntry] =
+    if (!PredicateRanges.hasAtoms(node)) ents
+    else ents.filter { e =>
+      Layout.loadZoneMap(spark, e.path) match {
+        case None => true
+        case Some(zm) => PredicateRanges.ranges(node, zm.family) match {
+          case None => false // unsatisfiable under this dir's families
+          case Some(rs) => rs.isEmpty || zm.prune(rs).nonEmpty
+        }
+      }
     }
-  }
 
-  /** The entries whose zone-map sidecars cannot rule them out for
-    * `ranges` — a dir WITH a sidecar whose per-file rectangles are all
-    * disjoint from the intervals provably holds no matching rows and is
-    * dropped; dirs without a sidecar (or whose sidecar lacks a range's
-    * column) always survive. Fail open at every step. */
+  /** Legacy numeric face of [[zoneSurvivors]]: raw double envelopes,
+    * applied only against `numeric`-family sidecar columns (a typed
+    * column never sees a raw double — fail open). */
   private[graft] def zoneSurvivors(spark: SparkSession,
       ents: Seq[ManifestEntry],
       ranges: Seq[(String, Double, Double)]): Seq[ManifestEntry] =
     if (ranges.isEmpty) ents
-    else ents.filter { e =>
-      sidecarUsable(spark, e.path, ranges) match {
-        case None => true
-        case Some(usable) => usable.isEmpty ||
-          Layout.pruneFiles(spark, e.path, usable).nonEmpty
-      }
-    }
+    else zoneSurvivors(spark, ents, PredicateRanges.numericEnvelope(ranges))
 
   /** File-level copy-on-write: rewrite ONLY the directories containing
     * rows matching `cond`, carry the rest forward by reference.
@@ -1169,7 +1183,7 @@ object Versioned {
     val ents = entries(spark, basePath, head)
     val dels = delPaths(ents)
     val candidates =
-      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
+      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.tree(cond))
     if (candidates.isEmpty) return head
     val touched = touchedEntries(spark, candidates, dels, cond)
     if (touched.isEmpty) return head
@@ -1267,7 +1281,7 @@ object Versioned {
     val ents = entries(spark, basePath, head)
     val dels = delPaths(ents)
     val candidates =
-      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
+      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.tree(cond))
     if (candidates.isEmpty) return head
     // cached: the discovery scan is the dominant cost — pay it once for
     // the emptiness probe AND the stage write
@@ -1297,7 +1311,7 @@ object Versioned {
     val ents = entries(spark, basePath, head)
     val dels = delPaths(ents)
     val candidates =
-      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.extract(cond))
+      zoneSurvivors(spark, dataEntries(ents), PredicateRanges.tree(cond))
     if (candidates.isEmpty) return head
     // cached: one discovery scan feeds the emptiness probe, the vector,
     // and the patch rows
