@@ -89,16 +89,18 @@ object Advanced {
       val ord = orders(s, d)
       val z = Seq("o_orderkey", "o_custkey")
       // both skipping layers on one table: z-ordered commits with a
-      // zone map over the z-columns AND a bloom sidecar on the customer
-      // key — readWhere picks whichever its predicate can use
+      // zone map over the z-columns PLUS the DATE column (typed family
+      // — epoch-day bounds) AND a bloom sidecar on the customer key —
+      // readWhere picks whichever its predicate can use
+      val stats = z :+ "o_orderdate"
       graft.sources.Versioned.withBloomSizing(s, 1L << 15, 1L << 18) {
         graft.sources.Versioned.commit(graft.sources.Layout.zOrderFrame(
           ord.filter(pmod(col("o_orderkey"), lit(2)) === 0), z, files = 8),
-          base, statsCols = z, bloomCols = Seq("o_custkey"))
+          base, statsCols = stats, bloomCols = Seq("o_custkey"))
         graft.sources.Versioned.commit(graft.sources.Layout.zOrderFrame(
           ord.filter(pmod(col("o_orderkey"), lit(2)) === 1), z, files = 8),
           base, org.apache.spark.sql.SaveMode.Append,
-          statsCols = z, bloomCols = Seq("o_custkey"))
+          statsCols = stats, bloomCols = Seq("o_custkey"))
       }
       base
     })
@@ -313,8 +315,13 @@ object Advanced {
       val ord = orders(s, d)
       val ck = ord.agg(max(col("o_custkey"))).head().getLong(0)
       val hiOk = ord.agg(max(col("o_orderkey"))).head().getLong(0) / 2.0
+      // numeric range + bloom point + a DATE-range DISJUNCTION: the
+      // string literals encode as epoch days against the sidecar's
+      // date family, and the OR prunes via the per-branch interval hull
       graft.sources.Versioned.readWhere(s, base,
-          col("o_custkey") === ck && col("o_orderkey") <= hiOk)
+          col("o_custkey") === ck && col("o_orderkey") <= hiOk &&
+            (col("o_orderdate") >= "1995-06-01" ||
+              col("o_orderdate") < "1993-06-01"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("price_cents"))
         .orderBy("o_orderkey")
@@ -659,6 +666,8 @@ object Advanced {
         |FROM orders
         |WHERE o_custkey = (SELECT max(o_custkey) FROM orders)
         |  AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) / 2.0
+        |  AND (o_orderdate >= DATE '1995-06-01'
+        |       OR o_orderdate < DATE '1993-06-01')
         |ORDER BY o_orderkey""".stripMargin,
     "x_versioned_constraints" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

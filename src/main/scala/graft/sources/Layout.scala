@@ -419,10 +419,19 @@ object Layout {
       * column this sidecar lacks): a file whose bounds are unknown must
       * be KEPT — pruning may only drop files proven empty of matches. */
     def prune(ranges: Seq[(String, Double, Double)]): Seq[String] =
+      pruneSets(ranges.map { case (c, lo, hi) => (c, Seq((lo, hi))) })
+
+    /** Interval-SET form of [[prune]]: a file survives when, for every
+      * listed column, its rectangle overlaps at least ONE of the
+      * column's intervals — the shape that lets a disjunction of
+      * disjoint bands prune the middle files. */
+    def pruneSets(ranges: Seq[(String, Seq[(Double, Double)])])
+        : Seq[String] =
       entries.filter { case (_, bounds) =>
-        ranges.forall { case (c, lo, hi) =>
+        ranges.forall { case (c, ivs) =>
           bounds.get(c) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case Some((mn, mx)) =>
+              ivs.exists { case (lo, hi) => mx >= lo && mn <= hi }
             case None => true
           }
         }

@@ -264,25 +264,35 @@ object PredicateRanges {
       case _ => None
     }
 
-  private type Ivls = Map[String, (Double, Double)]
+  /** Per-column interval SETS: a column's support is over-approximated
+    * by the UNION of its intervals — what lets a disjunction of disjoint
+    * bands (`id <= 50 OR id >= 750`) prune the middle instead of
+    * collapsing to the useless single hull. Lists stay small (bounded by
+    * predicate size) and are capped at [[MaxIvls]] — past it they
+    * collapse to their hull, wider but still sound. */
+  private type Ivls = Map[String, Seq[(Double, Double)]]
+  private val MaxIvls = 16
 
-  /** Per-column intervals over-approximating `n`'s support under the
+  private def hull(ivs: Seq[(Double, Double)]): (Double, Double) =
+    (ivs.map(_._1).min, ivs.map(_._2).max)
+
+  private def capped(ivs: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    if (ivs.size <= MaxIvls) ivs else Seq(hull(ivs))
+
+  /** Per-column interval sets over-approximating `n`'s support under the
     * given column→family resolution; `None` = provably unsatisfiable.
     * Columns absent from the map are unconstrained. */
   private def rangeMap(n: Node, family: String => Option[String])
       : Option[Ivls] = n match {
     case Cmp(c, op, l) =>
       Some(family(c).flatMap(encode(l, _)).flatMap(ivl(op, _))
-        .map(iv => Map(c -> iv)).getOrElse(Map.empty))
+        .map(iv => Map(c -> Seq(iv))).getOrElse(Map.empty))
     case InN(c, ls) =>
       Some(family(c).flatMap { f =>
         val xs = ls.map(encode(_, f))
         if (xs.exists(_.isEmpty)) None // one unencodable member: fail open
-        else {
-          val vs = xs.flatten
-          Some(Map(c ->
-            (ZoneCodec.widenLo(vs.min), ZoneCodec.widenHi(vs.max))))
-        }
+        else Some(Map(c -> capped(xs.flatten.map(v =>
+          (ZoneCodec.widenLo(v), ZoneCodec.widenHi(v)))))) // per-point
       }.getOrElse(Map.empty))
     case AndN(cs) =>
       val maps = cs.map(rangeMap(_, family))
@@ -290,9 +300,17 @@ object PredicateRanges {
       else {
         val merged = maps.flatMap(_.get.toSeq)
           .groupBy(_._1).map { case (c, ivs) =>
-            (c, (ivs.map(_._2._1).max, ivs.map(_._2._2).min))
+            // conjunction = set intersection: pairwise-intersect the
+            // lists, dropping empty pieces
+            (c, ivs.map(_._2).reduce { (la, lb) =>
+              capped(for {
+                (a1, a2) <- la; (b1, b2) <- lb
+                lo = math.max(a1, b1); hi = math.min(a2, b2)
+                if lo <= hi
+              } yield (lo, hi))
+            })
           }
-        if (merged.values.exists { case (lo, hi) => lo > hi }) None
+        if (merged.values.exists(_.isEmpty)) None // crossed: unsat
         else Some(merged)
       }
     case OrN(cs) =>
@@ -301,21 +319,27 @@ object PredicateRanges {
       else {
         val shared = sat.map(_.keySet).reduce(_ intersect _)
         Some(shared.map { c =>
-          val ivs = sat.map(_(c))
-          (c, (ivs.map(_._1).min, ivs.map(_._2).max)) // interval hull
+          (c, capped(sat.flatMap(_(c)))) // union of the branches' sets
         }.toMap)
       }
     case Opaque => Some(Map.empty)
   }
 
-  /** Resolve the tree to sorted per-column double intervals given each
-    * column's zone-map family (`None` family = column unindexed → it
-    * contributes nothing). Returns `None` when the predicate is provably
-    * UNSATISFIABLE under this resolution — every file prunes. */
+  /** Resolve the tree to sorted per-column interval SETS (a file must
+    * overlap at least ONE interval of every listed column to survive).
+    * `None` family = column unindexed → it contributes nothing. Returns
+    * `None` when the predicate is provably UNSATISFIABLE under this
+    * resolution — every file prunes. */
+  def rangeSets(n: Node, family: String => Option[String])
+      : Option[Seq[(String, Seq[(Double, Double)])]] =
+    rangeMap(n, family).map(_.toSeq.sortBy(_._1))
+
+  /** Single-interval (hull) view of [[rangeSets]] — the legacy shape for
+    * callers that pass `(col, lo, hi)` triples around. */
   def ranges(n: Node, family: String => Option[String])
       : Option[Seq[(String, Double, Double)]] =
-    rangeMap(n, family).map(_.toSeq.map { case (c, (lo, hi)) =>
-      (c, lo, hi) }.sortBy(_._1))
+    rangeSets(n, family).map(_.map { case (c, ivs) =>
+      val (lo, hi) = hull(ivs); (c, lo, hi) })
 
   /** Legacy numeric-only face (r9 contract, kept for callers that pass
     * raw double intervals around): every column resolves as family

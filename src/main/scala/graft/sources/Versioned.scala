@@ -1107,9 +1107,9 @@ object Versioned {
       val zone: Option[Set[String]] =
         if (!hasAtoms) None
         else Layout.loadZoneMap(spark, d).flatMap { zm =>
-          PredicateRanges.ranges(node, zm.family) match {
+          PredicateRanges.rangeSets(node, zm.family) match {
             case None => Some(Set.empty[String]) // unsat under this dir
-            case Some(rs) if rs.nonEmpty => Some(zm.prune(rs).toSet)
+            case Some(rs) if rs.nonEmpty => Some(zm.pruneSets(rs).toSet)
             case _ => None
           }
         }
@@ -1150,9 +1150,9 @@ object Versioned {
     else ents.filter { e =>
       Layout.loadZoneMap(spark, e.path) match {
         case None => true
-        case Some(zm) => PredicateRanges.ranges(node, zm.family) match {
+        case Some(zm) => PredicateRanges.rangeSets(node, zm.family) match {
           case None => false // unsatisfiable under this dir's families
-          case Some(rs) => rs.isEmpty || zm.prune(rs).nonEmpty
+          case Some(rs) => rs.isEmpty || zm.pruneSets(rs).nonEmpty
         }
       }
     }
