@@ -515,12 +515,35 @@ object Layout {
     * in a file get a null filter — [[pruneFilesBloom]] fails OPEN on
     * it. */
   def writeBloomSidecar(spark: SparkSession, path: String,
-      cols: Seq[String], expectedItems: Long = 1L << 20,
-      numBits: Long = 1L << 23): Unit = {
+      cols: Seq[String], expectedItems: Long = -1L,
+      numBits: Long = -1L, fpp: Double = 0.03): Unit = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(cols.nonEmpty, "writeBloomSidecar needs at least one column")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // AUTO-SIZING (either parameter < 0): the filters are per FILE, and
+    // the writer knows exactly how many rows each file holds — its
+    // footers say so, at one KB-scale footer read per file. Size to the
+    // LARGEST file's row count against the target fpp (smaller files in
+    // the same dir just enjoy a lower fpp); the classic bits formula
+    // m = -n·ln(p)/ln(2)². A fixed global default would make tiny
+    // staging batches carry MB-scale filters and make genuinely big
+    // files exceed the default's capacity into useless all-positive
+    // filters — both real failure modes at 100 TB ingest cadence.
+    val maxRows: Long =
+      if (expectedItems >= 0 && numBits >= 0) -1L
+      else {
+        val counts = fileRowCounts(spark, path)
+        if (counts.isEmpty) 1L else math.max(1L, counts.map(_._2).max)
+      }
+    val items =
+      if (expectedItems >= 0) expectedItems else maxRows
+    val bits =
+      if (numBits >= 0) numBits
+      else math.max(64L,
+        math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2)))
+          .toLong)
     val df = spark.read.parquet(path)
     val types = cols.map { c =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
@@ -540,7 +563,7 @@ object Layout {
     val aggs = cols.map { c =>
       GraftBridge.column(new BloomFilterAggregate(
         new XxHash64(Seq(GraftBridge.expression(col(c).cast("string")))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        Literal(items), Literal(bits)).toAggregateExpression())
         .as(s"${c}_bloom")
     }
     // the COLUMN TYPE rides in the sidecar (constant per column): the
@@ -549,10 +572,56 @@ object Layout {
     val typeCols = cols.zip(types).map { case (c, t) =>
       lit(t.json).as(s"${c}_type")
     }
+    // the SIZING rides too (constant): what the filters were built for,
+    // and the fpp they deliver at that capacity (optimal-k estimate
+    // p ≈ e^{-(m/n)·ln²2}) — the audit trail that lets an operator see
+    // an under/over-sized sidecar at a glance
+    val metaCols = Seq(lit(items).as("bloom_items"),
+      lit(bits).as("bloom_bits"),
+      lit(math.exp(-bits.toDouble / math.max(1L, items) *
+        math.log(2) * math.log(2))).as("bloom_fpp"))
     df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
-      .groupBy("file").agg(aggs.head, (aggs.tail ++ typeCols): _*)
+      .groupBy("file").agg(aggs.head, (aggs.tail ++ typeCols ++ metaCols): _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/_graft_bloom")
+  }
+
+  /** Per-file (path, rowCount) from parquet footers — one KB-scale
+    * footer read per file, distributed like [[writeZoneMap]]'s stats
+    * pass. The writer-side row-count source for bloom auto-sizing. */
+  private def fileRowCounts(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(path)
+    val f = fs(spark, p)
+    val baseQualified = f.makeQualified(p).toString
+    val files = {
+      val it = f.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val full = it.next().getPath.toString
+        if (full.endsWith(".parquet")) {
+          val rel = full.stripPrefix(baseQualified).stripPrefix("/")
+          if (!rel.split('/').exists(s =>
+              s.startsWith("_") || s.startsWith(".")))
+            buf += full
+        }
+      }
+      buf.result()
+    }
+    if (files.isEmpty) return Seq.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { fp =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(fp), conf.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (fp, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally reader.close()
+      }
+      .collect().toSeq
   }
 
   /** The exact long [[writeBloomSidecar]]'s aggregate inserts for value

@@ -119,6 +119,42 @@ object Versioned {
   private val ConstraintsKey = "constraints"
   private val PolicyKey = "schema_policy"
 
+  /** The ONE primitive the commit protocol needs from its storage:
+    * atomically make `tmp` visible as `target` IFF `target` does not
+    * already exist, returning whether this writer won. HDFS-class
+    * filesystems provide it as rename-if-absent (the default below);
+    * S3-class object stores do not — multi-PROCESS deployments there
+    * plug a conditional-put / lock-service implementation through
+    * [[withCommitStore]], exactly the seam the public lakehouse formats
+    * expose (Delta's LogStore, Iceberg's lock manager). Everything else
+    * in the protocol — staging, manifests, the CAS retry loop — is
+    * store-agnostic. Implementations must be linearizable per target:
+    * at most one caller may ever win a given `target`. */
+  trait CommitStore {
+    def putIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  /** Default store: HDFS-contract atomic rename (fails when the target
+    * exists). Correct on HDFS and on local filesystems via Hadoop's
+    * RawLocalFileSystem rename semantics. */
+  object RenameCommitStore extends CommitStore {
+    def putIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
+      f.rename(tmp, target)
+  }
+
+  @volatile private var commitStore: CommitStore = RenameCommitStore
+
+  /** Run `body` with every manifest publication in this JVM going
+    * through `store` (restored after) — the injection point for
+    * object-store conditional-put shims and for fault-injection tests.
+    * JVM-global: the protocol's multi-writer story is per-store, not
+    * per-table. */
+  def withCommitStore[A](store: CommitStore)(body: => A): A = {
+    val prev = commitStore
+    commitStore = store
+    try body finally commitStore = prev
+  }
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     FsUtil.fs(spark, p)
 
@@ -401,7 +437,8 @@ object Versioned {
       seedLedger: Seq[String] = Seq.empty,
       editConstraints: Option[Map[String, String] => Map[String, String]]
         = None,
-      editPolicy: Option[String] = None): Long = {
+      editPolicy: Option[String] = None,
+      recheck: Map[String, String] => Unit = _ => ()): Long = {
     meta.foreach { case (k, v) =>
       require(!k.contains("=") && !(k + v).exists(c =>
           c == '\n' || c == '\r' || c == '\t'),
@@ -452,6 +489,13 @@ object Versioned {
       // editConstraints (add/dropConstraint) rewrites the set instead
       val headCons = headMeta.get(ConstraintsKey)
         .map(decodeConstraints).getOrElse(Map.empty[String, String])
+      // the constraint-race hook: data-adding callers pass a closure
+      // that re-validates their staged rows against whatever the HEAD's
+      // constraint set holds BEYOND what staging validated — so a
+      // commit racing `addConstraint` either validates against the new
+      // constraint (this very line, inside the CAS) or aborts; it can
+      // no longer land unvalidated through the optimistic window
+      recheck(headCons)
       val consOut: Option[String] = editConstraints match {
         case None =>
           if (headMeta.contains(ConstraintsKey))
@@ -476,7 +520,8 @@ object Versioned {
       try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
       val v = head.getOrElse(0L) + 1
-      if (f.rename(tmp, new Path(mdir, s"v$v"))) committed = v
+      if (commitStore.putIfAbsent(f, tmp, new Path(mdir, s"v$v")))
+        committed = v
       else f.delete(tmp, false) // lost the race — re-derive and retry
     }
     committed
@@ -506,7 +551,17 @@ object Versioned {
   private[sources] def stage(df: DataFrame, basePath: String,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      validate: Boolean = true): String = {
+      validate: Boolean = true): String =
+    stageValidated(df, basePath, statsCols, bloomCols, validate)._1
+
+  /** [[stage]] plus the constraint set the staging actually VALIDATED
+    * against — the capture that lets the publish-time recheck
+    * ([[constraintRecheck]]) test only the DELTA a racing
+    * `addConstraint` introduced. */
+  private[sources] def stageValidated(df: DataFrame, basePath: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      validate: Boolean = true): (String, Map[String, String]) = {
     // __fp/__ri are the read path's row-identity aliases (applyDels);
     // a data column with either name would make every deletion-vector
     // read ambiguous, so reject it at the only door data enters through
@@ -549,7 +604,7 @@ object Versioned {
     // deletion-vector stages pass validate=false (row identities, not
     // rows). Validated against the files just written, i.e. exactly
     // what readers would see; a violating batch is rejected WHOLE.
-    if (validate) {
+    val validated: Map[String, String] = if (!validate) Map.empty else {
       // re-read AFTER the write (not a pre-write snapshot): a constraint
       // added while a long batch write was in flight is enforced — the
       // narrowest window the optimistic model allows
@@ -582,16 +637,60 @@ object Versioned {
               "nothing was committed")
         }
       }
+      cs
     }
     if (statsCols.nonEmpty)
       Layout.writeZoneMap(spark, dataDir.toString, statsCols)
-    if (bloomCols.nonEmpty && !isDirEmpty(spark, dataDir.toString))
+    if (bloomCols.nonEmpty && !isDirEmpty(spark, dataDir.toString)) {
+      // sizing: explicit session confs win; otherwise AUTO-SIZE from
+      // the just-written files' footer row counts against the target
+      // fpp — a 2k-row staging batch must not pay (or mis-trust) a
+      // 1M-item filter ([[Layout.writeBloomSidecar]] records what it
+      // chose in the sidecar meta)
+      val items = spark.conf.getOption("spark.graft.bloom.items")
+        .map(_.toLong).getOrElse(-1L)
+      val bits = spark.conf.getOption("spark.graft.bloom.bits")
+        .map(_.toLong).getOrElse(-1L)
+      val fpp = spark.conf
+        .get("spark.graft.bloom.fpp", "0.03").toDouble
       Layout.writeBloomSidecar(spark, dataDir.toString, bloomCols,
-        expectedItems = spark.conf
-          .get("spark.graft.bloom.items", (1L << 20).toString).toLong,
-        numBits = spark.conf
-          .get("spark.graft.bloom.bits", (1L << 23).toString).toLong)
-    dataDir.toString
+        expectedItems = items, numBits = bits, fpp = fpp)
+    }
+    (dataDir.toString, validated)
+  }
+
+  /** The publish-time half of the constraint gate: a closure for
+    * [[publish]]'s `recheck` hook that validates the staged dir against
+    * the DELTA between the head's constraint set (re-read inside the
+    * CAS, so a racing `addConstraint` is seen) and what staging already
+    * validated. On violation the staged dir is deleted and the commit
+    * aborts whole — closing the optimistic window where a write racing
+    * the constraint declaration could land unvalidated. */
+  private[sources] def constraintRecheck(spark: SparkSession,
+      basePath: String, dataDir: String,
+      stagedWith: Map[String, String]): Map[String, String] => Unit = {
+    // mutable capture: once a delta validates, later CAS retries of the
+    // SAME publish need not re-validate it
+    var validated = stagedWith
+    headCons => {
+      val delta = headCons.filter { case (n, e) =>
+        !validated.get(n).contains(e) }
+      if (delta.nonEmpty) {
+        val staged = spark.read.parquet(dataDir)
+        val broken =
+          try violations(staged, delta).limit(1).count() > 0
+          catch { case _: org.apache.spark.sql.AnalysisException => true }
+        if (broken) {
+          val dd = new Path(dataDir)
+          fs(spark, dd).delete(dd, true)
+          throw new ConstraintViolation(
+            s"staged batch violates CHECK constraint(s) " +
+              s"${delta.keys.toSeq.sorted.mkString(", ")} added " +
+              s"concurrently under $basePath — nothing was committed")
+        }
+        validated = validated ++ delta
+      }
+    }
   }
 
   /** A staged dir with zero data rows (an empty batch) has no files to
@@ -660,7 +759,8 @@ object Versioned {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"versioned commits are Overwrite or Append, got $mode")
     val spark = df.sparkSession
-    val dataDir = stage(df, basePath, statsCols, bloomCols)
+    val (dataDir, stagedWith) =
+      stageValidated(df, basePath, statsCols, bloomCols)
     publish(spark, basePath, (head, prev) => {
       expectedHead.filter(_ != head).foreach { e =>
         throw new java.util.ConcurrentModificationException(
@@ -670,7 +770,8 @@ object Versioned {
       val entry = ManifestEntry(dataDir, parts)
       if (mode == SaveMode.Append) prev :+ entry
       else Seq(entry)
-    }, meta)
+    }, meta,
+      recheck = constraintRecheck(spark, basePath, dataDir, stagedWith))
   }
 
   /** Idempotent append: commit `batch` under `batchId` unless the ledger
@@ -685,14 +786,15 @@ object Versioned {
       batchId: String): Option[Long] = {
     val spark = batch.sparkSession
     if (appliedBatchIds(spark, basePath).contains(batchId)) return None
-    val dataDir = stage(batch, basePath)
+    val (dataDir, stagedWith) = stageValidated(batch, basePath)
     try {
       Some(publish(spark, basePath, (_, prev) => {
         if (appliedFromHistory(spark, basePath,
             versions(spark, basePath)).contains(batchId))
           throw new ReplayedBatch
         prev :+ ManifestEntry(dataDir, None)
-      }, Map("batch_id" -> batchId)))
+      }, Map("batch_id" -> batchId),
+        recheck = constraintRecheck(spark, basePath, dataDir, stagedWith)))
     } catch { case _: ReplayedBatch => None }
   }
 
@@ -1664,7 +1766,18 @@ object Versioned {
     val f = fs(spark, base)
     val vs = versions(spark, basePath)
     if (vs.isEmpty) return
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    // reader-lease floor: a snapshot some live reader PINNED (and every
+    // later one) is retained whatever keepVersions says — a long scan
+    // can no longer have its files reaped mid-query by a concurrent
+    // vacuum. The floor only ever widens the kept set, never narrows.
+    val floor = leaseFloor(f.makeQualified(base).toString)
+    val cut = math.min(
+      math.max(0, vs.size - keepVersions),
+      floor.map(fl => vs.indexWhere(_ >= fl) match {
+        case -1 => vs.size
+        case i => i
+      }).getOrElse(vs.size))
+    val (drop, keep) = vs.splitAt(cut)
     val referenced = keep.flatMap(manifestFiles(spark, basePath, _)).toSet
     val horizon = System.currentTimeMillis() - minAgeMs
     f.listStatus(base).toSeq
@@ -1673,5 +1786,60 @@ object Versioned {
       .filter(_.getModificationTime < horizon)
       .foreach(s => f.delete(s.getPath, true))
     drop.foreach(v => f.delete(new Path(manifestDir(basePath), s"v$v"), false))
+  }
+
+  // ------------------------------------------------------------- leases
+
+  /** A live reader's claim on a snapshot: while open, [[vacuum]] keeps
+    * that version (and everything after it) readable. Close it (or use
+    * [[withPinnedSnapshot]]) when the scan is done. In-process scope —
+    * the same scope as the reads it protects; cross-process deployments
+    * coordinate retention through the vacuum PERIOD, as the public
+    * formats do. */
+  final class SnapshotLease private[Versioned] (
+      table: String, id: Long, val version: Long) extends AutoCloseable {
+    override def close(): Unit = {
+      val m = leases.get(table)
+      if (m != null) m.remove(id)
+    }
+  }
+
+  private val leases = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, Long]]()
+  private val leaseIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def leaseFloor(qualifiedBase: String): Option[Long] = {
+    val m = leases.get(qualifiedBase)
+    if (m == null) None
+    else {
+      import scala.jdk.CollectionConverters._
+      m.values.asScala.minOption
+    }
+  }
+
+  /** Pin `version` (default: the current head) against vacuum until the
+    * returned lease is closed. */
+  def pinSnapshot(spark: SparkSession, basePath: String,
+      version: Option[Long] = None): SnapshotLease = {
+    val v = version.getOrElse(headVersion(spark, basePath))
+    require(versions(spark, basePath).contains(v),
+      s"cannot pin v$v under $basePath — not a committed version")
+    val key = fs(spark, new Path(basePath))
+      .makeQualified(new Path(basePath)).toString
+    val id = leaseIds.incrementAndGet()
+    leases.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentHashMap[Long, Long]())
+      .put(id, v)
+    new SnapshotLease(key, id, v)
+  }
+
+  /** Run `body` against a pinned head snapshot: the DataFrame reads
+    * exactly that version, and a concurrent [[vacuum]] cannot reap its
+    * files until `body` returns. */
+  def withPinnedSnapshot[A](spark: SparkSession, basePath: String)(
+      body: DataFrame => A): A = {
+    val lease = pinSnapshot(spark, basePath)
+    try body(readVersion(spark, basePath, lease.version))
+    finally lease.close()
   }
 }

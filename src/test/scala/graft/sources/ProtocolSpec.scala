@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Protocol-seam tests that need `private[sources]` access: the
+  * publish-time constraint recheck (the addConstraint race, r9's
+  * documented optimistic window, now closed) and the pluggable
+  * [[Versioned.CommitStore]] (the object-store conditional-put seam). */
+class ProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    java.nio.file.Files.createTempDirectory("graft_protocol").toString + "/t"
+
+  test("a commit racing addConstraint validates the delta or aborts") {
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), base)
+
+    // interleave, deterministically: stage a VIOLATING batch while no
+    // constraint exists (staging validates nothing), then land the
+    // constraint, then publish the staged batch through the same
+    // recheck closure `commit` uses — the CAS re-read must catch it
+    val (dir, stagedWith) = Versioned.stageValidated(
+      Seq((3L, 999.0)).toDF("id", "amt"), base)
+    assert(stagedWith.isEmpty)
+    Versioned.addConstraint(spark, base, "amt_cap", "amt <= 100.0")
+    val ex = intercept[ConstraintViolation] {
+      Versioned.publish(spark, base,
+        (_, prev) => prev :+ ManifestEntry(dir, None),
+        recheck = Versioned.constraintRecheck(spark, base, dir, stagedWith))
+    }
+    assert(ex.getMessage.contains("amt_cap"))
+    // nothing landed: head is the addConstraint's metadata commit, the
+    // staged dir is deleted, the data is the original two rows
+    val p = new Path(dir)
+    assert(!FsUtil.fs(spark, p).exists(p), "staged dir must be deleted")
+    assert(Versioned.read(spark, base).count() === 2)
+
+    // the same interleave with a CLEAN batch validates the delta and
+    // lands — the recheck is a gate, not a blanket abort
+    val (dir2, sw2) = Versioned.stageValidated(
+      Seq((4L, 40.0)).toDF("id", "amt"), base)
+    Versioned.addConstraint(spark, base, "amt_pos", "amt > 0.0")
+    Versioned.publish(spark, base,
+      (_, prev) => prev :+ ManifestEntry(dir2, None),
+      recheck = Versioned.constraintRecheck(spark, base, dir2, sw2))
+    assert(Versioned.read(spark, base).count() === 3)
+  }
+
+  test("the public commit path rejects a batch violating a constraint added after staging began") {
+    // end-to-end shape: commit() itself carries the recheck — a batch
+    // that validated against the pre-constraint head cannot land once
+    // the constraint is in, however the interleave fell
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 10.0)).toDF("id", "amt"), base)
+    Versioned.addConstraint(spark, base, "amt_cap", "amt <= 100.0")
+    intercept[ConstraintViolation] {
+      Versioned.commit(Seq((2L, 500.0)).toDF("id", "amt"), base,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(Versioned.read(spark, base).count() === 1)
+  }
+
+  /** Conditional-put shim: emulates an S3-class store where RENAME is
+    * not atomic but a compare-and-swap token service is available
+    * (If-None-Match / DynamoDB lock — the shape Delta's S3 LogStore
+    * uses). `claim` is the linearization point; the copy happens only
+    * after winning it, and losers never touch the target. */
+  private final class ConditionalPutStore extends Versioned.CommitStore {
+    val claimed = new ConcurrentHashMap[String, Boolean]()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    def putIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean = {
+      if (claimed.putIfAbsent(target.toString, true) != null) return false
+      // a real conditional PUT makes the object visible ATOMICALLY once
+      // the precondition passes; emulate that on a filesystem with a
+      // private copy + rename AFTER winning the claim (only the claim
+      // winner ever touches `target`, so this rename cannot race)
+      val shadow = new Path(target.getParent, s".put-${target.getName}")
+      FileUtil.copy(f, tmp, f, shadow, true, f.getConf)
+      require(f.rename(shadow, target))
+      wins.incrementAndGet()
+      true
+    }
+  }
+
+  test("racing writers through a conditional-put store lose no commit") {
+    val base = freshBase()
+    val store = new ConditionalPutStore
+    val writers = 4
+    val perWriter = 6
+    Versioned.withCommitStore(store) {
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          for (i <- 0 until perWriter) {
+            Versioned.appendOnce(
+              Seq((w.toLong * 100 + i, s"w$w-b$i")).toDF("id", "tag"),
+              base, s"writer$w-batch$i")
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+    }
+    val vs = Versioned.versions(spark, base)
+    assert(vs === (1L to (writers * perWriter).toLong),
+      "every append must land exactly once, versions contiguous")
+    assert(store.wins.get() === writers * perWriter)
+    assert(Versioned.read(spark, base).count() ===
+      (writers * perWriter).toLong)
+    val ids = Versioned.appliedBatchIds(spark, base).toSet
+    for (w <- 0 until writers; i <- 0 until perWriter)
+      assert(ids.contains(s"writer$w-batch$i"))
+  }
+
+  test("reader lease: a pinned snapshot survives a concurrent vacuum") {
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
+    val lease = Versioned.pinSnapshot(spark, base) // pins v1
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), base)
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), base)
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    // the lease floor kept v1 (and so v2) despite keepVersions = 1
+    assert(Versioned.versions(spark, base) === Seq(1L, 2L, 3L))
+    assert(Versioned.readVersion(spark, base, lease.version)
+      .select("s").as[String].collect() === Array("a"))
+    lease.close()
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, base) === Seq(3L),
+      "after release the ordinary retention applies")
+  }
+
+  test("withPinnedSnapshot scopes the pin to the body") {
+    val base = freshBase()
+    Versioned.commit(Seq(1L, 2L).toDF("id"), base)
+    val n = Versioned.withPinnedSnapshot(spark, base) { snap =>
+      Versioned.commit(Seq(3L).toDF("id"), base)
+      Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+      snap.count() // v1's files must still be readable here
+    }
+    assert(n === 2L)
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, base) === Seq(2L))
+  }
+
+  test("bloom sidecars auto-size from per-file row counts and record their sizing") {
+    val base = freshBase()
+    // ~300 rows in 2 files, NO sizing confs: the sidecar must size for
+    // ~150-row files, not the old 1M-item / 1 MiB default
+    Versioned.commit(
+      spark.range(0, 300).toDF("id").withColumn("k", col("id") * 7L)
+        .repartitionByRange(2, col("id")),
+      base, bloomCols = Seq("k"))
+    val ents = Versioned.entries(spark, base, 1L)
+    val bloom = spark.read.parquet(ents.head.path + "/_graft_bloom")
+    val row = bloom.select("bloom_items", "bloom_bits", "bloom_fpp")
+      .head()
+    assert(row.getLong(0) <= 300L && row.getLong(0) >= 100L,
+      s"items must track the max file row count, got ${row.getLong(0)}")
+    assert(row.getLong(1) < 64L * 1024,
+      s"a 150-row file must not pay a 1M-item filter (${row.getLong(1)} bits)")
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 0.05)
+    val filterBytes = bloom.select("k_bloom").head()
+      .getAs[Array[Byte]](0).length
+    assert(filterBytes < 8 * 1024,
+      s"sidecar filter is $filterBytes bytes — not auto-sized")
+    // and the layer still works: point probes prune, rows exact
+    val probe = Seq(("k", Seq[Any](7L * 42)))
+    val got = Versioned.readPointPruned(spark, base, probe)
+      .filter(col("k") === 7L * 42)
+    assert(got.count() === 1L)
+    assert(got.inputFiles.length === 1,
+      "the probe must plan only the file that can hold the key")
+  }
+}
