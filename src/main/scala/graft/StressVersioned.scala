@@ -283,9 +283,27 @@ object StressVersioned {
           .select(col("id"), pmod(col("id"), lit(100)).as("grp"),
             (col("id") % 1000).as("v")),
         src, SaveMode.Append)
+      // fixed-overhead audit: COUNT the Spark jobs a catch-up costs —
+      // the r9 shape paid ~15 (double-run isEmpty probes, two change-
+      // feed collects); the stage-then-check + one-job feed resolution
+      // shape must stay under 9
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet()
+          println("JOB: " + j.stageInfos.map(_.name).mkString(" | "))
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
       val tC = System.nanoTime()
       sync() // catch-up folds ONLY the net delta
       val catchSecs = (System.nanoTime() - tC) / 1e9
+      spark.sparkContext.removeSparkListener(counter)
+      val catchJobs = jobCount.get()
+      check(catchJobs <= 9,
+        s"catch-up sync cost $catchJobs Spark jobs — fixed overhead crept back")
 
       val got = Versioned.read(spark, roll)
         .as[(Long, Long, Long)].collect().toSet
@@ -306,7 +324,8 @@ object StressVersioned {
         s"net change feed must be change-sized: got $feedRows rows")
       println(f"6. CDC view sync: PASS — 4M-row source, net feed " +
         f"$feedRows rows (= the change), bootstrap $bootSecs%.1f s, " +
-        f"catch-up $catchSecs%.1f s (overhead-bound at this SF)")
+        f"catch-up $catchSecs%.1f s / $catchJobs jobs " +
+        "(overhead-bound at this SF)")
     }
 
     // --- 7. bloom point-probe at scale ---------------------------------

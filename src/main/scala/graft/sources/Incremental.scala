@@ -124,9 +124,10 @@ object Incremental {
 
     val partials = reAgg(batch).cache()
     try {
-      val touchedSet: Set[String] = partials
+      val touchedVals: Seq[Any] = partials
         .select(col(partitionKey)).distinct()
-        .collect().map(r => partTag(r.get(0))).toSet
+        .collect().map(_.get(0)).toSeq
+      val touchedSet: Set[String] = touchedVals.map(partTag).toSet
       if (touchedSet.isEmpty)
         // nothing to fold (empty batch, or every group netted to zero
         // against itself) — still RECORD the batch id, so an offset-
@@ -137,7 +138,7 @@ object Incremental {
         }
       retryCas(s"upsertRollup($batchId) under $basePath") {
         attemptUpsert(spark, basePath, partials, batchId,
-          partitionKey, touchedSet, reAgg, finalizeState,
+          partitionKey, touchedVals, touchedSet, reAgg, finalizeState,
           mayVanish = dropZeroMeasure.isDefined, maxEntries)
       }
     } finally partials.unpersist()
@@ -159,7 +160,8 @@ object Incremental {
 
   private def attemptUpsert(spark: SparkSession, basePath: String,
       partials: DataFrame, batchId: String, partitionKey: String,
-      touchedSet: Set[String], reAgg: DataFrame => DataFrame,
+      touchedVals: Seq[Any], touchedSet: Set[String],
+      reAgg: DataFrame => DataFrame,
       finalizeState: DataFrame => DataFrame, mayVanish: Boolean,
       maxEntries: Int): Long = {
     val vs = Versioned.versions(spark, basePath)
@@ -202,54 +204,76 @@ object Incremental {
       else ents.filter(_.tombstone)
     if (intersecting.isEmpty) {
       // every existing dir is provably disjoint (a brand-new partition):
-      // the batch partials ARE the merged state — nothing to read at all
-      val st = finalizeState(partials)
-      val stEntry =
-        if (mayVanish && st.isEmpty) Seq.empty // all new groups vanished
-        else Seq(ManifestEntry(
-          Versioned.stage(st, basePath), Some(touchedSet)))
+      // the batch partials ARE the merged state — nothing to read at
+      // all; stage-then-check (footers) answers vanishing in one pass
+      val stEntry = Versioned.stageNonEmpty(
+        finalizeState(partials), basePath, Some(touchedSet)).toSeq
       return Versioned.publishEntries(spark, basePath, head,
         delEnts ++ carried ++ stEntry, Map("batch_id" -> batchId))
     }
+    // EXPLICIT schema, not mergeSchema: the rollup's dirs were all
+    // written by this module with the partials' shape, so the
+    // schema-reconciliation job mergeSchema runs per read is pure
+    // overhead — and the semantics are identical (a dir missing a newer
+    // measure reads it as null, extra legacy columns were dropped by
+    // the projection either way)
     val cur = Versioned.applyDels(spark,
-        spark.read.option("mergeSchema", "true")
+        spark.read.schema(partials.schema)
           .parquet(intersecting.map(_.path): _*), dels)
       .select(partials.columns.map(col): _*)
-    // null-safe membership: a NULL partition value must merge with the
-    // batch's NULL group, not duplicate into remainder AND merged
-    val tp = partials.select(col(partitionKey).as("__tp")).distinct()
-    val remainder = cur.join(broadcast(tp),
-      cur(partitionKey) <=> col("__tp"), "left_anti")
-    val merged = finalizeState(reAgg(
-      cur.join(broadcast(tp), cur(partitionKey) <=> col("__tp"), "left_semi")
-        .drop("__tp")
-        .unionByName(partials)))
-    // the vanish probe would otherwise run the whole merge pipeline
-    // (scan + semi-join + union + re-agg) once for isEmpty and AGAIN
-    // for the stage — cache it around both
-    if (mayVanish) merged.cache()
-    try {
-      val mergedEntries =
-        if (mayVanish && merged.isEmpty) Seq.empty // all touched groups vanished
-        else Seq(ManifestEntry(Versioned.stage(merged, basePath),
-          Some(touchedSet)))
-      // the remainder keeps the intersecting dirs' confinement minus the
-      // touched values — but only if EVERY intersecting dir was tagged
-      val remTag = {
-        if (intersecting.forall(_.parts.isDefined)) {
-          val u = intersecting.flatMap(_.parts.get).toSet -- touchedSet
-          if (u.nonEmpty) Some(u) else None
-        } else None
-      }
-      val remEntries =
-        if (remainder.isEmpty) Seq.empty
-        else Seq(ManifestEntry(Versioned.stage(remainder, basePath), remTag))
-      // a lost CAS leaves the freshly staged dirs orphaned — vacuumable
-      // garbage, never visible
-      Versioned.publishEntries(spark, basePath, head,
-        delEnts ++ carried ++ remEntries ++ mergedEntries,
-        Map("batch_id" -> batchId))
-    } finally if (mayVanish) merged.unpersist()
+    // touched-group membership as a LITERAL predicate, not a broadcast
+    // join: the touched values already sit on the driver (the touchedSet
+    // collect), and each broadcast(tp) materialization is a whole extra
+    // Spark job per staged frame — `isInCollection` lowers to a codegen
+    // InSet with zero jobs. Null-safe: a NULL partition value must merge
+    // with the batch's NULL group, not duplicate into remainder AND
+    // merged, so NULL membership is an explicit isNull branch and the
+    // three-valued `In` result coalesces to false. Exotic key types a
+    // Literal can't carry (struct/binary) fall back to the join shape.
+    val inTouched: Option[org.apache.spark.sql.Column] =
+      try {
+        val hasNull = touchedVals.contains(null)
+        val nonNull = touchedVals.filterNot(_ == null)
+        val base =
+          if (nonNull.isEmpty) lit(false)
+          else col(partitionKey).isInCollection(nonNull)
+        Some(coalesce(
+          if (hasNull) base || col(partitionKey).isNull else base,
+          lit(false)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val (inMerged, inRemainder): (DataFrame, DataFrame) = inTouched match {
+      case Some(p) => (cur.filter(p), cur.filter(!p))
+      case None =>
+        val tp = partials.select(col(partitionKey).as("__tp")).distinct()
+        (cur.join(broadcast(tp),
+            cur(partitionKey) <=> col("__tp"), "left_semi").drop("__tp"),
+          cur.join(broadcast(tp),
+            cur(partitionKey) <=> col("__tp"), "left_anti"))
+    }
+    val remainder = inRemainder
+    val merged = finalizeState(reAgg(inMerged.unionByName(partials)))
+    // stage FIRST, decide from the written footers: the old shape ran
+    // each frame's full pipeline for `isEmpty` and then AGAIN for the
+    // stage (with a cache papering over one of the two) — this runs
+    // each pipeline exactly once; an empty result costs a tiny write
+    // that is deleted on the spot
+    val mergedEntries = Versioned.stageNonEmpty(
+      merged, basePath, Some(touchedSet)).toSeq
+    // the remainder keeps the intersecting dirs' confinement minus the
+    // touched values — but only if EVERY intersecting dir was tagged
+    val remTag = {
+      if (intersecting.forall(_.parts.isDefined)) {
+        val u = intersecting.flatMap(_.parts.get).toSet -- touchedSet
+        if (u.nonEmpty) Some(u) else None
+      } else None
+    }
+    val remEntries =
+      Versioned.stageNonEmpty(remainder, basePath, remTag).toSeq
+    // a lost CAS leaves the freshly staged dirs orphaned — vacuumable
+    // garbage, never visible
+    Versioned.publishEntries(spark, basePath, head,
+      delEnts ++ carried ++ remEntries ++ mergedEntries,
+      Map("batch_id" -> batchId))
   }
 
   /** The newest source version consumer `consumerName` has fully folded

@@ -698,6 +698,101 @@ object Versioned {
   private def isDirEmpty(spark: SparkSession, dir: String): Boolean =
     spark.read.parquet(dir).isEmpty
 
+  /** Exact row count of a staged dir from its parquet FOOTERS — a
+    * driver-side metadata loop, no Spark job. The cheap post-write
+    * emptiness/size check that lets write paths stage FIRST and decide
+    * after (one pipeline execution) instead of running `isEmpty` (a
+    * full pipeline run) before staging (a second one). */
+  private[sources] def stagedRowCount(spark: SparkSession,
+      dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    val it = f.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val path = st.getPath
+      if (path.getName.endsWith(".parquet") &&
+          !path.toString.substring(f.makeQualified(p).toString.length)
+            .split('/').exists(s => s.startsWith("_") || s.startsWith("."))) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(path, spark.sparkContext.hadoopConfiguration)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }
+    }
+    n
+  }
+
+  /** Driver-side union schema over staged dirs: each dir was written as
+    * one unit (uniform schema within), so ONE footer per dir determines
+    * it — pulled straight from the parquet key-value metadata Spark
+    * writes (`org.apache.spark.sql.parquet.row.metadata`), a pure
+    * driver-side footer read; even a plain non-merge
+    * `spark.read.parquet(dir).schema` launches a whole inference JOB
+    * per call. The union is a name-keyed field fold. Returns None on a
+    * type conflict between dirs (widening schema evolution) or any
+    * missing/unparsable footer metadata — callers fall back to Spark's
+    * own mergeSchema resolution. */
+  private[sources] def unionDirSchemas(spark: SparkSession,
+      dirs: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    for (d <- dirs.distinct) {
+      val s: StructType =
+        try {
+          val p = new Path(d)
+          val f = fs(spark, p)
+          val base = f.makeQualified(p).toString
+          val it = f.listFiles(p, true)
+          var first: Path = null
+          while (first == null && it.hasNext) {
+            val st = it.next()
+            val path = st.getPath
+            if (path.getName.endsWith(".parquet") &&
+                !path.toString.substring(base.length)
+                  .split('/').exists(x =>
+                    x.startsWith("_") || x.startsWith(".")))
+              first = path
+          }
+          if (first == null) return None
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(first, spark.sparkContext.hadoopConfiguration)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val json =
+            try reader.getFooter.getFileMetaData.getKeyValueMetaData
+              .get("org.apache.spark.sql.parquet.row.metadata")
+            finally reader.close()
+          if (json == null) return None
+          DataType.fromJson(json).asInstanceOf[StructType]
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      for (f <- s.fields) out.get(f.name) match {
+        case None => out(f.name) = f.copy(nullable = true)
+        case Some(g) if g.dataType == f.dataType => ()
+        case _ => return None
+      }
+    }
+    Some(StructType(out.values.toSeq))
+  }
+
+  /** Stage `df` and keep it only when it holds rows: returns the
+    * manifest entry, or None after deleting the (tiny) empty dir. One
+    * pipeline execution per staged frame — the emptiness answer comes
+    * from the written footers, not a pre-pass. */
+  private[sources] def stageNonEmpty(df: DataFrame, basePath: String,
+      parts: Option[Set[String]]): Option[ManifestEntry] = {
+    val spark = df.sparkSession
+    val dir = stage(df, basePath)
+    if (stagedRowCount(spark, dir) > 0L) Some(ManifestEntry(dir, parts))
+    else {
+      val p = new Path(dir)
+      fs(spark, p).delete(p, true)
+      None
+    }
+  }
+
   /** Snapshot union schema, cached per (table, version): deriving it
     * merges parquet footers across the WHOLE snapshot, so a strict-
     * policy table's per-batch type check must not pay O(table files) on
@@ -967,31 +1062,82 @@ object Versioned {
     val deltaDel = dv(dvTo).exceptAll(dv(dvFrom))
     val deltaIns = dv(dvFrom).exceptAll(dv(dvTo))
 
-    def rowsAt(delta: DataFrame, keepDirs: Seq[String]): Option[DataFrame] = {
+    // BOTH directions' touched-file lists in ONE job (they were two
+    // full exceptAll runs + collects): per-position multiset counts on
+    // each side, full-outer joined — a file is del-touched when some
+    // position gained tombstones, ins-touched when some position lost
+    // them. KB-scale output (file names), driver-collected once.
+    val (delFiles, insFiles): (Seq[String], Seq[String]) =
+      if (dvFrom.isEmpty && dvTo.isEmpty) (Seq.empty, Seq.empty)
+      else {
+        import org.apache.spark.sql.functions.{coalesce, count, max, when}
+        val f = dv(dvFrom).groupBy("__fp", "__ri")
+          .agg(count(lit(1)).as("__nf"))
+        val t = dv(dvTo).groupBy("__fp", "__ri")
+          .agg(count(lit(1)).as("__nt"))
+        val rows = t.join(f, Seq("__fp", "__ri"), "full_outer")
+          .select(col("__fp"),
+            coalesce(col("__nt"), lit(0L)).as("nt"),
+            coalesce(col("__nf"), lit(0L)).as("nf"))
+          .filter(col("nt") =!= col("nf"))
+          .groupBy("__fp")
+          .agg(max(when(col("nt") > col("nf"), 1).otherwise(0)).as("d"),
+            max(when(col("nf") > col("nt"), 1).otherwise(0)).as("i"))
+          .collect()
+        (rows.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq,
+          rows.filter(_.getInt(2) == 1).map(_.getString(0)).toSeq)
+      }
+
+    val common = fromPaths.filter(toPaths.toSet)
+    // mergeSchema launches a distributed footer-reconciliation JOB per
+    // read; every dir here was staged as one unit (uniform schema
+    // within), so the union schema is a DRIVER-SIDE fold over one
+    // footer per dir — zero jobs. A type conflict across dirs (widening
+    // evolution) falls back to the mergeSchema read, which resolves
+    // coercion properly.
+    val feedSchema: Option[org.apache.spark.sql.types.StructType] =
+      unionDirSchemas(spark, added ++ removed ++ common)
+    def readFiles(paths: Seq[String]): DataFrame = feedSchema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    def rowsAt(delta: DataFrame, touchedFiles: Seq[String],
+        keepDirs: Seq[String]): Option[DataFrame] = {
       val keep = keepDirs.map(normPath).toSet
-      val files = delta.select("__fp").distinct()
-        .collect().map(_.getString(0))
-        .filter { f =>
-          val p = normPath(f)
-          keep.exists(d => p.startsWith(d + "/"))
-        }
+      val files = touchedFiles.filter { f =>
+        val p = normPath(f)
+        keep.exists(d => p.startsWith(d + "/"))
+      }
       if (files.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(files: _*)
+      else Some(readFiles(files)
         .select(col("*"),
           col("_metadata.file_path").as("__fp"),
           col("_metadata.row_index").as("__ri"))
         .join(delta, Seq("__fp", "__ri"), "left_semi")
         .drop("__fp", "__ri"))
     }
-    val common = fromPaths.filter(toPaths.toSet)
-    def whole(paths: Seq[String], dels: Seq[String]): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else Some(applyDels(spark,
-        spark.read.option("mergeSchema", "true").parquet(paths: _*), dels))
+    // ONE read spans both sides' whole dirs; rows split back by
+    // normalized file path, each side subtracting its own snapshot's
+    // deletion vectors
+    val (wholeIns, wholeDel): (Option[DataFrame], Option[DataFrame]) =
+      if (added.isEmpty && removed.isEmpty) (None, None)
+      else {
+        import org.apache.spark.sql.functions.regexp_replace
+        val raw = readFiles(added ++ removed)
+        val normFp = regexp_replace(regexp_replace(
+          col("_metadata.file_path"),
+          lit("^[A-Za-z][A-Za-z0-9+.-]*:"), lit("")),
+          lit("/+"), lit("/"))
+        def side(dirs: Seq[String], dels: Seq[String]): Option[DataFrame] =
+          if (dirs.isEmpty) None
+          else Some(applyDels(spark, raw.filter(dirs.map(d =>
+            normFp.startsWith(normPath(d) + "/")).reduce(_ || _)), dels))
+        (side(added, dvTo), side(removed, dvFrom))
+      }
 
-    val insertsRaw = whole(added, dvTo).toSeq ++ rowsAt(deltaIns, common)
-    val deletesRaw = whole(removed, dvFrom).toSeq ++ rowsAt(deltaDel, common)
+    val insertsRaw = wholeIns.toSeq ++ rowsAt(deltaIns, insFiles, common)
+    val deletesRaw = wholeDel.toSeq ++ rowsAt(deltaDel, delFiles, common)
     if (insertsRaw.isEmpty && deletesRaw.isEmpty)
       return readVersion(spark, basePath, toV)
         .filter(lit(false))
@@ -1005,12 +1151,26 @@ object Versioned {
         if (df.columns.contains(c)) col(c)
         else lit(null).as(c)): _*)).reduceOption(_ union _)
     // net: a COW rewrite's carried-over identical rows appear on both
-    // sides — cancel them, multiset-exact
+    // sides — cancel them, multiset-exact. ONE aggregation nets both
+    // directions: the textbook `ins.exceptAll(del) ∪ del.exceptAll(ins)`
+    // lowers to TWO union+aggregate shuffles over the same pair, while
+    // a signed count per distinct row needs one (rows re-expand to
+    // |net| copies, so multiset semantics are exactly exceptAll's; SQL
+    // groupBy matches nulls like exceptAll does).
     (align(insertsRaw), align(deletesRaw)) match {
       case (Some(ins), Some(del)) =>
-        ins.exceptAll(del).withColumn("_change", lit("insert"))
-          .unionByName(
-            del.exceptAll(ins).withColumn("_change", lit("delete")))
+        import org.apache.spark.sql.functions.{abs => fabs, explode,
+          sequence, sum => fsum, when}
+        ins.withColumn("__s", lit(1L))
+          .unionByName(del.withColumn("__s", lit(-1L)))
+          .groupBy(allCols.map(col): _*)
+          .agg(fsum(col("__s")).as("__net"))
+          .filter(col("__net") =!= 0L)
+          .withColumn("__dup",
+            explode(sequence(lit(1L), fabs(col("__net")))))
+          .withColumn("_change",
+            when(col("__net") > 0L, "insert").otherwise("delete"))
+          .drop("__net", "__dup")
       case (Some(ins), None) => ins.withColumn("_change", lit("insert"))
       case (None, Some(del)) => del.withColumn("_change", lit("delete"))
       case (None, None) => throw new IllegalStateException("unreachable")
