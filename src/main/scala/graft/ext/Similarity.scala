@@ -659,7 +659,18 @@ object Similarity {
       * persisted bucketed code table. No retrain, no rewrite of existing
       * codes, no shuffle of anything but the batch itself; quantizer
       * drift under a changing distribution is handled by periodic retrain,
-      * the standard IVF-PQ operating practice. Caller owns vec_id
+      * the standard IVF-PQ operating practice.
+      *
+      * Retrain threshold: the measured decay curve (RECALL_r10+
+      * `append_decay`, same-distribution appends at the registered
+      * operating point) holds recall@5 flat through ~25% appended
+      * fraction, −0.04 at 50%, −0.08 at 75% and −0.20 at 90% — so
+      * RETRAIN ONCE THE APPENDED (UNTRAINED) FRACTION PASSES ~0.5, and
+      * earlier under distribution shift (the curve is the no-shift
+      * floor: appends drawn from a drifted distribution land in
+      * ill-fitting cells/codebooks and decay faster). A retrain is one
+      * [[IvfPqIndex.train]]+[[IvfPqIndex.save]] over the current corpus
+      * frame — readers cut over on the next [[load]]. Caller owns vec_id
       * uniqueness across appends (an index references the corpus — dedup
       * is the corpus pipeline's job, and [[graft.ext.Dedup]]'s ingest gate
       * runs BEFORE vectors reach an index). The appended vectors become
