@@ -908,6 +908,25 @@ object Versioned {
       delPaths(ents))
   }
 
+  /** Manifest-level conservative test: can the `(fromV, toV]` window
+    * have REMOVED or rewritten rows? True when any data directory of
+    * `fromV` is gone at `toV` (a COW rewrite or delete) or the
+    * deletion-vector set changed (a MOR delete / rollback). Zero jobs —
+    * two manifest reads. A pure-append window is exactly `false`, so an
+    * insert-only consumer (the streaming source's append mode) can gate
+    * on this without running the change feed: false positives are
+    * impossible for appends, and a `true` answer may be conservative
+    * (e.g. a compaction that removed no rows) — that is the strict
+    * reading an insert-only contract wants. */
+  def windowRemovesRows(spark: SparkSession, basePath: String,
+      fromV: Long, toV: Long): Boolean = {
+    val from = entries(spark, basePath, fromV)
+    val to = entries(spark, basePath, toV)
+    val toData = dataEntries(to).map(_.path).toSet
+    dataEntries(from).exists(e => !toData.contains(e.path)) ||
+      delPaths(from).toSet != delPaths(to).toSet
+  }
+
   /** Latest committed version, with a clear error on an uninitialized
     * table (a bare `versions(...).last` would NoSuchElement with no
     * mention of the path). */

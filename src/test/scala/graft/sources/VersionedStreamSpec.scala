@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.SparkSpec
+
+/** The streaming READ source over versioned tables
+  * (`format("graft-versioned")`): initial snapshot, incremental
+  * append windows, exactly-once across checkpoint restart (dogfooded
+  * through `commitStream`'s ledgered sink — versioned→versioned
+  * replication survives a stop/restart with no dupes, no holes), the
+  * cdc mode's signed feed, the append-mode removal gate, and the
+  * startingVersion / maxVersionsPerTrigger knobs. */
+class VersionedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    java.nio.file.Files.createTempDirectory("graft_vstream").toString + "/t"
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_vstream").toString
+
+  private def readVs(path: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.readStream.format("graft-versioned")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(path)
+
+  private def drain(q: StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+  }
+
+  test("append mode: initial snapshot, then incremental windows, once each") {
+    val src = freshBase()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src)
+    val q1 = readVs(src).writeStream.format("memory")
+      .queryName("vs_append").start()
+    q1.processAllAvailable()
+    assert(spark.table("vs_append").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")), "initial batch = the full snapshot")
+
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    Versioned.commit(Seq((4L, "d")).toDF("id", "s"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(q1)
+    assert(spark.table("vs_append").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(spark.table("vs_append").count() === 4,
+      "each row delivered exactly once")
+  }
+
+  test("exactly-once across restart: versioned->versioned replication") {
+    val src = freshBase(); val dst = freshBase(); val ckpt = freshDir()
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), src)
+
+    def replicate(): StreamingQuery =
+      Versioned.commitStream(readVs(src), dst, "repl",
+        Map("checkpointLocation" -> ckpt))
+
+    val q1 = replicate()
+    q1.processAllAvailable()
+    Versioned.commit(Seq((3L, 30L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(q1)
+    assert(Versioned.read(spark, dst).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+
+    // while the stream is DOWN, more commits land; the restart resumes
+    // from the checkpointed version offset — no re-delivery of the
+    // snapshot or the already-shipped windows, no missed window
+    Versioned.commit(Seq((4L, 40L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    Versioned.commit(Seq((5L, 50L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    val q2 = replicate()
+    drain(q2)
+    assert(Versioned.read(spark, dst).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    assert(Versioned.read(spark, dst).count() === 5,
+      "restart must not re-deliver (ledgered sink would not dedupe a " +
+        "re-derived window with a NEW epoch id — the offsets themselves " +
+        "must be exact)")
+  }
+
+  test("cdc mode: deletes arrive signed, net of the COW rewrite") {
+    val src = freshBase()
+    Versioned.commit((1L to 6L).map(i => (i, i * 10L)).toDF("id", "v"), src)
+    val q = readVs(src, "mode" -> "cdc").writeStream.format("memory")
+      .queryName("vs_cdc").start()
+    q.processAllAvailable()
+    assert(spark.table("vs_cdc").filter(col("_change") === "insert")
+      .count() === 6, "initial snapshot arrives as inserts")
+
+    Versioned.deleteWhere(spark, src, col("id") >= 5L)
+    Versioned.commit(Seq((7L, 70L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(q)
+    val got = spark.table("vs_cdc").as[(Long, Long, String)].collect()
+    val dels = got.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet
+    assert(dels === Set((5L, 50L), (6L, 60L)),
+      "exactly the deleted rows, not the COW-carried survivors")
+    // inserts = the 6 snapshot rows (delivered BEFORE the delete) plus
+    // the appended row; folding signed rows downstream yields the live
+    // table, the syncRollup contract
+    assert(got.filter(_._3 == "insert").map(r => (r._1, r._2)).toSet ===
+      (1L to 7L).map(i => (i, i * 10L)).toSet)
+  }
+
+  test("append mode refuses a removal window; ignoreChanges ships net inserts") {
+    val src = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), src)
+    val strict = readVs(src).writeStream.format("memory")
+      .queryName("vs_strict").start()
+    strict.processAllAvailable()
+    Versioned.deleteWhere(spark, src, col("id") === 2L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+    }
+    strict.stop()
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("remove or rewrite"),
+      s"append mode must fail loudly, got: $msgs")
+
+    // tolerant restartless consumer: a FRESH stream with ignoreChanges
+    // sees the current snapshot; a further delete mid-stream is skipped
+    // and the appended row still arrives
+    val tol = readVs(src, "ignoreChanges" -> "true").writeStream
+      .format("memory").queryName("vs_tol").start()
+    tol.processAllAvailable()
+    Versioned.deleteWhere(spark, src, col("id") === 3L)
+    Versioned.commit(Seq((9L, 90L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(tol)
+    assert(spark.table("vs_tol").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (3L, 30L), (4L, 40L), (9L, 90L)),
+      "net inserts only: the delete is dropped, the append arrives")
+  }
+
+  test("startingVersion skips the snapshot; maxVersionsPerTrigger bounds batches") {
+    val src = freshBase()
+    val v1 = Versioned.commit(Seq((1L, "old")).toDF("id", "s"), src)
+    (2L to 5L).foreach { i =>
+      Versioned.commit(Seq((i, s"r$i")).toDF("id", "s"), src,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    val q = readVs(src, "startingVersion" -> v1.toString,
+      "maxVersionsPerTrigger" -> "1")
+      .writeStream.format("memory").queryName("vs_from")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("vs_from").as[(Long, String)].collect().toSet ===
+      (2L to 5L).map(i => (i, s"r$i")).toSet,
+      "only rows committed AFTER startingVersion")
+    // 4 outstanding versions at 1/trigger = 4 separate micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) === 4,
+      "maxVersionsPerTrigger=1 must split the backlog into one batch " +
+        "per version")
+  }
+
+  test("schema is frozen at start: added column dropped until restart, null-filled when absent") {
+    val src = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), src)
+    val q = readVs(src).writeStream.format("memory")
+      .queryName("vs_schema").start()
+    q.processAllAvailable()
+    // an append batch ADDS a column mid-stream: delivered rows align to
+    // the frozen 2-column schema (extra dropped), no failure
+    Versioned.commit(Seq((2L, "b", 99L)).toDF("id", "s", "extra"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(q)
+    assert(spark.table("vs_schema").columns.toSeq === Seq("id", "s"))
+    assert(spark.table("vs_schema").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // a fresh stream adopts the evolved schema; the OLD batch's missing
+    // column reads null — mergeSchema semantics end to end
+    val q2 = readVs(src).writeStream.format("memory")
+      .queryName("vs_schema2").start()
+    drain(q2)
+    assert(spark.table("vs_schema2").columns.toSet ===
+      Set("id", "s", "extra"))
+    assert(spark.table("vs_schema2")
+      .filter(col("id") === 1L && col("extra").isNull).count() === 1)
+  }
+}
