@@ -740,7 +740,13 @@ object Versioned {
       dirs: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types.{DataType, StructField, StructType}
     val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
-    for (d <- dirs.distinct) {
+    // pruned READS pass per-file paths; a file's schema is its parent
+    // dir's (staged as one unit), so dedupe to parents and the cost
+    // stays one footer per DIR however many files survived pruning
+    val roots = dirs.map { d =>
+      if (d.endsWith(".parquet")) new Path(d).getParent.toString else d
+    }.distinct
+    for (d <- roots) {
       val s: StructType =
         try {
           val p = new Path(d)
@@ -768,14 +774,38 @@ object Versioned {
           if (json == null) return None
           DataType.fromJson(json).asInstanceOf[StructType]
         } catch { case scala.util.control.NonFatal(_) => return None }
-      for (f <- s.fields) out.get(f.name) match {
-        case None => out(f.name) = f.copy(nullable = true)
-        case Some(g) if g.dataType == f.dataType => ()
-        case _ => return None
+      // key by the session's resolution rule: under the default
+      // case-insensitive resolver, `Part` and `part` are ONE column
+      // (mergeSchema unifies them to the first-seen spelling; an
+      // explicit schema carrying both would be a duplicate-column
+      // analysis error)
+      val caseSensitive =
+        spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+      for (f <- s.fields) {
+        val key =
+          if (caseSensitive) f.name
+          else f.name.toLowerCase(java.util.Locale.ROOT)
+        out.get(key) match {
+          case None => out(key) = f.copy(nullable = true)
+          case Some(g) if g.dataType == f.dataType => ()
+          case _ => return None
+        }
       }
     }
     Some(StructType(out.values.toSeq))
   }
+
+  /** Reader over snapshot data paths (whole dirs or pruned file lists):
+    * explicit driver-derived union schema when derivable — skipping the
+    * distributed schema-reconciliation JOB mergeSchema launches on
+    * every read — with mergeSchema as the fallback for cross-dir type
+    * conflicts, where real coercion is needed. */
+  private[sources] def snapReader(spark: SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.DataFrameReader =
+    unionDirSchemas(spark, paths) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
 
   /** Stage `df` and keep it only when it holds rows: returns the
     * manifest entry, or None after deleting the (tiny) empty dir. One
@@ -895,17 +925,41 @@ object Versioned {
 
   private final class ReplayedBatch extends RuntimeException
 
-  /** Read a specific committed snapshot (time travel). `mergeSchema`:
-    * append batches may ADD columns over time; the union schema is
-    * reconciled across the snapshot's files, older files reading the new
-    * columns as null — schema evolution without rewriting history. */
+  /** Per-(table, version) cache of the snapshot's driver-derived union
+    * schema (see [[unionDirSchemas]]): a committed snapshot is
+    * immutable, so the answer never staleness-checks; one entry per
+    * table (stale versions overwrite), same shape as `schemaCache`. */
+  private val readSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[org.apache.spark.sql.types.StructType])]()
+
+  /** Read a specific committed snapshot (time travel). Append batches
+    * may ADD columns over time; the union schema reconciles across the
+    * snapshot's directories, older files reading the new columns as
+    * null — schema evolution without rewriting history. The union is
+    * derived DRIVER-SIDE from one footer per dir and cached per
+    * snapshot (each dir was staged as one unit, so it is
+    * schema-uniform); Spark's mergeSchema — a distributed
+    * footer-reconciliation JOB on every read — remains the fallback for
+    * cross-dir type conflicts, where real coercion is needed. */
   def readVersion(spark: SparkSession, basePath: String, v: Long): DataFrame = {
     val ents = entries(spark, basePath, v)
     val dirs = dataEntries(ents).map(_.path)
     if (dirs.isEmpty) spark.emptyDataFrame
-    else applyDels(spark,
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
-      delPaths(ents))
+    else {
+      val cached = readSchemaCache.get(basePath)
+      val snap =
+        if (cached != null && cached._1 == v) cached._2
+        else {
+          val s = unionDirSchemas(spark, dirs)
+          readSchemaCache.put(basePath, (v, s))
+          s
+        }
+      val rdr = snap match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read.option("mergeSchema", "true")
+      }
+      applyDels(spark, rdr.parquet(dirs: _*), delPaths(ents))
+    }
   }
 
   /** Manifest-level conservative test: can the `(fromV, toV]` window
@@ -974,7 +1028,7 @@ object Versioned {
     if (sources.isEmpty) readVersion(spark, basePath, head).filter(
       org.apache.spark.sql.functions.lit(false))
     else applyDels(spark,
-      spark.read.option("mergeSchema", "true").parquet(sources: _*),
+      snapReader(spark, sources).parquet(sources: _*),
       delPaths(ents))
   }
 
@@ -1263,7 +1317,7 @@ object Versioned {
     // existing deletion vectors are applied first: a dir whose only
     // matching rows are already tombstoned must not be rewritten
     val matchDirs = applyDels(spark,
-        spark.read.option("mergeSchema", "true")
+        snapReader(spark, dataEnts.map(_.path))
           .parquet(dataEnts.map(_.path): _*),
         dels, keepMeta = true)
       .filter(coalesce(cond, lit(false)))
@@ -1349,7 +1403,7 @@ object Versioned {
     if (sources.isEmpty) readVersion(spark, basePath, head).filter(
       org.apache.spark.sql.functions.lit(false))
     else applyDels(spark,
-      spark.read.option("mergeSchema", "true").parquet(sources: _*),
+      snapReader(spark, sources).parquet(sources: _*),
       delPaths(ents))
   }
 
@@ -1411,7 +1465,7 @@ object Versioned {
     val base =
       if (sources.isEmpty) readVersion(spark, basePath, head).filter(lit(false))
       else applyDels(spark,
-        spark.read.option("mergeSchema", "true").parquet(sources: _*),
+        snapReader(spark, sources).parquet(sources: _*),
         delPaths(ents))
     base.filter(cond)
   }
@@ -1474,7 +1528,7 @@ object Versioned {
     // entries are carried — still live for untouched dirs, harmlessly
     // dangling for the files this rewrite replaces.
     val rewritten = rewrite(applyDels(spark,
-      spark.read.option("mergeSchema", "true")
+      snapReader(spark, touched.map(_.path))
         .parquet(touched.map(_.path): _*), dels))
     val tag =
       if (keepParts && touched.forall(_.parts.isDefined)) {
@@ -1567,7 +1621,7 @@ object Versioned {
     // cached: the discovery scan is the dominant cost — pay it once for
     // the emptiness probe AND the stage write
     val dv = applyDels(spark,
-        spark.read.option("mergeSchema", "true")
+        snapReader(spark, candidates.map(_.path))
           .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
       .filter(coalesce(cond, lit(false)))
       .select(col("__fp").as("file_path"), col("__ri").as("row_index"))
@@ -1597,7 +1651,7 @@ object Versioned {
     // cached: one discovery scan feeds the emptiness probe, the vector,
     // and the patch rows
     val matched = applyDels(spark,
-        spark.read.option("mergeSchema", "true")
+        snapReader(spark, candidates.map(_.path))
           .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
       .filter(coalesce(cond, lit(false)))
       .cache()
@@ -1684,7 +1738,7 @@ object Versioned {
     import org.apache.spark.sql.functions.regexp_replace
     val matchDirs =
       if (candidates.isEmpty) Set.empty[String]
-      else applyDels(spark, spark.read.option("mergeSchema", "true")
+      else applyDels(spark, snapReader(spark, candidates.map(_.path))
           .parquet(candidates.map(_.path): _*), dels, keepMeta = true)
         .select((keys.map(col) :+
           regexp_replace(col("__fp"), "/[^/]+$", "").as("__dir")): _*)
@@ -1700,7 +1754,7 @@ object Versioned {
     // rewrite of touched dirs: matched rows take the source's updateCols
     // (outstanding deletion vectors applied first — no resurrection)
     val rewrittenEntry = if (touched.isEmpty) Seq.empty else {
-      val t = applyDels(spark, spark.read.option("mergeSchema", "true")
+      val t = applyDels(spark, snapReader(spark, touched.map(_.path))
         .parquet(touched.map(_.path): _*), dels)
       val s = source.select((keys.map(col) ++
         updateCols.map(c => col(c).as(s"__src_$c")) :+
@@ -1734,8 +1788,9 @@ object Versioned {
     // (key-column-pruned; a tombstoned row's key no longer blocks).
     // Cached: the anti-join scan feeds both the emptiness probe and the
     // stage write.
-    val allKeys = applyDels(spark, spark.read.option("mergeSchema", "true")
-      .parquet(dataEntries(ents).map(_.path): _*), dels)
+    val allKeys = applyDels(spark,
+      snapReader(spark, dataEntries(ents).map(_.path))
+        .parquet(dataEntries(ents).map(_.path): _*), dels)
       .select(keys.map(col): _*)
     val inserts = source.join(allKeys, keys, "left_anti").cache()
     try {
@@ -1823,7 +1878,7 @@ object Versioned {
     // (everything folded) therefore drops the vector entries entirely; a
     // partial one keeps them for the carried dirs (their rows referencing
     // folded files dangle harmlessly).
-    val df = applyDels(spark, spark.read.option("mergeSchema", "true")
+    val df = applyDels(spark, snapReader(spark, fold.map(_.path))
       .parquet(fold.map(_.path): _*), dels).repartition(targetFiles)
     val tag =
       if (fold.forall(_.parts.isDefined)) {
@@ -1861,7 +1916,7 @@ object Versioned {
     val datas = dataEntries(ents)
     if (datas.isEmpty) return head
     val df = applyDels(spark,
-      spark.read.option("mergeSchema", "true")
+      snapReader(spark, datas.map(_.path))
         .parquet(datas.map(_.path): _*), delPaths(ents))
     val clustered = Layout.zOrderFrame(df, zCols, files)
     val tag =
