@@ -1234,16 +1234,23 @@ object Versioned {
       case (Some(ins), Some(del)) =>
         import org.apache.spark.sql.functions.{abs => fabs, explode,
           sequence, sum => fsum, when}
-        ins.withColumn("__s", lit(1L))
-          .unionByName(del.withColumn("__s", lit(-1L)))
+        // helper names must not shadow USER columns — `withColumn` on a
+        // taken name silently REPLACES the data column (the old
+        // exceptAll shape reserved nothing, so neither may this one)
+        def fresh(base: String): String =
+          Iterator.iterate(base)(_ + "_")
+            .find(n => !allCols.contains(n)).get
+        val (cS, cNet, cDup) = (fresh("__s"), fresh("__net"), fresh("__dup"))
+        ins.withColumn(cS, lit(1L))
+          .unionByName(del.withColumn(cS, lit(-1L)))
           .groupBy(allCols.map(col): _*)
-          .agg(fsum(col("__s")).as("__net"))
-          .filter(col("__net") =!= 0L)
-          .withColumn("__dup",
-            explode(sequence(lit(1L), fabs(col("__net")))))
+          .agg(fsum(col(cS)).as(cNet))
+          .filter(col(cNet) =!= 0L)
+          .withColumn(cDup,
+            explode(sequence(lit(1L), fabs(col(cNet)))))
           .withColumn("_change",
-            when(col("__net") > 0L, "insert").otherwise("delete"))
-          .drop("__net", "__dup")
+            when(col(cNet) > 0L, "insert").otherwise("delete"))
+          .drop(cNet, cDup)
       case (Some(ins), None) => ins.withColumn("_change", lit("insert"))
       case (None, Some(del)) => del.withColumn("_change", lit("delete"))
       case (None, None) => throw new IllegalStateException("unreachable")

@@ -578,6 +578,23 @@ class VersionedSpec extends SparkSpec {
       ("insert", 3L, 30.0), ("delete", 3L, 0.0)))
   }
 
+  test("change feed survives user columns named like its own helpers") {
+    import spark.implicits._
+    // the signed-netting aggregation builds scratch columns; a USER
+    // column spelled the same must come through untouched, not be
+    // silently replaced by the sign literal
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 7L, 70L), (2L, 8L, 80L))
+      .toDF("id", "__s", "__net"), base)                          // v1
+    Versioned.deleteWhere(spark, base, col("id") === 1)           // v2
+    Versioned.commit(Seq((3L, 9L, 90L)).toDF("id", "__s", "__net"),
+      base, SaveMode.Append)                                      // v3
+    val got = Versioned.changes(spark, base, 1, 3)
+      .select("_change", "id", "__s", "__net")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("delete", 1L, 7L, 70L), ("insert", 3L, 9L, 90L)))
+  }
+
   test("history and timestamp time travel") {
     import spark.implicits._
     val base = freshBase()
