@@ -408,6 +408,54 @@ object Incremental {
     } finally if (!partials.columns.isEmpty) partials.unpersist()
   }
 
+  /** Continuous MATERIALIZED-VIEW maintenance — the streaming twin of
+    * [[syncRollup]]: a cdc stream over the SOURCE versioned table (the
+    * `graft-versioned` streaming source) drives signed upserts into the
+    * rollup, DML included — the first micro-batch is the source
+    * snapshot (all inserts = the bootstrap), every later one is a net
+    * change window folded exactly like the pull loop's catch-up
+    * (inserts add `prepare`'s measures, deletes subtract, a group whose
+    * `countMeasure` nets to zero vanishes). Exactly-once end to end:
+    * version offsets replay deterministically from the checkpoint and
+    * the rollup's `(streamName, epochId)` ledger no-ops a replayed
+    * fold, so crash/restart loses nothing and doubles nothing. The
+    * [[rollupStream]] contracts apply (stable `consumerName` across
+    * restarts of the same logical stream; one maintainer per rollup);
+    * `prepare`/`countMeasure` carry [[syncRollup]]'s additivity
+    * contract. `options` should carry `checkpointLocation` in
+    * production; vacuum the SOURCE no tighter than consumer lag (an
+    * in-flight window is lease-pinned by the source, but a stopped
+    * stream's unread backlog is not). */
+  def syncRollupStream(spark: SparkSession, sourceBase: String,
+      rollupBase: String, consumerName: String,
+      prepare: DataFrame => DataFrame, partitionKey: String,
+      subKeys: Seq[String], measures: Seq[String], countMeasure: String,
+      maxEntries: Int = 64, options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(measures.contains(countMeasure),
+      s"countMeasure $countMeasure must be one of the measures")
+    spark.readStream.format("graft-versioned")
+      .option("mode", "cdc").load(sourceBase)
+      .writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val ins = prepare(
+          batch.filter(col("_change") === "insert").drop("_change"))
+        val del = measures.foldLeft(prepare(
+            batch.filter(col("_change") === "delete").drop("_change"))) {
+          (df, m) => df.withColumn(m, negate(col(m)))
+        }
+        upsertRollup(batch.sparkSession, rollupBase,
+          ins.unionByName(del),
+          s"stream-$consumerName-epoch-$epochId",
+          partitionKey, subKeys, measures, maxEntries,
+          dropZeroMeasure = Some(countMeasure))
+        ()
+      }
+      .start()
+  }
+
   /** Continuous refresh: [[upsertRollup]] per micro-batch, keyed by
     * `(streamName, epochId)` — after a restart from checkpoint,
     * Structured Streaming redelivers the same epoch under the same id,

@@ -185,16 +185,34 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
     case other => VersionOffset.fromJson(other.json).v
   }
 
+  /** One reader lease per in-flight batch, keyed by the batch's end
+    * version: pinning a window's FROM snapshot keeps it (and everything
+    * after — the whole window) vacuum-safe from getBatch until the
+    * engine's commit, so a slow micro-batch cannot have its snapshots
+    * reaped out from under its lazy file reads. Released on commit and
+    * on stop. */
+  private val pins = new java.util.concurrent.ConcurrentHashMap[
+    Long, Versioned.SnapshotLease]()
+
+  private def pinFor(endV: Long, v: Long): Unit = {
+    pins.computeIfAbsent(endV,
+      _ => Versioned.pinSnapshot(spark, basePath, Some(v)))
+    ()
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = ver(end)
     val startV = start.map(ver)
     val batch = startV.orElse(startingVersion) match {
-      case Some(fromV) if fromV < endV => window(fromV, endV)
+      case Some(fromV) if fromV < endV =>
+        pinFor(endV, fromV)
+        window(fromV, endV)
       // fromV >= endV: a restart-recovery probe or an already-consumed
       // window — deliver nothing rather than derive a backwards feed
       case Some(_) => emptyBatch()
       case None =>
         // initial load: the full snapshot at the first trigger's head
+        pinFor(endV, endV)
         val snap = Versioned.readVersion(spark, basePath, endV)
         if (mode == "cdc") snap.withColumn("_change", lit("insert"))
         else snap
@@ -205,6 +223,15 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
     // version at or below either
     lastEnd = Some(Seq(Some(endV), startV, lastEnd).flatten.max)
     toStreaming(align(batch))
+  }
+
+  override def commit(end: OffsetV1): Unit = {
+    val v = ver(end)
+    import scala.jdk.CollectionConverters._
+    pins.keySet.asScala.toSeq.filter(_ <= v).foreach { k =>
+      val l = pins.remove(k)
+      if (l != null) l.close()
+    }
   }
 
   private def window(fromV: Long, toV: Long): DataFrame = mode match {
@@ -253,7 +280,10 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
       isStreaming = true)
   }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    pins.values.forEach(_.close())
+    pins.clear()
+  }
 
   override def toString: String = s"VersionedStreamSource[$basePath, $mode]"
 }

@@ -158,6 +158,85 @@ class VersionedStreamSpec extends SparkSpec {
         "per version")
   }
 
+  test("an in-flight batch's snapshot window survives a concurrent vacuum") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val src = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), src)
+    val got = new ConcurrentLinkedQueue[(String, Long, Long)]()
+    val vacuumedDuring = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = readVs(src, "mode" -> "cdc").writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L) {
+          // the window (v1, v2] is IN FLIGHT: a COW delete made v1's
+          // rewritten dir unreferenced by v2, so an unleased vacuum
+          // here would reap the very files this batch's lazy reads
+          // need — the getBatch-time pin must hold them
+          Versioned.vacuum(spark, src, keepVersions = 1, minAgeMs = 0L)
+          vacuumedDuring.set(true)
+        }
+        b.select("_change", "id", "v").as[(String, Long, Long)]
+          .collect().foreach(got.add)
+        ()
+      }.start()
+    q.processAllAvailable()
+    Versioned.deleteWhere(spark, src, col("id") <= 2L)
+    drain(q)
+    assert(vacuumedDuring.get, "the vacuum must have raced the batch")
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSet
+    assert(rows.filter(_._1 == "delete").map(r => (r._2, r._3)) ===
+      Set((1L, 10L), (2L, 20L)),
+      "the in-flight window read its (vacuum-raced) snapshot exactly")
+    // the stream is stopped → pins released; retention is ordinary again
+    Versioned.vacuum(spark, src, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, src).size === 1,
+      "a closed stream must not pin retention forever")
+  }
+
+  test("syncRollupStream: a cdc stream maintains the rollup through DML, restart included") {
+    val src = freshBase(); val roll = freshBase(); val ckpt = freshDir()
+    Versioned.commit((1L to 9L)
+      .map(i => (i, i % 3, i * 10L)).toDF("id", "grp", "v"), src)
+    def prep(df: DataFrame) =
+      df.select(col("grp"), lit(1L).as("cnt"), col("v").as("v_sum"))
+    def expected(): Set[(Long, Long, Long)] =
+      Versioned.read(spark, src).groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+        .as[(Long, Long, Long)].collect().toSet
+    def rollup(): Set[(Long, Long, Long)] =
+      Versioned.read(spark, roll).as[(Long, Long, Long)].collect().toSet
+    def start() = Incremental.syncRollupStream(spark, src, roll, "mv",
+      prep, "grp", Seq.empty, Seq("cnt", "v_sum"), "cnt",
+      options = Map("checkpointLocation" -> ckpt))
+
+    val q = start()
+    q.processAllAvailable()
+    assert(rollup() === expected(), "bootstrap = snapshot aggregate")
+
+    // the full DML spectrum while the stream runs: COW delete, MOR
+    // update, append — then a whole-group vanish
+    Versioned.deleteWhere(spark, src, col("id") === 4L)
+    Versioned.updateWhereMor(spark, src, col("id") === 5L,
+      Map("v" -> lit(999L)))
+    Versioned.commit(Seq((10L, 1L, 100L)).toDF("id", "grp", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    q.processAllAvailable()
+    assert(rollup() === expected(), "DML folds signed")
+
+    Versioned.deleteWhere(spark, src, col("grp") === 0L)
+    drain(q)
+    assert(rollup() === expected(), "a vanished group vanishes")
+    assert(!rollup().exists(_._1 == 0L))
+
+    // stop/commit-more/restart: the checkpointed offset + ledger must
+    // resume with no re-fold and no gap
+    Versioned.commit(Seq((11L, 2L, 110L)).toDF("id", "grp", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    val q2 = start()
+    drain(q2)
+    assert(rollup() === expected(), "restart resumes exactly-once")
+  }
+
   test("schema is frozen at start: added column dropped until restart, null-filled when absent") {
     val src = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), src)
