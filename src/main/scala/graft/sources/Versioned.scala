@@ -2011,7 +2011,7 @@ object Versioned {
     // later one) is retained whatever keepVersions says — a long scan
     // can no longer have its files reaped mid-query by a concurrent
     // vacuum. The floor only ever widens the kept set, never narrows.
-    val floor = leaseFloor(f.makeQualified(base).toString)
+    val floor = leaseFloor(spark, basePath, f.makeQualified(base).toString)
     val cut = math.min(
       math.max(0, vs.size - keepVersions),
       floor.map(fl => vs.indexWhere(_ >= fl) match {
@@ -2033,15 +2033,27 @@ object Versioned {
 
   /** A live reader's claim on a snapshot: while open, [[vacuum]] keeps
     * that version (and everything after it) readable. Close it (or use
-    * [[withPinnedSnapshot]]) when the scan is done. In-process scope —
-    * the same scope as the reads it protects; cross-process deployments
-    * coordinate retention through the vacuum PERIOD, as the public
-    * formats do. */
+    * [[withPinnedSnapshot]]) when the scan is done. The claim is BOTH
+    * in-process (a registry this JVM's vacuum consults directly) and
+    * DURABLE — a tiny lease file under `_graft_leases/` whose name
+    * carries the version and whose modification time is the renewal
+    * stamp — so a vacuum run from ANOTHER process honors it too.
+    * Crashed readers cannot block retention forever: a lease file older
+    * than `spark.graft.lease.ttlMs` (default 1 h) is expired — ignored
+    * and garbage-collected by the next vacuum. Long scans call
+    * [[SnapshotLease.renew]] inside the TTL. */
   final class SnapshotLease private[Versioned] (
-      table: String, id: Long, val version: Long) extends AutoCloseable {
+      table: String, id: Long, val version: Long,
+      f: FileSystem, file: Path) extends AutoCloseable {
+    /** Re-stamp the durable lease — one metadata touch. */
+    def renew(): Unit =
+      try f.setTimes(file, System.currentTimeMillis(), -1L)
+      catch { case scala.util.control.NonFatal(_) => () }
     override def close(): Unit = {
       val m = leases.get(table)
       if (m != null) m.remove(id)
+      try f.delete(file, false)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -2049,13 +2061,40 @@ object Versioned {
     String, java.util.concurrent.ConcurrentHashMap[Long, Long]]()
   private val leaseIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def leaseFloor(qualifiedBase: String): Option[Long] = {
-    val m = leases.get(qualifiedBase)
-    if (m == null) None
-    else {
-      import scala.jdk.CollectionConverters._
-      m.values.asScala.minOption
-    }
+  private def leasesDir(basePath: String): Path =
+    new Path(basePath, "_graft_leases")
+
+  private val LeaseName = """lease-[0-9a-f-]+#v=(\d+)""".r
+
+  /** The lowest version any live lease pins — in-process registry plus
+    * non-expired durable lease files (another process's readers); a
+    * file past the TTL is ignored AND deleted here (lease GC). */
+  private def leaseFloor(spark: SparkSession, basePath: String,
+      qualifiedBase: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val inProc = Option(leases.get(qualifiedBase))
+      .flatMap(_.values.asScala.minOption)
+    val ttl = spark.conf.getOption("spark.graft.lease.ttlMs")
+      .map(_.toLong).getOrElse(3600000L)
+    val horizon = System.currentTimeMillis() - ttl
+    val durable =
+      try {
+        val d = leasesDir(basePath)
+        val f = fs(spark, d)
+        if (!f.exists(d)) None
+        else f.listStatus(d).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case LeaseName(v) if st.getModificationTime >= horizon =>
+              Some(v.toLong)
+            case LeaseName(_) => // expired: a crashed reader's remnant
+              try f.delete(st.getPath, false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              None
+            case _ => None
+          }
+        }.minOption
+      } catch { case scala.util.control.NonFatal(_) => None }
+    (inProc.toSeq ++ durable).minOption
   }
 
   /** Pin `version` (default: the current head) against vacuum until the
@@ -2071,7 +2110,12 @@ object Versioned {
     leases.computeIfAbsent(key,
       _ => new java.util.concurrent.ConcurrentHashMap[Long, Long]())
       .put(id, v)
-    new SnapshotLease(key, id, v)
+    val file = new Path(leasesDir(basePath),
+      s"lease-${java.util.UUID.randomUUID()}#v=$v")
+    val f = fs(spark, file)
+    try { f.create(file, false).close() }
+    catch { case scala.util.control.NonFatal(_) => () } // in-proc still holds
+    new SnapshotLease(key, id, v, f, file)
   }
 
   /** Run `body` against a pinned head snapshot: the DataFrame reads

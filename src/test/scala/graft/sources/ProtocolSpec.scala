@@ -132,6 +132,35 @@ class ProtocolSpec extends SparkSpec {
       "after release the ordinary retention applies")
   }
 
+  test("durable lease: another process's lease file floors vacuum until it expires") {
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), base)
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), base)
+    // exactly the artifact pinSnapshot leaves behind in ANOTHER JVM:
+    // a lease file named for the pinned version, mtime = its renewal
+    val dir = new Path(base, "_graft_leases")
+    val file = new Path(dir,
+      s"lease-${java.util.UUID.randomUUID()}#v=2")
+    val f = FsUtil.fs(spark, file)
+    f.create(file, false).close()
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, base) === Seq(2L, 3L),
+      "a live foreign lease must floor retention at its version")
+    // the reader crashed: age the lease past the TTL — the next vacuum
+    // ignores it, reaps normally, and garbage-collects the file
+    f.setTimes(file, System.currentTimeMillis() - 7200000L, -1L)
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, base) === Seq(3L),
+      "an expired lease must not block retention")
+    assert(!f.exists(file), "expired lease files are GC'd")
+    // and a this-process pin leaves (then removes) the same artifact
+    val lease = Versioned.pinSnapshot(spark, base)
+    assert(f.listStatus(dir).nonEmpty, "pin writes a durable lease")
+    lease.close()
+    assert(f.listStatus(dir).isEmpty, "close removes it")
+  }
+
   test("withPinnedSnapshot scopes the pin to the body") {
     val base = freshBase()
     Versioned.commit(Seq(1L, 2L).toDF("id"), base)
