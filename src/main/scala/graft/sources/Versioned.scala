@@ -542,6 +542,39 @@ object Versioned {
       newEntries
     }, meta)
 
+  /** [[publishEntries]] for DML derivations that can REBASE over pure
+    * appends instead of aborting — the public lakehouse formats'
+    * logical conflict matrix (append vs delete/update: no conflict
+    * under write-serializability; the rewrite's serial position is
+    * before the append, which lands untouched). When the head moved,
+    * the interleaved commits COMPOSE iff (a) every directory this
+    * derivation read-and-replaced (or whose rows its deletion vector
+    * references) is still a live data entry at the new head — nobody
+    * rewrote or compacted it away — and (b) the deletion-vector set is
+    * unchanged — a raced vector could reference those same rows, and a
+    * derivation that never saw it would resurrect or double-delete
+    * them. Then the new entry list is re-derived FROM THE CURRENT head
+    * (`mk(prev)`), so raced appends and disjoint-directory rewrites
+    * carry through. Anything else still aborts with
+    * ConcurrentModificationException. */
+  private def publishRebase(spark: SparkSession, basePath: String,
+      expectedHead: Long, readPaths: Set[String],
+      delsAtDerivation: Seq[String])(
+      mk: Seq[ManifestEntry] => Seq[ManifestEntry]): Long =
+    publish(spark, basePath, (head, prev) => {
+      if (head != expectedHead) {
+        val curData = dataEntries(prev).map(_.path).toSet
+        val composes = delPaths(prev).toSet == delsAtDerivation.toSet &&
+          readPaths.forall(curData.contains)
+        if (!composes) throw new java.util.ConcurrentModificationException(
+          s"rewrite derived from v$expectedHead conflicts with commits " +
+            s"up to v$head under $basePath — a raced commit rewrote a " +
+            "directory this derivation read or changed the deletion-" +
+            "vector set; re-read the snapshot and retry")
+      }
+      mk(prev)
+    })
+
   /** Stage `df` into a fresh immutable `data-<uuid>` directory (with an
     * optional zone-map sidecar over `statsCols`, read from the parquet
     * footers the write just produced — near-free, enables
@@ -1547,8 +1580,8 @@ object Versioned {
     val staged = stage(rewritten, basePath,
       sharedStatsCols(spark, touched.map(_.path)),
       sharedBloomCols(spark, touched.map(_.path)))
-    publishEntries(spark, basePath, head,
-      ents.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
+    publishRebase(spark, basePath, head, touchedPaths, dels)(prev =>
+      prev.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
   }
 
   /** Copy-on-write DELETE: publish a new version without the matching
@@ -1636,8 +1669,9 @@ object Versioned {
     try {
       if (dv.isEmpty) return head
       val staged = stage(dv, basePath, validate = false)
-      publishEntries(spark, basePath, head,
-        ents :+ ManifestEntry(staged, None, tombstone = true))
+      publishRebase(spark, basePath, head,
+        candidates.map(_.path).toSet, dels)(prev =>
+        prev :+ ManifestEntry(staged, None, tombstone = true))
     } finally dv.unpersist()
   }
 
@@ -1671,8 +1705,9 @@ object Versioned {
       }.drop("__fp", "__ri")
       val dvDir = stage(dv, basePath, validate = false)
       val patchDir = stage(patched, basePath)
-      publishEntries(spark, basePath, head,
-        ents :+ ManifestEntry(dvDir, None, tombstone = true)
+      publishRebase(spark, basePath, head,
+        candidates.map(_.path).toSet, dels)(prev =>
+        prev :+ ManifestEntry(dvDir, None, tombstone = true)
           :+ ManifestEntry(patchDir, None))
     } finally matched.unpersist()
   }

@@ -132,6 +132,83 @@ class ProtocolSpec extends SparkSpec {
       "after release the ordinary retention applies")
   }
 
+  /** Deterministic mid-flight race: on the FIRST publish attempt of the
+    * body, land `interleave` (through the plain store) before letting
+    * the attempt's conditional put proceed — the interleaved commit
+    * wins, the body's publish loses its CAS and re-enters the rebase/
+    * abort logic on the retry. */
+  private def racing[A](interleave: => Unit)(body: => A): A = {
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.withCommitStore(new Versioned.CommitStore {
+      def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          tmp: Path, target: Path): Boolean = {
+        if (raced.compareAndSet(false, true)) interleave
+        Versioned.RenameCommitStore.putIfAbsent(f, tmp, target)
+      }
+    })(body)
+  }
+
+  test("a pure append composes with COW delete: rebase, not abort") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val v = racing {
+      Versioned.commit(Seq((9L, 90L)).toDF("id", "v"), base,
+        org.apache.spark.sql.SaveMode.Append)
+    } {
+      Versioned.deleteWhere(spark, base, col("id") === 2L)
+    }
+    // both effects landed, in write-serializable order (delete@v1, then
+    // the append): 3 survivors + the raced row, one version each
+    assert(v === 3L)
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 9L))
+  }
+
+  test("a pure append composes with a MOR delete's vector") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val v = racing {
+      Versioned.commit(Seq((9L, 90L)).toDF("id", "v"), base,
+        org.apache.spark.sql.SaveMode.Append)
+    } {
+      Versioned.deleteWhereMor(spark, base, col("id") === 2L)
+    }
+    assert(v === 3L)
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 9L))
+  }
+
+  test("overlapping rewrites still conflict: raced delete of the same dir aborts") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    intercept[java.util.ConcurrentModificationException] {
+      racing {
+        // rewrites the SAME (only) data dir the outer delete derived from
+        Versioned.deleteWhere(spark, base, col("id") === 3L)
+      } {
+        Versioned.deleteWhere(spark, base, col("id") === 2L)
+      }
+    }
+    // the raced delete won; the aborted one left only vacuumable garbage
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L))
+  }
+
+  test("a raced deletion vector forces a COW abort, not a resurrection") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    intercept[java.util.ConcurrentModificationException] {
+      racing {
+        Versioned.deleteWhereMor(spark, base, col("id") === 3L)
+      } {
+        // derived without the raced vector: rebasing would resurrect 3
+        Versioned.deleteWhere(spark, base, col("id") === 2L)
+      }
+    }
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L))
+  }
+
   test("durable lease: another process's lease file floors vacuum until it expires") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
