@@ -1580,7 +1580,13 @@ object Versioned {
     val staged = stage(rewritten, basePath,
       sharedStatsCols(spark, touched.map(_.path)),
       sharedBloomCols(spark, touched.map(_.path)))
-    publishRebase(spark, basePath, head, touchedPaths, dels)(prev =>
+    // the rebase read set is the CANDIDATES (every dir the discovery
+    // scan read), not just the touched dirs: a racer rewriting a dir we
+    // read-but-didn't-touch is a read-write conflict — its replacement
+    // may hold rows this predicate should have seen — so it aborts;
+    // only dirs the zone maps proved disjoint AT DERIVATION compose
+    publishRebase(spark, basePath, head,
+      candidates.map(_.path).toSet, dels)(prev =>
       prev.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
   }
 
