@@ -364,6 +364,61 @@ object StressVersioned {
         f"full scan $fullSecs%.1f s")
     }
 
+    // --- 8. appenders racing a COW deleter: rebase, zero aborts --------
+    locally {
+      val base = freshBase()
+      // seed: 8 dirs of 100k rows, ids 0..800k
+      (0 until 8).foreach { i =>
+        Versioned.commit(
+          spark.range(i * 100000L, (i + 1) * 100000L)
+            .select(col("id"), (col("id") % 97).as("v")),
+          base, SaveMode.Append)
+      }
+      // 6 appenders race a deleter that walks disjoint seed slices.
+      // Pure appends must COMPOSE with every delete (the rebase path);
+      // a single ConcurrentModificationException is a failure. Appended
+      // ids live above the seed range, so the expected final set is
+      // exact arithmetic.
+      val aborts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+      val appendTasks = (0 until 6).map { t =>
+        pool.submit(new Runnable { def run(): Unit =
+          (0 until 4).foreach { b =>
+            val lo = 1000000L + (t * 4 + b) * 10000L
+            Versioned.commit(
+              spark.range(lo, lo + 10000L)
+                .select(col("id"), (col("id") % 97).as("v")),
+              base, SaveMode.Append)
+          }
+        })
+      }
+      val delTask = pool.submit(new Runnable { def run(): Unit =
+        (0 until 4).foreach { s =>
+          // each delete hits one seed slice: 2 dirs' worth of ids
+          try Versioned.deleteWhere(spark, base,
+            col("id") >= s * 200000L && col("id") < s * 200000L + 50000L)
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              aborts.incrementAndGet(); ()
+          }
+        }
+      })
+      (appendTasks :+ delTask).foreach(_.get())
+      pool.shutdown()
+      check(aborts.get() == 0,
+        s"${aborts.get()} deletes aborted — appends must rebase-compose")
+      val expect = 800000L - 4 * 50000L + 6 * 4 * 10000L
+      val got = Versioned.read(spark, base).count()
+      check(got == expect, s"row count $got != $expect after racing DML")
+      val gotDel = Versioned.read(spark, base)
+        .filter(col("id") < 800000L && col("id") % 200000L < 50000L)
+        .count()
+      check(gotDel == 0L, "a deleted slice resurfaced")
+      println(s"8. appenders vs COW deleter: PASS — 24 racing appends + " +
+        s"4 slice deletes, 0 aborts (all rebased), state exact " +
+        s"($expect rows)")
+    }
+
     println("StressVersioned: ALL SECTIONS PASS")
     spark.stop()
   }
