@@ -550,13 +550,19 @@ object Versioned {
     * the interleaved commits COMPOSE iff (a) every directory this
     * derivation read-and-replaced (or whose rows its deletion vector
     * references) is still a live data entry at the new head — nobody
-    * rewrote or compacted it away — and (b) the deletion-vector set is
-    * unchanged — a raced vector could reference those same rows, and a
-    * derivation that never saw it would resurrect or double-delete
-    * them. Then the new entry list is re-derived FROM THE CURRENT head
-    * (`mk(prev)`), so raced appends and disjoint-directory rewrites
-    * carry through. Anything else still aborts with
-    * ConcurrentModificationException. */
+    * rewrote or compacted it away — (b) no deletion vector this
+    * derivation applied was removed, and (c) every RACED deletion
+    * vector references only directories OUTSIDE the read set — a
+    * vector into a read directory could reference rows a COW rewrite
+    * is about to re-stage (resurrection) or rows this derivation's own
+    * vector/patch already accounts for, while a vector into an unread,
+    * zone-disjoint directory commutes with the rewrite exactly like a
+    * pure append does (the disjointness probe reads the raced vectors'
+    * `file_path` sets — matches-proportional, and only on the conflict
+    * path). Then the new entry list is re-derived FROM THE CURRENT
+    * head (`mk(prev)`), so raced appends, zone-disjoint rewrites, and
+    * zone-disjoint vectors all carry through. Anything else still
+    * aborts with ConcurrentModificationException. */
   private def publishRebase(spark: SparkSession, basePath: String,
       expectedHead: Long, readPaths: Set[String],
       delsAtDerivation: Seq[String])(
@@ -564,13 +570,23 @@ object Versioned {
     publish(spark, basePath, (head, prev) => {
       if (head != expectedHead) {
         val curData = dataEntries(prev).map(_.path).toSet
-        val composes = delPaths(prev).toSet == delsAtDerivation.toSet &&
-          readPaths.forall(curData.contains)
+        val curDels = delPaths(prev).toSet
+        val derived = delsAtDerivation.toSet
+        def racedDelsDisjoint: Boolean = {
+          val raced = (curDels -- derived).toSeq
+          raced.isEmpty || spark.read.parquet(raced: _*)
+            .select("file_path").distinct().collect()
+            .forall(r =>
+              !readPaths.contains(new Path(r.getString(0)).getParent.toString))
+        }
+        val composes = derived.subsetOf(curDels) &&
+          readPaths.forall(curData.contains) && racedDelsDisjoint
         if (!composes) throw new java.util.ConcurrentModificationException(
           s"rewrite derived from v$expectedHead conflicts with commits " +
             s"up to v$head under $basePath — a raced commit rewrote a " +
-            "directory this derivation read or changed the deletion-" +
-            "vector set; re-read the snapshot and retry")
+            "directory this derivation read, removed a deletion vector " +
+            "it applied, or landed a vector into a directory it read; " +
+            "re-read the snapshot and retry")
       }
       mk(prev)
     })

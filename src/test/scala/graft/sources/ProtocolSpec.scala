@@ -209,6 +209,43 @@ class ProtocolSpec extends SparkSpec {
       .collect().toSet === Set(1L, 2L, 4L))
   }
 
+  test("zone-disjoint deletion vectors compose: MOR delete racing MOR delete") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, statsCols = Seq("id"))
+    Versioned.commit((11L to 14L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, org.apache.spark.sql.SaveMode.Append, statsCols = Seq("id"))
+    val v = racing {
+      Versioned.deleteWhereMor(spark, base, col("id") === 12L)
+    } {
+      Versioned.deleteWhereMor(spark, base, col("id") === 2L)
+    }
+    // the zone maps prove the raced vector lives entirely in a
+    // directory the victim's discovery never read: both vectors land,
+    // one version each, no abort
+    assert(v === 4L)
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 11L, 13L, 14L))
+  }
+
+  test("a zone-disjoint raced vector composes with a COW delete too") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, statsCols = Seq("id"))
+    Versioned.commit((11L to 14L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, org.apache.spark.sql.SaveMode.Append, statsCols = Seq("id"))
+    val v = racing {
+      Versioned.deleteWhereMor(spark, base, col("id") === 12L)
+    } {
+      Versioned.deleteWhere(spark, base, col("id") === 2L)
+    }
+    // the COW rewrite re-stages only the directory it read; the raced
+    // vector's rows are elsewhere, so no resurrection is possible
+    assert(v === 4L)
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 11L, 13L, 14L))
+  }
+
   test("durable lease: another process's lease file floors vacuum until it expires") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
