@@ -1871,8 +1871,14 @@ object Versioned {
         }
 
       if (rewrittenEntry.isEmpty && insertEntry.isEmpty) return head
-      publishEntries(spark, basePath, head,
-        ents.filterNot(e => touchedPaths(e.path)) ++ rewrittenEntry ++
+      // the rebase read set is EVERY data dir at derivation: the insert
+      // anti-join scanned them all, so any raced rewrite or vector is a
+      // read-write conflict — but a raced pure append (whose new dir
+      // removes nothing) composes, landing untouched after the merge's
+      // serial position, exactly like the delete/update forms
+      publishRebase(spark, basePath, head,
+        dataEntries(ents).map(_.path).toSet, dels)(prev =>
+        prev.filterNot(e => touchedPaths(e.path)) ++ rewrittenEntry ++
           insertEntry)
     } finally inserts.unpersist()
   }

@@ -209,6 +209,26 @@ class ProtocolSpec extends SparkSpec {
       .collect().toSet === Set(1L, 2L, 4L))
   }
 
+  test("a pure append composes with MERGE: rebase, not abort") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val v = racing {
+      Versioned.commit(Seq((9L, 90L)).toDF("id", "v"), base,
+        org.apache.spark.sql.SaveMode.Append)
+    } {
+      Versioned.mergeInto(spark, base,
+        Seq((2L, 222L), (5L, 555L)).toDF("id", "v"),
+        keys = Seq("id"), updateCols = Seq("v"))
+    }
+    // write-serializable order (merge@v1, then the append): the update
+    // and the insert both land, and so does the raced row
+    assert(v === 3L)
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      Set((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L), (5L, 555L),
+        (9L, 90L)))
+  }
+
   test("zone-disjoint deletion vectors compose: MOR delete racing MOR delete") {
     val base = freshBase()
     Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"),
