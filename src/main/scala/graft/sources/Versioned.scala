@@ -565,7 +565,8 @@ object Versioned {
     * aborts with ConcurrentModificationException. */
   private def publishRebase(spark: SparkSession, basePath: String,
       expectedHead: Long, readPaths: Set[String],
-      delsAtDerivation: Seq[String])(
+      delsAtDerivation: Seq[String],
+      recheck: Map[String, String] => Unit = _ => ())(
       mk: Seq[ManifestEntry] => Seq[ManifestEntry]): Long =
     publish(spark, basePath, (head, prev) => {
       if (head != expectedHead) {
@@ -574,10 +575,22 @@ object Versioned {
         val derived = delsAtDerivation.toSet
         def racedDelsDisjoint: Boolean = {
           val raced = (curDels -- derived).toSeq
+          // normPath BOTH sides: the vectors' file_path values carry
+          // Spark's own qualification (the _metadata virtual column at
+          // the time the racer staged them), readPaths this module's —
+          // the same two-qualifier seam touchedEntries normalizes, and
+          // a data dir may shelter partition SUBDIRS, so match by
+          // dir-or-descendant, not set membership. A raw `contains`
+          // that never matched would make every raced vector look
+          // disjoint and COMPOSE a real conflict (lost deletes).
+          val rp = readPaths.map(normPath)
           raced.isEmpty || spark.read.parquet(raced: _*)
             .select("file_path").distinct().collect()
-            .forall(r =>
-              !readPaths.contains(new Path(r.getString(0)).getParent.toString))
+            .forall { r =>
+              val parent =
+                normPath(new Path(r.getString(0)).getParent.toString)
+              !rp.exists(p => parent == p || parent.startsWith(p + "/"))
+            }
         }
         val composes = derived.subsetOf(curDels) &&
           readPaths.forall(curData.contains) && racedDelsDisjoint
@@ -589,7 +602,7 @@ object Versioned {
             "re-read the snapshot and retry")
       }
       mk(prev)
-    })
+    }, recheck = recheck)
 
   /** Stage `df` into a fresh immutable `data-<uuid>` directory (with an
     * optional zone-map sidecar over `statsCols`, read from the parquet
@@ -1593,16 +1606,22 @@ object Versioned {
       } else None
     // the replacement dir inherits the touched dirs' shared stats and
     // bloom columns, so both skipping layers survive DML
-    val staged = stage(rewritten, basePath,
+    val (staged, stagedWith) = stageValidated(rewritten, basePath,
       sharedStatsCols(spark, touched.map(_.path)),
       sharedBloomCols(spark, touched.map(_.path)))
     // the rebase read set is the CANDIDATES (every dir the discovery
     // scan read), not just the touched dirs: a racer rewriting a dir we
     // read-but-didn't-touch is a read-write conflict — its replacement
     // may hold rows this predicate should have seen — so it aborts;
-    // only dirs the zone maps proved disjoint AT DERIVATION compose
+    // only dirs the zone maps proved disjoint AT DERIVATION compose.
+    // constraintRecheck: a rebase can compose over a racing
+    // addConstraint (metadata-only commit), so the staged rewrite's
+    // rows re-validate against the head's constraint DELTA inside the
+    // CAS — same gate the append paths carry
     publishRebase(spark, basePath, head,
-      candidates.map(_.path).toSet, dels)(prev =>
+      candidates.map(_.path).toSet, dels,
+      recheck = constraintRecheck(spark, basePath, staged, stagedWith))(
+      prev =>
       prev.filterNot(e => touchedPaths(e.path)) :+ ManifestEntry(staged, tag))
   }
 
@@ -1726,9 +1745,14 @@ object Versioned {
         case (d, (c, e)) => d.withColumn(c, e)
       }.drop("__fp", "__ri")
       val dvDir = stage(dv, basePath, validate = false)
-      val patchDir = stage(patched, basePath)
+      val (patchDir, patchWith) = stageValidated(patched, basePath)
+      // the patch dir carries NEW row values — recheck it against any
+      // constraint a racing addConstraint landed (the vector carries
+      // only row identities, nothing to validate)
       publishRebase(spark, basePath, head,
-        candidates.map(_.path).toSet, dels)(prev =>
+        candidates.map(_.path).toSet, dels,
+        recheck = constraintRecheck(spark, basePath, patchDir, patchWith))(
+        prev =>
         prev :+ ManifestEntry(dvDir, None, tombstone = true)
           :+ ManifestEntry(patchDir, None))
     } finally matched.unpersist()
@@ -1843,9 +1867,10 @@ object Versioned {
           val u = touched.flatMap(_.parts.get).toSet
           if (u.nonEmpty) Some(u) else None
         } else None
-      Seq(ManifestEntry(stage(updated, basePath,
+      val (dir, stagedWith) = stageValidated(updated, basePath,
         sharedStatsCols(spark, touched.map(_.path)),
-        sharedBloomCols(spark, touched.map(_.path))), tag))
+        sharedBloomCols(spark, touched.map(_.path)))
+      Seq((ManifestEntry(dir, tag), stagedWith))
     }
 
     // inserts: source rows whose key exists nowhere in the target
@@ -1867,19 +1892,29 @@ object Versioned {
             .filter(inserts.columns.contains)
           val blooms = sharedBloomCols(spark, dataEntries(ents).map(_.path))
             .filter(inserts.columns.contains)
-          Seq(ManifestEntry(stage(inserts, basePath, stats, blooms), None))
+          val (dir, stagedWith) =
+            stageValidated(inserts, basePath, stats, blooms)
+          Seq((ManifestEntry(dir, None), stagedWith))
         }
 
       if (rewrittenEntry.isEmpty && insertEntry.isEmpty) return head
+      // BOTH staged dirs carry new row values — each re-validates
+      // against the head's constraint delta inside the CAS (a rebase
+      // composes over a racing metadata-only addConstraint, so the
+      // staging-time validation alone is not enough)
+      val rechecks = (rewrittenEntry ++ insertEntry).map {
+        case (e, w) => constraintRecheck(spark, basePath, e.path, w)
+      }
       // the rebase read set is EVERY data dir at derivation: the insert
       // anti-join scanned them all, so any raced rewrite or vector is a
       // read-write conflict — but a raced pure append (whose new dir
       // removes nothing) composes, landing untouched after the merge's
       // serial position, exactly like the delete/update forms
       publishRebase(spark, basePath, head,
-        dataEntries(ents).map(_.path).toSet, dels)(prev =>
-        prev.filterNot(e => touchedPaths(e.path)) ++ rewrittenEntry ++
-          insertEntry)
+        dataEntries(ents).map(_.path).toSet, dels,
+        recheck = hc => rechecks.foreach(_(hc)))(prev =>
+        prev.filterNot(e => touchedPaths(e.path)) ++
+          rewrittenEntry.map(_._1) ++ insertEntry.map(_._1))
     } finally inserts.unpersist()
   }
 

@@ -266,6 +266,78 @@ class ProtocolSpec extends SparkSpec {
       .collect().toSet === Set(1L, 3L, 4L, 11L, 13L, 14L))
   }
 
+  test("COW UPDATE racing addConstraint: violating new values abort inside the CAS") {
+    // the r10 gate covered commit/commitIfAbsent only; the DML rewrite
+    // paths stage new row values BEFORE publish, so a racing
+    // addConstraint (metadata-only commit the rebase composes over)
+    // must be re-validated by the publish-time recheck — otherwise the
+    // update lands values the head's constraint forbids
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    intercept[ConstraintViolation] {
+      racing {
+        Versioned.addConstraint(spark, base, "v_cap", "v <= 100")
+      } {
+        Versioned.updateWhere(spark, base, col("id") === 2L,
+          Map("v" -> lit(999L)))
+      }
+    }
+    // the constraint commit won; the update aborted whole — original
+    // values intact, no staged dir referenced
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      (1L to 4L).map(i => (i, i * 10L)).toSet)
+  }
+
+  test("COW UPDATE racing addConstraint: clean new values validate the delta and land") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val v = racing {
+      Versioned.addConstraint(spark, base, "v_cap", "v <= 100")
+    } {
+      Versioned.updateWhere(spark, base, col("id") === 2L,
+        Map("v" -> lit(99L)))
+    }
+    assert(v === 3L, "constraint@2 then the rebased update@3")
+    assert(Versioned.read(spark, base).filter(col("id") === 2L)
+      .select("v").as[Long].head() === 99L)
+  }
+
+  test("MOR UPDATE racing addConstraint: the patch dir re-validates or aborts") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    intercept[ConstraintViolation] {
+      racing {
+        Versioned.addConstraint(spark, base, "v_cap", "v <= 100")
+      } {
+        Versioned.updateWhereMor(spark, base, col("id") === 2L,
+          Map("v" -> lit(999L)))
+      }
+    }
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      (1L to 4L).map(i => (i, i * 10L)).toSet)
+  }
+
+  test("MERGE racing addConstraint: violating insert or update aborts whole") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    intercept[ConstraintViolation] {
+      racing {
+        Versioned.addConstraint(spark, base, "v_cap", "v <= 100")
+      } {
+        // the INSERT row (id=5) violates; both staged dirs must abort —
+        // a MERGE is one transaction, not two
+        Versioned.mergeInto(spark, base,
+          Seq((2L, 22L), (5L, 555L)).toDF("id", "v"),
+          keys = Seq("id"), updateCols = Seq("v"))
+      }
+    }
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      (1L to 4L).map(i => (i, i * 10L)).toSet)
+  }
+
   test("durable lease: another process's lease file floors vacuum until it expires") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
