@@ -537,13 +537,35 @@ object Layout {
         val counts = fileRowCounts(spark, path)
         if (counts.isEmpty) 1L else math.max(1L, counts.map(_._2).max)
       }
-    val items =
+    val rawItems =
       if (expectedItems >= 0) expectedItems else maxRows
-    val bits =
+    val rawBits =
       if (numBits >= 0) numBits
       else math.max(64L,
-        math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2)))
+        math.ceil(-rawItems * math.log(fpp) / (math.log(2) * math.log(2)))
           .toLong)
+    // CLAMP to what BloomFilterAggregate will actually build: it
+    // silently caps its arguments at the session's runtime-bloom-filter
+    // maxima, so past ~4M rows/file the filter would be SMALLER than
+    // computed while the sidecar meta claimed the uncapped sizing — an
+    // audit trail promising an fpp the filter does not deliver. Record
+    // the clamped values (so bloom_fpp below is the DELIVERED rate) and
+    // warn: the operator's real fix is smaller files, not bigger blooms.
+    val maxItems = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    val items = math.min(rawItems, maxItems)
+    val bits = math.min(rawBits, maxBits)
+    if (items < rawItems || bits < rawBits)
+      System.err.println(
+        s"WARN graft.Layout: bloom sidecar under $path clamped from " +
+          s"($rawItems items, $rawBits bits) to ($items, $bits) by " +
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+          "maxNumBits — files this large exceed bloom capacity; " +
+          "raise the conf maxima or write smaller files")
     val df = spark.read.parquet(path)
     val types = cols.map { c =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(

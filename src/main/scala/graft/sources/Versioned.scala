@@ -1097,9 +1097,35 @@ object Versioned {
   /** Undo without copying data: commit a NEW version whose manifest is
     * version `v`'s entry list (partition tags preserved). History stays
     * linear and complete; the ledger carries forward, so a rollback
-    * cannot resurrect a replayed batch. */
-  def rollbackTo(spark: SparkSession, basePath: String, v: Long): Long = {
+    * cannot resurrect a replayed batch.
+    *
+    * The HEAD's constraint set also carries forward (a rollback undoes
+    * data, not governance) — but [[addConstraint]] validated only the
+    * data live at declaration time, so restoring a snapshot that
+    * PREDATES a constraint can restore rows violating it. The default
+    * restores verbatim (the documented policy: a rollback must always
+    * be able to restore what was committed); `validate = true` opts in
+    * to checking the restored snapshot against the head's constraints
+    * and aborting the rollback on violation. */
+  def rollbackTo(spark: SparkSession, basePath: String, v: Long,
+      validate: Boolean = false): Long = {
     val target = entries(spark, basePath, v)
+    if (validate) {
+      val cs = constraints(spark, basePath)
+      if (cs.nonEmpty) {
+        val snap = readVersion(spark, basePath, v)
+        if (snap.columns.nonEmpty) {
+          val broken = cs.filter { case (n, e) =>
+            violations(snap, Map(n -> e)).limit(1).count() > 0
+          }.keys.toSeq.sorted
+          if (broken.nonEmpty) throw new ConstraintViolation(
+            s"rollbackTo v$v under $basePath would restore rows " +
+              s"violating CHECK constraint(s) ${broken.mkString(", ")} — " +
+              "nothing was committed (pass validate = false to restore " +
+              "verbatim, or dropConstraint first)")
+        }
+      }
+    }
     publish(spark, basePath, (_, _) => target)
   }
 
@@ -1128,9 +1154,30 @@ object Versioned {
     * the clone (a full [[compactLatest]] rewrites it self-contained).
     * The target must be uninitialized; fails loudly otherwise. */
   def cloneTable(spark: SparkSession, srcBase: String, dstBase: String,
-      v: Option[Long] = None): Long = {
+      v: Option[Long] = None, validate: Boolean = false): Long = {
     val srcV = v.getOrElse(headVersion(spark, srcBase))
     val srcEnts = entries(spark, srcBase, srcV)
+    // opt-in: a clone pinned to an OLD version inherits only that
+    // version's constraint set; `validate = true` additionally checks
+    // the cloned data against the source HEAD's constraints (the gates
+    // an operator forking "the table" most likely expects to hold) and
+    // aborts on violation. Default stays clone-verbatim.
+    if (validate) {
+      val headCs = constraints(spark, srcBase)
+      if (headCs.nonEmpty) {
+        val snap = readVersion(spark, srcBase, srcV)
+        if (snap.columns.nonEmpty) {
+          val broken = headCs.filter { case (n, e) =>
+            violations(snap, Map(n -> e)).limit(1).count() > 0
+          }.keys.toSeq.sorted
+          if (broken.nonEmpty) throw new ConstraintViolation(
+            s"cloneTable of $srcBase@v$srcV would clone rows violating " +
+              s"the source head's CHECK constraint(s) " +
+              s"${broken.mkString(", ")} — nothing was committed (pass " +
+              "validate = false to clone verbatim)")
+        }
+      }
+    }
     // the ledger AS OF the cloned version — the head's may record
     // batches whose data postdates (and so is absent from) the clone
     val srcMeta = commitMeta(spark, srcBase, srcV)
@@ -1177,6 +1224,19 @@ object Versioned {
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromV <= toV, s"changes: fromV $fromV must be <= toV $toV")
+    // the feed APPENDS the `_change` convention column; a data column
+    // of that exact name would be silently REPLACED by the marker
+    // (withColumn overwrites) — the same silent-wrong-results class as
+    // the scratch-column collision the internal names already guard
+    // against. The marker name is the public feed contract, so a
+    // collision fails loudly instead of deriving a surprise name.
+    Seq(fromV, toV).distinct.foreach { v =>
+      val s = snapshotSchema(spark, basePath, v)
+      require(!s.fields.exists(_.name.equalsIgnoreCase("_change")),
+        s"changes: snapshot v$v under $basePath has a column named " +
+          "'_change' — the change feed reserves that name for its " +
+          "insert/delete marker; rename the data column")
+    }
     val from = entries(spark, basePath, fromV)
     val to = entries(spark, basePath, toV)
     val fromPaths = dataEntries(from).map(_.path)
@@ -1295,24 +1355,37 @@ object Versioned {
     (align(insertsRaw), align(deletesRaw)) match {
       case (Some(ins), Some(del)) =>
         import org.apache.spark.sql.functions.{abs => fabs, explode,
-          sequence, sum => fsum, when}
+          least, sequence, shiftright, sum => fsum, when}
         // helper names must not shadow USER columns — `withColumn` on a
         // taken name silently REPLACES the data column (the old
         // exceptAll shape reserved nothing, so neither may this one)
         def fresh(base: String): String =
           Iterator.iterate(base)(_ + "_")
             .find(n => !allCols.contains(n)).get
-        val (cS, cNet, cDup) = (fresh("__s"), fresh("__net"), fresh("__dup"))
+        val (cS, cNet, cChk, cDup) =
+          (fresh("__s"), fresh("__net"), fresh("__chk"), fresh("__dup"))
+        // re-expansion is CHUNKED: a single explode(sequence(1, |net|))
+        // materializes an O(|net|) array in one task — a row duplicated
+        // millions of times (which exceptAll streamed) would OOM an
+        // executor. Two bounded explodes keep every in-memory array at
+        // ≤ chunk elements while the row stream between them is
+        // |net|/chunk — same multiset result, streaming memory.
+        val chunkBits = 13 // chunk = 8192, a shift keeps the math integral
+        val chunk = 1L << chunkBits
         ins.withColumn(cS, lit(1L))
           .unionByName(del.withColumn(cS, lit(-1L)))
           .groupBy(allCols.map(col): _*)
           .agg(fsum(col(cS)).as(cNet))
           .filter(col(cNet) =!= 0L)
+          .withColumn(cChk,
+            explode(sequence(lit(0L),
+              shiftright(fabs(col(cNet)) - 1L, chunkBits))))
           .withColumn(cDup,
-            explode(sequence(lit(1L), fabs(col(cNet)))))
+            explode(sequence(lit(1L),
+              least(lit(chunk), fabs(col(cNet)) - col(cChk) * chunk))))
           .withColumn("_change",
             when(col(cNet) > 0L, "insert").otherwise("delete"))
-          .drop(cNet, cDup)
+          .drop(cNet, cChk, cDup)
       case (Some(ins), None) => ins.withColumn("_change", lit("insert"))
       case (None, Some(del)) => del.withColumn("_change", lit("delete"))
       case (None, None) => throw new IllegalStateException("unreachable")
@@ -2143,10 +2216,27 @@ object Versioned {
   final class SnapshotLease private[Versioned] (
       table: String, id: Long, val version: Long,
       f: FileSystem, file: Path) extends AutoCloseable {
-    /** Re-stamp the durable lease — one metadata touch. */
-    def renew(): Unit =
-      try f.setTimes(file, System.currentTimeMillis(), -1L)
-      catch { case scala.util.control.NonFatal(_) => () }
+    /** Re-stamp the durable lease — one metadata touch. Returns whether
+      * the stamp LANDED: on stores where setTimes is unsupported or
+      * transiently failing the durable lease keeps aging toward the TTL
+      * while the scan believes itself protected — a cross-process
+      * vacuum could then reap the pinned snapshot mid-query. Silent
+      * failure was exactly that trap, so failures WARN (once per lease)
+      * and surface as `false` for callers that can re-pin or abort. */
+    def renew(): Boolean =
+      try { f.setTimes(file, System.currentTimeMillis(), -1L); true }
+      catch { case scala.util.control.NonFatal(e) =>
+        if (!renewWarned) {
+          renewWarned = true
+          System.err.println(
+            s"WARN graft.Versioned: lease renewal failed for $file " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+              "cross-process vacuum protection expires at the TTL; " +
+              "in-process vacuums still honor this pin")
+        }
+        false
+      }
+    @volatile private var renewWarned = false
     override def close(): Unit = {
       val m = leases.get(table)
       if (m != null) m.remove(id)
@@ -2212,7 +2302,16 @@ object Versioned {
       s"lease-${java.util.UUID.randomUUID()}#v=$v")
     val f = fs(spark, file)
     try { f.create(file, false).close() }
-    catch { case scala.util.control.NonFatal(_) => () } // in-proc still holds
+    catch { case scala.util.control.NonFatal(e) =>
+      // the in-process registry still holds the pin, but a vacuum run
+      // from ANOTHER process sees nothing — say so, loudly, instead of
+      // letting the reader believe it has cross-process protection
+      System.err.println(
+        s"WARN graft.Versioned: could not create durable lease $file " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — this pin " +
+          "protects against in-process vacuum only; a vacuum from " +
+          "another process may reap the pinned snapshot")
+    }
     new SnapshotLease(key, id, v, f, file)
   }
 

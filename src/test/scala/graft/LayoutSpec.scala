@@ -260,4 +260,41 @@ class LayoutSpec extends SparkSpec {
     assert(new java.math.BigDecimal(hi).compareTo(exact) >= 0,
       s"zone-map max $hi sits below the true value $x")
   }
+
+  test("bloom sidecar meta records the CLAMPED sizing, not the computed one") {
+    import spark.implicits._
+    // BloomFilterAggregate silently caps its arguments at the session's
+    // runtime-bloom maxima; the sidecar's audit trail must record what
+    // was BUILT, not what was asked for. Lower the maxima so a small
+    // fixture crosses them.
+    val dir = Files.createTempDirectory("graft_bloom_clamp").toString + "/d"
+    (1L to 5000L).toDF("k").coalesce(1).write.parquet(dir)
+    val (itemsKey, bitsKey) = (
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val (oldItems, oldBits) =
+      (spark.conf.get(itemsKey, "4000000"), spark.conf.get(bitsKey, "67108864"))
+    try {
+      spark.conf.set(itemsKey, "1000")
+      spark.conf.set(bitsKey, "4096")
+      Layout.writeBloomSidecar(spark, dir, Seq("k")) // auto-size → 5000 rows
+      val meta = spark.read.parquet(s"$dir/_graft_bloom")
+        .select("bloom_items", "bloom_bits", "bloom_fpp").head()
+      assert(meta.getLong(0) === 1000L,
+        s"items must record the clamp, got ${meta.getLong(0)}")
+      assert(meta.getLong(1) === 4096L,
+        s"bits must record the clamp, got ${meta.getLong(1)}")
+      // the recorded fpp is the DELIVERED one at the clamped sizing —
+      // far worse than the 3% target, which is exactly the honesty the
+      // audit trail exists for
+      assert(meta.getDouble(2) > 0.1, s"fpp ${meta.getDouble(2)} should " +
+        "reflect the undersized filter")
+      // soundness survives clamping: a present key always probes true
+      val files = Layout.pruneFilesBloom(spark, dir, Seq(("k", Seq[Any](42L))))
+      assert(files.nonEmpty, "clamped filters must never drop a real key")
+    } finally {
+      spark.conf.set(itemsKey, oldItems)
+      spark.conf.set(bitsKey, oldBits)
+    }
+  }
 }

@@ -1312,4 +1312,69 @@ class VersionedSpec extends SparkSpec {
     assert(graft.sources.Incremental
       .syncedSourceVersion(spark, roll, "mv") === Some(3L))
   }
+
+  test("change feed fails loudly on a data column named _change") {
+    import spark.implicits._
+    val base = freshBase()
+    // a user column of the feed's marker name would be silently
+    // REPLACED in the output — the contract is a loud error instead
+    Versioned.commit(Seq((1L, "x")).toDF("id", "_change"), base)
+    Versioned.commit(Seq((2L, "y")).toDF("id", "_change"), base,
+      SaveMode.Append)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.changes(spark, base, 1L, 2L)
+    }
+    assert(ex.getMessage.contains("_change"))
+    // and a collision-free table still feeds normally
+    val base2 = freshBase()
+    Versioned.commit(Seq((1L, "x")).toDF("id", "s"), base2)
+    Versioned.commit(Seq((2L, "y")).toDF("id", "s"), base2,
+      SaveMode.Append)
+    assert(Versioned.changes(spark, base2, 1L, 2L).count() === 1L)
+  }
+
+  test("rollbackTo(validate = true) re-validates against the head's constraints") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, 500.0)).toDF("id", "amt"), base)     // v1
+    Versioned.deleteWhere(spark, base, col("amt") > 100.0)         // v2
+    Versioned.addConstraint(spark, base, "amt_cap", "amt <= 100.0") // v3
+    // verbatim default: restore-what-was-committed always works
+    Versioned.rollbackTo(spark, base, 1L)                          // v4
+    assert(Versioned.read(spark, base).count() === 1L)
+    Versioned.deleteWhere(spark, base, col("amt") > 100.0)         // v5
+    // opt-in validation: restoring v1 violates the carried constraint
+    val ex = intercept[graft.sources.ConstraintViolation] {
+      Versioned.rollbackTo(spark, base, 1L, validate = true)
+    }
+    assert(ex.getMessage.contains("amt_cap"))
+    assert(Versioned.versions(spark, base).last === 5L,
+      "a validated rollback that fails must commit nothing")
+    // a clean target passes the validated path
+    Versioned.rollbackTo(spark, base, 5L, validate = true)
+  }
+
+  test("cloneTable(validate = true) checks the clone against the source head's gates") {
+    import spark.implicits._
+    val src = freshBase()
+    Versioned.commit(Seq((1L, 500.0)).toDF("id", "amt"), src)       // v1
+    Versioned.deleteWhere(spark, src, col("amt") > 100.0)           // v2
+    Versioned.addConstraint(spark, src, "amt_cap", "amt <= 100.0")  // v3
+    // verbatim default: pinning a pre-constraint version clones fine
+    val dst1 = freshBase()
+    Versioned.cloneTable(spark, src, dst1, v = Some(1L))
+    assert(Versioned.read(spark, dst1).count() === 1L)
+    // opt-in: the same pin fails against the source head's constraint
+    val dst2 = freshBase()
+    intercept[graft.sources.ConstraintViolation] {
+      Versioned.cloneTable(spark, src, dst2, v = Some(1L),
+        validate = true)
+    }
+    assert(Versioned.versions(spark, dst2).isEmpty,
+      "a validated clone that fails must initialize nothing")
+    // and the head itself validates clean
+    val dst3 = freshBase()
+    Versioned.cloneTable(spark, src, dst3, validate = true)
+    assert(Versioned.read(spark, dst3).count() === 0L)
+  }
 }
