@@ -13,10 +13,11 @@ import org.apache.spark.sql.SparkSession
   * up in review exactly like a latency regression in BENCH_r*.json.
   *
   * Determinism: every variant runs its registered query shape unchanged —
-  * fixed seeds (SRP seed 42, IVF seeds = vec_id < cells, PQ codebooks
-  * seeded from the first 16 vectors), fixed probes/rerank defaults, the
-  * same 10 fixed queries (vec_id < 10), k = 5 — so the file is
-  * reproducible run-over-run on the same testdata.
+  * fixed seeds (SRP seed 42; IVF/PQ quantizers seed from the
+  * deterministic md5(vec_id)-order hash-sample since r11), fixed
+  * probes/rerank defaults, the same 10 fixed queries (vec_id < 10),
+  * k = 5 — so the file is reproducible run-over-run on the same
+  * testdata.
   *
   * recall@5 per query = |ANN top-5 ∩ exact top-5| / 5; the file carries
   * the mean and min across queries (the min catches a single-query
@@ -67,27 +68,29 @@ object Recall {
     import org.apache.spark.sql.functions.col
     val embAll = graft.Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val reranks = Seq(25, 50, 100)
+    val reranks = Seq(100, 200, 400)
     val pqIdx = graft.ext.Similarity.PqIndex.train(embAll)
     val pqSweep = reranks.map { r =>
       val (mean, min) = meanMin(sets(
         pqIdx.search(embAll.filter(col("vec_id") < 10), k, r)))
       s"""{"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
     }
-    val ivfpqSweep = for (p <- Seq(1, 2, 4); r <- reranks) yield {
+    val ivfpqSweep = for (p <- Seq(4, 8, 12); r <- reranks) yield {
       val idx = graft.ext.Similarity.IvfPqIndex.train(
         embAll, cells = 16, probes = p, m = 8, pqCodes = 16)
       val (mean, min) = meanMin(sets(idx.searchWhere(col("vec_id") < 10, k, r)))
       s"""{"probes":$p,"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
     }
-    // NON-SEED query honesty check (r8): the registered entries' 10
-    // fixed queries (vec_id < 10) are a SUBSET of the quantizer seeds
-    // (vec_id < cells), which can flatter the quantizer-routed variants
-    // — a seed vector is near its own cell's centroid by construction.
-    // This block re-scores IVF and IVF-PQ from 10 queries far from the
-    // seed range (1000 <= vec_id < 1010) against the exact baseline on
-    // the same filter, so the artifact carries both the registered
-    // operating point and the unflattered one.
+    // NON-SEED query honesty check (r8): under the old first-k seeding
+    // the registered entries' 10 fixed queries (vec_id < 10) were a
+    // SUBSET of the quantizer seeds, flattering the quantizer-routed
+    // variants — a seed vector is near its own cell's centroid by
+    // construction. Since r11 the quantizers hash-sample their seeds,
+    // so this block is the REGRESSION GATE that the two query
+    // populations stay in agreement: re-score from 10 queries far from
+    // the old seed range (1000 <= vec_id < 1010) against the exact
+    // baseline on the same filter; registered-vs-nonseed divergence
+    // reappearing means seed/query correlation crept back in.
     val nonSeed = col("vec_id") >= 1000 && col("vec_id") < 1010
     val nsExact = sets(graft.ext.Similarity.exactTopK(
       embAll, embAll.filter(nonSeed), k))
@@ -158,7 +161,7 @@ object Recall {
       val cut = math.max(16L, ((1.0 - frac) * nVecs).toLong)
       val idx = graft.ext.Similarity.IvfPqIndex.train(
         embAll.filter(col("vec_id") < cut),
-        cells = 16, probes = 1, m = 8, pqCodes = 16)
+        cells = 16, probes = 12, m = 8, pqCodes = 16)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_recall_decay").toString
       val name = s"decay_f${(frac * 100).toInt}"
@@ -169,12 +172,12 @@ object Recall {
       val loaded = graft.ext.Similarity.IvfPqIndex.load(
         spark, name, dir, embAll)
       val (mean, min) = meanMin(sets(
-        loaded.searchWhere(col("vec_id") < 10, k, rerank = 100)))
+        loaded.searchWhere(col("vec_id") < 10, k, rerank = 400)))
       s"""{"appended_frac":$frac,"mean":${f3(mean)},"min":${f3(min)}}"""
     }
     val decayJson = s""""append_decay":{"variant":"ivfpq","k":$k,""" +
       s""""queries":${exact.size},"operating_point":""" +
-      s""""cells=16,probes=1,m=8,pqCodes=16,rerank=100",""" +
+      s""""cells=16,probes=12,m=8,pqCodes=16,rerank=400",""" +
       s""""points":[${decayPoints.mkString(",")}]}"""
 
     // The LSH note is part of the artifact: the operating point moved in
@@ -204,10 +207,19 @@ object Recall {
       "unchanged. knn_join_lsh r9 drops its dedup pre-pass (idempotent " +
       "top-k) — recall must match r8 exactly, pinning the rewrite as " +
       "plan-only. append_decay (r10): frozen-quantizer appends at the " +
-      "registered ivfpq operating point — flat through 25% appended, " +
-      "-0.04 at 50%, -0.20 at 90%; retrain guidance (Similarity " +
+      "registered ivfpq operating point — retrain guidance (Similarity " +
       "IvfPqIndex.append doc) is appended fraction ~0.5, sooner under " +
-      "distribution shift"
+      "distribution shift. r11: IVF/PQ quantizers now seed from a " +
+      "deterministic md5(vec_id)-order hash-sample with Lloyd " +
+      "refinement (IVF 3 iters, PQ 2) instead of the first-k vectors " +
+      "that made the registered queries a subset of the seeds and " +
+      "flattered r8-r10 headline recall (nonseed was 0.26-0.36); " +
+      "registered defaults re-tuned to the honest operating points " +
+      "(ivf probes=10, pq rerank=200, ivfpq probes=12/rerank=400, " +
+      "knn_join ivf probes=12) — seed and nonseed recall now agree, " +
+      "which is the fix. Expect recall/nonseed/sweep/append_decay " +
+      "numbers to be discontinuous r10->r11 for all quantizer-trained " +
+      "variants; diff within r11+ only"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +

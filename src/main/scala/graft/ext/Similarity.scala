@@ -121,7 +121,7 @@ object Similarity {
     * coverage only (a true neighbor assigned to an unprobed cell is
     * missed), tuned by (cells, probes) exactly as in [[ivfTopK]]. */
   def knnJoinIvf(vectors: DataFrame, k: Int = 3, cells: Int = 16,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 12): DataFrame = {
     val index = IvfIndex.train(vectors, cells)
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val qProbe = vectors
@@ -245,9 +245,10 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: a `cells`-cell coarse quantizer —
-    * deterministic seeds (vec_id < cells) refined by one Lloyd assignment
-    * step — then queries probe their `probes` nearest cells and rerank
-    * exactly inside them; search touches ~probes/cells of the data.
+    * deterministic hash-sampled seeds refined by Lloyd steps (see
+    * [[IvfIndex.train]]) — then queries probe their `probes` nearest
+    * cells and rerank exactly inside them; search touches
+    * ~probes/cells of the data.
     *
     * The coarse quantizer is DRIVER-RESIDENT, exactly as in FAISS/ScaNN:
     * `cells` centroids (cells × dim floats, a few KB) collect to the driver
@@ -260,7 +261,7 @@ object Similarity {
     * distributed: the typed [[graft.functions.CentroidAggregator]] runs
     * partial+final, shuffling only `cells` × dim-double partials. */
   def ivfTopK(candidates0: DataFrame, queryFilter: Column, k: Int = 5,
-      cells: Int = 16, probes: Int = 2): DataFrame = {
+      cells: Int = 16, probes: Int = 10): DataFrame = {
     val index = IvfIndex.train(candidates0, cells)
     index.search(index.source.filter(queryFilter), k, probes)
   }
@@ -302,7 +303,7 @@ object Similarity {
     /** Top-k per query vector in `queryVecs` (`vec_id`, `embedding`):
       * each query probes its `probes` nearest cells and reranks exactly
       * inside them — touches ~probes/cells of the data. */
-    def search(queryVecs: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
+    def search(queryVecs: DataFrame, k: Int = 5, probes: Int = 10): DataFrame = {
       // queries probe their `probes` nearest cells (struct sort desc ==
       // sim desc with larger-cell tie-break — deterministic)
       val qProbe = queryVecs
@@ -336,13 +337,25 @@ object Similarity {
       new IvfIndex(centroids, source, assigned)
     }
 
-    /** Train a `cells`-cell coarse quantizer over `candidates0`
-      * (deterministic seeds = vec_id < cells, `lloydIters` Lloyd steps —
-      * each fully distributed: assignment is a codegen projection,
-      * recompute shuffles only cells × dim-double partials) and assign
-      * every vector to its nearest cell. */
+    /** Train a `cells`-cell coarse quantizer over `candidates0` and
+      * assign every vector to its nearest cell.
+      *
+      * Seeding is a DETERMINISTIC HASH-SAMPLE: the `cells` vectors
+      * first in md5(vec_id) order — engine-portable and stable across
+      * partitionings (the [[graft.ext.Pipeline]] `x_split_stable`
+      * discipline), and uniformly spread over the corpus. The previous
+      * first-k seeding (`vec_id < cells`) made the registered queries
+      * (vec_id < 10) a SUBSET of the seeds, flattering their recall
+      * while arbitrary queries fell to the quantizer's true floor
+      * (RECALL_r10 nonseed_queries: 0.26–0.36 vs the 0.96 headline) —
+      * a hash-sample removes the seed/query correlation so the
+      * measured recall IS the operating recall. `lloydIters` Lloyd
+      * steps refine the sample (each fully distributed: assignment is
+      * a codegen projection, recompute shuffles only cells × dim-double
+      * partials; at corpus scale train on a sampled frame, as FAISS
+      * does). */
     def train(candidates0: DataFrame, cells: Int = 16,
-        lloydIters: Int = 1): IvfIndex = {
+        lloydIters: Int = 3): IvfIndex = {
       // Materialize the (vec_id, embedding) projection ONCE: seed collect,
       // the Lloyd-step recompute, cell assignment, and (in the per-call
       // ivfTopK shape) the query-probe side otherwise each re-scan the
@@ -358,12 +371,18 @@ object Similarity {
       def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
         df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
 
-      val seeds = collectCentroids(candidates.filter(col("vec_id") < cells)
-        .select(col("vec_id").cast("int").as("cell"), col("embedding")))
+      val seeds: Seq[(Int, Seq[Float])] = candidates
+        .select(col("embedding"), md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h"))
+        .limit(cells)
+        .collect().toSeq
+        .sortBy(_.getString(1))
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0)) }
       // misuse fails deliberately: greatest() needs >= 2 cell structs,
       // and a 1-cell quantizer is not an IVF
       require(seeds.size >= 2,
-        s"IvfIndex.train: needs >= 2 seed vectors with vec_id < $cells; got ${seeds.size}")
+        s"IvfIndex.train: needs >= 2 seed vectors (cells=$cells); got ${seeds.size}")
       // Lloyd steps: assign to nearest centroid, recompute per-cell means.
       // Centroid recompute stays distributed: the typed
       // [[graft.functions.CentroidAggregator]] runs partial+final,
@@ -392,14 +411,15 @@ object Similarity {
     * query×candidate scan scores via `m` lookups into a per-query ADC
     * table, and only a `rerank`-deep shortlist ever touches the full
     * vectors again (via a join back to the vector table — the codes scan
-    * itself never carries embeddings). Codebooks are seeded from the first
-    * `k` vectors' subvectors (k-means seeding; production Lloyd-iterates
-    * per subspace — the encode/ADC machinery is what changes the scale
-    * economics, not seed quality). Shortlist ranking = ADC-approximate
+    * itself never carries embeddings). Codebooks are hash-sample-seeded
+    * and Lloyd-refined per subspace (see [[PqIndex.train]]; the
+    * encode/ADC machinery is what changes the scale economics, the
+    * training just has to be uncorrelated with the queries). Shortlist
+    * ranking = ADC-approximate
     * cosine (adc_dot / candidate norm; the query norm is constant within
     * a query and cannot change its ranking). */
   def pqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
-      m: Int = 8, pqCodes: Int = 16, rerank: Int = 50): DataFrame = {
+      m: Int = 8, pqCodes: Int = 16, rerank: Int = 200): DataFrame = {
     val index = PqIndex.train(candidates, m, pqCodes)
     index.search(candidates.filter(queryFilter), k, rerank)
   }
@@ -430,7 +450,7 @@ object Similarity {
     /** Top-k per query vector: ADC-scored shortlist of `rerank`
       * candidates, then exact rerank touching full vectors only for the
       * shortlist. */
-    def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 50): DataFrame = {
+    def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 200): DataFrame = {
       import graft.functions.VectorFunctions.{pqAdc, pqLut}
       val q = queryVecs.select(col("vec_id").as("q_id"),
         col("embedding").as("v_q"),
@@ -469,25 +489,32 @@ object Similarity {
         spark.read.parquet(s"$path/enc"))
     }
 
-    /** Build codebooks — seeded from the first `pqCodes` vectors'
-      * subvectors, then refined by `lloydIters` per-subspace k-means steps
-      * (production PQ training; the default 0 keeps the seeded codebooks,
-      * the [[pqTopK]] registered contract) — and encode every vector to
-      * `m` packed 4-bit codes plus its norm. Each Lloyd step is fully
-      * distributed: one pass encodes with the current codebooks and the
+    /** Build codebooks — seeded from a DETERMINISTIC HASH-SAMPLE of
+      * `pqCodes` vectors' subvectors (first in md5(vec_id) order — the
+      * same engine-portable discipline as [[IvfIndex.train]]; the old
+      * first-k seeding correlated seeds with the registered queries and
+      * flattered measured recall), then refined by `lloydIters`
+      * per-subspace k-means steps and encode every vector to `m` packed
+      * 4-bit codes plus its norm. Each Lloyd step is fully distributed:
+      * one pass encodes with the current codebooks and the
       * per-(subspace, code) mean subvectors come back through the typed
       * [[graft.functions.CentroidAggregator]] (≤ m×k tiny partials);
       * a code that captures no vectors keeps its previous centroid. The
       * k-means objective (total sub-quantization error) is monotone
       * non-increasing per step — property-tested in ExtSpec. */
     def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 16,
-        lloydIters: Int = 0): PqIndex = {
+        lloydIters: Int = 2): PqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
-      val seedRows = candidates.filter(col("vec_id") < pqCodes)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      val seedRows = candidates
+        .select(col("embedding"), md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h"))
+        .limit(pqCodes)
+        .collect().toSeq
+        .sortBy(_.getString(1))
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0)) }
       require(seedRows.nonEmpty,
-        s"PqIndex.train: needs seed vectors with vec_id < $pqCodes to build codebooks; got none")
+        s"PqIndex.train: needs seed vectors to build codebooks; got none")
       val dim = seedRows.head._2.length
       require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
       val subDim = dim / m
@@ -532,8 +559,8 @@ object Similarity {
     * index families multiply: IVF bounds the fraction of the corpus
     * scanned, PQ bounds the bytes per scanned candidate. */
   def ivfpqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
-      cells: Int = 16, probes: Int = 2, m: Int = 8, pqCodes: Int = 16,
-      rerank: Int = 50): DataFrame = {
+      cells: Int = 16, probes: Int = 12, m: Int = 8, pqCodes: Int = 16,
+      rerank: Int = 400): DataFrame = {
     val index = IvfPqIndex.train(candidates, cells, probes, m, pqCodes)
     index.search(index.ivf.source.filter(queryFilter), k, rerank)
   }
@@ -574,7 +601,7 @@ object Similarity {
       * table by predicate — the self-lookup shape every `x_ann_*` entry
       * and the media near-dup bridge use. */
     def searchWhere(queryFilter: Column, k: Int = 5,
-        rerank: Int = 50): DataFrame =
+        rerank: Int = 400): DataFrame =
       search(ivf.source.filter(queryFilter), k, rerank)
 
     /** Top-k per query: probe `probes` nearest cells, ADC-score the PQ
@@ -582,7 +609,7 @@ object Similarity {
       * codes scan carries no embeddings; the corpus-side rerank join
       * broadcasts the (queries × rerank)-row shortlist so the vector
       * table never shuffles. */
-    def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 50): DataFrame = {
+    def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 400): DataFrame = {
       import graft.functions.VectorFunctions.{pqAdc, pqLut}
       val qProbe = queryVecs
         .withColumn("probe_cells", slice(
@@ -701,7 +728,7 @@ object Similarity {
       * scan), then emit the cell-routed code table in a single
       * shuffle-free projection: nearest-cell argmax + PQ encode + norm
       * fused into one codegen stage. */
-    def train(candidates0: DataFrame, cells: Int = 16, probes: Int = 2,
+    def train(candidates0: DataFrame, cells: Int = 16, probes: Int = 12,
         m: Int = 8, pqCodes: Int = 16): IvfPqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       val ivf = IvfIndex.train(candidates0, cells)
@@ -741,12 +768,20 @@ object Similarity {
 
   /** ANN operating-point knobs. The RECALL_r*.json sweep documents the
     * recall-vs-cost grid (probes × rerank, tables × bits); these session
-    * confs let a consumer pick a point WITHOUT code changes. Defaults
-    * are the MEASURED sweep winners (r8 grid, promoted in r9): pq
-    * rerank 100 (recall 0.62 → 0.80 for ~2× shortlist cost) and ivfpq
-    * probes=1/rerank=100 (0.82 → 0.96/0.8 — on these isotropic
-    * embeddings extra probes only dilute the shortlist; rerank depth is
-    * the lever, confirmed by the committed probes×rerank grid). */
+    * confs let a consumer pick a point WITHOUT code changes.
+    *
+    * Defaults were RE-TUNED in r11 after the hash-sample seeding fix:
+    * the old first-k seeding made the registered queries a subset of
+    * the quantizer seeds, so the r8–r10 "sweep winners" (ivf probes=2,
+    * ivfpq probes=1/rerank=100) were artifacts of that correlation —
+    * honest (nonseed) recall at those points was 0.18–0.28. On the
+    * testdata's ISOTROPIC embeddings (no cluster structure to route
+    * by), quantizer-routed recall is coverage-bound, so the honest
+    * operating points probe most cells: ivf probes=10 (nonseed 0.84),
+    * pq rerank=200 (0.82), ivfpq probes=12/rerank=400 (0.88) — all
+    * measured seed≈nonseed now, which is the point. Clustered real
+    * corpora reach the same recall at far lower probes; tune down via
+    * these confs using the RECALL sweep grid. */
   private def intConf(s: SparkSession, key: String, dflt: Int): Int = {
     val v = s.conf.get(key, dflt.toString).trim.toInt
     require(v > 0, s"$key must be positive, got $v")
@@ -768,18 +803,18 @@ object Similarity {
     // IVF coarse-quantizer ANN.
     "x_ann_ivf" -> ((s, d) =>
       ivfTopK(emb(s, d), col("vec_id") < 10,
-        probes = intConf(s, "spark.graft.ann.ivf.probes", 2))
+        probes = intConf(s, "spark.graft.ann.ivf.probes", 10))
         .orderBy("q_id", "rank")),
     // Product-quantization ANN (ADC shortlist + exact rerank).
     "x_ann_pq" -> ((s, d) =>
       pqTopK(emb(s, d), col("vec_id") < 10,
-        rerank = intConf(s, "spark.graft.ann.pq.rerank", 100))
+        rerank = intConf(s, "spark.graft.ann.pq.rerank", 200))
         .orderBy("q_id", "rank")),
     // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.
     "x_ann_ivfpq" -> ((s, d) =>
       ivfpqTopK(emb(s, d), col("vec_id") < 10,
-        probes = intConf(s, "spark.graft.ann.ivfpq.probes", 1),
-        rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 100))
+        probes = intConf(s, "spark.graft.ann.ivfpq.probes", 12),
+        rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 400))
         .orderBy("q_id", "rank")),
     // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
     // primitive: blocked-grid equi-join + bounded top-k aggregation.
@@ -789,10 +824,15 @@ object Similarity {
         qblocks = intConf(s, "spark.graft.knnjoin.qblocks", 4))
         .orderBy("q_id", "rank")),
     // IVF-celled approximate k-NN self-join — the routed-scan scale path
-    // (recall ~ probe coverage on isotropic data; see knnJoinLsh scaladoc).
+    // (recall ~ probe coverage on isotropic data; see knnJoinLsh
+    // scaladoc). probes=12 promoted in r11: the committed sweep showed
+    // 0.794 → 0.943 mean recall@3 over probes=8 at NO measured wall
+    // cost at bench SF (the probe explode is payload-free; the scored
+    // pair count is what grows, and TopKAggregator map-side-combines
+    // it away).
     "x_knn_join_ivf" -> ((s, d) =>
       knnJoinIvf(emb(s, d), k = 3,
-        probes = intConf(s, "spark.graft.knnjoin.ivf.probes", 8))
+        probes = intConf(s, "spark.graft.knnjoin.ivf.probes", 12))
         .orderBy("q_id", "rank")),
     // Symmetric SRP-banded approximate k-NN self-join — the
     // angle-sensitive path that dominates IVF on unclustered embeddings;

@@ -752,8 +752,8 @@ class ExtSpec extends SparkSpec {
       spark.conf.set(key, "0")
       intercept[IllegalArgumentException](plan())
     } finally spark.conf.unset(key)
-    // r9 default = the committed sweep winner (probes=1/rerank=100)
-    assert(plan().contains("<= 100"), "unset conf must restore the default")
+    // r11 default = the honest-seeding sweep winner (probes=12/rerank=400)
+    assert(plan().contains("<= 400"), "unset conf must restore the default")
   }
 
   test("centroid aggregator: mean of identical vectors is the vector") {
