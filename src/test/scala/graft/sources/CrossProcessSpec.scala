@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** TRUE multi-process concurrency: fork [[graft.Forked]] as a real
+  * second JVM (own SparkSession; the only shared state is the table
+  * directory) and race it against this process. ProtocolSpec's
+  * CommitStore shims drive every conflict branch deterministically
+  * IN-process; these tests close what a shim cannot — that the
+  * rename-CAS, the rebase-over-append composition, and the durable
+  * lease files actually coordinate two operating-system processes. */
+class CrossProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft_xproc").toString + "/t"
+
+  /** Launch `graft.Forked` with this JVM's classpath and module flags
+    * (sbt forks tests, so java.class.path is the real test classpath
+    * and the --add-opens Spark needs are in our own input args). */
+  private def fork(args: String*): Process = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val moduleFlags = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") ||
+        a.startsWith("--add-exports"))
+    val cmd = (Seq(javaBin) ++ moduleFlags ++ Seq("-Xmx2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Forked") ++ args).asJava
+    new ProcessBuilder(cmd)
+      .redirectErrorStream(false)
+      .start()
+  }
+
+  private def awaitLine(p: Process, prefix: String,
+      reader: java.io.BufferedReader): String = {
+    val deadline = System.currentTimeMillis() + 120000
+    var line = reader.readLine()
+    while (line != null && !line.startsWith(prefix)) {
+      line = reader.readLine()
+      assert(System.currentTimeMillis() < deadline,
+        s"timed out waiting for $prefix from the forked JVM")
+    }
+    assert(line != null, s"forked JVM ended before printing $prefix")
+    line
+  }
+
+  test("appends from a second JVM race local COW deletes: zero lost commits") {
+    val base = freshBase()
+    // seed rows this process will delete while the other process appends
+    Versioned.commit((1L to 8L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, statsCols = Seq("id"))
+
+    // forked JVM: 6 sequential append commits of 5 rows (ids 1000+)
+    val child = fork("append", base, "1000", "5", "6")
+    try {
+      // this JVM: COW deletes racing the child's appends — every loser
+      // of the CAS re-reads and retries; append-vs-rewrite composes per
+      // the conflict matrix, so NO abort should surface on either side
+      for (id <- 1L to 4L)
+        Versioned.deleteWhere(spark, base, col("id") === id)
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val appended = awaitLine(child, "FORKED_APPENDED", out)
+      assert(child.waitFor() === 0, "forked JVM must exit clean")
+      assert(appended.split(" ")(1).split(",").length === 6,
+        "all 6 child commits returned a version")
+    } finally child.destroyForcibly()
+
+    // invariants: every commit landed exactly once (versions contiguous:
+    // 1 seed + 6 appends + 4 deletes), the surviving row multiset is
+    // arithmetic-exact, nothing resurrected, nothing lost
+    val vs = Versioned.versions(spark, base)
+    assert(vs === (1L to 11L), s"contiguous versions, got $vs")
+    val got = Versioned.read(spark, base).select("id", "v")
+      .as[(Long, Long)].collect().toSeq
+    val expect = ((5L to 8L) ++ (1000L until 1030L))
+      .map(i => (i, i * 10L))
+    assert(got.sorted === expect.sorted,
+      "4 surviving seeds + 30 appended rows, each exactly once")
+  }
+
+  test("a durable lease from a second JVM floors this process's vacuum") {
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base) // v1
+    val release = Files.createTempDirectory("graft_xproc_rel")
+      .resolve("release")
+    val child = fork("pin", base, release.toString)
+    try {
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val pinned = awaitLine(child, "FORKED_PINNED", out)
+      assert(pinned.endsWith(" 1"), s"child pinned the head v1: $pinned")
+      // bury v1 and vacuum aggressively FROM THIS PROCESS: the foreign
+      // lease file must floor retention — in-process registry knows
+      // nothing about the child
+      Versioned.commit(Seq((2L, "b")).toDF("id", "s"), base)
+      Versioned.commit(Seq((3L, "c")).toDF("id", "s"), base)
+      Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+      assert(Versioned.versions(spark, base) === Seq(1L, 2L, 3L),
+        "a live cross-process lease must keep the pinned version")
+      assert(Versioned.readVersion(spark, base, 1L).count() === 1L,
+        "the pinned snapshot's files must still be readable")
+      // release the child; once its lease file is gone, vacuum reaps
+      Files.createFile(release)
+      awaitLine(child, "FORKED_RELEASED", out)
+      assert(child.waitFor() === 0)
+      Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+      assert(Versioned.versions(spark, base) === Seq(3L),
+        "after the foreign lease closes, ordinary retention applies")
+    } finally child.destroyForcibly()
+  }
+}

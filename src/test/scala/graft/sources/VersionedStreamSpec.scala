@@ -261,4 +261,33 @@ class VersionedStreamSpec extends SparkSpec {
     assert(spark.table("vs_schema2")
       .filter(col("id") === 1L && col("extra").isNull).count() === 1)
   }
+
+  test("checkpoint restart adopts a column added while the stream was down: no dupes, no holes") {
+    // the operator runbook for mid-stream evolution: schema is frozen
+    // per RUN, so adding a column means stop -> commit -> restart from
+    // the SAME checkpoint. The restart must (a) declare the evolved
+    // schema, (b) resume from the checkpointed version offset — the
+    // pending window arrives once, nothing re-delivers — and (c) read
+    // pre-evolution rows as null in the new column.
+    val src = freshBase(); val dst = freshBase(); val ckpt = freshDir()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), src)
+    def replicate(): StreamingQuery =
+      Versioned.commitStream(readVs(src), dst, "evo",
+        Map("checkpointLocation" -> ckpt))
+    drain(replicate())
+    assert(Versioned.read(spark, dst).columns.toSet === Set("id", "s"))
+    // while the stream is DOWN: a batch lands with a NEW column (the
+    // source table's default evolve policy admits it)
+    Versioned.commit(Seq((2L, "b", 99L)).toDF("id", "s", "extra"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(replicate())
+    val out = Versioned.read(spark, dst)
+    assert(out.columns.toSet === Set("id", "s", "extra"),
+      "restart must adopt the evolved schema")
+    assert(out.count() === 2, "exactly-once across the evolving restart")
+    assert(out.filter(col("id") === 2L).select("extra")
+      .collect().head.getLong(0) === 99L)
+    assert(out.filter(col("id") === 1L && col("extra").isNull).count() === 1,
+      "pre-evolution rows read null in the adopted column")
+  }
 }
