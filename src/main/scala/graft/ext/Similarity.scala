@@ -366,12 +366,29 @@ object Similarity {
       // residency pattern).
       val candidates = candidates0.select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)
+      // TRAINING-SET BOUND (the FAISS discipline): Lloyd steps need a
+      // representative sample, not the corpus — past `trainCap` vectors
+      // the quantizer trains on the first-cap md5(vec_id)-order sample
+      // (one TakeOrdered pass; the same hash order that picks the
+      // seeds, so seeds ⊂ training set), keeping training cost BOUNDED
+      // while assignment/encode still cover every vector. Below the
+      // cap the corpus trains as-is — bit-identical at test SF.
+      val trainCap = intConf(candidates0.sparkSession,
+        "spark.graft.ann.trainCap", 65536)
+      val trainSet =
+        if (candidates.count() <= trainCap) candidates
+        else candidates
+          .orderBy(md5(col("vec_id").cast("string")))
+          .limit(trainCap)
+          .repartition(candidates0.sparkSession
+            .sparkContext.defaultParallelism)
+          .localCheckpoint(true)
       def nearestCell(cents: Seq[(Int, Seq[Float])]): Column =
         greatest(cellStructs(cents): _*).getField("cell")
       def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
         df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
 
-      val seeds: Seq[(Int, Seq[Float])] = candidates
+      val seeds: Seq[(Int, Seq[Float])] = trainSet
         .select(col("embedding"), md5(col("vec_id").cast("string")).as("__h"))
         .orderBy(col("__h"))
         .limit(cells)
@@ -392,7 +409,7 @@ object Similarity {
       val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
       val centroids = (0 until math.max(lloydIters, 1))
         .foldLeft(seeds) { (cents, _) =>
-          val next = collectCentroids(candidates
+          val next = collectCentroids(trainSet
             .withColumn("cell", nearestCell(cents))
             .groupBy(col("cell")).agg(centroidUdaf(col("embedding")).as("c_vec")))
           require(next.size >= 2,
@@ -505,7 +522,19 @@ object Similarity {
     def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 16,
         lloydIters: Int = 2): PqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
-      val seedRows = candidates
+      // bounded training set, same discipline (and same hash order) as
+      // [[IvfIndex.train]]: Lloyd refinement samples, encode covers all
+      val trainCap = intConf(candidates.sparkSession,
+        "spark.graft.ann.trainCap", 65536)
+      val trainSet =
+        if (candidates.count() <= trainCap) candidates
+        else candidates
+          .orderBy(md5(col("vec_id").cast("string")))
+          .limit(trainCap)
+          .repartition(candidates.sparkSession
+            .sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+      val seedRows = trainSet
         .select(col("embedding"), md5(col("vec_id").cast("string")).as("__h"))
         .orderBy(col("__h"))
         .limit(pqCodes)
@@ -523,7 +552,7 @@ object Similarity {
         codebooks((mi * pqCodes + ki) * subDim + d) = v(mi * subDim + d)
       val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
       for (_ <- 0 until lloydIters) {
-        val means = candidates
+        val means = trainSet
           .select(pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
             col("embedding"))
           .select(explode(sequence(lit(0), lit(m - 1))).as("mi"),

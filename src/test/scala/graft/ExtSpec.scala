@@ -756,6 +756,26 @@ class ExtSpec extends SparkSpec {
     assert(plan().contains("<= 400"), "unset conf must restore the default")
   }
 
+  test("bounded quantizer training: a sub-corpus trainCap still yields a full index") {
+    // the 100 TB path: past spark.graft.ann.trainCap vectors the Lloyd
+    // steps train on the md5-order hash-sample while assignment/encode
+    // still cover every vector — force the sampled path with a tiny cap
+    val emb = graft.Tables.embeddings(spark, sf)
+    assert(emb.count() > 64, "fixture must exceed the cap to exercise sampling")
+    spark.conf.set("spark.graft.ann.trainCap", "64")
+    try {
+      val ivf = Similarity.IvfIndex.train(emb)
+      assert(ivf.centroids.size >= 2, "sampled training still yields cells")
+      val out = Similarity.ivfpqTopK(emb, col("vec_id") < 10)
+      assert(out.groupBy("q_id").count().collect()
+        .forall(_.getLong(1) === 5L), "full top-5 per query off a sampled-train index")
+      // determinism: the sampled path is hash-ordered, not random
+      val again = Similarity.ivfpqTopK(emb, col("vec_id") < 10)
+        .collect().map(_.toSeq)
+      assert(out.collect().map(_.toSeq).toSeq === again.toSeq)
+    } finally spark.conf.unset("spark.graft.ann.trainCap")
+  }
+
   test("centroid aggregator: mean of identical vectors is the vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
