@@ -32,8 +32,11 @@ class CrossProcessSpec extends SparkSpec {
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.Forked") ++ args).asJava
+    // stderr must be discarded, not piped: Spark's startup logging can
+    // fill an undrained 64 KB pipe buffer and deadlock the child while
+    // the parent waits on stdout sentinels
     new ProcessBuilder(cmd)
-      .redirectErrorStream(false)
+      .redirectError(ProcessBuilder.Redirect.DISCARD)
       .start()
   }
 
