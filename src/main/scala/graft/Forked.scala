@@ -20,8 +20,41 @@ import graft.sources.Versioned
   *  - `pin <base> <releaseFile>`: pin the current head (writes the
   *    durable lease), print `FORKED_PINNED <v>`, hold until
   *    `releaseFile` appears, close the lease, print `FORKED_RELEASED`.
+  *  - `merge-sentinel <base> <dir>` / `delete-sentinel <base> <id>
+  *    <dir>`: run the DML under a [[SentinelCommitStore]] — the
+  *    cross-process twin of ProtocolSpec's `racing` helper. The FIRST
+  *    publish attempt signals `<dir>/child-ready` and BLOCKS until the
+  *    parent creates `<dir>/parent-done`, so the parent can land a
+  *    conflicting (or composing) commit deterministically INSIDE this
+  *    process's optimistic window. Prints `FORKED_MERGED <v>` /
+  *    `FORKED_DELETED <v>` on success or `FORKED_ABORTED` when the
+  *    rebase correctly refuses.
   */
 object Forked {
+
+  /** Delegates to the default rename CAS, but gates the first attempt
+    * on a filesystem handshake — deterministic cross-process interleave
+    * with no shared memory. */
+  private final class SentinelCommitStore(dir: String)
+      extends Versioned.CommitStore {
+    private val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        target: org.apache.hadoop.fs.Path): Boolean = {
+      if (raced.compareAndSet(false, true)) {
+        val d = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.createFile(d.resolve("child-ready"))
+        val deadline = System.currentTimeMillis() + 120000
+        while (!java.nio.file.Files.exists(d.resolve("parent-done"))) {
+          Thread.sleep(25)
+          require(System.currentTimeMillis() < deadline,
+            "sentinel handshake timed out waiting for parent-done")
+        }
+      }
+      Versioned.RenameCommitStore.putIfAbsent(f, tmp, target)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -39,6 +72,28 @@ object Forked {
             base, org.apache.spark.sql.SaveMode.Append)
         }
         println(s"FORKED_APPENDED ${vs.mkString(",")}")
+      case "merge-sentinel" :: base :: dir :: Nil =>
+        try {
+          val v = Versioned.withCommitStore(new SentinelCommitStore(dir)) {
+            Versioned.mergeInto(spark, base,
+              Seq((2L, 222L), (5L, 555L)).toDF("id", "v"),
+              keys = Seq("id"), updateCols = Seq("v"))
+          }
+          println(s"FORKED_MERGED $v")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            println("FORKED_ABORTED")
+        }
+      case "delete-sentinel" :: base :: id :: dir :: Nil =>
+        try {
+          val v = Versioned.withCommitStore(new SentinelCommitStore(dir)) {
+            Versioned.deleteWhere(spark, base, col("id") === id.toLong)
+          }
+          println(s"FORKED_DELETED $v")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            println("FORKED_ABORTED")
+        }
       case "pin" :: base :: releaseFile :: Nil =>
         val lease = Versioned.pinSnapshot(spark, base)
         println(s"FORKED_PINNED ${lease.version}")

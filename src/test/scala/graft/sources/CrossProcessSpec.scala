@@ -88,6 +88,67 @@ class CrossProcessSpec extends SparkSpec {
       "4 surviving seeds + 30 appended rows, each exactly once")
   }
 
+  private def awaitFile(p: java.nio.file.Path): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    while (!Files.exists(p)) {
+      Thread.sleep(25)
+      assert(System.currentTimeMillis() < deadline, s"timed out waiting for $p")
+    }
+  }
+
+  test("deterministic cross-process race: a MERGE rebases over an append landed in its window") {
+    // the cross-process twin of ProtocolSpec's `racing` shim: the
+    // child's SentinelCommitStore blocks its FIRST publish attempt on a
+    // filesystem handshake, so this process lands a pure append exactly
+    // inside the child MERGE's optimistic window — across a real
+    // process boundary the child must lose its CAS, re-read, classify
+    // the race as composable, and rebase
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val dir = Files.createTempDirectory("graft_xproc_sentinel").toString
+    val child = fork("merge-sentinel", base, dir)
+    try {
+      awaitFile(Paths.get(dir, "child-ready"))
+      Versioned.commit(Seq((9L, 90L)).toDF("id", "v"), base,
+        org.apache.spark.sql.SaveMode.Append) // v2, inside the window
+      Files.createFile(Paths.get(dir, "parent-done"))
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val merged = awaitLine(child, "FORKED_", out)
+      assert(merged === "FORKED_MERGED 3",
+        s"the merge must rebase and land at v3, got: $merged")
+      assert(child.waitFor() === 0)
+    } finally child.destroyForcibly()
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      Set((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L), (5L, 555L),
+        (9L, 90L)),
+      "update + insert + the raced append all land, exactly once each")
+  }
+
+  test("deterministic cross-process race: overlapping rewrites abort the child cleanly") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val dir = Files.createTempDirectory("graft_xproc_sentinel").toString
+    val child = fork("delete-sentinel", base, "2", dir)
+    try {
+      awaitFile(Paths.get(dir, "child-ready"))
+      // rewrite the SAME (only) data dir the child's delete derived from
+      Versioned.deleteWhere(spark, base, col("id") === 3L) // v2
+      Files.createFile(Paths.get(dir, "parent-done"))
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val res = awaitLine(child, "FORKED_", out)
+      assert(res === "FORKED_ABORTED",
+        s"a cross-process same-dir rewrite race must abort, got: $res")
+      assert(child.waitFor() === 0)
+    } finally child.destroyForcibly()
+    // the aborted delete left only vacuumable garbage — no half-commit
+    assert(Versioned.versions(spark, base) === Seq(1L, 2L))
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L))
+  }
+
   test("a durable lease from a second JVM floors this process's vacuum") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base) // v1
