@@ -61,10 +61,11 @@ object Recall {
     }
 
     // Operating-point sweep (r7 verdict item 7): the registered pq/ivfpq
-    // entries are single points (probes=2, rerank=50); the sweep shows
-    // recall per knob so consumers pick an operating point and a
-    // regression is visible per cell, not just at the default. Quantizer
-    // training is deterministic, so every cell is reproducible.
+    // entries are single points (r11 defaults: pq rerank=200, ivfpq
+    // probes=12/rerank=400); the sweep shows recall per knob so
+    // consumers pick an operating point and a regression is visible per
+    // cell, not just at the default. Quantizer training is
+    // deterministic, so every cell is reproducible.
     import org.apache.spark.sql.functions.col
     val embAll = graft.Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)

@@ -375,8 +375,9 @@ object Similarity {
       // cap the corpus trains as-is — bit-identical at test SF.
       val trainCap = intConf(candidates0.sparkSession,
         "spark.graft.ann.trainCap", 65536)
+      // bounded probe: counts at most cap+1 checkpointed rows
       val trainSet =
-        if (candidates.count() <= trainCap) candidates
+        if (candidates.limit(trainCap + 1).count() <= trainCap) candidates
         else candidates
           .orderBy(md5(col("vec_id").cast("string")))
           .limit(trainCap)
@@ -523,12 +524,18 @@ object Similarity {
         lloydIters: Int = 2): PqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       // bounded training set, same discipline (and same hash order) as
-      // [[IvfIndex.train]]: Lloyd refinement samples, encode covers all
+      // [[IvfIndex.train]]: Lloyd refinement samples, encode covers all.
+      // The over-cap probe counts at most cap+1 rows (CollectLimit, not
+      // a full count), and BOTH branches land on a checkpointed frame so
+      // the seed collect + `lloydIters` Lloyd scans replay blocks, not
+      // the caller's upstream plan (which pqTopK passes raw).
       val trainCap = intConf(candidates.sparkSession,
         "spark.graft.ann.trainCap", 65536)
+      val proj = candidates.select(col("vec_id"), col("embedding"))
+      val overCap = proj.limit(trainCap + 1).count() > trainCap
       val trainSet =
-        if (candidates.count() <= trainCap) candidates
-        else candidates
+        if (!overCap) proj.localCheckpoint(true)
+        else proj
           .orderBy(md5(col("vec_id").cast("string")))
           .limit(trainCap)
           .repartition(candidates.sparkSession
@@ -572,7 +579,11 @@ object Similarity {
         }
         codebooks = next
       }
-      val enc = candidates.select(col("vec_id").as("c_id"),
+      // encode covers EVERY vector: below the cap the checkpointed
+      // train set IS the corpus (reuse its blocks); above it the full
+      // caller frame encodes in its one unavoidable pass
+      val encSrc = if (!overCap) trainSet else candidates
+      val enc = encSrc.select(col("vec_id").as("c_id"),
         pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
         vecNorm(col("embedding")).as("norm_c"))
       new PqIndex(codebooks, m, pqCodes, candidates, enc)

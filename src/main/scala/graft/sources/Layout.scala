@@ -595,13 +595,23 @@ object Layout {
       lit(t.json).as(s"${c}_type")
     }
     // the SIZING rides too (constant): what the filters were built for,
-    // and the fpp they deliver at that capacity (optimal-k estimate
-    // p ≈ e^{-(m/n)·ln²2}) — the audit trail that lets an operator see
-    // an under/over-sized sidecar at a glance
+    // and the fpp they DELIVER — p ≈ (1 − e^{−k·n/m})^k with k derived
+    // from the (possibly clamped) capacity the filter was built for,
+    // but n = the ACTUAL max insertions per file. Under clamping n
+    // exceeds the build capacity and the recorded rate degrades
+    // accordingly; the clamped-capacity optimal-k shortcut would have
+    // kept claiming the design fpp the overfull filter no longer
+    // delivers — the exact audit-trail dishonesty this field exists to
+    // prevent.
+    val insertedN = math.max(1L, if (maxRows >= 0) maxRows else items)
+    val k = math.max(1L,
+      math.round(bits.toDouble / math.max(1L, items) * math.log(2)))
+    val deliveredFpp = math.pow(
+      1.0 - math.exp(-k.toDouble * insertedN / math.max(1L, bits)),
+      k.toDouble)
     val metaCols = Seq(lit(items).as("bloom_items"),
       lit(bits).as("bloom_bits"),
-      lit(math.exp(-bits.toDouble / math.max(1L, items) *
-        math.log(2) * math.log(2))).as("bloom_fpp"))
+      lit(deliveredFpp).as("bloom_fpp"))
     df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
       .groupBy("file").agg(aggs.head, (aggs.tail ++ typeCols ++ metaCols): _*)
       .coalesce(1)

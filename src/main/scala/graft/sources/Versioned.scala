@@ -755,6 +755,37 @@ object Versioned {
     }
   }
 
+  /** Validate an arbitrary frame against a constraint map with
+    * [[stageValidated]]'s error contract: ONE combined violations pass
+    * on the clean path, per-constraint naming only on the error path,
+    * and an unevaluable constraint surfaces as an actionable
+    * [[ConstraintViolation]], never a bare analysis error. `what` names
+    * the operation in the message ("rollbackTo v3", "cloneTable of
+    * src@v1"). */
+  private def validateFrameAgainst(df: DataFrame, cs: Map[String, String],
+      basePath: String, what: String): Unit = {
+    if (cs.isEmpty || df.columns.isEmpty) return
+    val broken0 =
+      try violations(df, cs).limit(1).count() > 0
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new ConstraintViolation(
+          s"CHECK constraint(s) ${cs.keys.toSeq.sorted.mkString(", ")} " +
+            s"under $basePath cannot be evaluated against $what " +
+            s"(${e.getMessage.linesIterator.next()}) — dropConstraint " +
+            "and re-add a boolean expression, or pass validate = false")
+      }
+    if (broken0) {
+      val broken = cs.filter { case (n, e) =>
+        violations(df, Map(n -> e)).limit(1).count() > 0
+      }.keys.toSeq.sorted
+      throw new ConstraintViolation(
+        s"$what would land rows violating CHECK constraint(s) " +
+          s"${broken.mkString(", ")} under $basePath — nothing was " +
+          "committed (pass validate = false to proceed verbatim, or " +
+          "dropConstraint first)")
+    }
+  }
+
   /** A staged dir with zero data rows (an empty batch) has no files to
     * bloom-index — the sidecar build would have nothing to group on. */
   private def isDirEmpty(spark: SparkSession, dir: String): Boolean =
@@ -1110,23 +1141,26 @@ object Versioned {
   def rollbackTo(spark: SparkSession, basePath: String, v: Long,
       validate: Boolean = false): Long = {
     val target = entries(spark, basePath, v)
-    if (validate) {
-      val cs = constraints(spark, basePath)
-      if (cs.nonEmpty) {
-        val snap = readVersion(spark, basePath, v)
-        if (snap.columns.nonEmpty) {
-          val broken = cs.filter { case (n, e) =>
-            violations(snap, Map(n -> e)).limit(1).count() > 0
-          }.keys.toSeq.sorted
-          if (broken.nonEmpty) throw new ConstraintViolation(
-            s"rollbackTo v$v under $basePath would restore rows " +
-              s"violating CHECK constraint(s) ${broken.mkString(", ")} — " +
-              "nothing was committed (pass validate = false to restore " +
-              "verbatim, or dropConstraint first)")
+    // validation runs INSIDE the publish CAS (the recheck hook, like
+    // every DML form's constraint gate): a pre-publish check would
+    // leave the same optimistic window a racing addConstraint exploits
+    // elsewhere — the hook sees the HEAD's constraint set as of the
+    // attempt, and CAS retries re-validate only the delta
+    val recheck: Map[String, String] => Unit =
+      if (!validate) _ => ()
+      else {
+        var validated = Map.empty[String, String]
+        headCons => {
+          val delta = headCons.filter { case (n, e) =>
+            !validated.get(n).contains(e) }
+          if (delta.nonEmpty) {
+            validateFrameAgainst(readVersion(spark, basePath, v), delta,
+              basePath, s"rollbackTo v$v")
+            validated = validated ++ delta
+          }
         }
       }
-    }
-    publish(spark, basePath, (_, _) => target)
+    publish(spark, basePath, (_, _) => target, recheck = recheck)
   }
 
   /** SHALLOW CLONE: initialize `dstBase` as a ZERO-COPY snapshot of
@@ -1161,23 +1195,15 @@ object Versioned {
     // version's constraint set; `validate = true` additionally checks
     // the cloned data against the source HEAD's constraints (the gates
     // an operator forking "the table" most likely expects to hold) and
-    // aborts on violation. Default stays clone-verbatim.
-    if (validate) {
-      val headCs = constraints(spark, srcBase)
-      if (headCs.nonEmpty) {
-        val snap = readVersion(spark, srcBase, srcV)
-        if (snap.columns.nonEmpty) {
-          val broken = headCs.filter { case (n, e) =>
-            violations(snap, Map(n -> e)).limit(1).count() > 0
-          }.keys.toSeq.sorted
-          if (broken.nonEmpty) throw new ConstraintViolation(
-            s"cloneTable of $srcBase@v$srcV would clone rows violating " +
-              s"the source head's CHECK constraint(s) " +
-              s"${broken.mkString(", ")} — nothing was committed (pass " +
-              "validate = false to clone verbatim)")
-        }
-      }
-    }
+    // aborts on violation. Default stays clone-verbatim. The check runs
+    // as late as possible, but the clone's publish CAS is on DST, so an
+    // addConstraint racing on SRC between this read and the publish is
+    // inherently uncatchable cross-table — the documented residual
+    // (same-table rollbackTo closes its window via the recheck hook).
+    if (validate)
+      validateFrameAgainst(readVersion(spark, srcBase, srcV),
+        constraints(spark, srcBase), srcBase,
+        s"cloneTable of $srcBase@v$srcV")
     // the ledger AS OF the cloned version — the head's may record
     // batches whose data postdates (and so is absent from) the clone
     val srcMeta = commitMeta(spark, srcBase, srcV)
@@ -1224,25 +1250,36 @@ object Versioned {
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromV <= toV, s"changes: fromV $fromV must be <= toV $toV")
-    // the feed APPENDS the `_change` convention column; a data column
-    // of that exact name would be silently REPLACED by the marker
-    // (withColumn overwrites) — the same silent-wrong-results class as
-    // the scratch-column collision the internal names already guard
-    // against. The marker name is the public feed contract, so a
-    // collision fails loudly instead of deriving a surprise name.
-    Seq(fromV, toV).distinct.foreach { v =>
-      val s = snapshotSchema(spark, basePath, v)
-      require(!s.fields.exists(_.name.equalsIgnoreCase("_change")),
-        s"changes: snapshot v$v under $basePath has a column named " +
-          "'_change' — the change feed reserves that name for its " +
-          "insert/delete marker; rename the data column")
-    }
     val from = entries(spark, basePath, fromV)
     val to = entries(spark, basePath, toV)
     val fromPaths = dataEntries(from).map(_.path)
     val toPaths = dataEntries(to).map(_.path)
     val added = toPaths.filterNot(fromPaths.toSet)
     val removed = fromPaths.filterNot(toPaths.toSet)
+    val common = fromPaths.filter(toPaths.toSet)
+    // ONE driver-side footer fold serves both the collision guard and
+    // the feed reads below (added ++ removed ++ common = every data dir
+    // of both snapshots); a type conflict across dirs (widening
+    // evolution) yields None and readers fall back to mergeSchema
+    val feedSchema: Option[org.apache.spark.sql.types.StructType] =
+      unionDirSchemas(spark, added ++ removed ++ common)
+    // the feed APPENDS the `_change` convention column; a data column
+    // of that exact name would be silently REPLACED by the marker
+    // (withColumn overwrites) — the same silent-wrong-results class as
+    // the scratch-column collision the internal names already guard
+    // against. The marker name is the public feed contract, so a
+    // collision fails loudly instead of deriving a surprise name.
+    // (The rare widening-conflict fallback derives the two snapshot
+    // schemas instead — correctness of the guard over cache warmth.)
+    val guardCols: Seq[String] = feedSchema match {
+      case Some(s) => s.fields.map(_.name).toSeq
+      case None => Seq(fromV, toV).distinct.flatMap(v =>
+        snapshotSchema(spark, basePath, v).fields.map(_.name).toSeq)
+    }
+    require(!guardCols.exists(_.equalsIgnoreCase("_change")),
+      s"changes: the table under $basePath has a data column named " +
+        "'_change' — the change feed reserves that name for its " +
+        "insert/delete marker; rename the data column")
     val (dvFrom, dvTo) = (delPaths(from), delPaths(to))
 
     def dv(paths: Seq[String]): DataFrame =
@@ -1283,15 +1320,6 @@ object Versioned {
           rows.filter(_.getInt(2) == 1).map(_.getString(0)).toSeq)
       }
 
-    val common = fromPaths.filter(toPaths.toSet)
-    // mergeSchema launches a distributed footer-reconciliation JOB per
-    // read; every dir here was staged as one unit (uniform schema
-    // within), so the union schema is a DRIVER-SIDE fold over one
-    // footer per dir — zero jobs. A type conflict across dirs (widening
-    // evolution) falls back to the mergeSchema read, which resolves
-    // coercion properly.
-    val feedSchema: Option[org.apache.spark.sql.types.StructType] =
-      unionDirSchemas(spark, added ++ removed ++ common)
     def readFiles(paths: Seq[String]): DataFrame = feedSchema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None =>

@@ -21,7 +21,13 @@ class CrossProcessSpec extends SparkSpec {
   /** Launch `graft.Forked` with this JVM's classpath and module flags
     * (sbt forks tests, so java.class.path is the real test classpath
     * and the --add-opens Spark needs are in our own input args). */
-  private def fork(args: String*): Process = {
+  /** A forked child plus a daemon thread draining its stdout into a
+    * queue — so sentinel waits have a REAL deadline (a blocked
+    * readLine() would never observe one) and the pipe never backs up. */
+  private final case class Child(p: Process,
+      lines: java.util.concurrent.BlockingQueue[String])
+
+  private def fork(args: String*): Child = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
     val moduleFlags = java.lang.management.ManagementFactory
@@ -35,22 +41,39 @@ class CrossProcessSpec extends SparkSpec {
     // stderr must be discarded, not piped: Spark's startup logging can
     // fill an undrained 64 KB pipe buffer and deadlock the child while
     // the parent waits on stdout sentinels
-    new ProcessBuilder(cmd)
+    val p = new ProcessBuilder(cmd)
       .redirectError(ProcessBuilder.Redirect.DISCARD)
       .start()
+    val q = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = r.readLine()
+      while (line != null) { q.put(line); line = r.readLine() }
+    })
+    t.setDaemon(true)
+    t.start()
+    Child(p, q)
   }
 
-  private def awaitLine(p: Process, prefix: String,
-      reader: java.io.BufferedReader): String = {
+  private def awaitLine(c: Child, prefix: String): String = {
     val deadline = System.currentTimeMillis() + 120000
-    var line = reader.readLine()
-    while (line != null && !line.startsWith(prefix)) {
-      line = reader.readLine()
+    var deadEmptyPolls = 0
+    while (true) {
+      val line = c.lines.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (line != null && line.startsWith(prefix)) return line
       assert(System.currentTimeMillis() < deadline,
         s"timed out waiting for $prefix from the forked JVM")
+      // the child may exit before the drainer flushes its final lines —
+      // only declare "ended without printing" after a short dead+empty
+      // grace window, never on the first empty poll
+      if (line == null && !c.p.isAlive && c.lines.isEmpty) {
+        deadEmptyPolls += 1
+        assert(deadEmptyPolls < 8,
+          s"forked JVM ended before printing $prefix")
+      } else deadEmptyPolls = 0
     }
-    assert(line != null, s"forked JVM ended before printing $prefix")
-    line
+    throw new IllegalStateException("unreachable")
   }
 
   test("appends from a second JVM race local COW deletes: zero lost commits") {
@@ -67,13 +90,11 @@ class CrossProcessSpec extends SparkSpec {
       // the conflict matrix, so NO abort should surface on either side
       for (id <- 1L to 4L)
         Versioned.deleteWhere(spark, base, col("id") === id)
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(child.getInputStream))
-      val appended = awaitLine(child, "FORKED_APPENDED", out)
-      assert(child.waitFor() === 0, "forked JVM must exit clean")
+      val appended = awaitLine(child, "FORKED_APPENDED")
+      assert(child.p.waitFor() === 0, "forked JVM must exit clean")
       assert(appended.split(" ")(1).split(",").length === 6,
         "all 6 child commits returned a version")
-    } finally child.destroyForcibly()
+    } finally child.p.destroyForcibly()
 
     // invariants: every commit landed exactly once (versions contiguous:
     // 1 seed + 6 appends + 4 deletes), the surviving row multiset is
@@ -112,13 +133,11 @@ class CrossProcessSpec extends SparkSpec {
       Versioned.commit(Seq((9L, 90L)).toDF("id", "v"), base,
         org.apache.spark.sql.SaveMode.Append) // v2, inside the window
       Files.createFile(Paths.get(dir, "parent-done"))
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(child.getInputStream))
-      val merged = awaitLine(child, "FORKED_", out)
+      val merged = awaitLine(child, "FORKED_")
       assert(merged === "FORKED_MERGED 3",
         s"the merge must rebase and land at v3, got: $merged")
-      assert(child.waitFor() === 0)
-    } finally child.destroyForcibly()
+      assert(child.p.waitFor() === 0)
+    } finally child.p.destroyForcibly()
     assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
       .collect().toSet ===
       Set((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L), (5L, 555L),
@@ -136,13 +155,11 @@ class CrossProcessSpec extends SparkSpec {
       // rewrite the SAME (only) data dir the child's delete derived from
       Versioned.deleteWhere(spark, base, col("id") === 3L) // v2
       Files.createFile(Paths.get(dir, "parent-done"))
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(child.getInputStream))
-      val res = awaitLine(child, "FORKED_", out)
+      val res = awaitLine(child, "FORKED_")
       assert(res === "FORKED_ABORTED",
         s"a cross-process same-dir rewrite race must abort, got: $res")
-      assert(child.waitFor() === 0)
-    } finally child.destroyForcibly()
+      assert(child.p.waitFor() === 0)
+    } finally child.p.destroyForcibly()
     // the aborted delete left only vacuumable garbage — no half-commit
     assert(Versioned.versions(spark, base) === Seq(1L, 2L))
     assert(Versioned.read(spark, base).select("id").as[Long]
@@ -156,9 +173,7 @@ class CrossProcessSpec extends SparkSpec {
       .resolve("release")
     val child = fork("pin", base, release.toString)
     try {
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(child.getInputStream))
-      val pinned = awaitLine(child, "FORKED_PINNED", out)
+      val pinned = awaitLine(child, "FORKED_PINNED")
       assert(pinned.endsWith(" 1"), s"child pinned the head v1: $pinned")
       // bury v1 and vacuum aggressively FROM THIS PROCESS: the foreign
       // lease file must floor retention — in-process registry knows
@@ -172,11 +187,11 @@ class CrossProcessSpec extends SparkSpec {
         "the pinned snapshot's files must still be readable")
       // release the child; once its lease file is gone, vacuum reaps
       Files.createFile(release)
-      awaitLine(child, "FORKED_RELEASED", out)
-      assert(child.waitFor() === 0)
+      awaitLine(child, "FORKED_RELEASED")
+      assert(child.p.waitFor() === 0)
       Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
       assert(Versioned.versions(spark, base) === Seq(3L),
         "after the foreign lease closes, ordinary retention applies")
-    } finally child.destroyForcibly()
+    } finally child.p.destroyForcibly()
   }
 }
