@@ -1313,6 +1313,23 @@ class VersionedSpec extends SparkSpec {
       .syncedSourceVersion(spark, roll, "mv") === Some(3L))
   }
 
+  test("change feed re-expands a multiplicity past the chunk boundary exactly") {
+    import spark.implicits._
+    // the netting re-expansion is chunked at 8192 elements per explode;
+    // a |net| of 8193 must cross the boundary and still be multiset-
+    // exact (8192 + 1, not 8192, not 2x8192)
+    val base = freshBase()
+    val dup = Seq.fill(8193)((1L, "x")) :+ ((2L, "y"))
+    Versioned.commit(dup.toDF("id", "s"), base)                  // v1
+    Versioned.deleteWhere(spark, base, col("id") === 1L)         // v2 (COW)
+    val feed = Versioned.changes(spark, base, 1L, 2L)
+    assert(feed.count() === 8193L,
+      "every deleted copy surfaces exactly once across chunk boundaries")
+    assert(feed.filter(col("_change") =!= "delete").count() === 0L)
+    assert(feed.select("id").distinct().as[Long].collect() === Array(1L),
+      "the carried-over survivor must cancel, only the deleted row nets")
+  }
+
   test("change feed fails loudly on a data column named _change") {
     import spark.implicits._
     val base = freshBase()
