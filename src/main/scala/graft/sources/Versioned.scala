@@ -2201,11 +2201,56 @@ object Versioned {
   def vacuum(spark: SparkSession, basePath: String,
       keepVersions: Int = 2,
       minAgeMs: Long = 24L * 60 * 60 * 1000): Unit = {
+    val (dropVs, reapDirs) =
+      vacuumPlanInternal(spark, basePath, keepVersions, minAgeMs)
+    val base = new Path(basePath)
+    val f = fs(spark, base)
+    reapDirs.foreach(d => f.delete(new Path(d), true))
+    dropVs.foreach(v =>
+      f.delete(new Path(manifestDir(basePath), s"v$v"), false))
+  }
+
+  /** DRY-RUN of [[vacuum]] with the same parameters: one row per action
+    * it WOULD take — `(action, target)` where action is
+    * `drop_version` (manifest) or `reap_dir` (an unreferenced or
+    * crash-orphaned `data-*` directory) — deleting nothing. The
+    * operator's pre-flight: retention mistakes (a too-aggressive
+    * keepVersions, a lease floor the caller forgot about) surface as a
+    * readable plan instead of missing data. The plan is advisory: a
+    * commit or lease landing between dry-run and vacuum changes what
+    * the real run reaps (each evaluates its own snapshot). One
+    * housekeeping exception: evaluating the lease floor GCs already-
+    * EXPIRED lease files, exactly as vacuum itself would — no data or
+    * manifest is touched. */
+  def vacuumDryRun(spark: SparkSession, basePath: String,
+      keepVersions: Int = 2,
+      minAgeMs: Long = 24L * 60 * 60 * 1000): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (dropVs, reapDirs) =
+      vacuumPlanInternal(spark, basePath, keepVersions, minAgeMs)
+    val rows = dropVs.map(v =>
+      org.apache.spark.sql.Row("drop_version", s"v$v")) ++
+      reapDirs.map(d => org.apache.spark.sql.Row("reap_dir", d))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("action",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("target",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The shared retention planner behind [[vacuum]] and
+    * [[vacuumDryRun]]: versions to drop and qualified `data-*` dirs to
+    * reap, honoring keepVersions, the reader-lease floor, and the
+    * in-flight-commit age horizon. Pure driver metadata work; deletes
+    * nothing. */
+  private def vacuumPlanInternal(spark: SparkSession, basePath: String,
+      keepVersions: Int, minAgeMs: Long): (Seq[Long], Seq[String]) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val base = new Path(basePath)
     val f = fs(spark, base)
     val vs = versions(spark, basePath)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return (Seq.empty, Seq.empty)
     // reader-lease floor: a snapshot some live reader PINNED (and every
     // later one) is retained whatever keepVersions says — a long scan
     // can no longer have its files reaped mid-query by a concurrent
@@ -2220,12 +2265,12 @@ object Versioned {
     val (drop, keep) = vs.splitAt(cut)
     val referenced = keep.flatMap(manifestFiles(spark, basePath, _)).toSet
     val horizon = System.currentTimeMillis() - minAgeMs
-    f.listStatus(base).toSeq
+    val reap = f.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
       .filterNot(s => referenced.contains(s.getPath.toString))
       .filter(_.getModificationTime < horizon)
-      .foreach(s => f.delete(s.getPath, true))
-    drop.foreach(v => f.delete(new Path(manifestDir(basePath), s"v$v"), false))
+      .map(_.getPath.toString)
+    (drop, reap)
   }
 
   // ------------------------------------------------------------- leases

@@ -1313,6 +1313,40 @@ class VersionedSpec extends SparkSpec {
       .syncedSourceVersion(spark, roll, "mv") === Some(3L))
   }
 
+  test("vacuumDryRun plans exactly what vacuum then deletes, touching nothing") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)       // v1
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), base)       // v2
+    Versioned.commit(Seq((3L, "c")).toDF("id", "s"), base)       // v3
+    val plan = Versioned.vacuumDryRun(spark, base,
+      keepVersions = 1, minAgeMs = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(plan.count(_._1 == "drop_version") === 2,
+      s"v1 and v2 must be planned for drop, got ${plan.toSeq}")
+    assert(plan.count(_._1 == "reap_dir") === 2,
+      "the two unreferenced overwrite dirs must be planned for reaping")
+    // dry run touched nothing: all versions still readable
+    assert(Versioned.versions(spark, base) === Seq(1L, 2L, 3L))
+    assert(Versioned.readVersion(spark, base, 1L).count() === 1L)
+    // the real vacuum executes exactly the plan
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, base) === Seq(3L))
+    val stillThere = plan.filter(_._1 == "reap_dir").map(_._2)
+      .filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(new java.net.URI(d).getPath)))
+    assert(stillThere.isEmpty, s"planned dirs must be reaped: $stillThere")
+    // and a lease floors the DRY RUN the same way it floors vacuum
+    Versioned.commit(Seq((4L, "d")).toDF("id", "s"), base)       // v4
+    val lease = Versioned.pinSnapshot(spark, base, Some(3L))
+    try {
+      val floored = Versioned.vacuumDryRun(spark, base,
+        keepVersions = 1, minAgeMs = 0L).collect()
+      assert(!floored.exists(_.getString(1) == "v3"),
+        "a pinned version must not appear in the plan")
+    } finally lease.close()
+  }
+
   test("change feed re-expands a multiplicity past the chunk boundary exactly") {
     import spark.implicits._
     // the netting re-expansion is chunked at 8192 elements per explode;

@@ -338,6 +338,48 @@ class ProtocolSpec extends SparkSpec {
       (1L to 4L).map(i => (i, i * 10L)).toSet)
   }
 
+  test("write-serializability: every DML form racing a pure append equals op-then-append") {
+    // the conflict matrix's CONTRACT, stated as one property: a DML op
+    // that rebases over a racing pure append must leave the table equal
+    // to running [op, then append] SEQUENTIALLY — the op derived from
+    // the pre-append snapshot, so the appended rows are untouched even
+    // when they MATCH the op's predicate (append (2, 999) below matches
+    // every op's id <= 2 target; an implementation that wrongly
+    // re-applied the op after the rebase would mangle it).
+    def seed(b: String): Unit =
+      Versioned.commit((1L to 6L).map(i => (i, i * 10L)).toDF("id", "v"), b)
+    val appendRows = Seq((2L, 999L), (42L, 420L))
+    def append(b: String): Unit =
+      Versioned.commit(appendRows.toDF("id", "v"), b,
+        org.apache.spark.sql.SaveMode.Append)
+    val ops: Seq[(String, String => Unit)] = Seq(
+      "deleteWhere" -> (b =>
+        Versioned.deleteWhere(spark, b, col("id") <= 2L)),
+      "deleteWhereMor" -> (b =>
+        Versioned.deleteWhereMor(spark, b, col("id") <= 2L)),
+      "updateWhere" -> (b =>
+        Versioned.updateWhere(spark, b, col("id") <= 2L,
+          Map("v" -> lit(0L)))),
+      "updateWhereMor" -> (b =>
+        Versioned.updateWhereMor(spark, b, col("id") <= 2L,
+          Map("v" -> lit(0L)))),
+      "mergeInto" -> (b =>
+        Versioned.mergeInto(spark, b,
+          Seq((2L, 222L), (7L, 777L)).toDF("id", "v"),
+          keys = Seq("id"), updateCols = Seq("v"))))
+    def state(b: String): Seq[(Long, Long)] =
+      Versioned.read(spark, b).select("id", "v").as[(Long, Long)]
+        .collect().toSeq.sorted
+    for ((name, op) <- ops) {
+      val raced = freshBase(); seed(raced)
+      racing { append(raced) } { op(raced) }
+      val serial = freshBase(); seed(serial)
+      op(serial); append(serial)
+      assert(state(raced) === state(serial),
+        s"$name racing a pure append must equal serial op-then-append")
+    }
+  }
+
   test("durable lease: another process's lease file floors vacuum until it expires") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
