@@ -337,6 +337,28 @@ object Similarity {
       new IvfIndex(centroids, source, assigned)
     }
 
+    /** Incremental maintenance for a saved full-vector IVF index — the
+      * [[IvfPqIndex.append]] twin: assign a batch of NEW vectors to
+      * their nearest cells with the FROZEN centroids and append them to
+      * the persisted bucketed assigned table. No retrain, no rewrite,
+      * no shuffle beyond the batch; the same recall-decay/retrain
+      * guidance as the composite applies (retrain once the appended
+      * fraction passes ~0.5, sooner under distribution shift). */
+    def append(spark: SparkSession, name: String, path: String,
+        newVectors: DataFrame): Unit = {
+      val centroids = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      graft.sources.Layout.registerBucketedExternal(spark,
+        s"${name}_assigned", s"$path/assigned", centroids.size, Seq("cell"))
+      val assigned = newVectors.select(col("vec_id"), col("embedding"))
+        .withColumn("cell",
+          greatest(cellStructs(centroids): _*).getField("cell"))
+        .select(col("vec_id").as("c_id"), col("cell"),
+          col("embedding").as("v_c"))
+      graft.sources.Layout.appendBucketedExternal(assigned,
+        s"${name}_assigned", centroids.size, Seq("cell"))
+    }
+
     /** Train a `cells`-cell coarse quantizer over `candidates0` and
       * assign every vector to its nearest cell.
       *

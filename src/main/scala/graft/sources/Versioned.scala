@@ -2329,7 +2329,14 @@ object Versioned {
 
   /** The lowest version any live lease pins — in-process registry plus
     * non-expired durable lease files (another process's readers); a
-    * file past the TTL is ignored AND deleted here (lease GC). */
+    * file past the TTL is ignored AND deleted here (lease GC).
+    *
+    * A FAILURE to LIST the lease directory fails loudly: retention
+    * decided without lease visibility could reap a snapshot another
+    * process has pinned — the one thing the lease layer exists to
+    * prevent — so a transiently failing store aborts the vacuum (the
+    * caller retries later) instead of silently proceeding blind. A
+    * cleanly absent directory is the normal no-leases path. */
   private def leaseFloor(spark: SparkSession, basePath: String,
       qualifiedBase: String): Option[Long] = {
     import scala.jdk.CollectionConverters._
@@ -2354,7 +2361,13 @@ object Versioned {
             case _ => None
           }
         }.minOption
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"cannot evaluate reader leases under $basePath " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — refusing " +
+            "to make a retention decision without lease visibility; " +
+            "retry the vacuum when the store recovers", e)
+      }
     (inProc.toSeq ++ durable).minOption
   }
 

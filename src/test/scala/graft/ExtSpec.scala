@@ -1014,6 +1014,32 @@ class ExtSpec extends SparkSpec {
     assert(p.contains("pq_adc"), p)
   }
 
+  test("ivf append: frozen-centroid assignment, appended clone found at rank 1") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.IvfIndex.train(emb).save("ivf_app_spec", dir)
+    val before = spark.table("ivf_app_spec_assigned").count()
+    val clone = emb.filter(col("vec_id") === 0)
+      .select(lit(900002L).as("vec_id"), col("embedding"))
+    Similarity.IvfIndex.append(spark, "ivf_app_spec", dir, clone)
+    assert(spark.table("ivf_app_spec_assigned").count() === before + 1)
+    // a restarted session loads the extended index; the planted clone is
+    // vector 0's rank-1 at cosine ~1 and landed in its twin's cell
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE ivf_app_spec_assigned")
+    val loaded = Similarity.IvfIndex.load(s2, "ivf_app_spec", dir)
+    val top = loaded.search(
+      graft.Tables.embeddings(s2, sf).filter(col("vec_id") === 0))
+      .orderBy("rank").collect()
+    assert(top.head.getLong(2) === 900002L, top.mkString("; "))
+    assert(top.head.getDouble(3) > 0.999999)
+    val cells = s2.table("ivf_app_spec_assigned")
+      .filter(col("c_id").isin(0L, 900002L))
+      .select("cell").distinct().count()
+    assert(cells === 1L)
+  }
+
   test("ivfpq append: frozen-quantizer encode, appended clone found at rank 1, no retrain") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sf)
