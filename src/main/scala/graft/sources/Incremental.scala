@@ -67,9 +67,19 @@ object Incremental {
   private val NullPart = "\u0000null"
   private val EmptyPart = "\u0000empty"
 
-  private def partTag(v: Any): String =
-    if (v == null) NullPart
-    else { val s = v.toString; if (s.isEmpty) EmptyPart else s }
+  private def partTag(v: Any): String = v match {
+    case null => NullPart
+    case b: Array[Byte] =>
+      // Array.toString is the JVM identity string ("[B@1a2b3c") —
+      // nondeterministic across batches, so a binary partition key
+      // would tag the SAME group differently every upsert: existing
+      // dirs always look disjoint, the group splits into one row per
+      // batch, and vanishing never fires. Hex is content-stable.
+      if (b.isEmpty) EmptyPart
+      else b.map(x => f"$x%02x").mkString
+    case other =>
+      val s = other.toString; if (s.isEmpty) EmptyPart else s
+  }
 
   /** Bounded CAS retry with randomized exponential backoff: a merge
     * derivation spans several jobs, so under hot contention a bare retry
@@ -172,16 +182,15 @@ object Incremental {
     if (vs.isEmpty) {
       // CAS-pinned bootstrap: two racing first batches must NOT both see
       // an empty table and Overwrite — the loser aborts here and retries
-      // through the non-empty merge path above
-      val boot = finalizeState(partials)
-      return if (mayVanish && boot.isEmpty)
-        // every group vanished against itself — record the id on an
-        // empty v1 (staging an empty frame would be an unreadable dir)
-        Versioned.publishEntries(spark, basePath, 0L, Seq.empty,
-          Map("batch_id" -> batchId))
-      else Versioned.commit(boot, basePath,
-        expectedHead = Some(0L), meta = Map("batch_id" -> batchId),
-        parts = Some(touchedSet))
+      // through the non-empty merge path above. Stage-then-check (the
+      // merge path's shape): ONE pipeline execution answers both the
+      // emptiness probe and the write — the old isEmpty-then-commit ran
+      // the full finalized aggregate twice. An all-vanished bootstrap
+      // stages nothing and records the id on an empty v1.
+      val stEntry = Versioned.stageNonEmpty(
+        finalizeState(partials), basePath, Some(touchedSet)).toSeq
+      return Versioned.publishEntries(spark, basePath, 0L, stEntry,
+        Map("batch_id" -> batchId))
     }
 
     val head = vs.last

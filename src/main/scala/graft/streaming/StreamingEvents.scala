@@ -24,7 +24,9 @@ object StreamingEvents {
     .withWatermark("ts", "2 hours")
     .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
     .agg(count(lit(1)).as("event_cnt"),
-      sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      // the repo's single money policy (exact integer cents) — shared
+      // with the batch twin e1_hourly_rollup so the two cannot drift
+      sum(graft.Tables.cents(col("value"))).as("value_cents"))
     .select(col("win.start").as("hour"), col("event_type"),
       col("event_cnt"), col("value_cents"))
 
@@ -149,9 +151,23 @@ object StreamingEvents {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
-  /** Production sink shape: stream → foreachBatch → partitioned parquet via
-    * [[graft.sources.Layout.writePartitioned]] (dynamic partition overwrite
-    * per micro-batch, date-partitioned so downstream scans prune). */
+  /** Production sink shape: stream → foreachBatch → partitioned parquet
+    * via [[graft.sources.Layout.writePartitioned]] (dynamic partition
+    * overwrite per micro-batch, date-partitioned so downstream scans
+    * prune).
+    *
+    * Update mode emits only the CHANGED (hour × type) aggregate rows,
+    * but dynamic overwrite replaces the whole touched `day=` partition
+    * — writing the batch verbatim would silently DROP every other hour
+    * already landed for that day (the first batch's hours vanish when
+    * hour 11 updates). Each batch therefore MERGES: the touched days'
+    * existing rows lose their superseded (hour, event_type) keys, the
+    * batch's rows replace them, and only then does the partition
+    * overwrite run. Cost per batch is a read of the touched days (a
+    * pruned scan — the partition column is the point), never the sink.
+    * The merged frame is eagerly localCheckpointed to cut lineage from
+    * the files being overwritten (Spark refuses a write whose plan
+    * still reads the target). */
   def sinkHourlyToPartitionedParquet(rollup: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     rollup
@@ -160,7 +176,34 @@ object StreamingEvents {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Layout.writePartitioned(batch.toDF(), path, "day")
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        val days = b.select("day").distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (days.nonEmpty) {
+          // explicit existence probe, not a broad catch: swallowing a
+          // TRANSIENT read failure here would overwrite the touched
+          // days with only the batch's rows — the very data loss this
+          // merge exists to prevent. Only a genuinely absent sink
+          // (the first batch) skips the read; any other failure aborts
+          // the micro-batch and the engine retries it.
+          val sink = new org.apache.hadoop.fs.Path(path)
+          val sinkFs = sink.getFileSystem(
+            spark.sessionState.newHadoopConf())
+          val existing =
+            if (!sinkFs.exists(sink)) None
+            else Some(spark.read.parquet(path)
+              .filter(col("day").isin(days: _*)))
+          val merged = existing match {
+            case None => b
+            case Some(ex) => ex
+              .join(b.select("hour", "event_type").distinct(),
+                Seq("hour", "event_type"), "left_anti")
+              .unionByName(b)
+              .localCheckpoint(true)
+          }
+          graft.sources.Layout.writePartitioned(merged, path, "day")
+        }
       }
       .start()
 

@@ -71,12 +71,30 @@ final class VersionedSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = tablePath(parameters)
+    // a user-specified schema is REJECTED, not silently honored: in cdc
+    // mode a schema without `_change` would make align() drop the
+    // marker and deliver deletes indistinguishable from inserts — a
+    // signed-fold consumer would ADD deleted rows. The stream's schema
+    // is the table's, period (the same stance Kafka and the public
+    // lakehouse sources take).
+    schema.foreach(_ => throw new UnsupportedOperationException(
+      "graft-versioned does not accept a user-specified schema — the " +
+        "stream declares the table's snapshot schema" +
+        (if (parameters.getOrElse("mode", "append") == "cdc")
+          " plus the _change marker" else "")))
     val base = Versioned.read(sqlContext.sparkSession, path).schema
     val s =
-      if (parameters.getOrElse("mode", "append") == "cdc")
+      if (parameters.getOrElse("mode", "append") == "cdc") {
+        // the marker name is the feed contract; a data column of that
+        // name would be silently overwritten by the initial snapshot's
+        // lit("insert") — same loud policy as Versioned.changes
+        require(!base.fields.exists(_.name.equalsIgnoreCase("_change")),
+          s"graft-versioned cdc over $path: the table has a data " +
+            "column named '_change', which the change feed reserves " +
+            "for its insert/delete marker; rename the data column")
         base.add("_change", StringType, nullable = true)
-      else base
-    (s"graft-versioned [$path]", schema.getOrElse(s))
+      } else base
+    (s"graft-versioned [$path]", s)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -116,6 +134,8 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
   private val maxVersions =
     parameters.get("maxVersionsPerTrigger").map(_.toLong)
   maxVersions.foreach(m => require(m > 0, "maxVersionsPerTrigger must be > 0"))
+  private val failOnDataLoss =
+    parameters.getOrElse("failOnDataLoss", "true").toBoolean
 
   /** Newest version already HANDED OUT as a batch end (not necessarily
     * committed by the sink) — the throttle anchor. Recovered from the
@@ -134,7 +154,11 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowCap = Versioned.versions(spark, basePath).lastOption
+    // an uninitialized table caps at 0 (nothing to consume): leaving
+    // the cap None would let commits landing AFTER the trigger started
+    // keep extending a supposedly bounded AvailableNow run
+    availableNowCap =
+      Some(Versioned.versions(spark, basePath).lastOption.getOrElse(0L))
   }
 
   /** Admission-control face (declared via SupportsTriggerAvailableNow):
@@ -161,6 +185,7 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
     if (vs.isEmpty) None
     else {
       val head = cap.fold(vs.last)(math.min(vs.last, _))
+      if (head <= 0L) return None
       // throttle anchor: the newest version already handed out or
       // engine-committed, or startingVersion before any batch ran. A
       // no-checkpoint no-startingVersion first trigger is the SNAPSHOT
@@ -194,6 +219,21 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
   private val pins = new java.util.concurrent.ConcurrentHashMap[
     Long, Versioned.SnapshotLease]()
 
+  // durable lease files expire at the TTL; a micro-batch outliving it
+  // would silently lose its cross-process vacuum protection mid-read,
+  // so a daemon re-stamps every in-flight pin at TTL/3 (renew() warns
+  // on failure itself). Shut down with the source.
+  private val leaseRenewer = {
+    val ttlMs = spark.conf.getOption("spark.graft.lease.ttlMs")
+      .map(_.toLong).getOrElse(3600000L)
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, s"graft-versioned-lease-renew $basePath")
+        t.setDaemon(true); t })
+    ex.scheduleAtFixedRate(() => pins.values.forEach(_.renew()),
+      ttlMs / 3, ttlMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
   private def pinFor(endV: Long, v: Long): Unit = {
     pins.computeIfAbsent(endV,
       _ => Versioned.pinSnapshot(spark, basePath, Some(v)))
@@ -205,8 +245,33 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
     val startV = start.map(ver)
     val batch = startV.orElse(startingVersion) match {
       case Some(fromV) if fromV < endV =>
-        pinFor(endV, fromV)
-        window(fromV, endV)
+        // retention check BEFORE deriving the window: after a restart
+        // the engine re-plays getBatch for the last COMMITTED batch
+        // purely to restore source state, and a vacuum sized to
+        // consumer lag may have dropped that window's start manifest —
+        // failing eagerly here would brick an otherwise healthy
+        // restart. Kafka's failOnDataLoss contract: loud by default
+        // (a genuinely unconsumed vacuumed window IS data loss), an
+        // explicit opt-out delivers an empty batch with a warning.
+        val retained = Versioned.versions(spark, basePath).toSet
+        val gone = Seq(fromV, endV).distinct.filterNot(retained)
+        if (gone.nonEmpty) {
+          if (failOnDataLoss) throw new IllegalStateException(
+            s"graft-versioned stream over $basePath: window " +
+              s"($fromV, $endV] is no longer retained (vacuumed " +
+              s"manifest(s): ${gone.map(v => s"v$v").mkString(", ")}). " +
+              "If the sink already committed this batch (a restart " +
+              "replay), set failOnDataLoss=false to skip it; otherwise " +
+              "size vacuum retention to consumer lag or pin snapshots " +
+              "with reader leases")
+          System.err.println(
+            s"WARN graft-versioned: skipping unretained window " +
+              s"($fromV, $endV] under $basePath (failOnDataLoss=false)")
+          emptyBatch()
+        } else {
+          pinFor(endV, fromV)
+          window(fromV, endV)
+        }
       // fromV >= endV: a restart-recovery probe or an already-consumed
       // window — deliver nothing rather than derive a backwards feed
       case Some(_) => emptyBatch()
@@ -281,6 +346,7 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
   }
 
   override def stop(): Unit = {
+    leaseRenewer.shutdownNow()
     pins.values.forEach(_.close())
     pins.clear()
   }

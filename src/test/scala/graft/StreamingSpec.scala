@@ -407,10 +407,33 @@ class StreamingSpec extends SparkSpec {
       Event(2, ts("2024-01-02 11:05:00"), 2, "view", 2.0))
     val q = StreamingEvents.sinkHourlyToPartitionedParquet(
       StreamingEvents.hourlyRollup(input.toDF()), s"$dir/out", ckpt)
-    try q.processAllAvailable() finally q.stop()
-    val back = spark.read.parquet(s"$dir/out")
-    assert(back.select("day").distinct().count() === 2)
-    assert(new java.io.File(s"$dir/out/day=2024-01-01").exists())
+    try {
+      q.processAllAvailable()
+      val back1 = spark.read.parquet(s"$dir/out")
+      assert(back1.select("day").distinct().count() === 2)
+      assert(new java.io.File(s"$dir/out/day=2024-01-01").exists())
+      // batch 2 (inside the watermark horizon): Update mode emits ONLY
+      // the changed rows — a brand-new hour 12 on day 2. The sink's
+      // dynamic partition overwrite rewrites the whole day=2024-01-02
+      // dir, so without the merge the day's EXISTING hour 11 would
+      // silently vanish.
+      input.addData(Event(3, ts("2024-01-02 12:00:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      // batch 3: hour 12 updates in place (count 2), hour 11 untouched
+      input.addData(Event(4, ts("2024-01-02 12:30:00"), 4, "click", 1.0))
+      q.processAllAvailable()
+      val back2 = spark.read.parquet(s"$dir/out")
+      val day2 = back2.filter(col("day") === "2024-01-02")
+        .select(date_format(col("hour"), "HH").as("hh"),
+          col("event_type"), col("event_cnt"), col("value_cents"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(day2 === Set(("11", "view", 1L, 200L),
+        ("12", "click", 2L, 500L)),
+        s"hour 11 must SURVIVE the day rewrite and hour 12 must update, got $day2")
+      // the untouched day survives too
+      assert(back2.filter(col("day") === "2024-01-01").count() === 1)
+    } finally q.stop()
   }
 
   test("file-source stream actually processes the events parquet end-to-end") {

@@ -1313,6 +1313,27 @@ class VersionedSpec extends SparkSpec {
       .syncedSourceVersion(spark, roll, "mv") === Some(3L))
   }
 
+  test("upsertRollup: a binary partition key merges content-stably across batches") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    // Array[Byte].toString is identity-based — a tag derived from it
+    // would differ per batch, so the same group would never merge and
+    // the rollup would accrete one row per batch. Hex tags are
+    // content-stable; three batches over one binary key must land ONE
+    // row with the summed measure.
+    val base = freshBase()
+    def batch(n: Long) =
+      Seq((Array[Byte](1, 2, 3), "g", n)).toDF("k", "sub", "cnt")
+    for (i <- 1L to 3L)
+      Incremental.upsertRollup(spark, base, batch(i), s"b$i",
+        partitionKey = "k", subKeys = Seq("sub"), measures = Seq("cnt"))
+    val rows = Versioned.read(spark, base)
+      .select(hex(col("k")).as("k"), col("sub"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("010203", "g", 6L)),
+      s"one merged row expected, got ${rows.toSeq}")
+  }
+
   test("vacuumDryRun plans exactly what vacuum then deletes, touching nothing") {
     import spark.implicits._
     val base = freshBase()

@@ -262,6 +262,56 @@ class VersionedStreamSpec extends SparkSpec {
       .filter(col("id") === 1L && col("extra").isNull).count() === 1)
   }
 
+  test("a user-specified schema is rejected loudly") {
+    // in cdc mode a user schema without _change would silently drop the
+    // marker and deliver deletes as inserts — the source declares the
+    // table's schema, period
+    val src = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), src)
+    val ex = intercept[UnsupportedOperationException] {
+      spark.readStream.format("graft-versioned")
+        .schema(Versioned.read(spark, src).schema)
+        .load(src)
+    }
+    assert(ex.getMessage.contains("user-specified schema"))
+  }
+
+  test("cdc mode fails loudly on a data column named _change") {
+    val src = freshBase()
+    Versioned.commit(Seq((1L, "x")).toDF("id", "_change"), src)
+    val ex = intercept[IllegalArgumentException] {
+      readVs(src, "mode" -> "cdc").writeStream.format("memory")
+        .queryName("vs_collide").start()
+    }
+    assert(ex.getMessage.contains("_change"))
+  }
+
+  test("failOnDataLoss=false lets a restart skip a vacuumed already-committed window") {
+    val src = freshBase(); val dst = freshBase(); val ckpt = freshDir()
+    Versioned.commit(Seq((1L, 10L)).toDF("id", "v"), src)          // v1
+    def replicate(fdl: String): StreamingQuery =
+      Versioned.commitStream(
+        readVs(src, "failOnDataLoss" -> fdl), dst, "repl_fdl",
+        Map("checkpointLocation" -> ckpt))
+    drain(replicate("false"))
+    Versioned.commit(Seq((2L, 20L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)                        // v2
+    drain(replicate("false"))                                      // ships (1,2]
+    // while DOWN: retention sized tighter than the consumed history —
+    // v1's manifest is gone; more data lands
+    Versioned.vacuum(spark, src, keepVersions = 1, minAgeMs = 0L)
+    Versioned.commit(Seq((3L, 30L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)                        // v3
+    // the restart must come back up (any replay of the committed (1,2]
+    // window is skipped with a warning, never re-derived from the
+    // missing manifest) and ship exactly the new window
+    drain(replicate("false"))
+    assert(Versioned.read(spark, dst).as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(Versioned.read(spark, dst).count() === 3,
+      "no dupes, no holes across the vacuumed-window restart")
+  }
+
   test("checkpoint restart adopts a column added while the stream was down: no dupes, no holes") {
     // the operator runbook for mid-stream evolution: schema is frozen
     // per RUN, so adding a column means stop -> commit -> restart from
