@@ -63,11 +63,20 @@ object Dedup {
     * prune exists for, at a noise-level constant cost. */
   private def pruneBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
-    val keep = banded.groupBy(keyCols: _*)
+    // broadcast the DEGENERATE set, not the keep set: almost every
+    // bucket survives the filter, so the keep set is corpus-scale
+    // (~bands per doc) and broadcasting it would OOM the driver at the
+    // billion-doc scale this prune exists for — while the degenerate
+    // set is the handful of pathological keys (each must exceed
+    // maxBucket members, so there are at most |banded|/maxBucket, and
+    // in practice a few). The anti-join keeps the load-bearing
+    // property: the banded rows are never repartitioned by the skewed
+    // bucket key.
+    val degenerate = banded.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") > maxBucket)
       .select(keyCols: _*)
-    banded.join(broadcast(keep), keys)
+    banded.join(broadcast(degenerate), keys, "left_anti")
   }
 
   /** The cached signature frames for ONE corpus, with an owner: a
@@ -244,11 +253,19 @@ object Dedup {
         s"${name}_bands", s"$path/bands", buckets, Seq("band_idx", "band_hash"))
       graft.sources.Layout.registerBucketedExternal(spark,
         s"${name}_sets", s"$path/sets", buckets, Seq("corpus_id"))
-      val bands = withMinhash(withShingles(admitted))
-        .select(col("doc_id").as("corpus_id"), minhashBandCols)
+      // ONE shingle pass feeds both projections: the two appends are
+      // separate actions, so without materialization the hottest step
+      // (shingling) would run twice per batch — eagerly checkpoint the
+      // batch-scale shingled frame and derive both sides from blocks
+      val shingled = withShingles(admitted)
+        .select(col("doc_id").as("corpus_id"), col("shingles"))
+        .localCheckpoint(true)
+      val bands = shingled
+        .withColumn("sig", minhashSignature(col("shingles")))
+        .select(col("corpus_id"), minhashBandCols)
         .select(col("band_idx"), col("band_hash"), col("corpus_id"))
-      val sets = withShingles(admitted)
-        .select(col("doc_id").as("corpus_id"),
+      val sets = shingled
+        .select(col("corpus_id"),
           col("shingles").as("c_shingles"), size(col("shingles")).as("c_n"))
       graft.sources.Layout.appendBucketedExternal(bands,
         s"${name}_bands", buckets, Seq("band_idx", "band_hash"))
@@ -262,13 +279,18 @@ object Dedup {
 
   /** Build the ingest-gate index over a (doc_id, text) corpus. */
   def buildIngestIndex(corpus: DataFrame): IngestIndex = {
-    val bands = withMinhash(withShingles(corpus))
-      .select(col("doc_id").as("corpus_id"), minhashBandCols)
-      .select(col("band_idx"), col("band_hash"), col("corpus_id"))
-      .cache()
+    // sets caches the shingle arrays; bands DERIVES from that cache, so
+    // the corpus-scale shingle pass runs once however the two frames
+    // materialize (the old shape shingled the corpus twice, once per
+    // cache fill)
     val sets = withShingles(corpus)
       .select(col("doc_id").as("corpus_id"),
         col("shingles").as("c_shingles"), size(col("shingles")).as("c_n"))
+      .cache()
+    val bands = sets
+      .withColumn("sig", minhashSignature(col("c_shingles")))
+      .select(col("corpus_id"), minhashBandCols)
+      .select(col("band_idx"), col("band_hash"), col("corpus_id"))
       .cache()
     IngestIndex(bands, sets)
   }
@@ -292,11 +314,26 @@ object Dedup {
     * per-batch plan is this one unchanged. */
   def nearDupIngestGate(newDocs: DataFrame, index: IngestIndex,
       threshold: Double = 0.5): DataFrame = {
+    // the banded PROBE is payload-free — (doc_id, band) rows only, the
+    // header's shuffle discipline: carrying the batch's shingle arrays
+    // through the 16-way explode and the corpus-sized band join (then
+    // AGAIN through the corpus_id join) shuffles every array 16+ times;
+    // instead the lean candidate pair list re-joins the batch's shingle
+    // sets (batch-scale, by doc_id) and the index's (candidate-scale,
+    // by corpus_id) — the verifyJaccard pattern. The batch side's
+    // shingle expression evaluates twice (bands + sets), which is the
+    // right trade: it is batch-local fused-native compute vs shuffled
+    // array bytes.
     val banded = withMinhash(withShingles(newDocs))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"),
-        minhashBandCols)
-    val matched = banded
+      .select(col("doc_id"), minhashBandCols)
+    val cand = banded
       .join(index.bands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct() // several band matches = one verification, not several
+    val batchSets = withShingles(newDocs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val matched = cand
+      .join(batchSets, Seq("doc_id"))
       .join(index.shingleSets, Seq("corpus_id"))
       .withColumn("inter",
         size(array_intersect(col("shingles"), col("c_shingles"))))
@@ -350,14 +387,18 @@ object Dedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val index = IngestIndex.load(spark, name, path)
+        // eager localCheckpoint, NOT persist: cached blocks are
+        // best-effort — an executor loss during the append phase would
+        // RECOMPUTE survivors against the partially-grown index (the
+        // batch's own docs band-match themselves and vanish), leaving
+        // bands rows whose sets rows never land. Checkpointed blocks
+        // are the decision, immutably, against the pre-append state.
         val survivors =
-          nearDupIngestGate(batch.toDF(), index, threshold).persist()
-        try {
-          survivors.count() // pin decisions to the pre-append index state
-          admit(survivors)
-          IngestIndex.append(spark, name, path,
-            survivors.select(col("doc_id"), col("text")))
-        } finally survivors.unpersist(blocking = false)
+          nearDupIngestGate(batch.toDF(), index, threshold)
+            .localCheckpoint(true)
+        admit(survivors)
+        IngestIndex.append(spark, name, path,
+          survivors.select(col("doc_id"), col("text")))
       }
       .start()
 
@@ -672,9 +713,18 @@ object Dedup {
     * near-dup fixture at the default parameters. */
   def embedNearDupsLsh(emb: DataFrame, minCosine: Double = 0.85,
       bands: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val banded = emb.select(col("vec_id"),
+    // the same degenerate-bucket defense as the minhash/simhash paths:
+    // near-identical or dominant-direction embeddings can put millions
+    // of vectors into one (band, bucket) cell in EVERY band, making the
+    // self-join O(n²) on a single task — pruneBuckets drops such cells
+    // before any pair materializes (a >maxBucket cell's members are by
+    // definition mutually near under this hash; they surface through
+    // the other bands or the exact path, exactly the minhash trade)
+    val banded = pruneBuckets(
+      emb.select(col("vec_id"),
         posexplode(graft.functions.VectorFunctions.srpSignature(
-          col("embedding"), bands, bits, dim)).as(Seq("band", "bucket")))
+          col("embedding"), bands, bits, dim)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -1058,9 +1108,9 @@ object Dedup {
         .repartition(s.sparkContext.defaultParallelism)
       val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
       connectedComponents(edges, docs.select(col("doc_id")))
-        .withColumn("bucket",
-          (conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 100).cast("int"))
+        // the ONE split-bucket definition (Pipeline.md5Bucket), keyed by
+        // the cluster canonical so near-dups land on the same side
+        .withColumn("bucket", Pipeline.md5Bucket(col("cluster_id")))
         .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
         .orderBy("doc_id")
     }),

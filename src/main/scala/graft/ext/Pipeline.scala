@@ -110,19 +110,39 @@ object Pipeline {
     * the training corpus is scanned once with a broadcast hash join — no
     * shuffle of the corpus at any size. */
   def decontaminate(docs: DataFrame, evalFilter: Column,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3): DataFrame =
+    contaminatedIds(docs.filter(!evalFilter), docs.filter(evalFilter),
+      minShared).orderBy("doc_id")
+
+  /** Contaminated doc ids of `corpus` against an eval frame — ONE
+    * definition of the n-gram-overlap contamination rule, shared by
+    * [[decontaminate]] (the registered surface) and [[ingestToPack]]'s
+    * stage 3 so the threshold/shingle semantics cannot drift. */
+  private def contaminatedIds(corpus: DataFrame, evalDocs: DataFrame,
+      minShared: Int): DataFrame = {
     import graft.functions.VectorFunctions.shingleSet
     def shingles(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(
         shingleSet(split(col("text"), " "))).as("shingle"))
-    val evalSh = shingles(docs.filter(evalFilter))
-      .select(col("shingle")).distinct()
-    shingles(docs.filter(!evalFilter))
+    val evalSh = shingles(evalDocs).select(col("shingle")).distinct()
+    shingles(corpus)
       .join(broadcast(evalSh), "shingle")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy("doc_id")
   }
+
+  /** First 8 hex digits of md5(doc_id) as a long — the engine-portable
+    * per-doc hash every sampling/split decision derives from (the
+    * DuckDB twins compute the identical value). */
+  private def md5Hash32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** The 0-99 split bucket over [[md5Hash32]] — one definition for
+    * [[stableSplit]], [[ingestToPack]]'s leak-free stage, and any other
+    * percent-split decision (drift here would silently re-split a
+    * corpus). */
+  private[ext] def md5Bucket(id: Column): Column =
+    (md5Hash32(id) % 100).cast("int")
 
   /** Stable reproducible train/val split: bucket = first 8 hex digits of
     * md5(doc_id) mod 100 — engine-portable (the DuckDB twin computes the
@@ -130,9 +150,7 @@ object Pipeline {
     * growth (a doc keeps its split forever). Pure projection: zero
     * shuffles at any scale. */
   def stableSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = docs
-    .select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100).cast("int").as("bucket"))
+    .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
     .withColumn("split",
       when(col("bucket") < trainPct, "train").otherwise("val"))
     .orderBy("doc_id")
@@ -193,8 +211,7 @@ object Pipeline {
           * lit(4294967296.0)).cast("long").as("thresh"))
     docs
       .join(broadcast(rates), "lang")
-      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") < col("thresh"))
+      .filter(md5Hash32(col("doc_id")) < col("thresh"))
       .select(col("doc_id"), col("lang"), col("thresh"))
       .orderBy("doc_id")
   }
@@ -365,31 +382,30 @@ object Pipeline {
     // localCheckpoint pays the gate's band-probe/verify joins once
     // instead of once per consumer (the IvfIndex.train / CC residency
     // pattern; ContextCleaner frees the blocks when the plan is dropped)
-    val admitted = Dedup.nearDupIngestGate(batch, Dedup.buildIngestIndex(corpus))
+    val gateIndex = Dedup.buildIngestIndex(corpus)
+    val admitted = Dedup.nearDupIngestGate(batch, gateIndex)
     val ingested = corpus.unionByName(admitted)
       .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
+    // the eager checkpoint above is the gate's one consumer — release
+    // the index's corpus-scale cached frames instead of pinning them
+    // for the session (the owned-cache discipline IngestIndex.close
+    // exists for)
+    gateIndex.close()
     // 2. dedup apply (pair pass reused conceptually by stage 4)
     val edges = Dedup.minhashPairs(ingested).select(col("doc_a"), col("doc_b"))
     val dropped = Dedup.edgeComponentLabels(edges)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     val deduped = ingested.join(broadcast(dropped), Seq("doc_id"), "left_anti")
-    // 3. decontaminate vs the held-out eval shingle set
-    def sh(df: DataFrame) = df.select(col("doc_id"),
-      explode(shingleSet(split(col("text"), " "))).as("shingle"))
-    val evalSh = sh(docs.filter(col("doc_id") % 100 === 0))
-      .select(col("shingle")).distinct()
-    val contaminated = sh(deduped)
-      .join(broadcast(evalSh), "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+    // 3. decontaminate vs the held-out eval shingle set — the ONE
+    // contamination rule (shared with the registered decontaminate)
+    val contaminated = contaminatedIds(deduped,
+      docs.filter(col("doc_id") % 100 === 0), minShared = 3)
       .select(col("doc_id"))
     val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // 4. leak-free split (survivors are canonicals: cluster_id == doc_id)
-    val train = clean.filter(
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100) < 90)
+    val train = clean.filter(md5Bucket(col("doc_id")) < 90)
     // 5. trained-tokenizer pack
     bpePack(train, budget, shardSize)
   }

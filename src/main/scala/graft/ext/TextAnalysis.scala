@@ -312,7 +312,14 @@ object TextAnalysis {
     * DuckDB oracle matches byte-for-byte. */
   def redact(docs: DataFrame,
              denyList: Seq[String] = Seq("customer", "key")): DataFrame = {
-    val pat = denyList.mkString("\\b(", "|", ")\\b")
+    // terms are LITERALS, not patterns: an unescaped '.' would wildcard
+    // ("api.key" matching "apiXkey"), '(' would unbalance the
+    // alternation, and "c++" would throw at runtime. Backslash-escaping
+    // the metacharacter set (rather than \Q...\E) stays inside the
+    // RE2/Java common subset the DuckDB twin requires.
+    def quote(t: String): String =
+      t.replaceAll("""([\\.\[\]{}()*+?^$|\-])""", """\\$1""")
+    val pat = denyList.map(quote).mkString("\\b(", "|", ")\\b")
     docs.select(col("doc_id"),
       regexp_count(col("text"), lit(pat)).cast("int").as("n_redacted"),
       regexp_replace(col("text"), pat, "[REDACTED]").as("redacted_text"))
@@ -338,13 +345,20 @@ object TextAnalysis {
     .withColumn("n_stop", expr(s"size(filter(tokens, t -> t IN $stopList))"))
     .withColumn("ttr",
       size(array_distinct(col("tokens"))).cast("double") / col("n_tok"))
+    // sequence(0, n) DESCENDS when n < 0 (the docBigramPairs guard): a
+    // 1-token doc would evaluate tokens[-1] — an ANSI INVALID_ARRAY_INDEX
+    // crash. The oracle's generate_series(1, 0) is simply empty, so the
+    // degenerate branch mirrors it: no bigrams, NULL repetition signal
+    // (the doc fails the min-length gate regardless).
     .withColumn("bgs", expr(
-      """transform(sequence(0, size(tokens) - 2),
-        |  i -> concat(tokens[i], ' ', tokens[i+1]))""".stripMargin))
+      """CASE WHEN size(tokens) < 2 THEN array()
+        |ELSE transform(sequence(0, size(tokens) - 2),
+        |  i -> concat(tokens[i], ' ', tokens[i+1])) END""".stripMargin))
     .withColumn("top_bg_frac", expr(
-      """CAST(array_max(transform(array_distinct(bgs),
-        |  b -> size(filter(bgs, x -> x = b)))) AS DOUBLE) / size(bgs)"""
-        .stripMargin))
+      """CASE WHEN size(bgs) = 0 THEN CAST(NULL AS DOUBLE)
+        |ELSE CAST(array_max(transform(array_distinct(bgs),
+        |  b -> size(filter(bgs, x -> x = b)))) AS DOUBLE) / size(bgs)
+        |END""".stripMargin))
     .withColumn("g_minlen", col("n_tok") >= 20)
     .withColumn("g_stop", col("n_stop") >= 1)
     .withColumn("g_div", col("ttr") >= 0.35)
@@ -620,9 +634,12 @@ object TextAnalysis {
         |we AS (SELECT doc_id, round(0.0 - list_sum(list_transform(cnts,
         |         c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))), 6)
         |         AS word_entropy FROM wagg)
-        |SELECT ce.doc_id, ce.char_entropy, we.word_entropy
-        |FROM ce JOIN we ON ce.doc_id = we.doc_id
-        |ORDER BY ce.doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  coalesce(ce.char_entropy, 0.0) AS char_entropy,
+        |  coalesce(we.word_entropy, 0.0) AS word_entropy
+        |FROM d LEFT JOIN ce ON d.doc_id = ce.doc_id
+        |     LEFT JOIN we ON d.doc_id = we.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "x_text_topterms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
