@@ -81,7 +81,14 @@ object Bpe {
       }
     }
     val ms = merges.result()
-    Model(ms, wordFreq.keysIterator.map(w => w -> encode(w, ms).length).toMap)
+    // the final `words` state ALREADY holds each word's exact post-merge
+    // segmentation (the loop applied every merge in rank order — the
+    // same fold encode() runs): re-encoding the whole vocabulary from
+    // scratch was O(V × merges) redundant mergeOnce passes on the
+    // driver. Symbols concatenate back to the original word, so the key
+    // reconstructs for free.
+    Model(ms, words.iterator
+      .map { case (syms, _) => syms.mkString -> syms.length }.toMap)
   }
 
   /** One greedy left-to-right pass replacing adjacent (a, b) with a+b. */

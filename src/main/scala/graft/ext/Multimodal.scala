@@ -178,6 +178,10 @@ object Multimodal {
       while (pos + 8 <= payload.length && (sampleRate < 0 || samples == null)) {
         val id = ascii(pos, 4)
         val size = readLe32(payload, pos + 4)
+        // a corrupt negative size would advance pos by <= 0 and wedge
+        // this loop forever — an unkillable hang the triage pass cannot
+        // catch (it only catches THROWN failures). Fail loudly instead.
+        require(size >= 0, s"corrupt RIFF chunk size $size")
         id match {
           case "fmt " =>
             require(readLe16(payload, pos + 8) == 1, "only PCM supported")
@@ -291,6 +295,16 @@ object Multimodal {
   }
 
   object MultimodalPipeline {
+    /** sum/units rounded to 6dp with HALF_UP — the SAME rounding
+      * Spark's `round()` (and the DuckDB twin) applies, so the Dataset
+      * API's feat_mean and the registered query's recomputation agree
+      * bit-for-bit on ties (math.rint is half-EVEN and diverged on
+      * exact 5e-7 boundaries). NaN-total for zero-unit payloads. */
+    private def mean6(sum: Long, units: Long): Double =
+      if (units == 0L) Double.NaN
+      else BigDecimal(sum.toDouble / units)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
     /** Decode a payload with the REAL parser for its kind and reduce to
       * exact integer features: (units, sum) where units/sum are pixel
       * bytes for image/video and |sample| for audio. */
@@ -326,7 +340,7 @@ object Multimodal {
           batch.iterator.map { r =>
             val (units, sum) = decodeFeatures(r.payload, r.kind)
             MediaFeatures(r.media_id, r.kind, r.payload.length, units, sum,
-              math.rint(sum.toDouble / units * 1e6) / 1e6)
+              mean6(sum, units))
           }
         }
       }
@@ -347,13 +361,16 @@ object Multimodal {
       ds.mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
+            // payload may be NULL (nullable binary column): the length
+            // dereference must not escape the fault boundary — a null
+            // row quarantines like any other corrupt payload
+            val nBytes = if (r.payload == null) 0 else r.payload.length
             scala.util.Try(decodeFeatures(r.payload, r.kind)) match {
               case scala.util.Success((units, sum)) =>
-                MediaTriage(r.media_id, r.kind, r.payload.length,
-                  Some(units), Some(sum),
-                  Some(math.rint(sum.toDouble / units * 1e6) / 1e6), None)
+                MediaTriage(r.media_id, r.kind, nBytes,
+                  Some(units), Some(sum), Some(mean6(sum, units)), None)
               case scala.util.Failure(e) =>
-                MediaTriage(r.media_id, r.kind, r.payload.length,
+                MediaTriage(r.media_id, r.kind, nBytes,
                   None, None, None,
                   Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
             }
@@ -413,6 +430,11 @@ object Multimodal {
         case other => throw new IllegalArgumentException(s"unknown kind $other")
       }
       val n = units.length
+      // a DECODABLE zero-unit payload (a WAV with an empty data chunk is
+      // valid) must embed totally, not crash the whole embed/index job
+      // on units(0) — the zero vector is the only honest embedding of
+      // no content
+      if (n == 0) return Array.fill(dims)(0.0f)
       var total = 0.0
       units.foreach(total += _)
       val mean = (total / n).toFloat

@@ -32,9 +32,11 @@ object VectorFunctions {
 
   /** Product-quantization primitives (see [[PqEncode]]/[[PqLut]]/[[PqAdc]]). */
   def pqEncode(vec: Column, codebooks: Array[Float], m: Int, k: Int): Column =
-    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks, m, k))
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(codebooks), m, k))
   def pqLut(vec: Column, codebooks: Array[Float], m: Int, k: Int): Column =
-    GraftBridge.column(PqLut(GraftBridge.expression(vec), codebooks, m, k))
+    GraftBridge.column(PqLut(GraftBridge.expression(vec),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(codebooks), m, k))
   def pqAdc(codes: Column, lut: Column, m: Int, k: Int): Column =
     GraftBridge.column(PqAdc(
       GraftBridge.expression(codes), GraftBridge.expression(lut), m, k))

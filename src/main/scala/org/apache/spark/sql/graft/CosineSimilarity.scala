@@ -26,7 +26,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch FAILS, never truncates: the cosine of prefixes
+    // is a plausible-looking but wrong score (two encoder versions
+    // joined by accident would silently mis-rank every pair) — the same
+    // loud stance SrpSignature takes for the same reason
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"cosine_similarity: dimension mismatch (${x.numElements()} vs " +
+        s"${y.numElements()}) — truncating to the common prefix would " +
+        "return plausible but wrong scores")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -50,7 +58,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_similarity: dimension mismatch (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ") — truncating to the common " +
+         |    "prefix would return plausible but wrong scores");
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);

@@ -22,10 +22,20 @@ import org.apache.spark.sql.types._
 /** Encode an array<float> vector as `m` packed 4-bit codes (k must be 16):
   * per subspace, the code of the L2-nearest codebook centroid; strict `<`
   * keeps the LOWEST minimal code — deterministic. */
-case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int)
+case class PqEncode(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(k == 16, "4-bit packing requires exactly 16 codes per subspace")
-  require(m <= 8, "packed codes must fit one int (8 subspaces x 4 bits)")
+  require(m >= 1 && m <= 8,
+    "packed codes must fit one int (1..8 subspaces x 4 bits)")
+  // a truncating layout division would silently ignore trailing floats
+  // (or degenerate to subDim = 0 and accept only empty vectors)
+  require(codebooks.nonEmpty && codebooks.length % (m * k) == 0,
+    s"codebook length ${codebooks.length} is not a positive multiple of " +
+      s"m*k (${m * k})")
+  // Seq field: content-based equality/canonicalization (an Array field
+  // compares by reference, defeating common-subexpression elimination
+  // for two loads of the same index); hot loops index a private array
+  @transient private lazy val cb: Array[Float] = codebooks.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
@@ -33,7 +43,7 @@ case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val subDim = codebooks.length / (m * k)
+    val subDim = cb.length / (m * k)
     if (v.numElements() != m * subDim)
       throw new IllegalArgumentException(
         s"pq_encode: vector length ${v.numElements()} != m*subDim (${m * subDim}) " +
@@ -49,7 +59,7 @@ case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int)
         var dist = 0.0
         var d = 0
         while (d < subDim) {
-          val diff = v.getFloat(mi * subDim + d).toDouble - codebooks(base + d)
+          val diff = v.getFloat(mi * subDim + d).toDouble - cb(base + d)
           dist += diff * diff
           d += 1
         }
@@ -69,8 +79,14 @@ case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, k: Int)
 /** Per-query ADC lookup table: lut[mi*k + ki] = dot(query_sub_mi, c_{mi,ki})
   * as double — computed ONCE per query row, amortized over every candidate
   * it scores. */
-case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
+case class PqLut(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k == 16 && m >= 1 && m <= 8,
+    s"pq_lut layout must match pq_encode's (1..8 subspaces x 16 codes), got m=$m k=$k")
+  require(codebooks.nonEmpty && codebooks.length % (m * k) == 0,
+    s"codebook length ${codebooks.length} is not a positive multiple of " +
+      s"m*k (${m * k})")
+  @transient private lazy val cb: Array[Float] = codebooks.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -78,7 +94,7 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val subDim = codebooks.length / (m * k)
+    val subDim = cb.length / (m * k)
     if (v.numElements() != m * subDim)
       throw new IllegalArgumentException(
         s"pq_lut: vector length ${v.numElements()} != m*subDim (${m * subDim}) " +
@@ -92,7 +108,7 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
         var dot = 0.0
         var d = 0
         while (d < subDim) {
-          dot += v.getFloat(mi * subDim + d).toDouble * codebooks(base + d)
+          dot += v.getFloat(mi * subDim + d).toDouble * cb(base + d)
           d += 1
         }
         lut(mi * k + ki) = dot
@@ -115,6 +131,12 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int)
   * the scoring stage and pay interpreted dispatch per pair). */
 case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
   extends BinaryExpression with ExpectsInputTypes {
+  // pq_adc is SQL-exposed with user-supplied m/k: for m > 8 the 4*mi
+  // shift distance wraps mod 32 on the JVM and silently RE-READS low
+  // nibbles (subspace 8 scoring with subspace 0's code); k != 16
+  // mis-strides the LUT. Reject at construction like pq_encode does.
+  require(k == 16 && m >= 1 && m <= 8,
+    s"pq_adc layout must match pq_encode's (1..8 subspaces x 16 codes), got m=$m k=$k")
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(IntegerType, ArrayType(DoubleType))

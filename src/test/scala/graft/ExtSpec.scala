@@ -823,6 +823,49 @@ class ExtSpec extends SparkSpec {
     triage.unpersist()
   }
 
+  test("multimodal triage: null payloads and negative chunk sizes quarantine, never hang") {
+    import spark.implicits._
+    val P = Multimodal.MultimodalPipeline
+    // a NULL payload (nullable binary column) must not NPE outside the
+    // fault boundary, and a corrupt NEGATIVE RIFF chunk size must fail
+    // loudly instead of wedging the decode loop forever (pos += 0)
+    val negChunk: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+        Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(9100L, "audio", null, None, None, None, None),
+      Multimodal.MediaRow(9101L, "audio", negChunk, None, None, None, None))
+    val triage = P.extractFeaturesTriaged(spark.createDataset(rows))
+    val got = P.quarantine(triage).collect()
+    assert(got.map(_.getAs[Long]("media_id")).toSet === Set(9100L, 9101L))
+    assert(got.forall(_.getAs[String]("error").nonEmpty))
+  }
+
+  test("native expressions reject misuse loudly: dim mismatch and bad pq layout") {
+    import spark.implicits._
+    // cosine of mismatched dimensions must THROW, never score prefixes
+    // (plausible-but-wrong rankings with no other symptom)
+    val df = Seq((Array.fill(4)(1.0f), Array.fill(3)(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions
+        .cosineSim(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dimension mismatch")))
+    // pq_adc with m > 8 would wrap its shift distance mod 32 and
+    // silently re-read subspace 0's nibble — rejected at construction
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.PqAdc(null, null, 9, 16)
+    }
+    // a codebook whose length is not a positive multiple of m*k would
+    // truncate to subDim 0 and accept only empty vectors
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.PqEncode(null, Seq.fill(100)(0.0f), 8, 16)
+    }
+  }
+
   test("multimodal transforms: resize only touches images; frame sampling expands videos") {
     import spark.implicits._
     val media = Multimodal.MultimodalPipeline.fromDocuments(spark, sf)
