@@ -141,16 +141,39 @@ object Advanced {
           |ORDER BY segment, nationkey""".stripMargin)
     }),
 
-    // Approximate distinct (HLL) + exact, side by side, plus approximate
-    // quantiles — the sketches a 100 TB pipeline uses instead of exact
-    // distincts. Approx values are engine-specific → rows-only check.
-    "x_approx_agg" -> ((s, d) => orders(s, d)
-      .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
-        countDistinct(col("o_custkey")).as("exact_custs"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-          .as("p50_price"))
-      .orderBy("o_orderpriority")),
+    // Approximate distinct (HLL) + approximate quantiles — the sketches a
+    // 100 TB pipeline uses instead of exact distincts. The sketch VALUES
+    // are engine-specific, so the oracle-checkable result is the exact
+    // side plus hard bound checks computed in Spark: the HLL estimate
+    // within 5× its rsd=0.05 standard error of the exact distinct
+    // (|apx−exact|·4 ≤ exact, exact integer compare), and the approx p50's
+    // RANK within ±5% of the true median rank (percentile_approx(acc=1000)
+    // guarantees ±0.1%; 5% absorbs value ties). The oracle asserts the
+    // flags as literal TRUE — any sketch drift past its published bound
+    // flips a flag and fails the hash compare.
+    "x_approx_agg" -> ((s, d) => {
+      val o = orders(s, d)
+      val apx = o.groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey")).as("apx_custs"),
+          countDistinct(col("o_custkey")).as("exact_custs"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("apx_p50"))
+      o.join(broadcast(apx.select(col("o_orderpriority").as("apx_pri"),
+          col("apx_p50"))),
+          col("o_orderpriority") === col("apx_pri"))
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= col("apx_p50"), 1L).otherwise(0L))
+            .as("below"))
+        .join(apx, col("pri") === col("o_orderpriority"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("apx_custs") - col("exact_custs")) * lit(4L)
+            <= col("exact_custs")).as("hll_within_bound"),
+          (col("below") * lit(100L) >= col("n") * lit(45L)
+            && col("below") * lit(100L) <= col("n") * lit(55L))
+            .as("p50_rank_within_bound"))
+        .orderBy("o_orderpriority")
+    }),
 
     // As-of join: each purchase matched to the user's latest prior-or-equal
     // click. Implemented shuffle-once: union both event kinds, one window
@@ -568,6 +591,13 @@ object Advanced {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY segment, nationkey""".stripMargin,
+    "x_approx_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  true AS hll_within_bound,
+        |  true AS p50_rank_within_bound
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "x_asof_join" ->
       """SELECT event_id, user_id,
         |  CAST(epoch(date_trunc('second', ts))

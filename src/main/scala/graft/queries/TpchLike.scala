@@ -16,6 +16,42 @@ object TpchLike {
 
   private def ts(s: String) = lit(s).cast("timestamp")
 
+  /** Deterministic synthetic partsupp: the testdata ships no partsupp
+    * table, so the four partsupp-dependent TPC-H queries (Q2/Q11/Q16/Q20)
+    * derive one inline — part × 4 suppliers with pure BIGINT `+ * %`
+    * arithmetic (no division: DuckDB's `/` on integers produces DOUBLE)
+    * so Spark and the DuckDB oracle synthesize bit-identical rows from
+    * the same part/supplier parquet. Supplycost is integer cents in
+    * [100, 100000] (the repo-wide exact-cents money policy); the
+    * supplier-count modulus comes from a broadcast 1-row aggregate so
+    * the same formula holds at every SF.
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = supplier(s, d).agg(count(lit(1)).as("n_supp"))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(nSupp))
+      .select(col("p_partkey"), col("n_supp"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") + col("i") * 13L) % col("n_supp"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 11L + col("i") * 17L) % 9999L + 1L)
+          .as("ps_availqty"),
+        ((col("p_partkey") * 7919L + col("i") * 104729L) % 99901L + 100L)
+          .as("ps_supplycost_cents"))
+  }
+
+  /** The partsupp CTE mirrored verbatim into every partsupp oracle. */
+  private val psCte =
+    """WITH i4 AS (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS i),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + i*13) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+      |    (p_partkey*11 + i*17) % 9999 + 1 AS ps_availqty,
+      |    (p_partkey*7919 + i*104729) % 99901 + 100 AS ps_supplycost_cents
+      |  FROM part, i4)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Q1 pricing summary report: one-pass grouped aggregate battery.
     "tpch_q1" -> ((s, d) => lineitem(s, d)
@@ -347,6 +383,111 @@ object TpchLike {
         .agg(count(lit(1)).as("numcust"),
           sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
         .orderBy("cntrycode")
+    }),
+
+    // Q2 minimum-cost supplier (adapted: synthetic partsupp, no p_mfgr /
+    // address columns): for small LARGE parts, the EUROPE supplier at the
+    // per-part minimum supplycost. The correlated MIN subquery becomes a
+    // grouped-min rejoin over the SAME filtered euro frame — computed once,
+    // both branches reuse it; dims broadcast.
+    "tpch_q2" -> ((s, d) => {
+      val euro = partsupp(s, d)
+        .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"),
+              cents(col("s_acctbal")).as("s_acctbal_cents"),
+              col("s_nationkey"))),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)
+            .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"), col("ps_supplycost_cents"),
+          col("s_name"), col("s_acctbal_cents"), col("n_name"))
+      val minc = euro.groupBy(col("ps_partkey").as("min_pk"))
+        .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
+      euro
+        .join(minc, col("min_pk") === col("ps_partkey")
+          && col("ps_supplycost_cents") === col("min_cost_cents"))
+        .join(broadcast(part(s, d)
+            .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+            .select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("ps_partkey"))
+        .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("ps_supplycost_cents"))
+        .orderBy(col("s_acctbal_cents").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q11 important stock (adapted: synthetic partsupp): per-part inventory
+    // value for one nation's suppliers, kept if the part's share exceeds
+    // 1.8× the average share — scale-free where the original's 0.0001/SF
+    // fraction is not, and an exact integer compare (sum·5·nparts > total·9)
+    // so no float threshold crosses the engine boundary. The 1-row
+    // total/nparts aggregate broadcasts back over the grouped frame.
+    "tpch_q11" -> ((s, d) => {
+      val nps = partsupp(s, d)
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+      val tot = nps.agg(sum(col("value_cents")).as("total_cents"),
+        countDistinct(col("ps_partkey")).as("n_parts"))
+      nps.groupBy(col("ps_partkey"))
+        .agg(sum(col("value_cents")).as("value_cents"))
+        .crossJoin(broadcast(tot))
+        .filter(col("value_cents") * lit(5L) * col("n_parts")
+          > col("total_cents") * lit(9L))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // Q16 parts/supplier relationship (adapted: synthetic partsupp; the
+    // "Customer Complaints" comment exclusion becomes the negative-balance
+    // suppliers): distinct supplier count per (brand, type, size) bucket.
+    // The excluded-supplier set is a broadcast anti-join, not NOT IN.
+    "tpch_q16" -> ((s, d) => partsupp(s, d)
+      .join(broadcast(part(s, d)
+          .filter(col("p_brand") =!= "Brand#1"
+            && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("p_partkey") === col("ps_partkey"))
+      .join(broadcast(supplier(s, d).filter(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey"))),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))),
+
+    // Q20 potential part promotion (adapted: synthetic partsupp, shipdate
+    // year for receiptdate): NATION_2 suppliers whose stock of a red part
+    // exceeds half of what they shipped of it in 1996. The correlated
+    // quantity subquery becomes a grouped (part,supp) aggregate joined on
+    // the composite key; the candidate-supplier set feeds a left-semi join;
+    // the threshold compare is exact integer arithmetic (availqty·2 > qty).
+    "tpch_q20" -> ((s, d) => {
+      val shipped = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1997-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      val candidates = partsupp(s, d)
+        .join(broadcast(part(s, d).filter(col("p_name").like("red%"))
+            .select(col("p_partkey"))),
+          col("p_partkey") === col("ps_partkey"))
+        .join(shipped, col("l_partkey") === col("ps_partkey")
+          && col("l_suppkey") === col("ps_suppkey"))
+        .filter(col("ps_availqty") * lit(2L) > col("sum_qty"))
+        .select(col("ps_suppkey"))
+      supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(candidates, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_nationkey"))
+        .orderBy("s_name")
     })
   )
 
@@ -554,6 +695,63 @@ object TpchLike {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "tpch_q2" ->
+      s"""$psCte,
+         |euro AS (
+         |  SELECT ps_partkey, ps_supplycost_cents, s_name,
+         |    CAST(round(s_acctbal*100) AS BIGINT) AS s_acctbal_cents, n_name
+         |  FROM partsupp
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+         |SELECT s_acctbal_cents, s_name, n_name, p_partkey, p_type,
+         |  ps_supplycost_cents
+         |FROM euro
+         |JOIN part ON p_partkey = ps_partkey
+         |  AND p_size <= 15 AND p_type = 'LARGE'
+         |WHERE ps_supplycost_cents = (
+         |  SELECT min(e2.ps_supplycost_cents) FROM euro e2
+         |  WHERE e2.ps_partkey = euro.ps_partkey)
+         |ORDER BY s_acctbal_cents DESC, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "tpch_q11" ->
+      s"""$psCte,
+         |nps AS (
+         |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+         |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3')
+         |SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |FROM nps GROUP BY ps_partkey
+         |HAVING sum(value_cents) * 5 * (SELECT count(DISTINCT ps_partkey) FROM nps)
+         |  > (SELECT sum(value_cents) FROM nps) * 9
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    "tpch_q16" ->
+      s"""$psCte
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM partsupp JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,10,15,20,25,30,35)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q20" ->
+      s"""$psCte,
+         |shipped AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l_partkey, l_suppkey)
+         |SELECT s_name, s_nationkey
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+         |WHERE s_suppkey IN (
+         |  SELECT ps_suppkey FROM partsupp
+         |  JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+         |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |  WHERE ps_availqty * 2 > sum_qty)
+         |ORDER BY s_name""".stripMargin
   )
 }
