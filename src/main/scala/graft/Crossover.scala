@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-crossover harness (`CROSSOVER.md`): the committed evidence for
+  * the 100 TB claims behind the approximate operators. Every round to
+  * date measured exact-vs-approximate at bench SF (~10k vectors / 500
+  * docs), where the approximate variants are SLOWER than exact — their
+  * train/band overhead dominates and the asymptotic win is only claimed.
+  * This main generates 10-25× synthetic corpora (DETERMINISTIC — every
+  * value derives from `hash(id, j)`, no RNG, reproducible across runs
+  * and partitionings), times each exact/approximate pair at a ladder of
+  * sizes, measures recall of the approximate result against the exact
+  * one distributed (a semi-join count, never a driver collect), and
+  * writes the break-even table as CROSSOVER.md.
+  *
+  * Families measured (the r11 verdict's list):
+  *   1. exact blocked k-NN join vs IVF-celled vs SRP-banded, on a
+  *      CLUSTERED corpus (the regime the asymptotic claim is about:
+  *      cells are tuned to the cluster structure, probes cover a small
+  *      fraction) and on the ISOTROPIC regime at small n as the honest
+  *      contrast (approximation buys nothing there — testdata regime).
+  *   2. exact all-pairs n-gram Jaccard (inverted index) vs MinHash+LSH
+  *      banding, on a boilerplate-heavy doc corpus (shared prefix makes
+  *      posting lists hot — the real-world shape that turns the exact
+  *      index quadratic while banding stays linear).
+  *   3. Misra-Gries heavy hitters vs plain groupBy-count, at widening
+  *      token counts over a skewed vocabulary.
+  *
+  * Wall times are single-run on local[N] (min-of-1: the ladder's POINT
+  * is the growth RATE across sizes on one box, not absolute latency;
+  * box-noise at these multi-second cells is a few percent).
+  */
+object Crossover {
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+  private def f1(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+  private def f3(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Clustered embeddings: `n/clusterSize` tight bundles — cluster
+    * center from `hash(cluster, j)`, per-vector jitter at `noise`
+    * amplitude. Cluster count scales WITH n (fixed cluster size), the
+    * real-corpus shape. */
+  def clusteredEmbeddings(spark: SparkSession, n: Long,
+      clusterSize: Int = 256, noise: Double = 0.15): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("cl", col("vec_id") % lit(math.max(1L, n / clusterSize)))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, 63), j ->
+           |  float(sin(hash(cl, j)) + $noise * sin(hash(vec_id, j))))"""
+          .stripMargin))
+      .select(col("vec_id"), col("embedding"))
+
+  /** Isotropic embeddings — the testdata regime: no structure to route by. */
+  def isotropicEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        expr("transform(sequence(0, 63), j -> float(sin(hash(vec_id, j))))"))
+      .select(col("vec_id"), col("embedding"))
+
+  /** Boilerplate-heavy docs: a 6-token shared prefix (the header/footer
+    * every scraped page carries — its 4 pure-prefix 3-token shingles
+    * have CORPUS-LENGTH posting lists, which is what turns the exact
+    * inverted index quadratic), then 28 group-specific tokens; each
+    * group of 5 docs is a leader + 4 near-dup clones differing in one
+    * token (Jaccard ≈ 0.8 within the group at 3-token shingles — well
+    * above the 0.5 threshold; cross-group ≈ 0.07). */
+  def boilerplateDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("doc_id")
+      .withColumn("leader", expr("doc_id div 5 * 5"))
+      .withColumn("text", expr(
+        """concat_ws(' ',
+          |  concat_ws(' ', transform(sequence(0, 5),
+          |    t -> concat('bp', t))),
+          |  concat_ws(' ', transform(sequence(0, 27),
+          |    t -> CASE WHEN doc_id % 5 != 0 AND t = pmod(doc_id, 28)
+          |         THEN concat('u', doc_id)
+          |         ELSE concat('w', pmod(hash(leader, t), 50000)) END)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("text"))
+
+  /** Skewed token docs for the heavy-hitter cell: 20 tokens per doc, ids
+    * biased harmonically toward small ranks over a `vocab`-sized space. */
+  def skewedTokenDocs(spark: SparkSession, nDocs: Long,
+      vocab: Int): DataFrame =
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("text", expr(
+        s"""concat_ws(' ', transform(sequence(0, 19), t ->
+           |  concat('w', pmod(hash(doc_id, t, 1),
+           |                   1 + pmod(hash(doc_id, t, 2), $vocab)))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("text"))
+
+  /** Distributed recall@k: fraction of exact (q,c) pairs the approximate
+    * result recovered — a semi-join count, no driver collect. */
+  private def recallOf(approx: DataFrame, exact: DataFrame): Double = {
+    val ex = exact.select("q_id", "c_id")
+    val hits = approx.select("q_id", "c_id")
+      .join(ex, Seq("q_id", "c_id"), "left_semi").count()
+    hits.toDouble / math.max(1L, ex.count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("CROSSOVER.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+    val md = new StringBuilder
+    md ++= "# CROSSOVER — measured exact-vs-approximate break-even points\n\n"
+    md ++= "Deterministic synthetic corpora (every value from `hash(id, j)`,\n"
+    md ++= "no RNG — reproducible across runs and partitionings); wall\n"
+    md ++= s"seconds on local[$cpus], single run per cell (the signal is the\n"
+    md ++= "growth rate across the size ladder, not absolute latency).\n"
+    md ++= "Recall is measured distributed (semi-join count vs the exact\n"
+    md ++= "result). Generated by `graft.Crossover`; regenerate with\n"
+    md ++= "`SPARK_DRIVER_MEM=48g sbt \"runMain graft.Crossover CROSSOVER.md\"`.\n\n"
+
+    // ---------------------------------------------------- 1. k-NN join
+    // Clustered regime: cells=64 (codegen-bounded centroid argmax),
+    // probes=4 → 1/16 coverage. On clustered data the true neighbors
+    // co-cluster with the query, so low coverage keeps recall high —
+    // THE quantizer claim. LSH at 8 tables × 10 bits.
+    md ++= "## 1. k-NN self-join (k=3): exact blocked grid vs IVF vs SRP-LSH\n\n"
+    md ++= "Clustered corpus (cluster size 256, cluster count scales with n;\n"
+    md ++= "ivf: cells=64 probes=4 = 6% coverage, lsh: 8 tables × 10 bits):\n\n"
+    md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    val knnSizes = Seq(10000L, 40000L, 100000L, 250000L)
+    val exactCap = 100000L
+    knnSizes.foreach { n =>
+      val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
+      val exact =
+        if (n > exactCap) None
+        else {
+          val (df, s) = time {
+            val d = Similarity.knnJoin(vecs, k = 3).localCheckpoint(true)
+            d.count(); d
+          }
+          Some((df, s))
+        }
+      val (ivfDf, ivfS) = time {
+        val d = Similarity.knnJoinIvf(vecs, k = 3, cells = 64, probes = 4)
+          .localCheckpoint(true)
+        d.count(); d
+      }
+      val (lshDf, lshS) = time {
+        val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 10)
+          .localCheckpoint(true)
+        d.count(); d
+      }
+      val (ivfR, lshR) = exact match {
+        case Some((ex, _)) => (recallOf(ivfDf, ex), recallOf(lshDf, ex))
+        case None => (Double.NaN, Double.NaN)
+      }
+      def r(v: Double) = if (v.isNaN) "—" else f3(v)
+      val exS = exact.map(e => f1(e._2)).getOrElse("(skipped)")
+      md ++= s"| ${n / 1000}k | $exS | ${f1(ivfS)} | ${r(ivfR)} " +
+        s"| ${f1(lshS)} | ${r(lshR)} |\n"
+      println(s"[crossover] knn clustered n=$n exact=$exS ivf=${f1(ivfS)} " +
+        s"lsh=${f1(lshS)} ivfR=${r(ivfR)} lshR=${r(lshR)}")
+      vecs.unpersist()
+    }
+    md ++= "\nIsotropic contrast (the testdata regime — no structure to\n"
+    md ++= "route by; approximate variants at the SAME knobs):\n\n"
+    md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    Seq(10000L, 40000L).foreach { n =>
+      val vecs = isotropicEmbeddings(spark, n).localCheckpoint(true)
+      val (ex, exS) = time {
+        val d = Similarity.knnJoin(vecs, k = 3).localCheckpoint(true)
+        d.count(); d
+      }
+      val (ivfDf, ivfS) = time {
+        val d = Similarity.knnJoinIvf(vecs, k = 3, cells = 64, probes = 4)
+          .localCheckpoint(true)
+        d.count(); d
+      }
+      val (lshDf, lshS) = time {
+        val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 10)
+          .localCheckpoint(true)
+        d.count(); d
+      }
+      md ++= s"| ${n / 1000}k | ${f1(exS)} | ${f1(ivfS)} " +
+        s"| ${f3(recallOf(ivfDf, ex))} | ${f1(lshS)} " +
+        s"| ${f3(recallOf(lshDf, ex))} |\n"
+      println(s"[crossover] knn isotropic n=$n exact=${f1(exS)} " +
+        s"ivf=${f1(ivfS)} lsh=${f1(lshS)}")
+      vecs.unpersist()
+    }
+
+    // ------------------------------------------------ 2. near-dup dedup
+    md ++= "\n## 2. Near-dup dedup: exact all-pairs n-gram Jaccard vs MinHash+LSH\n\n"
+    md ++= "Boilerplate-heavy docs (6-token shared prefix → 4 corpus-length\n"
+    md ++= "posting lists; 4 near-dup clones per 5-doc group; threshold 0.5):\n\n"
+    md ++= "| docs | exact s | minhash s | pairs exact | pairs minhash |\n"
+    md ++= "|---|---|---|---|---|\n"
+    val dedupSizes = Seq(5000L, 10000L, 20000L, 60000L)
+    val dedupExactCap = 20000L
+    dedupSizes.foreach { n =>
+      val docs = boilerplateDocs(spark, n).localCheckpoint(true)
+      val exact =
+        if (n > dedupExactCap) None
+        else Some(time {
+          Dedup.ngramJaccardNaive(spark, docs, threshold = 0.5).count()
+        })
+      val (mhPairs, mhS) = time {
+        Dedup.minhashNearDups(docs, threshold = 0.5).count()
+      }
+      val exS = exact.map(e => f1(e._2)).getOrElse("(skipped)")
+      val exP = exact.map(_._1.toString).getOrElse("—")
+      md ++= s"| ${n / 1000}k | $exS | ${f1(mhS)} | $exP | $mhPairs |\n"
+      println(s"[crossover] dedup n=$n exact=$exS minhash=${f1(mhS)} " +
+        s"pairs=$exP/$mhPairs")
+      docs.unpersist()
+    }
+
+    // --------------------------------------------- 3. heavy hitters
+    md ++= "\n## 3. Heavy hitters (phi=0.002): Misra-Gries vs exact groupBy\n\n"
+    md ++= "20 skewed tokens per doc over a 1M-id space (distinct keys grow\n"
+    md ++= "with corpus — the shuffle the sketch exists to avoid):\n\n"
+    md ++= "| tokens | exact groupBy s | misra-gries s | hitters |\n"
+    md ++= "|---|---|---|---|\n"
+    Seq(200000L, 1000000L, 4000000L).foreach { nDocs =>
+      val docs = skewedTokenDocs(spark, nDocs, vocab = 1000000)
+        .localCheckpoint(true)
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      val (exHitters, exS) = time {
+        val total = toks.count()
+        toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= math.max(1L, math.ceil(0.002 * total).toLong))
+          .count()
+      }
+      val (mgHitters, mgS) = time {
+        TextAnalysis.heavyHitters(docs, phi = 0.002, capacity = 2048).count()
+      }
+      md ++= s"| ${nDocs * 20 / 1000000}M | ${f1(exS)} | ${f1(mgS)} " +
+        s"| $exHitters/$mgHitters |\n"
+      println(s"[crossover] hh tokens=${nDocs * 20} exact=${f1(exS)} " +
+        s"mg=${f1(mgS)} hitters=$exHitters/$mgHitters")
+      docs.unpersist()
+    }
+
+    md ++= "\n## Reading\n\n"
+    md ++= "Filled in by the committing round's notes after inspecting the\n"
+    md ++= "numbers above: the break-even n per family, and which claims\n"
+    md ++= "were revised.\n"
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[crossover] wrote $out")
+    spark.stop()
+  }
+}

@@ -126,15 +126,35 @@ object Recall {
     // coverage floor.
     val kj = 3
     val kjExact = sets(SparkEntry.queries("x_knn_join")(spark, sfDir))
-    def kjRecall(ann: Map[Long, Set[Long]]): (Double, Double) = {
-      val perQ = kjExact.toSeq.sortBy(_._1).map { case (q, ex) =>
+    def kjPerQ(ann: Map[Long, Set[Long]]): Seq[Double] =
+      kjExact.toSeq.sortBy(_._1).map { case (q, ex) =>
         ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / kj
       }
+    def kjRecall(ann: Map[Long, Set[Long]]): (Double, Double) = {
+      val perQ = kjPerQ(ann)
       (perQ.sum / perQ.size, perQ.min)
     }
+    // r11 verdict: min recall 0.0 needed quantifying — the full
+    // distribution (p10/p50/min + zero-recall and below-half fractions)
+    // is the operating contract, not just mean/min. A zero for the LSH
+    // variant means an SRP-isolated vector (detectable → rescued since
+    // r12, so its frac_zero should be ~0 up to the rescue cap); a zero
+    // for IVF means all true neighbors sat in unprobed cells
+    // (undetectable without exact scoring — the documented tail:
+    // ~(1-coverage)^k of queries at probe coverage p).
+    def f4(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def dist(perQ: Seq[Double]): String = {
+      val s = perQ.sorted
+      def pct(p: Double) = s(math.round(p * (s.size - 1)).toInt)
+      s""""mean":${f3(s.sum / s.size)},"p10":${f3(pct(0.1))},""" +
+        s""""p50":${f3(pct(0.5))},"min":${f3(s.min)},""" +
+        s""""frac_zero":${f4(s.count(_ == 0.0).toDouble / s.size)},""" +
+        s""""frac_below_half":${f4(s.count(_ < 0.5).toDouble / s.size)}"""
+    }
     val kjVariants = Seq("x_knn_join_ivf", "x_knn_join_lsh").map { name =>
-      val (mean, min) = kjRecall(sets(SparkEntry.queries(name)(spark, sfDir)))
-      s""""$name":{"mean":${f3(mean)},"min":${f3(min)}}"""
+      s""""$name":{${dist(kjPerQ(sets(
+        SparkEntry.queries(name)(spark, sfDir))))}}"""
     }
     val kjIvfSweep = Seq(2, 4, 8, 12).map { p =>
       val (mean, min) = kjRecall(sets(
@@ -220,7 +240,13 @@ object Recall {
       "knn_join ivf probes=12) — seed and nonseed recall now agree, " +
       "which is the fix. Expect recall/nonseed/sweep/append_decay " +
       "numbers to be discontinuous r10->r11 for all quantizer-trained " +
-      "variants; diff within r11+ only"
+      "variants; diff within r11+ only. r12: knn_join entries carry the " +
+      "full recall DISTRIBUTION (p10/p50/min + frac_zero/frac_below_half) " +
+      "— the operating contract for the tail, not just mean/min — and " +
+      "knn_join_lsh gains the capped brute-force rescue for SRP-isolated " +
+      "queries (knnJoinLsh rescueCap=1024), so its frac_zero should read " +
+      "~0; the IVF variant's residual zeros are the undetectable " +
+      "wrong-cell tail, bounded by ~(1-probes/cells)^k per query"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +

@@ -121,13 +121,14 @@ object Similarity {
     * coverage only (a true neighbor assigned to an unprobed cell is
     * missed), tuned by (cells, probes) exactly as in [[ivfTopK]]. */
   def knnJoinIvf(vectors: DataFrame, k: Int = 3, cells: Int = 16,
-      probes: Int = 12): DataFrame = {
+      probes: Int = -1): DataFrame = {
     val index = IvfIndex.train(vectors, cells)
+    val nProbes = ivfpqProbes(cells, probes)
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val qProbe = vectors
       .withColumn("probe_cells", slice(
         sort_array(array(cellStructs(index.centroids): _*), asc = false),
-        1, probes))
+        1, nProbes))
       .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
         explode(col("probe_cells").getField("cell")).as("cell"))
     val nn = index.assigned.join(qProbe, Seq("cell"))
@@ -160,7 +161,7 @@ object Similarity {
     * join key space is tables × 2^bits, scaled by `bits` as the corpus
     * grows. */
   def knnJoinLsh(vectors: DataFrame, k: Int = 3, tables: Int = 16,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8, rescueCap: Int = 1024): DataFrame = {
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val sigs = graft.functions.VectorFunctions.srpSignature(
       col("embedding"), bands = tables, bits = bits, dim = 64, seed = 42)
@@ -184,11 +185,44 @@ object Similarity {
       col("embedding").as("v_c"))
     val qVecs = vectors.select(col("vec_id").as("q_id"),
       col("embedding").as("v_q"))
-    val nn = pairs.join(cVecs, "c_id").join(qVecs, "q_id")
+    val nnRaw = pairs.join(cVecs, "c_id").join(qVecs, "q_id")
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
         col("c_id"))
       .groupBy("q_id")
       .agg(topk(col("score"), col("c_id")).as("nn"))
+    // Zero-recall-tail rescue (r12): an SRP-isolated vector — one whose
+    // buckets collide with nobody across all tables+probes — produces NO
+    // pairs and silently vanishes from the result; unlike the IVF
+    // variant's wrong-cell tail, this failure is DETECTABLE (the query
+    // has < k neighbors or is missing), so those queries get an exact
+    // brute-force pass. The rescue side is hard-capped (lowest q_id
+    // first, deterministic) so an adversarial corpus where banding finds
+    // nothing degrades to cap·n extra scores, never n²; queries past the
+    // cap keep their partial results — the documented residual tail.
+    // The aggregate is localCheckpointed so the short-set probe and the
+    // final assembly do not run the banded join twice.
+    val nn =
+      if (rescueCap <= 0) nnRaw
+      else {
+        val done = nnRaw.localCheckpoint(true)
+        val short = vectors.select(col("vec_id").as("q_id"))
+          .join(done.filter(size(col("nn")) >= k).select("q_id"),
+            Seq("q_id"), "left_anti")
+          .orderBy("q_id").limit(rescueCap)
+          .join(qVecs, "q_id")
+          .localCheckpoint(true)
+        if (short.isEmpty) done
+        else {
+          val rescued = cVecs
+            .join(broadcast(short), col("q_id") =!= col("c_id"))
+            .select(col("q_id"),
+              cosineSim(col("v_q"), col("v_c")).as("score"), col("c_id"))
+            .groupBy("q_id")
+            .agg(topk(col("score"), col("c_id")).as("nn"))
+          done.join(short.select("q_id"), Seq("q_id"), "left_anti")
+            .unionByName(rescued)
+        }
+      }
     nn.select(col("q_id"), posexplode(col("nn")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
@@ -261,10 +295,27 @@ object Similarity {
     * distributed: the typed [[graft.functions.CentroidAggregator]] runs
     * partial+final, shuffling only `cells` × dim-double partials. */
   def ivfTopK(candidates0: DataFrame, queryFilter: Column, k: Int = 5,
-      cells: Int = 16, probes: Int = 10): DataFrame = {
+      cells: Int = 16, probes: Int = -1): DataFrame = {
     val index = IvfIndex.train(candidates0, cells)
     index.search(index.source.filter(queryFilter), k, probes)
   }
+
+  /** Default probe counts derive as a FRACTION of `cells`, never a fixed
+    * count: the r11 measured ≥0.8-nonseed operating points on the
+    * ISOTROPIC testdata are 10 and 12 of 16 cells (62.5% / 75% corpus
+    * coverage — isotropic embeddings are the quantizer-adversarial
+    * floor, where recall is coverage-bound), and a fixed `probes=12`
+    * default against a caller-supplied `cells=256` would silently be a
+    * ~5%-coverage operating point with a fraction of the recall.
+    * `probes <= 0` means "auto" at every entry. Clustered real corpora
+    * reach the same recall at far lower coverage — tune DOWN via the
+    * `spark.graft.ann.*` confs using the committed RECALL sweep grids. */
+  def resolveProbes(cells: Int, probes: Int, num: Int, den: Int): Int =
+    if (probes > 0) probes else math.max(1, (cells * num + den - 1) / den)
+  private def ivfProbes(cells: Int, probes: Int): Int =
+    resolveProbes(cells, probes, 5, 8)   // 62.5% coverage → 10 of 16
+  private def ivfpqProbes(cells: Int, probes: Int): Int =
+    resolveProbes(cells, probes, 3, 4)   // 75% coverage → 12 of 16
 
   // literal (sim, cell) structs — struct compare does argmax with a
   // deterministic larger-cell tie-break, matching max_by(struct(sim,cell))
@@ -282,7 +333,13 @@ object Similarity {
   final class IvfIndex private[Similarity] (
       val centroids: Seq[(Int, Seq[Float])],
       private[Similarity] val source: DataFrame,
-      private[Similarity] val assigned: DataFrame) {
+      private[Similarity] val assigned: DataFrame,
+      /** Isotropy probe result (NaN on a [[IvfIndex.load]]ed index —
+        * reopening must not pay a training-set scan). */
+      val meanCentroidSim: Double = Double.NaN,
+      /** "lsh" when the probe saw no cluster structure, "ivf" when
+        * routing pays, "unknown" on a loaded index. */
+      val recommendation: String = "unknown") {
     /** Persist the trained index: the cell-assigned vector table lands
       * as an EXTERNAL table bucketed by `cell` (one bucket per cell — a
       * loaded index's probe join prunes to matching buckets with no
@@ -303,12 +360,13 @@ object Similarity {
     /** Top-k per query vector in `queryVecs` (`vec_id`, `embedding`):
       * each query probes its `probes` nearest cells and reranks exactly
       * inside them — touches ~probes/cells of the data. */
-    def search(queryVecs: DataFrame, k: Int = 5, probes: Int = 10): DataFrame = {
+    def search(queryVecs: DataFrame, k: Int = 5, probes: Int = -1): DataFrame = {
+      val nProbes = ivfProbes(centroids.size, probes)
       // queries probe their `probes` nearest cells (struct sort desc ==
       // sim desc with larger-cell tie-break — deterministic)
       val qProbe = queryVecs
         .withColumn("probe_cells", slice(
-          sort_array(array(cellStructs(centroids): _*), asc = false), 1, probes))
+          sort_array(array(cellStructs(centroids): _*), asc = false), 1, nProbes))
         .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
           explode(col("probe_cells").getField("cell")).as("cell"))
       topKSelect(
@@ -439,10 +497,35 @@ object Similarity {
             s"IvfIndex.train: quantizer collapsed to ${next.size} cell(s)")
           next
         }
+      // Isotropy probe (r12): mean cosine of the training vectors to
+      // their nearest centroid — a one-pass routing-usefulness signal
+      // over the already-checkpointed training set. On isotropic data
+      // (no cluster structure) the best of `cells` directions in high
+      // dimension is weak (~0.2-0.35 here) and quantizer recall is
+      // coverage-bound, so data-independent SRP-LSH dominates at equal
+      // cost; on clustered corpora vectors hug their centroid (≫0.5)
+      // and IVF routing pays. Logged at train time so the operating
+      // regime is visible exactly where the tuning decision is made.
+      val meanCentroidSim = trainSet
+        .select(greatest(cellStructs(centroids): _*)
+          .getField("sim").as("s"))
+        .agg(avg(col("s"))).collect().head.getDouble(0)
+      val recommendation = if (meanCentroidSim < 0.5) "lsh" else "ivf"
+      System.err.println(
+        f"INFO graft-ann: isotropy probe meanCentroidSim=$meanCentroidSim%.3f" +
+          s" -> recommend $recommendation (" +
+          (if (recommendation == "lsh")
+            "no cluster structure to route by: SRP-LSH dominates " +
+              "quantizer ANN here; quantizer recall is coverage-bound — " +
+              "see spark.graft.ann.* confs and the RECALL sweep grids"
+          else
+            "cluster structure detected: IVF cell routing is effective") +
+          ")")
       val assigned = candidates
         .withColumn("cell", nearestCell(centroids))
         .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
-      new IvfIndex(centroids, candidates, assigned)
+      new IvfIndex(centroids, candidates, assigned,
+        meanCentroidSim, recommendation)
     }
   }
 
@@ -621,7 +704,7 @@ object Similarity {
     * index families multiply: IVF bounds the fraction of the corpus
     * scanned, PQ bounds the bytes per scanned candidate. */
   def ivfpqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
-      cells: Int = 16, probes: Int = 12, m: Int = 8, pqCodes: Int = 16,
+      cells: Int = 16, probes: Int = -1, m: Int = 8, pqCodes: Int = 16,
       rerank: Int = 400): DataFrame = {
     val index = IvfPqIndex.train(candidates, cells, probes, m, pqCodes)
     index.search(index.ivf.source.filter(queryFilter), k, rerank)
@@ -790,7 +873,7 @@ object Similarity {
       * scan), then emit the cell-routed code table in a single
       * shuffle-free projection: nearest-cell argmax + PQ encode + norm
       * fused into one codegen stage. */
-    def train(candidates0: DataFrame, cells: Int = 16, probes: Int = 12,
+    def train(candidates0: DataFrame, cells: Int = 16, probes: Int = -1,
         m: Int = 8, pqCodes: Int = 16): IvfPqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       val ivf = IvfIndex.train(candidates0, cells)
@@ -801,7 +884,7 @@ object Similarity {
         .select(col("cell"), col("vec_id").as("c_id"),
           pqEncode(col("embedding"), pq.codebooks, m, pqCodes).as("pq"),
           vecNorm(col("embedding")).as("norm_c"))
-      new IvfPqIndex(ivf, pq, probes, m, pqCodes, codes)
+      new IvfPqIndex(ivf, pq, ivfpqProbes(cells, probes), m, pqCodes, codes)
     }
   }
 
@@ -843,10 +926,15 @@ object Similarity {
     * pq rerank=200 (0.82), ivfpq probes=12/rerank=400 (0.88) — all
     * measured seed≈nonseed now, which is the point. Clustered real
     * corpora reach the same recall at far lower probes; tune down via
-    * these confs using the RECALL sweep grid. */
+    * these confs using the RECALL sweep grid. Since r12 the probes
+    * defaults are -1 = auto, resolved as a FRACTION of cells
+    * ([[resolveProbes]]) so the operating point survives a different
+    * cells choice instead of silently collapsing to ~probes/cells
+    * coverage. */
   private def intConf(s: SparkSession, key: String, dflt: Int): Int = {
     val v = s.conf.get(key, dflt.toString).trim.toInt
-    require(v > 0, s"$key must be positive, got $v")
+    require(v > 0 || v == -1,
+      s"$key must be positive (or -1 = auto fraction-of-cells), got $v")
     v
   }
 
@@ -865,7 +953,7 @@ object Similarity {
     // IVF coarse-quantizer ANN.
     "x_ann_ivf" -> ((s, d) =>
       ivfTopK(emb(s, d), col("vec_id") < 10,
-        probes = intConf(s, "spark.graft.ann.ivf.probes", 10))
+        probes = intConf(s, "spark.graft.ann.ivf.probes", -1))
         .orderBy("q_id", "rank")),
     // Product-quantization ANN (ADC shortlist + exact rerank).
     "x_ann_pq" -> ((s, d) =>
@@ -875,7 +963,7 @@ object Similarity {
     // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.
     "x_ann_ivfpq" -> ((s, d) =>
       ivfpqTopK(emb(s, d), col("vec_id") < 10,
-        probes = intConf(s, "spark.graft.ann.ivfpq.probes", 12),
+        probes = intConf(s, "spark.graft.ann.ivfpq.probes", -1),
         rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 400))
         .orderBy("q_id", "rank")),
     // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
@@ -894,7 +982,7 @@ object Similarity {
     // it away).
     "x_knn_join_ivf" -> ((s, d) =>
       knnJoinIvf(emb(s, d), k = 3,
-        probes = intConf(s, "spark.graft.knnjoin.ivf.probes", 12))
+        probes = intConf(s, "spark.graft.knnjoin.ivf.probes", -1))
         .orderBy("q_id", "rank")),
     // Symmetric SRP-banded approximate k-NN self-join — the
     // angle-sensitive path that dominates IVF on unclustered embeddings;

@@ -138,14 +138,29 @@ object Incremental {
         .select(col(partitionKey)).distinct()
         .collect().map(_.get(0)).toSeq
       val touchedSet: Set[String] = touchedVals.map(partTag).toSet
-      if (touchedSet.isEmpty)
+      if (touchedSet.isEmpty) {
         // nothing to fold (empty batch, or every group netted to zero
         // against itself) — still RECORD the batch id, so an offset-
         // tracking consumer's window advances instead of re-reading the
-        // same empty delta forever
+        // same empty delta forever. On an UNINITIALIZED table the
+        // recording bootstraps a TYPED v1 (a zero-row staged dir whose
+        // parquet footer carries the rollup schema): a zero-entry v1
+        // would hand every reader before the first non-empty batch a
+        // column-less frame, and downstream column references that
+        // expect the rollup schema would throw AnalysisException.
+        val fin = finalizeState(partials)
         return retryCas(s"upsertRollup($batchId) under $basePath") {
-          recordBatchId(spark, basePath, batchId)
+          if (Versioned.versions(spark, basePath).isEmpty
+              && fin.schema.nonEmpty)
+            // untagged (None): a tagged entry needs >=1 partition value,
+            // and the schema-carrier dir holds no partitions at all
+            Versioned.publishEntries(spark, basePath, 0L,
+              Seq(ManifestEntry(Versioned.stage(fin.limit(0), basePath),
+                None)),
+              Map("batch_id" -> batchId))
+          else recordBatchId(spark, basePath, batchId)
         }
+      }
       retryCas(s"upsertRollup($batchId) under $basePath") {
         attemptUpsert(spark, basePath, partials, batchId,
           partitionKey, touchedVals, touchedSet, reAgg, finalizeState,
@@ -186,9 +201,19 @@ object Incremental {
       // merge path's shape): ONE pipeline execution answers both the
       // emptiness probe and the write — the old isEmpty-then-commit ran
       // the full finalized aggregate twice. An all-vanished bootstrap
-      // stages nothing and records the id on an empty v1.
-      val stEntry = Versioned.stageNonEmpty(
-        finalizeState(partials), basePath, Some(touchedSet)).toSeq
+      // still publishes a TYPED v1: a zero-entry manifest would hand
+      // readers between v1 and the first non-empty batch a column-less
+      // frame (downstream column references that expect the rollup
+      // schema would throw AnalysisException), so stage the typed
+      // zero-row dir — its parquet footer carries the schema.
+      val fin = finalizeState(partials)
+      val stEntry = Versioned.stageNonEmpty(fin, basePath, Some(touchedSet))
+        .toSeq match {
+          case Seq() if fin.schema.nonEmpty =>
+            Seq(ManifestEntry(
+              Versioned.stage(fin.limit(0), basePath), Some(touchedSet)))
+          case st => st
+        }
       return Versioned.publishEntries(spark, basePath, 0L, stEntry,
         Map("batch_id" -> batchId))
     }

@@ -2201,8 +2201,9 @@ object Versioned {
   def vacuum(spark: SparkSession, basePath: String,
       keepVersions: Int = 2,
       minAgeMs: Long = 24L * 60 * 60 * 1000): Unit = {
-    val (dropVs, reapDirs) =
-      vacuumPlanInternal(spark, basePath, keepVersions, minAgeMs)
+    val (dropVs, reapDirs, _) =
+      vacuumPlanInternal(spark, basePath, keepVersions, minAgeMs,
+        readOnly = false)
     val base = new Path(basePath)
     val f = fs(spark, base)
     reapDirs.foreach(d => f.delete(new Path(d), true))
@@ -2213,23 +2214,30 @@ object Versioned {
   /** DRY-RUN of [[vacuum]] with the same parameters: one row per action
     * it WOULD take — `(action, target)` where action is
     * `drop_version` (manifest) or `reap_dir` (an unreferenced or
-    * crash-orphaned `data-*` directory) — deleting nothing. The
-    * operator's pre-flight: retention mistakes (a too-aggressive
+    * crash-orphaned `data-*` directory) — deleting nothing, INCLUDING
+    * expired lease files (the real vacuum GCs those; the dry run is a
+    * genuinely pure read an operator can script without side effects).
+    * The operator's pre-flight: retention mistakes (a too-aggressive
     * keepVersions, a lease floor the caller forgot about) surface as a
     * readable plan instead of missing data. The plan is advisory: a
     * commit or lease landing between dry-run and vacuum changes what
-    * the real run reaps (each evaluates its own snapshot). One
-    * housekeeping exception: evaluating the lease floor GCs already-
-    * EXPIRED lease files, exactly as vacuum itself would — no data or
-    * manifest is touched. */
+    * the real run reaps (each evaluates its own snapshot). A lease-dir
+    * listing failure does not throw here either (the real vacuum stays
+    * loud): the plan comes back EMPTY plus one
+    * `(lease_list_failed, <why>)` marker row — without lease visibility
+    * no retention decision is defensible, and an empty plan can never
+    * overstate what the real run would reap. */
   def vacuumDryRun(spark: SparkSession, basePath: String,
       keepVersions: Int = 2,
       minAgeMs: Long = 24L * 60 * 60 * 1000): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val (dropVs, reapDirs) =
-      vacuumPlanInternal(spark, basePath, keepVersions, minAgeMs)
-    val rows = dropVs.map(v =>
-      org.apache.spark.sql.Row("drop_version", s"v$v")) ++
+    val (dropVs, reapDirs, leaseErr) =
+      vacuumPlanInternal(spark, basePath, keepVersions, minAgeMs,
+        readOnly = true)
+    val rows = leaseErr.map(msg =>
+      org.apache.spark.sql.Row("lease_list_failed", msg)).toSeq ++
+      dropVs.map(v =>
+        org.apache.spark.sql.Row("drop_version", s"v$v")) ++
       reapDirs.map(d => org.apache.spark.sql.Row("reap_dir", d))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("action",
@@ -2242,20 +2250,28 @@ object Versioned {
   /** The shared retention planner behind [[vacuum]] and
     * [[vacuumDryRun]]: versions to drop and qualified `data-*` dirs to
     * reap, honoring keepVersions, the reader-lease floor, and the
-    * in-flight-commit age horizon. Pure driver metadata work; deletes
-    * nothing. */
+    * in-flight-commit age horizon. Pure driver metadata work; with
+    * `readOnly` it deletes nothing at all (not even expired lease
+    * files) and reports a lease-listing failure as the third tuple
+    * element instead of throwing. */
   private def vacuumPlanInternal(spark: SparkSession, basePath: String,
-      keepVersions: Int, minAgeMs: Long): (Seq[Long], Seq[String]) = {
+      keepVersions: Int, minAgeMs: Long,
+      readOnly: Boolean): (Seq[Long], Seq[String], Option[String]) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val base = new Path(basePath)
     val f = fs(spark, base)
     val vs = versions(spark, basePath)
-    if (vs.isEmpty) return (Seq.empty, Seq.empty)
+    if (vs.isEmpty) return (Seq.empty, Seq.empty, None)
     // reader-lease floor: a snapshot some live reader PINNED (and every
     // later one) is retained whatever keepVersions says — a long scan
     // can no longer have its files reaped mid-query by a concurrent
     // vacuum. The floor only ever widens the kept set, never narrows.
-    val floor = leaseFloor(spark, basePath, f.makeQualified(base).toString)
+    val floor =
+      try leaseFloor(spark, basePath, f.makeQualified(base).toString,
+        readOnly)
+      catch { case e: IllegalStateException if readOnly =>
+        return (Seq.empty, Seq.empty, Some(e.getMessage))
+      }
     val cut = math.min(
       math.max(0, vs.size - keepVersions),
       floor.map(fl => vs.indexWhere(_ >= fl) match {
@@ -2270,7 +2286,7 @@ object Versioned {
       .filterNot(s => referenced.contains(s.getPath.toString))
       .filter(_.getModificationTime < horizon)
       .map(_.getPath.toString)
-    (drop, reap)
+    (drop, reap, None)
   }
 
   // ------------------------------------------------------------- leases
@@ -2338,7 +2354,7 @@ object Versioned {
     * caller retries later) instead of silently proceeding blind. A
     * cleanly absent directory is the normal no-leases path. */
   private def leaseFloor(spark: SparkSession, basePath: String,
-      qualifiedBase: String): Option[Long] = {
+      qualifiedBase: String, readOnly: Boolean = false): Option[Long] = {
     import scala.jdk.CollectionConverters._
     val inProc = Option(leases.get(qualifiedBase))
       .flatMap(_.values.asScala.minOption)
@@ -2355,8 +2371,10 @@ object Versioned {
             case LeaseName(v) if st.getModificationTime >= horizon =>
               Some(v.toLong)
             case LeaseName(_) => // expired: a crashed reader's remnant
-              try f.delete(st.getPath, false)
-              catch { case scala.util.control.NonFatal(_) => () }
+              // GC belongs to the REAL vacuum; the dry run stays pure
+              if (!readOnly)
+                try f.delete(st.getPath, false)
+                catch { case scala.util.control.NonFatal(_) => () }
               None
             case _ => None
           }

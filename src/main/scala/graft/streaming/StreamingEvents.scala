@@ -184,16 +184,33 @@ object StreamingEvents {
           // explicit existence probe, not a broad catch: swallowing a
           // TRANSIENT read failure here would overwrite the touched
           // days with only the batch's rows — the very data loss this
-          // merge exists to prevent. Only a genuinely absent sink
-          // (the first batch) skips the read; any other failure aborts
-          // the micro-batch and the engine retries it.
+          // merge exists to prevent. The probe is per touched `day=`
+          // subdirectory AND requires at least one visible data file in
+          // it — a sink root that exists but holds no parquet yet
+          // (pre-created dir, crash before the first commit) would make
+          // spark.read.parquet(root) throw schema-inference errors and
+          // permanently wedge every later micro-batch. Reading only the
+          // touched day dirs (basePath reconstructs the partition
+          // column) also keeps the per-batch cost a listing of those
+          // dirs, never the whole sink root. Any failure past the probe
+          // aborts the micro-batch and the engine retries it.
           val sink = new org.apache.hadoop.fs.Path(path)
           val sinkFs = sink.getFileSystem(
             spark.sessionState.newHadoopConf())
+          def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+            sinkFs.exists(p) && sinkFs.listStatus(p).exists { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+          val touched = days
+            .filter(dd => hasData(new org.apache.hadoop.fs.Path(sink, s"day=$dd")))
           val existing =
-            if (!sinkFs.exists(sink)) None
-            else Some(spark.read.parquet(path)
-              .filter(col("day").isin(days: _*)))
+            if (touched.isEmpty) None
+            else Some(spark.read.option("basePath", path)
+              .parquet(touched.map(dd => s"$path/day=$dd"): _*)
+              // partition-type inference would read 'yyyy-MM-dd' back as
+              // DATE; the sink schema keeps day as the string it was written
+              .withColumn("day", col("day").cast("string")))
           val merged = existing match {
             case None => b
             case Some(ex) => ex

@@ -264,10 +264,30 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
               "replay), set failOnDataLoss=false to skip it; otherwise " +
               "size vacuum retention to consumer lag or pin snapshots " +
               "with reader leases")
-          System.err.println(
-            s"WARN graft-versioned: skipping unretained window " +
-              s"($fromV, $endV] under $basePath (failOnDataLoss=false)")
-          emptyBatch()
+          // Kafka's opt-out resets to earliest-available and delivers
+          // what it can — skipping the ENTIRE window here would drop
+          // changes from intermediate versions that are still retained,
+          // more loss than the vacuum caused. Advance the base to the
+          // earliest retained version inside the window and deliver the
+          // remaining sub-window; only when nothing in (fromV, endV] is
+          // readable does the batch come back empty.
+          val newFrom = retained.filter(v => v >= fromV && v < endV)
+            .minOption
+          newFrom match {
+            case Some(nf) if retained(endV) =>
+              System.err.println(
+                s"WARN graft-versioned: window ($fromV, $endV] under " +
+                  s"$basePath lost its base manifest to vacuum; " +
+                  s"delivering retained sub-window ($nf, $endV] — " +
+                  s"changes in ($fromV, $nf] are gone (failOnDataLoss=false)")
+              pinFor(endV, nf)
+              window(nf, endV)
+            case _ =>
+              System.err.println(
+                s"WARN graft-versioned: skipping unretained window " +
+                  s"($fromV, $endV] under $basePath (failOnDataLoss=false)")
+              emptyBatch()
+          }
         } else {
           pinFor(endV, fromV)
           window(fromV, endV)
@@ -276,9 +296,36 @@ private[graft] final class VersionedStreamSource(sqlContext: SQLContext,
       // window — deliver nothing rather than derive a backwards feed
       case Some(_) => emptyBatch()
       case None =>
-        // initial load: the full snapshot at the first trigger's head
-        pinFor(endV, endV)
-        val snap = Versioned.readVersion(spark, basePath, endV)
+        // initial load: the full snapshot at the first trigger's head.
+        // A checkpoint restart REPLAYS this batch, and a vacuum sized to
+        // consumer lag may have dropped that snapshot's manifest — same
+        // contract as the window branch above: loud by default, the
+        // opt-out loads the earliest retained snapshot instead (its
+        // redelivery is the sink ledger's problem, exactly as for any
+        // replayed batch).
+        val loadV =
+          if (Versioned.versions(spark, basePath).contains(endV)) endV
+          else {
+            if (failOnDataLoss) throw new IllegalStateException(
+              s"graft-versioned stream over $basePath: initial snapshot " +
+                s"v$endV is no longer retained (vacuumed). If the sink " +
+                "already committed it (a restart replay), set " +
+                "failOnDataLoss=false to load the earliest retained " +
+                "snapshot; otherwise size vacuum retention to consumer " +
+                "lag or pin snapshots with reader leases")
+            val er = Versioned.versions(spark, basePath)
+              .filter(_ >= endV).minOption.getOrElse(
+                throw new IllegalStateException(
+                  s"graft-versioned stream over $basePath: no retained " +
+                    s"version at or after the initial snapshot v$endV"))
+            System.err.println(
+              s"WARN graft-versioned: initial snapshot v$endV under " +
+                s"$basePath was vacuumed; loading earliest retained " +
+                s"v$er instead (failOnDataLoss=false)")
+            er
+          }
+        pinFor(endV, loadV)
+        val snap = Versioned.readVersion(spark, basePath, loadV)
         if (mode == "cdc") snap.withColumn("_change", lit("insert"))
         else snap
     }

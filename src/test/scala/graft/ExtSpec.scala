@@ -350,6 +350,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("isotropy probe: testdata reads isotropic (lsh), planted clusters read ivf") {
+    import graft.ext.Similarity
+    // the real testdata's embeddings are isotropic (measured r8:
+    // intra-label cosine == inter-label == 0) — the probe must say so
+    val iso = Similarity.IvfIndex.train(
+      graft.Tables.embeddings(spark, sf), cells = 16)
+    assert(iso.recommendation === "lsh",
+      f"isotropic testdata must recommend lsh, got ${iso.recommendation} " +
+        f"(meanCentroidSim=${iso.meanCentroidSim}%.3f)")
+    assert(iso.meanCentroidSim < 0.5 && !iso.meanCentroidSim.isNaN)
+    // planted clusters: 4 tight bundles of 16 vectors each (base
+    // direction + deterministic small per-coordinate jitter) — routing
+    // pays, the probe must flip
+    import spark.implicits._
+    val dim = 64
+    val clustered = (0 until 64).map { i =>
+      val c = i % 4
+      val vec = Array.tabulate(dim) { j =>
+        val base = if (j == c * 16) 10f else 0f
+        base + 0.01f * (((i * 31 + j * 17) % 7) - 3)
+      }
+      (i.toLong, vec.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cl = Similarity.IvfIndex.train(clustered, cells = 4)
+    assert(cl.recommendation === "ivf",
+      f"planted clusters must recommend ivf, got ${cl.recommendation} " +
+        f"(meanCentroidSim=${cl.meanCentroidSim}%.3f)")
+    assert(cl.meanCentroidSim > 0.7)
+  }
+
+  test("ANN probe defaults scale as a fraction of cells; explicit probes win") {
+    import graft.ext.Similarity.resolveProbes
+    // the r11 measured operating points, re-derived from cells=16
+    assert(resolveProbes(16, -1, 5, 8) === 10)   // ivf: 62.5% coverage
+    assert(resolveProbes(16, -1, 3, 4) === 12)   // ivfpq: 75% coverage
+    // a bigger quantizer keeps the COVERAGE, not the fixed count — the
+    // old probes=12 default against cells=256 was a ~5%-coverage point
+    assert(resolveProbes(256, -1, 5, 8) === 160)
+    assert(resolveProbes(1, -1, 3, 4) === 1)     // never below 1
+    assert(resolveProbes(16, 4, 5, 8) === 4)     // explicit wins
+  }
+
   test("connectedComponents: chains collapse to min label, singletons survive") {
     import spark.implicits._
     // 0-1-2-3 is a path (diameter 3 -> needs several propagation rounds),

@@ -21,7 +21,8 @@ import graft.sources.Versioned
   *    durable lease), print `FORKED_PINNED <v>`, hold until
   *    `releaseFile` appears, close the lease, print `FORKED_RELEASED`.
   *  - `merge-sentinel <base> <dir>` / `delete-sentinel <base> <id>
-  *    <dir>`: run the DML under a [[SentinelCommitStore]] — the
+  *    <dir>` / `mor-delete-sentinel <base> <id> <dir>`: run the DML
+  *    under a [[SentinelCommitStore]] — the
   *    cross-process twin of ProtocolSpec's `racing` helper. The FIRST
   *    publish attempt signals `<dir>/child-ready` and BLOCKS until the
   *    parent creates `<dir>/parent-done`, so the parent can land a
@@ -80,6 +81,16 @@ object Forked {
               keys = Seq("id"), updateCols = Seq("v"))
           }
           println(s"FORKED_MERGED $v")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            println("FORKED_ABORTED")
+        }
+      case "mor-delete-sentinel" :: base :: id :: dir :: Nil =>
+        try {
+          val v = Versioned.withCommitStore(new SentinelCommitStore(dir)) {
+            Versioned.deleteWhereMor(spark, base, col("id") === id.toLong)
+          }
+          println(s"FORKED_MORDELETED $v")
         } catch {
           case _: java.util.ConcurrentModificationException =>
             println("FORKED_ABORTED")

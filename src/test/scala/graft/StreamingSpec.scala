@@ -436,6 +436,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink survives a pre-created empty sink dir and a cleared day partition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // sink root pre-created and EMPTY (operator mkdir, crash before any
+    // commit): the merge probe must not read it as a parquet table —
+    // schema inference over zero files would wedge every micro-batch
+    val out = s"$dir/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // and an empty day= shell too (a cleared-partition remnant)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$out/day=2024-01-01"))
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+    val q = StreamingEvents.sinkHourlyToPartitionedParquet(
+      StreamingEvents.hourlyRollup(input.toDF()), out, ckpt)
+    try {
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() === 1, "first batch lands despite the empty shells")
+      // and the merge path still works on the now-populated day
+      input.addData(Event(2, ts("2024-01-01 11:00:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 2,
+        "hour 10 survives the day rewrite that adds hour 11")
+    } finally q.stop()
+  }
+
   test("file-source stream actually processes the events parquet end-to-end") {
     val src = StreamingEvents.readEventStream(spark, "/root/testdata/sf0.001")
     assert(src.isStreaming)

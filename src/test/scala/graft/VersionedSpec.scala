@@ -1368,6 +1368,47 @@ class VersionedSpec extends SparkSpec {
     } finally lease.close()
   }
 
+  test("vacuumDryRun is a pure read: expired lease files survive it, vacuum GCs them") {
+    import spark.implicits._
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
+    // a crashed reader's remnant: a lease file aged past the TTL
+    val leaseDir = java.nio.file.Paths.get(base, "_graft_leases")
+    java.nio.file.Files.createDirectories(leaseDir)
+    val stale = leaseDir.resolve("lease-00000000-dead-beef-0000-000000000000#v=1")
+    java.nio.file.Files.writeString(stale, "")
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    Versioned.vacuumDryRun(spark, base, keepVersions = 1, minAgeMs = 0L)
+      .collect()
+    assert(java.nio.file.Files.exists(stale),
+      "the dry run must not GC lease files — operators script it as a pure read")
+    Versioned.vacuum(spark, base, keepVersions = 1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(stale),
+      "the real vacuum owns expired-lease GC")
+  }
+
+  test("incremental bootstrap with an all-empty first batch publishes a TYPED v1") {
+    import spark.implicits._
+    import graft.sources.Incremental
+    val base = freshBase()
+    def up(rows: Seq[(String, String, Long)], id: String): Long =
+      Incremental.upsertRollup(spark, base,
+        rows.toDF("day", "kind", "cnt"), id, "day", Seq("kind"), Seq("cnt"))
+    up(Seq.empty, "b0")
+    val snap = Versioned.read(spark, base)
+    // a zero-entry v1 would hand readers a column-less frame — every
+    // downstream column reference would throw until the first real batch
+    assert(snap.columns.toSet === Set("day", "kind", "cnt"),
+      s"empty bootstrap must still carry the rollup schema, got ${snap.columns.toSeq}")
+    assert(snap.count() === 0L)
+    // and the first real batch merges through the normal path
+    up(Seq(("d1", "a", 2L)), "b1")
+    assert(Versioned.read(spark, base).as[(String, String, Long)]
+      .collect().toSet === Set(("d1", "a", 2L)))
+  }
+
   test("change feed re-expands a multiplicity past the chunk boundary exactly") {
     import spark.implicits._
     // the netting re-expansion is chunked at 8192 elements per explode;

@@ -166,6 +166,90 @@ class CrossProcessSpec extends SparkSpec {
       .collect().toSet === Set(1L, 2L, 4L))
   }
 
+  test("cross-process vector-compose: MOR deletes from two JVMs on disjoint dirs both land") {
+    // the DML×DML cell the in-process shim covered but a real process
+    // boundary had not: two deletion vectors whose zone maps prove
+    // disjoint directories must COMPOSE across JVMs — both land, one
+    // version each, no abort, multiset-exact survivors
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, statsCols = Seq("id"))                                 // v1
+    Versioned.commit((11L to 14L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, org.apache.spark.sql.SaveMode.Append,
+      statsCols = Seq("id"))                                       // v2
+    val dir = Files.createTempDirectory("graft_xproc_sentinel").toString
+    val child = fork("mor-delete-sentinel", base, "12", dir)
+    try {
+      awaitFile(Paths.get(dir, "child-ready"))
+      Versioned.deleteWhereMor(spark, base, col("id") === 2L)      // v3
+      Files.createFile(Paths.get(dir, "parent-done"))
+      val res = awaitLine(child, "FORKED_")
+      assert(res === "FORKED_MORDELETED 4",
+        s"disjoint cross-process vectors must compose, got: $res")
+      assert(child.p.waitFor() === 0)
+    } finally child.p.destroyForcibly()
+    assert(Versioned.versions(spark, base) === (1L to 4L))
+    assert(Versioned.read(spark, base).select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 11L, 13L, 14L),
+      "both vectors applied exactly once, nothing resurrected")
+  }
+
+  test("cross-process MOR update racing MOR delete on disjoint dirs: both compose") {
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, statsCols = Seq("id"))                                 // v1
+    Versioned.commit((11L to 14L).map(i => (i, i * 10L)).toDF("id", "v"),
+      base, org.apache.spark.sql.SaveMode.Append,
+      statsCols = Seq("id"))                                       // v2
+    val dir = Files.createTempDirectory("graft_xproc_sentinel").toString
+    val child = fork("mor-delete-sentinel", base, "12", dir)
+    try {
+      awaitFile(Paths.get(dir, "child-ready"))
+      // MOR update (vector + patch dir) inside the child's window, on
+      // the OTHER data dir — the update×delete cell of the matrix
+      Versioned.updateWhereMor(spark, base, col("id") === 2L,
+        Map("v" -> lit(222L)))                                     // v3
+      Files.createFile(Paths.get(dir, "parent-done"))
+      val res = awaitLine(child, "FORKED_")
+      assert(res === "FORKED_MORDELETED 4",
+        s"a disjoint MOR update must compose with the MOR delete, got: $res")
+      assert(child.p.waitFor() === 0)
+    } finally child.p.destroyForcibly()
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      Set((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L),
+        (11L, 110L), (13L, 130L), (14L, 140L)),
+      "update applied, delete applied, nothing lost or doubled")
+  }
+
+  test("cross-process MERGE vs MERGE: the raced child aborts with no half-commit") {
+    // two merges whose derivations read the same data dir cannot both
+    // rebase (the parent's merge REWROTE what the child read): the
+    // child must abort cleanly across the process boundary, leaving
+    // only the parent's transaction
+    val base = freshBase()
+    Versioned.commit((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v"), base)
+    val dir = Files.createTempDirectory("graft_xproc_sentinel").toString
+    val child = fork("merge-sentinel", base, dir) // merges (2,222),(5,555)
+    try {
+      awaitFile(Paths.get(dir, "child-ready"))
+      Versioned.mergeInto(spark, base,
+        Seq((3L, 333L), (7L, 777L)).toDF("id", "v"),
+        keys = Seq("id"), updateCols = Seq("v"))                   // v2
+      Files.createFile(Paths.get(dir, "parent-done"))
+      val res = awaitLine(child, "FORKED_")
+      assert(res === "FORKED_ABORTED",
+        s"merge-over-merge on the same dir must abort, got: $res")
+      assert(child.p.waitFor() === 0)
+    } finally child.p.destroyForcibly()
+    assert(Versioned.versions(spark, base) === Seq(1L, 2L),
+      "the aborted child left no version behind")
+    assert(Versioned.read(spark, base).select("id", "v").as[(Long, Long)]
+      .collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 333L), (4L, 40L), (7L, 777L)),
+      "exactly the parent's merge — no half-commit from the child")
+  }
+
   test("a durable lease from a second JVM floors this process's vacuum") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base) // v1

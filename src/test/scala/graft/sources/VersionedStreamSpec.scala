@@ -312,6 +312,35 @@ class VersionedStreamSpec extends SparkSpec {
       "no dupes, no holes across the vacuumed-window restart")
   }
 
+  test("failOnDataLoss=false delivers the retained sub-window when only the base was vacuumed") {
+    // Kafka's opt-out contract: reset to earliest-available and deliver
+    // what survives — not skip the whole window. Consumer stops at v1;
+    // v2/v3/v4 land while it is down and retention drops v1 (and with it
+    // the v1->v2 delta, which is unrecoverable). The restart must ship
+    // the retained (v2, v4] sub-window — losing ONLY what the vacuum
+    // actually destroyed — instead of dropping all three commits.
+    val src = freshBase(); val dst = freshBase(); val ckpt = freshDir()
+    Versioned.commit(Seq((1L, 10L)).toDF("id", "v"), src)          // v1
+    def replicate(): StreamingQuery =
+      Versioned.commitStream(
+        readVs(src, "failOnDataLoss" -> "false"), dst, "repl_sub",
+        Map("checkpointLocation" -> ckpt))
+    drain(replicate())                                             // offset v1
+    Versioned.commit(Seq((2L, 20L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)                        // v2
+    Versioned.commit(Seq((3L, 30L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)                        // v3
+    Versioned.commit(Seq((4L, 40L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)                        // v4
+    Versioned.vacuum(spark, src, keepVersions = 3, minAgeMs = 0L)  // v1 gone
+    assert(Versioned.versions(spark, src) === Seq(2L, 3L, 4L))
+    drain(replicate())
+    val got = Versioned.read(spark, dst).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (3L, 30L), (4L, 40L)),
+      s"restart must deliver the retained (v2, v4] sub-window — only the " +
+        s"vacuumed v1->v2 delta may be lost; got $got")
+  }
+
   test("checkpoint restart adopts a column added while the stream was down: no dupes, no holes") {
     // the operator runbook for mid-stream evolution: schema is frozen
     // per RUN, so adding a column means stop -> commit -> restart from
