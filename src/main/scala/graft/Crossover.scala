@@ -85,15 +85,18 @@ object Crossover {
           .stripMargin))
       .select(col("doc_id"), col("text"))
 
-  /** Skewed token docs for the heavy-hitter cell: 20 tokens per doc, ids
-    * biased harmonically toward small ranks over a `vocab`-sized space. */
+  /** Skewed token docs for the heavy-hitter cell: 20 tokens per doc,
+    * Zipf-like via a 4th-power transform of a uniform hash — the top
+    * token carries ~3% of the mass (well above phi) while the tail
+    * still spans the whole `vocab`-sized id space, so distinct keys
+    * grow with the corpus. */
   def skewedTokenDocs(spark: SparkSession, nDocs: Long,
       vocab: Int): DataFrame =
     spark.range(nDocs).toDF("doc_id")
       .withColumn("text", expr(
         s"""concat_ws(' ', transform(sequence(0, 19), t ->
-           |  concat('w', pmod(hash(doc_id, t, 1),
-           |                   1 + pmod(hash(doc_id, t, 2), $vocab)))))"""
+           |  concat('w', CAST(pow(pmod(hash(doc_id, t, 1), 1000000)
+           |                       / 1000000.0d, 4) * $vocab AS INT))))"""
           .stripMargin))
       .select(col("doc_id"), col("text"))
 
@@ -112,13 +115,26 @@ object Crossover {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory",
-        sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
+      // The TopKAggregator paths aggregate the PAIR stream through
+      // ObjectHashAggregate; Spark's default sort-based fallback
+      // threshold (128 in-memory groups!) forces a full sort-and-spill
+      // of that stream the moment a task sees more than 128 query ids —
+      // measured 3.6× on the exact 40k cell, and a disk-filling 200+ GB
+      // spill at 100k. Group state is k-bounded and group count is
+      // bounded by n per task, so a large hash map is the right trade.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (8 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+    // section gate for re-running one family after a generator fix
+    // without paying the whole ladder again (the md fragments merge by
+    // hand into the committed CROSSOVER.md)
+    val only = sys.env.get("GRAFT_CROSSOVER_ONLY")
+    def section(name: String): Boolean = only.forall(_ == name)
 
     val md = new StringBuilder
     md ++= "# CROSSOVER — measured exact-vs-approximate break-even points\n\n"
@@ -131,21 +147,30 @@ object Crossover {
     md ++= "`SPARK_DRIVER_MEM=48g sbt \"runMain graft.Crossover CROSSOVER.md\"`.\n\n"
 
     // ---------------------------------------------------- 1. k-NN join
-    // Clustered regime: cells=64 (codegen-bounded centroid argmax),
-    // probes=4 → 1/16 coverage. On clustered data the true neighbors
-    // co-cluster with the query, so low coverage keeps recall high —
-    // THE quantizer claim. LSH at 8 tables × 10 bits.
+    // Clustered regime at the FAISS rule: cells ≈ sqrt(n) (the native
+    // NearestCells expression keeps routing codegen-compatible at any
+    // cell count), probes FIXED at 4 → coverage 4/sqrt(n) shrinks with
+    // n and total scored pairs grow as 4·n^1.5, not n². On clustered
+    // data the true neighbors co-cluster with the query, so shrinking
+    // coverage keeps recall high — THE quantizer claim, now measured.
     md ++= "## 1. k-NN self-join (k=3): exact blocked grid vs IVF vs SRP-LSH\n\n"
     md ++= "Clustered corpus (cluster size 256, cluster count scales with n;\n"
-    md ++= "ivf: cells=64 probes=4 = 6% coverage, lsh: 8 tables × 10 bits):\n\n"
+    md ++= "ivf: cells=sqrt(n) probes=4 → coverage shrinks as 4/sqrt(n);\n"
+    md ++= "lsh: 8 tables × 10 bits):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
-    val knnSizes = Seq(10000L, 40000L, 100000L, 250000L)
-    val exactCap = 100000L
-    knnSizes.foreach { n =>
-      val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
+    val knnSizes = Seq(10000L, 25000L, 60000L, 150000L, 400000L)
+    val exactCap = 60000L
+    // fixed-signature LSH goes superlinear on clustered data once the
+    // cluster-aligned bucket populations dominate (measured 439 s at
+    // 150k vs ivf's 105 s) — the honest statement is the ladder up to
+    // there plus the note; past it only the routed scan runs.
+    val lshCap = 150000L
+    def knnCell(vecs: DataFrame, n: Long, exactToo: Boolean,
+        lshToo: Boolean): (String, String) = {
+      val cells = math.max(16, math.sqrt(n.toDouble).toInt)
       val exact =
-        if (n > exactCap) None
+        if (!exactToo) None
         else {
           val (df, s) = time {
             val d = Similarity.knnJoin(vecs, k = 3).localCheckpoint(true)
@@ -154,52 +179,52 @@ object Crossover {
           Some((df, s))
         }
       val (ivfDf, ivfS) = time {
-        val d = Similarity.knnJoinIvf(vecs, k = 3, cells = 64, probes = 4)
+        val d = Similarity.knnJoinIvf(vecs, k = 3, cells = cells, probes = 4)
           .localCheckpoint(true)
         d.count(); d
       }
-      val (lshDf, lshS) = time {
-        val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 10)
-          .localCheckpoint(true)
-        d.count(); d
+      val lsh =
+        if (!lshToo) None
+        else {
+          val (df, s) = time {
+            val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 10)
+              .localCheckpoint(true)
+            d.count(); d
+          }
+          Some((df, s))
+        }
+      val ivfR = exact.map(e => recallOf(ivfDf, e._1))
+        .getOrElse(Double.NaN)
+      val lshR = (exact, lsh) match {
+        case (Some((ex, _)), Some((l, _))) => recallOf(l, ex)
+        case _ => Double.NaN
       }
-      val (ivfR, lshR) = exact match {
-        case Some((ex, _)) => (recallOf(ivfDf, ex), recallOf(lshDf, ex))
-        case None => (Double.NaN, Double.NaN)
-      }
-      def r(v: Double) = if (v.isNaN) "—" else f3(v)
+      def r(v: Double) = if (v.isNaN) "n/a" else f3(v)
       val exS = exact.map(e => f1(e._2)).getOrElse("(skipped)")
-      md ++= s"| ${n / 1000}k | $exS | ${f1(ivfS)} | ${r(ivfR)} " +
-        s"| ${f1(lshS)} | ${r(lshR)} |\n"
-      println(s"[crossover] knn clustered n=$n exact=$exS ivf=${f1(ivfS)} " +
-        s"lsh=${f1(lshS)} ivfR=${r(ivfR)} lshR=${r(lshR)}")
+      val lshS = lsh.map(e => f1(e._2)).getOrElse("(skipped)")
+      val row = s"| ${n / 1000}k | $exS | ${f1(ivfS)} | ${r(ivfR)} " +
+        s"| $lshS | ${r(lshR)} |\n"
+      val log = s"exact=$exS ivf=${f1(ivfS)} lsh=$lshS " +
+        s"ivfR=${r(ivfR)} lshR=${r(lshR)}"
+      (row, log)
+    }
+    if (section("knn")) knnSizes.foreach { n =>
+      val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
+      val (row, log) = knnCell(vecs, n,
+        exactToo = n <= exactCap, lshToo = n <= lshCap)
+      md ++= row
+      println(s"[crossover] knn clustered n=$n $log")
       vecs.unpersist()
     }
     md ++= "\nIsotropic contrast (the testdata regime — no structure to\n"
     md ++= "route by; approximate variants at the SAME knobs):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
-    Seq(10000L, 40000L).foreach { n =>
+    if (section("knn")) Seq(10000L, 25000L).foreach { n =>
       val vecs = isotropicEmbeddings(spark, n).localCheckpoint(true)
-      val (ex, exS) = time {
-        val d = Similarity.knnJoin(vecs, k = 3).localCheckpoint(true)
-        d.count(); d
-      }
-      val (ivfDf, ivfS) = time {
-        val d = Similarity.knnJoinIvf(vecs, k = 3, cells = 64, probes = 4)
-          .localCheckpoint(true)
-        d.count(); d
-      }
-      val (lshDf, lshS) = time {
-        val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 10)
-          .localCheckpoint(true)
-        d.count(); d
-      }
-      md ++= s"| ${n / 1000}k | ${f1(exS)} | ${f1(ivfS)} " +
-        s"| ${f3(recallOf(ivfDf, ex))} | ${f1(lshS)} " +
-        s"| ${f3(recallOf(lshDf, ex))} |\n"
-      println(s"[crossover] knn isotropic n=$n exact=${f1(exS)} " +
-        s"ivf=${f1(ivfS)} lsh=${f1(lshS)}")
+      val (row, log) = knnCell(vecs, n, exactToo = true, lshToo = true)
+      md ++= row
+      println(s"[crossover] knn isotropic n=$n $log")
       vecs.unpersist()
     }
 
@@ -209,9 +234,9 @@ object Crossover {
     md ++= "posting lists; 4 near-dup clones per 5-doc group; threshold 0.5):\n\n"
     md ++= "| docs | exact s | minhash s | pairs exact | pairs minhash |\n"
     md ++= "|---|---|---|---|---|\n"
-    val dedupSizes = Seq(5000L, 10000L, 20000L, 60000L)
+    val dedupSizes = Seq(5000L, 10000L, 20000L, 60000L, 150000L)
     val dedupExactCap = 20000L
-    dedupSizes.foreach { n =>
+    if (section("dedup")) dedupSizes.foreach { n =>
       val docs = boilerplateDocs(spark, n).localCheckpoint(true)
       val exact =
         if (n > dedupExactCap) None
@@ -235,7 +260,7 @@ object Crossover {
     md ++= "with corpus — the shuffle the sketch exists to avoid):\n\n"
     md ++= "| tokens | exact groupBy s | misra-gries s | hitters |\n"
     md ++= "|---|---|---|---|\n"
-    Seq(200000L, 1000000L, 4000000L).foreach { nDocs =>
+    if (section("hh")) Seq(200000L, 1000000L, 4000000L).foreach { nDocs =>
       val docs = skewedTokenDocs(spark, nDocs, vocab = 1000000)
         .localCheckpoint(true)
       val toks = docs.select(explode(split(col("text"), " ")).as("token"))

@@ -74,7 +74,16 @@ object Similarity {
     * final ranking is a posexplode of the per-query sorted buffer. For
     * corpus-scale n where even sliced O(n²) is too much, the IVF/IVF-PQ
     * entries are the approximate path; this is their exact counterpart
-    * (and the oracle-checkable ground truth for recall measurement). */
+    * (and the oracle-checkable ground truth for recall measurement).
+    *
+    * DEPLOYMENT NOTE (measured in CROSSOVER.md, r12): the partial top-k
+    * runs through ObjectHashAggregate, whose sort-based fallback
+    * threshold defaults to 128 IN-MEMORY GROUPS — any task scoring more
+    * than 128 distinct queries silently falls back to sorting its whole
+    * pair stream (3.6× wall at n=40k, a disk-filling spill at n=100k).
+    * Group state here is k-bounded, so raise
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to
+    * cover the per-task query count (the Crossover harness uses 8M). */
   def knnJoin(vectors: DataFrame, k: Int = 3, blocks: Int = 8,
       qblocks: Int = 4): DataFrame =
     knnJoinAgainst(vectors, vectors, k, blocks, qblocks)
@@ -126,11 +135,9 @@ object Similarity {
     val nProbes = ivfpqProbes(cells, probes)
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val qProbe = vectors
-      .withColumn("probe_cells", slice(
-        sort_array(array(cellStructs(index.centroids): _*), asc = false),
-        1, nProbes))
+      .withColumn("probe_cells", probeCells(index.centroids, nProbes))
       .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
-        explode(col("probe_cells").getField("cell")).as("cell"))
+        explode(col("probe_cells")).as("cell"))
     val nn = index.assigned.join(qProbe, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
@@ -317,13 +324,24 @@ object Similarity {
   private def ivfpqProbes(cells: Int, probes: Int): Int =
     resolveProbes(cells, probes, 3, 4)   // 75% coverage → 12 of 16
 
-  // literal (sim, cell) structs — struct compare does argmax with a
-  // deterministic larger-cell tie-break, matching max_by(struct(sim,cell))
-  private def cellStructs(cents: Seq[(Int, Seq[Float])]): Seq[Column] =
-    cents.map { case (id, v) =>
-      struct(cosineSim(col("embedding"), typedLit(v)).as("sim"),
-        lit(id).as("cell"))
-    }
+  /** Top-`probes` nearest cell ids via the native
+    * [[org.apache.spark.sql.graft.NearestCells]] expression. The r8-r11
+    * formulation built `greatest`/`sort_array` over `cells` literal
+    * (sim, cell) structs — at cells=16 that codegens, but past it the
+    * inlined 64-float typedLits blow the generated stage over the
+    * method limits and Spark silently drops the WHOLE stage (including
+    * the downstream pair-scoring cosine — the corpus-sized work) to
+    * interpreted eval: measured 91 s vs 4 s at cells=64/n=10k. The
+    * native expression carries the centroid matrix as a reference
+    * object and keeps ranking bit-identical (cosine desc, cell id
+    * desc), so cells can scale with sqrt(n) as the 100 TB story needs. */
+  private def probeCells(cents: Seq[(Int, Seq[Float])], probes: Int): Column =
+    // clamp: Lloyd steps can collapse emptied cells below the requested
+    // probe count (the legacy slice() tolerated that silently)
+    graft.functions.VectorFunctions.nearestCells(col("embedding"),
+      cents.map(_._1), cents.flatMap(_._2), math.min(probes, cents.size))
+  private def nearestCellCol(cents: Seq[(Int, Seq[Float])]): Column =
+    element_at(probeCells(cents, 1), 1)
 
   /** A trained IVF index: driver-resident centroids (FAISS-style) plus the
     * cell-assigned vector table — build ONCE, [[IvfIndex.search]] many
@@ -362,13 +380,12 @@ object Similarity {
       * inside them — touches ~probes/cells of the data. */
     def search(queryVecs: DataFrame, k: Int = 5, probes: Int = -1): DataFrame = {
       val nProbes = ivfProbes(centroids.size, probes)
-      // queries probe their `probes` nearest cells (struct sort desc ==
-      // sim desc with larger-cell tie-break — deterministic)
+      // queries probe their `probes` nearest cells (cosine desc with
+      // larger-cell tie-break — deterministic)
       val qProbe = queryVecs
-        .withColumn("probe_cells", slice(
-          sort_array(array(cellStructs(centroids): _*), asc = false), 1, nProbes))
+        .withColumn("probe_cells", probeCells(centroids, nProbes))
         .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
-          explode(col("probe_cells").getField("cell")).as("cell"))
+          explode(col("probe_cells")).as("cell"))
       topKSelect(
         assigned.join(broadcast(qProbe), Seq("cell"))
           .withColumn("cosine", cosineSim(col("v_q"), col("v_c")))
@@ -409,8 +426,7 @@ object Similarity {
       graft.sources.Layout.registerBucketedExternal(spark,
         s"${name}_assigned", s"$path/assigned", centroids.size, Seq("cell"))
       val assigned = newVectors.select(col("vec_id"), col("embedding"))
-        .withColumn("cell",
-          greatest(cellStructs(centroids): _*).getField("cell"))
+        .withColumn("cell", nearestCellCol(centroids))
         .select(col("vec_id").as("c_id"), col("cell"),
           col("embedding").as("v_c"))
       graft.sources.Layout.appendBucketedExternal(assigned,
@@ -465,7 +481,7 @@ object Similarity {
             .sparkContext.defaultParallelism)
           .localCheckpoint(true)
       def nearestCell(cents: Seq[(Int, Seq[Float])]): Column =
-        greatest(cellStructs(cents): _*).getField("cell")
+        nearestCellCol(cents)
       def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
         df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
 
@@ -507,8 +523,8 @@ object Similarity {
       // and IVF routing pays. Logged at train time so the operating
       // regime is visible exactly where the tuning decision is made.
       val meanCentroidSim = trainSet
-        .select(greatest(cellStructs(centroids): _*)
-          .getField("sim").as("s"))
+        .select(graft.functions.VectorFunctions.nearestCellSim(
+          col("embedding"), centroids.flatMap(_._2), centroids.size).as("s"))
         .agg(avg(col("s"))).collect().head.getDouble(0)
       val recommendation = if (meanCentroidSim < 0.5) "lsh" else "ivf"
       System.err.println(
@@ -757,11 +773,10 @@ object Similarity {
     def search(queryVecs: DataFrame, k: Int = 5, rerank: Int = 400): DataFrame = {
       import graft.functions.VectorFunctions.{pqAdc, pqLut}
       val qProbe = queryVecs
-        .withColumn("probe_cells", slice(
-          sort_array(array(cellStructs(ivf.centroids): _*), asc = false), 1, probes))
+        .withColumn("probe_cells", probeCells(ivf.centroids, probes))
         .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
           pqLut(col("embedding"), pq.codebooks, m, pqCodes).as("lut"),
-          explode(col("probe_cells").getField("cell")).as("cell"))
+          explode(col("probe_cells")).as("cell"))
       val shortlist = codes
         .join(broadcast(qProbe.select(col("q_id"), col("lut"), col("cell"))),
           Seq("cell"))
@@ -811,7 +826,7 @@ object Similarity {
       // declared for API completeness (IvfIndex.search / PqIndex.search
       // on the loaded handle), never evaluated by IvfPqIndex.search
       val assigned = source
-        .withColumn("cell", greatest(cellStructs(centroids): _*).getField("cell"))
+        .withColumn("cell", nearestCellCol(centroids))
         .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       val enc = source.select(col("vec_id").as("c_id"),
@@ -859,8 +874,7 @@ object Similarity {
       graft.sources.Layout.registerBucketedExternal(spark, s"${name}_codes",
         s"$path/codes", centroids.size, Seq("cell"))
       val enc = newVectors.select(col("vec_id"), col("embedding"))
-        .withColumn("cell",
-          greatest(cellStructs(centroids): _*).getField("cell"))
+        .withColumn("cell", nearestCellCol(centroids))
         .select(col("cell"), col("vec_id").as("c_id"),
           pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
           vecNorm(col("embedding")).as("norm_c"))
@@ -879,8 +893,7 @@ object Similarity {
       val ivf = IvfIndex.train(candidates0, cells)
       val pq = PqIndex.train(ivf.source, m, pqCodes)
       val codes = ivf.source
-        .withColumn("cell",
-          greatest(cellStructs(ivf.centroids): _*).getField("cell"))
+        .withColumn("cell", nearestCellCol(ivf.centroids))
         .select(col("cell"), col("vec_id").as("c_id"),
           pqEncode(col("embedding"), pq.codebooks, m, pqCodes).as("pq"),
           vecNorm(col("embedding")).as("norm_c"))

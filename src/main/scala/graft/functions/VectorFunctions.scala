@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, PqAdc, PqEncode, PqLut, ShingleSet, SimHash64, VecNorm}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, NearestCellSim, NearestCells, PqAdc, PqEncode, PqLut, ShingleSet, SimHash64, VecNorm}
 
 /** Column-API facade over the native Catalyst expressions
   * (o.a.s.sql.graft — see each expression's scaladoc for the why). */
@@ -11,6 +11,19 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Top-`probes` nearest coarse-quantizer cell ids (see [[NearestCells]]
+    * — the centroid matrix rides as a reference object, not as inlined
+    * literals, so stages containing it keep whole-stage codegen). */
+  def nearestCells(vec: Column, cellIds: Seq[Int], centroids: Seq[Float],
+      probes: Int): Column =
+    GraftBridge.column(NearestCells(GraftBridge.expression(vec),
+      cellIds, centroids, probes))
+
+  /** Cosine similarity to the single nearest centroid ([[NearestCellSim]]). */
+  def nearestCellSim(vec: Column, centroids: Seq[Float], nCells: Int): Column =
+    GraftBridge.column(NearestCellSim(GraftBridge.expression(vec),
+      centroids, nCells))
 
   /** 64-perm MinHash signature of an `array<string>` shingle set. */
   def minhashSignature(shingles: Column): Column =

@@ -143,4 +143,28 @@ object NativeExprProps extends Properties("graft.nativeexprs") {
       a == b && a.forall(c => (c & 0xffff0000) == 0 || m > 4) &&
         a.forall(c => (0 until m).forall(mi => ((c >>> (4 * mi)) & 15) < k))
     }
+
+  property("nearest_cells == sort_array-over-structs formulation, any probes") =
+    forAll(vecs, Gen.choose(1, 6)) { (base, probes) =>
+      import spark.implicits._
+      // deterministic centroids, NON-consecutive ids (emptied-cell shape)
+      val rng = new scala.util.Random(7)
+      val cents: Seq[(Int, Seq[Float])] = (0 until 6).map(i =>
+        (i * 3 + 1, Seq.fill(16)((rng.nextInt(200) - 100) / 10.0f)))
+      val df = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "embedding")
+      val structs = cents.map { case (cid, v) =>
+        struct(cosineSim(col("embedding"), typedLit(v)).as("sim"),
+          lit(cid).as("cell"))
+      }
+      val legacy = df.select(col("id"), slice(
+          sort_array(array(structs: _*), asc = false), 1, probes)
+          .getField("cell").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val native = df.select(col("id"),
+          nearestCells(col("embedding"), cents.map(_._1),
+            cents.flatMap(_._2), probes).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      native == legacy
+    }
 }
