@@ -380,6 +380,19 @@ class ExtSpec extends SparkSpec {
     assert(cl.meanCentroidSim > 0.7)
   }
 
+  test("ivf probe clamp: a quantizer collapsed below the probe count still searches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two distinct vector values only -> Lloyd collapses 16 seeds to 2
+    // live cells; the auto probes (10 of 16) must clamp to 2, not throw
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(64)(j => if (j == (i % 2) * 3) 1f else 0f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val res = graft.ext.Similarity.ivfTopK(vecs, col("vec_id") < 4, k = 3)
+    assert(res.count() === 12, "4 queries x top-3 despite the collapse")
+  }
+
   test("ANN probe defaults scale as a fraction of cells; explicit probes win") {
     import graft.ext.Similarity.resolveProbes
     // the r11 measured operating points, re-derived from cells=16
