@@ -110,7 +110,13 @@ object Crossover {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("CROSSOVER.md")
+    // single-family rerun (GRAFT_CROSSOVER_ONLY) defaults its output to
+    // a FRAGMENT path — the full-run default would silently clobber the
+    // committed CROSSOVER.md's other families with empty tables
+    // (ADVICE r12); the fragment merges by hand.
+    val onlyEnv = sys.env.get("GRAFT_CROSSOVER_ONLY")
+    val out = args.headOption.getOrElse(
+      onlyEnv.fold("CROSSOVER.md")(f => s"CROSSOVER.$f.md"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,8 +139,7 @@ object Crossover {
     // section gate for re-running one family after a generator fix
     // without paying the whole ladder again (the md fragments merge by
     // hand into the committed CROSSOVER.md)
-    val only = sys.env.get("GRAFT_CROSSOVER_ONLY")
-    def section(name: String): Boolean = only.forall(_ == name)
+    def section(name: String): Boolean = onlyEnv.forall(_ == name)
 
     val md = new StringBuilder
     md ++= "# CROSSOVER — measured exact-vs-approximate break-even points\n\n"
@@ -155,17 +160,18 @@ object Crossover {
     // coverage keeps recall high — THE quantizer claim, now measured.
     md ++= "## 1. k-NN self-join (k=3): exact blocked grid vs IVF vs SRP-LSH\n\n"
     md ++= "Clustered corpus (cluster size 256, cluster count scales with n;\n"
-    md ++= "ivf: cells=sqrt(n) probes=4 → coverage shrinks as 4/sqrt(n);\n"
-    md ++= "lsh: 8 tables × 10 bits):\n\n"
+    md ++= "ivf: cells=sqrt(n) probes=4 → coverage shrinks as 4/sqrt(n),\n"
+    md ++= "two-level routed assignment past 64 cells (r13);\n"
+    md ++= "lsh: 8 tables × AUTO bits = log2(n/8) (r13 — fixed bits=8/10\n"
+    md ++= "measured superlinear at 150k in the r12 ladder):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
     val knnSizes = Seq(10000L, 25000L, 60000L, 150000L, 400000L)
     val exactCap = 60000L
-    // fixed-signature LSH goes superlinear on clustered data once the
-    // cluster-aligned bucket populations dominate (measured 439 s at
-    // 150k vs ivf's 105 s) — the honest statement is the ladder up to
-    // there plus the note; past it only the routed scan runs.
-    val lshCap = 150000L
+    // r12 capped the fixed-bits LSH at 150k (446 s, superlinear); with
+    // auto bits the signature keeps slicing as n grows, so the ladder
+    // runs the full height — the near-linear wall IS the claim under test.
+    val lshCap = 400000L
     def knnCell(vecs: DataFrame, n: Long, exactToo: Boolean,
         lshToo: Boolean): (String, String) = {
       val cells = math.max(16, math.sqrt(n.toDouble).toInt)
@@ -187,7 +193,7 @@ object Crossover {
         if (!lshToo) None
         else {
           val (df, s) = time {
-            val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 10)
+            val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = -1)
               .localCheckpoint(true)
             d.count(); d
           }

@@ -244,9 +244,19 @@ object Recall {
       "full recall DISTRIBUTION (p10/p50/min + frac_zero/frac_below_half) " +
       "— the operating contract for the tail, not just mean/min — and " +
       "knn_join_lsh gains the capped brute-force rescue for SRP-isolated " +
-      "queries (knnJoinLsh rescueCap=1024), so its frac_zero should read " +
-      "~0; the IVF variant's residual zeros are the undetectable " +
-      "wrong-cell tail, bounded by ~(1-probes/cells)^k per query"
+      "queries (knnJoinLsh rescueCap=1024). The rescue eliminates the " +
+      "DETECTABLE zero tail (queries returning < k banded rows — " +
+      "spec-pinned firing in ExtSpec since r13); a RESIDUAL nonzero " +
+      "frac_zero can still appear when a query banded k-full but every " +
+      "banked neighbor is wrong (the undetectable kind, same class as " +
+      "IVF's wrong-cell tail) — at sf0.1 that reads as one query " +
+      "(frac_zero 0.0005) on which the rescue, correctly, never fires. " +
+      "The IVF variant's residual zeros are the undetectable wrong-cell " +
+      "tail, bounded by ~(1-probes/cells)^k per query. r13: knnJoinLsh " +
+      "bits default -1 = auto (log2(n/8) from a corpus count — resolves " +
+      "to the legacy 8 at this sf0.1 corpus, so the registered block is " +
+      "comparable r12->r13); the rescue pipeline went lazy (persist, " +
+      "unconditional union) with identical results"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +

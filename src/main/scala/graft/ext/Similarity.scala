@@ -166,12 +166,35 @@ object Similarity {
     * corpora IVF's routed scan wins storage and locality instead. The
     * bucket join carries payload-free (id, table, bucket) frames; the
     * join key space is tables × 2^bits, scaled by `bits` as the corpus
-    * grows. */
+    * grows.
+    *
+    * `bits <= 0` = AUTO (the default): the signature width resolves to
+    * ~log2(n / 8) from one count of `vectors` — the [[resolveProbes]]
+    * discipline applied to the r12-measured LSH scale cliff
+    * (CROSSOVER.md §1: fixed bits=8 went superlinear at 150k rows,
+    * 446 s vs IVF's 54 s, because bucket population grows linearly with
+    * n once the signature stops slicing). Bits growing as log2(n) pins
+    * the EXPECTED bucket population (~8 per table) instead, so the
+    * banded-join pair stream grows ~linearly in n. Recall holds because
+    * flip-1 multi-probing widens with bits (bits+1 probes of 2^bits)
+    * and the table count still drives the (1-p)^tables miss decay; the
+    * ladder re-measured at 150k-400k is committed in CROSSOVER.md. At
+    * the registered sf0.1 corpus (2000 vectors) auto resolves to the
+    * legacy 8, so the default operating point (and its RECALL block) is
+    * unchanged. AUTO RUNS ONE COUNT JOB at plan-construction time —
+    * callers that need a fully lazy frame pass explicit bits.
+    *
+    * Since r13 the rescue pipeline is LAZY (ADVICE r12): the banded
+    * aggregate is `persist`ed, not checkpointed — recomputable lineage
+    * (executor loss replays it) and no Spark job until an action —
+    * and the rescue branch is unioned unconditionally (an empty
+    * short-query set makes it a zero-row union, not a driver probe). */
   def knnJoinLsh(vectors: DataFrame, k: Int = 3, tables: Int = 16,
-      bits: Int = 8, rescueCap: Int = 1024): DataFrame = {
+      bits: Int = -1, rescueCap: Int = 1024): DataFrame = {
+    val nBits = resolveBits(bits, () => vectors.count(), targetBucket = 8)
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val sigs = graft.functions.VectorFunctions.srpSignature(
-      col("embedding"), bands = tables, bits = bits, dim = 64, seed = 42)
+      col("embedding"), bands = tables, bits = nBits, dim = 64, seed = 42)
     val all = vectors.withColumn("sigs", sigs)
     val cand = all.select(col("vec_id").as("c_id"),
       posexplode(col("sigs")).as(Seq("t", "bucket")))
@@ -179,7 +202,7 @@ object Similarity {
         posexplode(col("sigs")).as(Seq("t", "bucket")))
       .select(col("q_id"), col("t"), explode(expr(
         s"""array_union(array(bucket),
-           |  transform(sequence(0, ${bits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
+           |  transform(sequence(0, ${nBits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
           .stripMargin)).as("bucket"))
     // no dropDuplicates pre-pass: the same pair surfacing via several
     // tables/probes scores identically, and TopKAggregator is idempotent
@@ -204,31 +227,38 @@ object Similarity {
     // has < k neighbors or is missing), so those queries get an exact
     // brute-force pass. The rescue side is hard-capped (lowest q_id
     // first, deterministic) so an adversarial corpus where banding finds
-    // nothing degrades to cap·n extra scores, never n²; queries past the
-    // cap keep their partial results — the documented residual tail.
-    // The aggregate is localCheckpointed so the short-set probe and the
-    // final assembly do not run the banded join twice.
+    // nothing degrades to cap·n extra scores, never n². Queries past the
+    // cap keep their partial results — or, if an over-cap query had ZERO
+    // collided pairs, stay ABSENT from the output entirely (partial-or-
+    // absent is the documented residual-tail contract; consumers that
+    // need one row per query left-join the query set back).
+    //
+    // LAZY since r13 (ADVICE r12): `persist` keeps recomputable lineage
+    // (fault-tolerant, unlike localCheckpoint) and runs NO job at
+    // construction — the broadcast of the rescue set is the first thing
+    // an action executes, which materializes the banded aggregate into
+    // the persisted blocks the main scan then reuses. The rescue branch
+    // unions unconditionally: with no short queries it contributes zero
+    // rows through a broadcast of an empty frame, never a driver probe.
     val nn =
       if (rescueCap <= 0) nnRaw
       else {
-        val done = nnRaw.localCheckpoint(true)
+        val done = nnRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val short = vectors.select(col("vec_id").as("q_id"))
           .join(done.filter(size(col("nn")) >= k).select("q_id"),
             Seq("q_id"), "left_anti")
           .orderBy("q_id").limit(rescueCap)
           .join(qVecs, "q_id")
-          .localCheckpoint(true)
-        if (short.isEmpty) done
-        else {
-          val rescued = cVecs
-            .join(broadcast(short), col("q_id") =!= col("c_id"))
-            .select(col("q_id"),
-              cosineSim(col("v_q"), col("v_c")).as("score"), col("c_id"))
-            .groupBy("q_id")
-            .agg(topk(col("score"), col("c_id")).as("nn"))
-          done.join(short.select("q_id"), Seq("q_id"), "left_anti")
-            .unionByName(rescued)
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rescued = cVecs
+          .join(broadcast(short), col("q_id") =!= col("c_id"))
+          .select(col("q_id"),
+            cosineSim(col("v_q"), col("v_c")).as("score"), col("c_id"))
+          .groupBy("q_id")
+          .agg(topk(col("score"), col("c_id")).as("nn"))
+        done.join(short.select("q_id"), Seq("q_id"), "left_anti")
+          .unionByName(rescued)
       }
     nn.select(col("q_id"), posexplode(col("nn")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
@@ -257,8 +287,14 @@ object Similarity {
     * [[Dedup.embedNearDupsLsh]]. */
   def lshTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
       tables: Int = 8, bits: Int = 6): DataFrame = {
+    // bits <= 0 = auto, same log2(n/target) shape as [[knnJoinLsh]] but
+    // at a denser target bucket (~32): the probe side here is a bounded
+    // query set, so candidate volume per query — not the symmetric pair
+    // stream — is what the width controls. Auto resolves to the legacy
+    // 6 at the registered sf0.1 corpus (2000 vectors).
+    val nBits = resolveBits(bits, () => candidates.count(), targetBucket = 32)
     val sigs = graft.functions.VectorFunctions.srpSignature(
-      col("embedding"), bands = tables, bits = bits, dim = 64, seed = 42)
+      col("embedding"), bands = tables, bits = nBits, dim = 64, seed = 42)
     val all = candidates.withColumn("sigs", sigs)
     // lean banded candidate frame: no embedding payloads through the join
     val cand = all.select(col("vec_id").as("c_id"),
@@ -269,7 +305,7 @@ object Similarity {
         posexplode(col("sigs")).as(Seq("t", "bucket")))
       .select(col("q_id"), col("t"), explode(expr(
         s"""array_union(array(bucket),
-           |  transform(sequence(0, ${bits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
+           |  transform(sequence(0, ${nBits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
           .stripMargin)).as("c_bucket"))
     val pairs = cand.join(broadcast(qProbe), Seq("t", "c_bucket"))
       .filter(col("q_id") =!= col("c_id"))
@@ -319,6 +355,25 @@ object Similarity {
     * `spark.graft.ann.*` confs using the committed RECALL sweep grids. */
   def resolveProbes(cells: Int, probes: Int, num: Int, den: Int): Int =
     if (probes > 0) probes else math.max(1, (cells * num + den - 1) / den)
+
+  /** Auto SRP signature width: `bits <= 0` resolves to
+    * round(log2(n / targetBucket)) clamped to [4, 24] — the
+    * [[resolveProbes]] discipline for the OTHER fixed-knob scale cliff
+    * (CROSSOVER.md §1 r12: bits=8 at 150k rows → linearly growing
+    * bucket populations → superlinear banded join). Pinning the
+    * EXPECTED per-table bucket population at `targetBucket` keeps the
+    * pair stream ~linear in n; the count supplier runs only in auto
+    * mode (explicit bits stay fully lazy). The cap at 24 bounds the
+    * flip-1 probe fan-out (bits+1 probes/table) and keeps bucket ids
+    * comfortably in int range. */
+  def resolveBits(bits: Int, count: () => Long, targetBucket: Int): Int =
+    if (bits > 0) bits
+    else {
+      val n = math.max(count(), 2L)
+      val raw = math.round(
+        math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+      math.max(4, math.min(24, raw))
+    }
   private def ivfProbes(cells: Int, probes: Int): Int =
     resolveProbes(cells, probes, 5, 8)   // 62.5% coverage → 10 of 16
   private def ivfpqProbes(cells: Int, probes: Int): Int =
@@ -334,12 +389,109 @@ object Similarity {
     * interpreted eval: measured 91 s vs 4 s at cells=64/n=10k. The
     * native expression carries the centroid matrix as a reference
     * object and keeps ranking bit-identical (cosine desc, cell id
-    * desc), so cells can scale with sqrt(n) as the 100 TB story needs. */
-  private def probeCells(cents: Seq[(Int, Seq[Float])], probes: Int): Column =
+    * desc), so cells can scale with sqrt(n) as the 100 TB story needs.
+    *
+    * TWO-LEVEL ROUTING (r13): a flat scan is still O(cells) per row —
+    * under the cells≈sqrt(n) rule that makes corpus-wide assignment
+    * O(n^1.5), which CROSSOVER.md §1 measured as the residual growth
+    * term of the r12 IVF ladder. Past
+    * `spark.graft.ann.routedCells.threshold` cells (default 64; -1
+    * disables) the probe column becomes
+    * [[org.apache.spark.sql.graft.NearestCellsRouted]]: a driver-side
+    * k-means ([[superGroups]]) folds the KB-scale centroid matrix into
+    * ~sqrt(cells) super-cells and each row scans only its
+    * `spark.graft.ann.superProbes` (default 4) nearest groups —
+    * O(sqrt(cells)) per row, O(n^1.25) corpus-wide. Registered entries
+    * run at cells=16, below the threshold, so their plans and results
+    * are byte-identical to r12; the routed path is the scale rung,
+    * measured in the r13 CROSSOVER ladder. */
+  private def probeCells(cents: Seq[(Int, Seq[Float])], probes: Int): Column = {
     // clamp: Lloyd steps can collapse emptied cells below the requested
     // probe count (the legacy slice() tolerated that silently)
-    graft.functions.VectorFunctions.nearestCells(col("embedding"),
-      cents.map(_._1), cents.flatMap(_._2), math.min(probes, cents.size))
+    val p = math.min(probes, cents.size)
+    val threshold = intConf(org.apache.spark.sql.SparkSession.active,
+      "spark.graft.ann.routedCells.threshold", 64)
+    if (threshold == -1 || cents.size < threshold)
+      graft.functions.VectorFunctions.nearestCells(col("embedding"),
+        cents.map(_._1), cents.flatMap(_._2), p)
+    else {
+      val (ids, mat, superMat, offs) = superGroups(cents)
+      val nGroups = offs.length - 1
+      val superProbes = math.min(nGroups, intConf(
+        org.apache.spark.sql.SparkSession.active,
+        "spark.graft.ann.superProbes", 4))
+      graft.functions.VectorFunctions.nearestCellsRouted(col("embedding"),
+        ids, mat, superMat, offs, p, superProbes)
+    }
+  }
+
+  /** Driver-side k-means of the fine centroids into ~sqrt(cells)
+    * super-cells for [[probeCells]]' routed mode — the classic two-level
+    * coarse quantizer (FAISS IMI shape), built where it belongs: the
+    * centroid matrix is KB-scale driver state already, so grouping it is
+    * microseconds of pure Scala, deterministic (seeds are every
+    * (cells/S)-th centroid in cell-id order; no RNG), and needs no Spark
+    * job. Returns the fine ids/matrix GROUPED by super-cell, the
+    * super-centroid matrix, and the S+1 fencepost offsets — the
+    * [[org.apache.spark.sql.graft.NearestCellsRouted]] layout contract.
+    * Empty groups are compacted away (fenceposts must be strictly
+    * increasing). */
+  private[graft] def superGroups(cents: Seq[(Int, Seq[Float])])
+      : (Seq[Int], Seq[Float], Seq[Float], Seq[Int]) = {
+    val sorted = cents.sortBy(_._1)
+    val cells = sorted.size
+    val dim = sorted.head._2.length
+    val s = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val fine: Array[Array[Double]] =
+      sorted.map(_._2.map(_.toDouble).toArray).toArray
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val c = if (denom == 0.0) 0.0 else dot / denom
+      if (java.lang.Double.isNaN(c)) Double.NegativeInfinity else c
+    }
+    var superCents: Array[Array[Double]] =
+      Array.tabulate(s)(i => fine((i.toLong * cells / s).toInt).clone())
+    val assign = new Array[Int](cells)
+    for (_ <- 0 until 5) {
+      var c = 0
+      while (c < cells) {
+        var best = 0; var bestSim = Double.NegativeInfinity; var g = 0
+        while (g < s) {
+          val sim = cosine(fine(c), superCents(g))
+          if (sim > bestSim) { bestSim = sim; best = g }
+          g += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = Array.fill(s)(new Array[Double](dim))
+      val cnt = new Array[Int](s)
+      c = 0
+      while (c < cells) {
+        val g = assign(c); cnt(g) += 1
+        var i = 0
+        while (i < dim) { sums(g)(i) += fine(c)(i); i += 1 }
+        c += 1
+      }
+      superCents = Array.tabulate(s) { g =>
+        if (cnt(g) == 0) superCents(g)
+        else { val m = sums(g); var i = 0
+          while (i < dim) { m(i) /= cnt(g); i += 1 }; m }
+      }
+    }
+    val groups = (0 until s).map(g =>
+      g -> (0 until cells).filter(assign(_) == g)).filter(_._2.nonEmpty)
+    val orderedIdx = groups.flatMap(_._2)
+    val ids = orderedIdx.map(i => sorted(i)._1)
+    val mat = orderedIdx.flatMap(i => sorted(i)._2)
+    val superMat = groups.flatMap { case (g, _) =>
+      superCents(g).map(_.toFloat).toSeq
+    }
+    val offs = groups.map(_._2.size).scanLeft(0)(_ + _)
+    (ids, mat, superMat, offs)
+  }
   private def nearestCellCol(cents: Seq[(Int, Seq[Float])]): Column =
     element_at(probeCells(cents, 1), 1)
 
@@ -999,11 +1151,13 @@ object Similarity {
         .orderBy("q_id", "rank")),
     // Symmetric SRP-banded approximate k-NN self-join — the
     // angle-sensitive path that dominates IVF on unclustered embeddings;
-    // recall for both committed per round vs the exact entry.
+    // recall for both committed per round vs the exact entry. bits
+    // defaults to -1 = auto since r13 (resolves to the legacy 8 at this
+    // corpus size — identical results — and grows as log2(n) past it).
     "x_knn_join_lsh" -> ((s, d) =>
       knnJoinLsh(emb(s, d), k = 3,
         tables = intConf(s, "spark.graft.knnjoin.lsh.tables", 16),
-        bits = intConf(s, "spark.graft.knnjoin.lsh.bits", 8))
+        bits = intConf(s, "spark.graft.knnjoin.lsh.bits", -1))
         .orderBy("q_id", "rank"))
   )
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, NearestCellSim, NearestCells, PqAdc, PqEncode, PqLut, ShingleSet, SimHash64, VecNorm}
+import org.apache.spark.sql.graft.{CosineSimilarity, Md5SimHash60, MinHashSignature, NearestCellSim, NearestCells, NearestCellsRouted, PqAdc, PqEncode, PqLut, ShingleSet, SimHash64, VecNorm}
 
 /** Column-API facade over the native Catalyst expressions
   * (o.a.s.sql.graft — see each expression's scaladoc for the why). */
@@ -19,6 +19,16 @@ object VectorFunctions {
       probes: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(vec),
       cellIds, centroids, probes))
+
+  /** Two-level routed [[NearestCells]]: score `superProbes` of the
+    * super-centroids, then only their fine-cell groups — O(sqrt(cells))
+    * per row instead of O(cells) (see [[NearestCellsRouted]]; with
+    * `superProbes` == the group count it is exactly [[NearestCells]]). */
+  def nearestCellsRouted(vec: Column, cellIds: Seq[Int],
+      centroids: Seq[Float], superCentroids: Seq[Float],
+      superOffsets: Seq[Int], probes: Int, superProbes: Int): Column =
+    GraftBridge.column(NearestCellsRouted(GraftBridge.expression(vec),
+      cellIds, centroids, superCentroids, superOffsets, probes, superProbes))
 
   /** Cosine similarity to the single nearest centroid ([[NearestCellSim]]). */
   def nearestCellSim(vec: Column, centroids: Seq[Float], nCells: Int): Column =

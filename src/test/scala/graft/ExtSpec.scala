@@ -1330,4 +1330,74 @@ class ExtSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TextAnalysis.heavyHitters(docs, phi = 0.0001, capacity = 100))
   }
+
+  // r13 (verdict #6): the knnJoinLsh zero-recall rescue's FIRING path,
+  // not just its dormant happy path. Corpus: a tight 50-vector bundle
+  // (dense, mutually colliding under SRP banding) plus orthogonal
+  // one-hot outliers whose hyperplane signs decorrelate from the bundle
+  // — at bits=16 an orthogonal pair agrees per bucket with prob
+  // ~0.5^16, so the outliers band with (nearly) nobody and classify as
+  // detectably short (< k banded neighbors). Deterministic end to end:
+  // fixed seed 42 plane sequence, fixed data.
+  private def rescueCorpus(nOutliers: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val bundle = (0 until 50).map { i =>
+      (100L + i, Array.tabulate(dim)(j =>
+        (math.sin(j * 0.37) + 0.01 * math.sin(i * 7.3 + j)).toFloat))
+    }
+    val outliers = (0 until nOutliers).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f))
+    }
+    (outliers ++ bundle).toDF("vec_id", "embedding")
+  }
+
+  test("lsh rescue FIRES: an SRP-isolated query gets exact brute-force top-k") {
+    val vecs = rescueCorpus(1)
+    // precondition of the scenario: with the rescue OFF the outlier is
+    // genuinely short (< k banded neighbors) — otherwise this test
+    // would pass vacuously through the banded path
+    val raw = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 16,
+      rescueCap = 0)
+    assert(raw.filter(col("q_id") === 0L).count() < 3,
+      "outlier was not SRP-isolated; tighten the corpus")
+    // with the rescue on, the detectably-short query comes back FULL
+    // and EXACT: identical rows to the brute-force k-NN join
+    val got = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 16)
+      .filter(col("q_id") === 0L).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.knnJoin(vecs, k = 3)
+      .filter(col("q_id") === 0L).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 3)
+    assert(got === exact)
+  }
+
+  test("lsh rescue cap overflow: lowest q_ids rescued, the rest partial-or-absent") {
+    val vecs = rescueCorpus(3)
+    // all three outliers are detectably short with the rescue off
+    val raw = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 16,
+      rescueCap = 0)
+    val shortIds = raw.groupBy("q_id").count().filter(col("count") < 3)
+      .select("q_id").collect().map(_.getLong(0)).toSet
+    val absentIds = (0L until 3L).toSet -- raw.select("q_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((shortIds ++ absentIds).intersect(Set(0L, 1L, 2L)) === Set(0L, 1L, 2L),
+      s"outliers not all short: short=$shortIds absent=$absentIds")
+    // cap = 1: only the lowest q_id (0) is rescued to full exact top-k;
+    // 1 and 2 stay at their banded partials — or absent entirely if
+    // they banded with nobody (the partial-or-absent residual contract)
+    val capped = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 16,
+      rescueCap = 1)
+    val exact0 = Similarity.knnJoin(vecs, k = 3)
+      .filter(col("q_id") === 0L).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val got0 = capped.filter(col("q_id") === 0L).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got0 === exact0)
+    Seq(1L, 2L).foreach { q =>
+      assert(capped.filter(col("q_id") === q).count() < 3,
+        s"over-cap query $q came back full — the cap did not bound the rescue")
+    }
+  }
 }

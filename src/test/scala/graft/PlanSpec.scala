@@ -133,9 +133,10 @@ class PlanSpec extends SparkSpec {
     // with no aggregate functions, costing a full exchange of the pair
     // stream); duplicates die inside the partial top-k instead
     // the banded CORE is inspected with the r12 zero-recall rescue off:
-    // the registered query localCheckpoints the aggregate (so the
-    // short-set probe and final assembly share one banded pass), which
-    // truncates the inspectable lineage
+    // the registered query persists the aggregate (lazily since r13 —
+    // the short-set derivation and final assembly share one banded
+    // pass through the cached blocks), which wraps the inspectable
+    // lineage in an InMemoryRelation
     val pl = explain(graft.ext.Similarity.knnJoinLsh(
       graft.Tables.embeddings(spark, sf), k = 3, rescueCap = 0))
     // the dedup's signature was an Exchange hash-partitioned on BOTH pair
