@@ -67,6 +67,24 @@ object Incremental {
   private val NullPart = "\u0000null"
   private val EmptyPart = "\u0000empty"
 
+  /** Collapse a rollup STATE frame to few write partitions before it
+    * stages. States are (touched partitions × subKeys) rows — KB-to-MB
+    * by the rollup contract ("the rollup is small") — but they arrive
+    * through a `spark.sql.shuffle.partitions`-way aggregation, and
+    * staging that raw wrote one near-empty parquet file PER SHUFFLE
+    * PARTITION (measured r13: 32 files for a 90-row state),
+    * multiplying every later listing/footer/scan cost of the table by
+    * the shuffle width. One file per staged state dir is the right
+    * shape at any rollup size that honors the contract;
+    * `spark.graft.rollup.stageParts` widens it for a deliberately huge
+    * rollup. */
+  private def stateShape(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.graft.rollup.stageParts", "1").trim.toInt
+    require(parts >= 1, "spark.graft.rollup.stageParts must be >= 1")
+    df.coalesce(parts)
+  }
+
   private def partTag(v: Any): String = v match {
     case null => NullPart
     case b: Array[Byte] =>
@@ -155,7 +173,7 @@ object Incremental {
             // untagged (None): a tagged entry needs >=1 partition value,
             // and the schema-carrier dir holds no partitions at all
             Versioned.publishEntries(spark, basePath, 0L,
-              Seq(ManifestEntry(Versioned.stage(fin.limit(0), basePath),
+              Seq(ManifestEntry(Versioned.stage(stateShape(fin.limit(0)), basePath),
                 None)),
               Map("batch_id" -> batchId))
           else recordBatchId(spark, basePath, batchId)
@@ -207,11 +225,12 @@ object Incremental {
       // schema would throw AnalysisException), so stage the typed
       // zero-row dir — its parquet footer carries the schema.
       val fin = finalizeState(partials)
-      val stEntry = Versioned.stageNonEmpty(fin, basePath, Some(touchedSet))
+      val stEntry = Versioned.stageNonEmpty(stateShape(fin), basePath, Some(touchedSet))
         .toSeq match {
           case Seq() if fin.schema.nonEmpty =>
             Seq(ManifestEntry(
-              Versioned.stage(fin.limit(0), basePath), Some(touchedSet)))
+              Versioned.stage(stateShape(fin.limit(0)), basePath),
+              Some(touchedSet)))
           case st => st
         }
       return Versioned.publishEntries(spark, basePath, 0L, stEntry,
@@ -241,7 +260,7 @@ object Incremental {
       // the batch partials ARE the merged state — nothing to read at
       // all; stage-then-check (footers) answers vanishing in one pass
       val stEntry = Versioned.stageNonEmpty(
-        finalizeState(partials), basePath, Some(touchedSet)).toSeq
+        stateShape(finalizeState(partials)), basePath, Some(touchedSet)).toSeq
       return Versioned.publishEntries(spark, basePath, head,
         delEnts ++ carried ++ stEntry, Map("batch_id" -> batchId))
     }
@@ -292,7 +311,7 @@ object Incremental {
     // each pipeline exactly once; an empty result costs a tiny write
     // that is deleted on the spot
     val mergedEntries = Versioned.stageNonEmpty(
-      merged, basePath, Some(touchedSet)).toSeq
+      stateShape(merged), basePath, Some(touchedSet)).toSeq
     // the remainder keeps the intersecting dirs' confinement minus the
     // touched values — but only if EVERY intersecting dir was tagged
     val remTag = {
@@ -302,7 +321,7 @@ object Incremental {
       } else None
     }
     val remEntries =
-      Versioned.stageNonEmpty(remainder, basePath, remTag).toSeq
+      Versioned.stageNonEmpty(stateShape(remainder), basePath, remTag).toSeq
     // a lost CAS leaves the freshly staged dirs orphaned — vacuumable
     // garbage, never visible
     Versioned.publishEntries(spark, basePath, head,
@@ -435,7 +454,7 @@ object Incremental {
                 s"rebuild derived from a stale head under $rollupBase")
             Seq.empty
           }, Map("batch_id" -> batchId))
-        else Versioned.commit(partials, rollupBase,
+        else Versioned.commit(stateShape(partials), rollupBase,
           expectedHead = Some(vs.lastOption.getOrElse(0L)),
           meta = Map("batch_id" -> batchId), parts = Some(parts))
       }

@@ -797,13 +797,22 @@ object Versioned {
     * after (one pipeline execution) instead of running `isEmpty` (a
     * full pipeline run) before staging (a second one). */
   private[sources] def stagedRowCount(spark: SparkSession,
-      dir: String): Long = {
+      dir: String): Long = stagedRowCount(spark, dir, Long.MaxValue)
+
+  /** Footer-derived row count of a staged dir, stopping once `atLeast`
+    * rows are seen. Footers are read SEQUENTIALLY ON THE DRIVER, so the
+    * emptiness probe behind [[stageNonEmpty]] (`atLeast = 1`) must not
+    * pay one open-per-file on a many-file dir when the first non-empty
+    * footer already answers it — on object storage each open is a
+    * round trip, and the probe runs on every rollup upsert. */
+  private[sources] def stagedRowCount(spark: SparkSession,
+      dir: String, atLeast: Long): Long = {
     import scala.jdk.CollectionConverters._
     val p = new Path(dir)
     val f = fs(spark, p)
     val it = f.listFiles(p, true)
     var n = 0L
-    while (it.hasNext) {
+    while (it.hasNext && n < atLeast) {
       val st = it.next()
       val path = st.getPath
       if (path.getName.endsWith(".parquet") &&
@@ -908,7 +917,8 @@ object Versioned {
       parts: Option[Set[String]]): Option[ManifestEntry] = {
     val spark = df.sparkSession
     val dir = stage(df, basePath)
-    if (stagedRowCount(spark, dir) > 0L) Some(ManifestEntry(dir, parts))
+    if (stagedRowCount(spark, dir, atLeast = 1L) > 0L)
+      Some(ManifestEntry(dir, parts))
     else {
       val p = new Path(dir)
       fs(spark, p).delete(p, true)

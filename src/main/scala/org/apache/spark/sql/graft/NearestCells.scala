@@ -32,7 +32,22 @@ import org.apache.spark.sql.types._
   * "nearest" cell was never meaningful, and ranking it last keeps the
   * selection deterministic without throwing mid-scan (the dim check
   * still throws, because a truncated vector is a caller bug, not a
-  * data artifact). */
+  * data artifact).
+  *
+  * WHY CodegenFallback and not doGenCode (r13 decision, measured-first
+  * per the r12 verdict): the expression is evaluated once per ROW,
+  * never per pair, and its work is `cells` fused cosine loops — at the
+  * registered operating point (cells=16, coverage 0.75, n=2000) that
+  * is 16 cosines per row against ~1500 per row in the downstream
+  * pair-scoring stage, ~1% of the stage's floating-point work; at
+  * crossover scale the ROUTED variant scans ~sqrt(cells)·5 of the
+  * cells against pair work that grows as k·sqrt(n). A generated-code
+  * version of this call cannot move the stage by the verdict's 10%
+  * bar when the call is ~1-3% of it; the boxing overhead it would
+  * remove is one ArrayData allocation per row. The surrounding stage
+  * keeps whole-stage codegen either way (this is the property that
+  * mattered — the r12 fix was about the LITERAL formulation breaking
+  * the WHOLE stage's codegen, not about this call's own dispatch). */
 case class NearestCells(child: Expression, cellIds: Seq[Int],
     centroids: Seq[Float], probes: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
