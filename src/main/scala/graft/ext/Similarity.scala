@@ -411,15 +411,28 @@ object Similarity {
     val p = math.min(probes, cents.size)
     val threshold = intConf(org.apache.spark.sql.SparkSession.active,
       "spark.graft.ann.routedCells.threshold", 64)
-    if (threshold == -1 || cents.size < threshold)
+    // Routing must not silently break the COVERAGE contract: the auto
+    // probe defaults request a FRACTION of cells (62.5-75% on isotropic
+    // corpora, where recall is coverage-bound), but a routed scan
+    // capped at `superProbes` groups can only ever return
+    // ~superProbes·cells/S cells. Two guards: (a) routing applies only
+    // when the requested probes are a SMALL fraction of cells (≤ 1/4 —
+    // at higher coverage the flat scan is within 4× of the routed one
+    // and exact, and the probe column is a tiny share of the stage
+    // either way, see the doGenCode note in NearestCells); (b) when it
+    // applies, the group fan-out widens to what the requested probe
+    // count needs (ceil(p·S/cells) + 1 slack for uneven groups) if the
+    // conf default is too narrow.
+    if (threshold == -1 || cents.size < threshold || p * 4 > cents.size)
       graft.functions.VectorFunctions.nearestCells(col("embedding"),
         cents.map(_._1), cents.flatMap(_._2), p)
     else {
       val (ids, mat, superMat, offs) = superGroups(cents)
       val nGroups = offs.length - 1
-      val superProbes = math.min(nGroups, intConf(
+      val needed = (p * nGroups + cents.size - 1) / cents.size + 1
+      val superProbes = math.min(nGroups, math.max(needed, intConf(
         org.apache.spark.sql.SparkSession.active,
-        "spark.graft.ann.superProbes", 4))
+        "spark.graft.ann.superProbes", 4)))
       graft.functions.VectorFunctions.nearestCellsRouted(col("embedding"),
         ids, mat, superMat, offs, p, superProbes)
     }

@@ -1352,6 +1352,33 @@ class ExtSpec extends SparkSpec {
     (outliers ++ bundle).toDF("vec_id", "embedding")
   }
 
+  test("routed probing respects the coverage contract: high-coverage probes stay flat, low-coverage route") {
+    // r13 guard: the auto probe defaults request a FRACTION of cells
+    // (coverage-bound isotropic operating points), while a routed scan
+    // bounded to superProbes groups can only return ~superProbes·S
+    // cells — so routing must apply ONLY when the requested probes are
+    // a small fraction of cells (≤1/4), and widen its fan-out to what
+    // the probe count needs when it does apply.
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Crossover.clusteredEmbeddings(spark, 2000L)
+      .localCheckpoint(true)
+    val index = Similarity.IvfIndex.train(vecs, cells = 100)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // auto probes = 62.5% of cells — far past the 1/4 routing bar: the
+    // QUERY-PROBE column must be the EXACT flat scan ("nearest_cells("
+    // is not a substring of "nearest_cells_routed("). The candidate
+    // ASSIGNMENT side (probes=1, 1% coverage) stays routed in the same
+    // plan — that is the split the guard exists to draw.
+    val hi = plan(index.search(vecs.filter(col("vec_id") < 5), k = 3))
+    assert(hi.contains("nearest_cells("), hi.take(2000))
+    // explicit low-coverage probes route BOTH sides — no flat scan left
+    val lo = plan(index.search(vecs.filter(col("vec_id") < 5), k = 3,
+      probes = 4))
+    assert(lo.contains("nearest_cells_routed("), lo.take(2000))
+    assert(!lo.contains("nearest_cells("), lo.take(2000))
+  }
+
   test("lsh rescue FIRES: an SRP-isolated query gets exact brute-force top-k") {
     val vecs = rescueCorpus(1)
     // precondition of the scenario: with the rescue OFF the outlier is
