@@ -286,6 +286,47 @@ object Crossover {
       docs.unpersist()
     }
 
+    // ------------------------------------- 4. routed-assignment fidelity
+    // The r13 two-level router is an APPROXIMATION of the flat
+    // nearest-cell scan; its recall is exact-comparable only up to the
+    // exact cap (60k). This family measures the approximation DIRECTLY
+    // at the sizes the router exists for: top-1 agreement (does routed
+    // assignment land in the flat scan's cell?) and probe-set overlap
+    // at the ladder's probes=4 operating point, over the FULL corpus —
+    // the flat column is the O(n·cells) scan the router replaces, paid
+    // here once as ground truth.
+    md ++= "\n## 4. Routed-assignment fidelity vs the flat scan (r13)\n\n"
+    md ++= "Clustered corpus, cells=sqrt(n), superProbes=4 of ~sqrt(cells)\n"
+    md ++= "groups; `top1` = routed top-1 cell == flat top-1 cell (the\n"
+    md ++= "assignment the index stores); `overlap@4` = |routed ∩ flat|/4\n"
+    md ++= "of the probes=4 probe sets (the search-side fan-out):\n\n"
+    md ++= "| n | cells | top1 agree | overlap@4 |\n"
+    md ++= "|---|---|---|---|\n"
+    if (section("routing")) Seq(150000L, 400000L).foreach { n =>
+      import graft.functions.VectorFunctions.{nearestCells, nearestCellsRouted}
+      val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
+      val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val index = graft.ext.Similarity.IvfIndex.train(vecs, cells)
+      val cents = index.centroids
+      val (ids, mat, superMat, offs) = graft.ext.Similarity.superGroups(cents)
+      val nGroups = offs.length - 1
+      def flat(p: Int) = nearestCells(col("embedding"),
+        cents.map(_._1), cents.flatMap(_._2), math.min(p, cents.size))
+      def routed(p: Int) = nearestCellsRouted(col("embedding"), ids, mat,
+        superMat, offs, math.min(p, cents.size), math.min(4, nGroups))
+      val m = vecs.select(
+          (element_at(flat(1), 1) === element_at(routed(1), 1))
+            .cast("double").as("agree"),
+          (size(array_intersect(flat(4), routed(4))) / lit(4.0)).as("ov"))
+        .agg(avg(col("agree")).as("a"), avg(col("ov")).as("o"))
+        .collect().head
+      md ++= s"| ${n / 1000}k | $cells | ${f3(m.getDouble(0))} " +
+        s"| ${f3(m.getDouble(1))} |\n"
+      println(s"[crossover] routing n=$n cells=$cells " +
+        s"top1=${f3(m.getDouble(0))} overlap4=${f3(m.getDouble(1))}")
+      vecs.unpersist()
+    }
+
     md ++= "\n## Reading\n\n"
     md ++= "Filled in by the committing round's notes after inspecting the\n"
     md ++= "numbers above: the break-even n per family, and which claims\n"
