@@ -166,11 +166,21 @@ object Crossover {
     md ++= "measured superlinear at 150k in the r12 ladder):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
-    val knnSizes = Seq(10000L, 25000L, 60000L, 150000L, 400000L)
+    // 1M is the r13 routed-assignment rung (ivf-only past the caps);
+    // GRAFT_CROSSOVER_KNN_MIN skips rungs below a floor so one new rung
+    // can be measured without re-paying the whole ladder (merge by hand
+    // like the ONLY fragments).
+    val knnMin = sys.env.get("GRAFT_CROSSOVER_KNN_MIN")
+      .map(_.toLong).getOrElse(0L)
+    val knnSizes = Seq(10000L, 25000L, 60000L, 150000L, 400000L,
+      1000000L).filter(_ >= knnMin)
     val exactCap = 60000L
     // r12 capped the fixed-bits LSH at 150k (446 s, superlinear); with
     // auto bits the signature keeps slicing as n grows, so the ladder
-    // runs the full height — the near-linear wall IS the claim under test.
+    // runs to 400k — the near-linear wall IS the claim under test. The
+    // 1M rung is ivf-only (the routed-assignment claim's rung; lsh at
+    // 1M is ~15 min of wall for no new information about its already-
+    // measured growth rate).
     val lshCap = 400000L
     def knnCell(vecs: DataFrame, n: Long, exactToo: Boolean,
         lshToo: Boolean): (String, String) = {
