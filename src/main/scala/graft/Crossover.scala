@@ -306,12 +306,14 @@ object Crossover {
     // the flat column is the O(n·cells) scan the router replaces, paid
     // here once as ground truth.
     md ++= "\n## 4. Routed-assignment fidelity vs the flat scan (r13)\n\n"
-    md ++= "Clustered corpus, cells=sqrt(n), superProbes=4 of ~sqrt(cells)\n"
-    md ++= "groups; `top1` = routed top-1 cell == flat top-1 cell (the\n"
-    md ++= "assignment the index stores); `overlap@4` = |routed ∩ flat|/4\n"
-    md ++= "of the probes=4 probe sets (the search-side fan-out):\n\n"
-    md ++= "| n | cells | top1 agree | overlap@4 |\n"
-    md ++= "|---|---|---|---|\n"
+    md ++= "Clustered corpus, cells=sqrt(n), superProbes SWEPT over the\n"
+    md ++= "group fan-out; `top1` = routed top-1 cell == flat top-1 cell\n"
+    md ++= "(the assignment the index stores); `overlap@4` = |routed ∩\n"
+    md ++= "flat|/4 of the probes=4 probe sets (the search-side fan-out);\n"
+    md ++= "`scan` = fraction of fine cells a row scores (S + sp·cells/S\n"
+    md ++= "over cells — the cost the router exists to bound):\n\n"
+    md ++= "| n | cells | S | superProbes | top1 agree | overlap@4 | scan |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
     if (section("routing")) Seq(150000L, 400000L).foreach { n =>
       import graft.functions.VectorFunctions.{nearestCells, nearestCellsRouted}
       val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
@@ -322,18 +324,26 @@ object Crossover {
       val nGroups = offs.length - 1
       def flat(p: Int) = nearestCells(col("embedding"),
         cents.map(_._1), cents.flatMap(_._2), math.min(p, cents.size))
-      def routed(p: Int) = nearestCellsRouted(col("embedding"), ids, mat,
-        superMat, offs, math.min(p, cents.size), math.min(4, nGroups))
-      val m = vecs.select(
-          (element_at(flat(1), 1) === element_at(routed(1), 1))
-            .cast("double").as("agree"),
-          (size(array_intersect(flat(4), routed(4))) / lit(4.0)).as("ov"))
-        .agg(avg(col("agree")).as("a"), avg(col("ov")).as("o"))
-        .collect().head
-      md ++= s"| ${n / 1000}k | $cells | ${f3(m.getDouble(0))} " +
-        s"| ${f3(m.getDouble(1))} |\n"
-      println(s"[crossover] routing n=$n cells=$cells " +
-        s"top1=${f3(m.getDouble(0))} overlap4=${f3(m.getDouble(1))}")
+      val sweep = Seq(2, 4,
+        math.ceil(math.sqrt(nGroups.toDouble)).toInt,
+        (nGroups + 3) / 4, (nGroups + 1) / 2).distinct.sorted
+        .map(sp => math.min(sp, nGroups)).distinct
+      sweep.foreach { sp =>
+        def routed(p: Int) = nearestCellsRouted(col("embedding"), ids, mat,
+          superMat, offs, math.min(p, cents.size), sp)
+        val m = vecs.select(
+            (element_at(flat(1), 1) === element_at(routed(1), 1))
+              .cast("double").as("agree"),
+            (size(array_intersect(flat(4), routed(4))) / lit(4.0)).as("ov"))
+          .agg(avg(col("agree")).as("a"), avg(col("ov")).as("o"))
+          .collect().head
+        val scan = (nGroups + sp.toDouble * cents.size / nGroups) / cents.size
+        md ++= s"| ${n / 1000}k | $cells | $nGroups | $sp " +
+          s"| ${f3(m.getDouble(0))} | ${f3(m.getDouble(1))} | ${f3(scan)} |\n"
+        println(s"[crossover] routing n=$n cells=$cells S=$nGroups sp=$sp " +
+          s"top1=${f3(m.getDouble(0))} overlap4=${f3(m.getDouble(1))} " +
+          s"scan=${f3(scan)}")
+      }
       vecs.unpersist()
     }
 

@@ -400,8 +400,10 @@ object Similarity {
     * [[org.apache.spark.sql.graft.NearestCellsRouted]]: a driver-side
     * k-means ([[superGroups]]) folds the KB-scale centroid matrix into
     * ~sqrt(cells) super-cells and each row scans only its
-    * `spark.graft.ann.superProbes` (default 4) nearest groups —
-    * O(sqrt(cells)) per row, O(n^1.25) corpus-wide. Registered entries
+    * `spark.graft.ann.superProbes` nearest groups (default -1 = auto =
+    * ceil(sqrt(S)), the measured near-flat-fidelity shape — see the
+    * in-line note below and CROSSOVER.md §4) — O(cells^0.75) per row,
+    * sub-O(n^1.5) corpus-wide. Registered entries
     * run at cells=16, below the threshold, so their plans and results
     * are byte-identical to r12; the routed path is the scale rung,
     * measured in the r13 CROSSOVER ladder. */
@@ -430,9 +432,20 @@ object Similarity {
       val (ids, mat, superMat, offs) = superGroups(cents)
       val nGroups = offs.length - 1
       val needed = (p * nGroups + cents.size - 1) / cents.size + 1
-      val superProbes = math.min(nGroups, math.max(needed, intConf(
-        org.apache.spark.sql.SparkSession.active,
-        "spark.graft.ann.superProbes", 4)))
+      // superProbes default -1 = AUTO = ceil(sqrt(S)) — the r13 fidelity
+      // sweep (CROSSOVER.md §4): a CONSTANT fan-out decays with S
+      // (top-1 agreement 0.978 at S=20 → 0.945 at S=26 under sp=4),
+      // a constant FRACTION of S holds fidelity but scans O(cells)
+      // again (just divided), while sp=ceil(sqrt(S)) measured
+      // 0.986/0.976 across the same S — near-flat — at a per-row scan
+      // of S + cells/sqrt(S) = O(cells^0.75) under S=sqrt(cells),
+      // keeping corpus-wide assignment sub-O(n·cells) asymptotically.
+      val conf = intConf(org.apache.spark.sql.SparkSession.active,
+        "spark.graft.ann.superProbes", -1)
+      val base =
+        if (conf > 0) conf
+        else math.ceil(math.sqrt(nGroups.toDouble)).toInt
+      val superProbes = math.min(nGroups, math.max(needed, base))
       graft.functions.VectorFunctions.nearestCellsRouted(col("embedding"),
         ids, mat, superMat, offs, p, superProbes)
     }
