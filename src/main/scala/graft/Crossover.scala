@@ -177,11 +177,11 @@ object Crossover {
     val exactCap = 60000L
     // r12 capped the fixed-bits LSH at 150k (446 s, superlinear); with
     // auto bits the signature keeps slicing as n grows, so the ladder
-    // runs to 400k — the near-linear wall IS the claim under test. The
-    // 1M rung is ivf-only (the routed-assignment claim's rung; lsh at
-    // 1M is ~15 min of wall for no new information about its already-
-    // measured growth rate).
-    val lshCap = 400000L
+    // runs to 400k by default — the near-linear wall IS the claim under
+    // test. GRAFT_CROSSOVER_LSH_CAP raises it for one-off rungs (the
+    // committed 1M lsh cell was measured that way).
+    val lshCap = sys.env.get("GRAFT_CROSSOVER_LSH_CAP")
+      .map(_.toLong).getOrElse(400000L)
     def knnCell(vecs: DataFrame, n: Long, exactToo: Boolean,
         lshToo: Boolean): (String, String) = {
       val cells = math.max(16, math.sqrt(n.toDouble).toInt)

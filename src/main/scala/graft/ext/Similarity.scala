@@ -105,7 +105,16 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
         pmod(xxhash64(col("vec_id")), lit(qblocks)).cast("int").as("qb"))
       .withColumn("b", explode(expr(s"sequence(0, ${blocks - 1})")))
-    val pairs = cand.join(qs, Seq("b", "qb"))
+    // STRATEGY PINNED (r13): both grid sides are corpus-scale, but a
+    // corpus that arrives from a narrow source (range-generated,
+    // localCheckpointed, fresh cache) carries a tiny/propagated size
+    // ESTIMATE, and Catalyst happily auto-broadcasts it — measured in
+    // the 1M crossover rung: the replicated grid side planned as a
+    // multi-GB HashedRelation build and OOM'd the driver. A join whose
+    // sides scale with the corpus must never ride on an estimate; the
+    // explicit shuffle-hash hint (build = the less-replicated side)
+    // keeps the plan shape constant from 10k rows to 100 TB.
+    val pairs = cand.hint("shuffle_hash").join(qs, Seq("b", "qb"))
     val nn = (if (excludeSelf) pairs.filter(col("q_id") =!= col("c_id"))
               else pairs)
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
@@ -138,7 +147,10 @@ object Similarity {
       .withColumn("probe_cells", probeCells(index.centroids, nProbes))
       .select(col("vec_id").as("q_id"), col("embedding").as("v_q"),
         explode(col("probe_cells")).as("cell"))
-    val nn = index.assigned.join(qProbe, Seq("cell"))
+    // strategy pinned like [[knnJoinAgainst]]: both sides are
+    // corpus-scale (assigned = n rows, probe side = n × probes), so the
+    // cell join must never auto-broadcast off a narrow-source estimate
+    val nn = index.assigned.hint("shuffle_hash").join(qProbe, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
         col("c_id"))
@@ -208,14 +220,25 @@ object Similarity {
     // tables/probes scores identically, and TopKAggregator is idempotent
     // on identical (score, id) — duplicates die inside the partial
     // aggregation instead of costing a full exchange of the pair stream
-    val pairs = cand.join(qProbe, Seq("t", "bucket"))
+    // STRATEGY PINNED (r13): the banded join's sides and the two vector
+    // re-joins all scale with the corpus; a narrow-source input (range,
+    // localCheckpoint, fresh cache) estimates small and Catalyst
+    // auto-broadcast them — at the 1M crossover rung the probe side
+    // (n × tables × (bits+1) rows) planned as a ~5-8 GB HashedRelation
+    // build and OOM'd. Explicit shuffle-hash pins the scale-safe shape:
+    // the banded join builds the less-replicated cand side; the
+    // re-joins build the n-row vector side per partition (one bounded
+    // shuffle of the embedding column — at corpus scale broadcast is
+    // impossible and sort-merge would sort the far larger pair stream).
+    val pairs = cand.hint("shuffle_hash").join(qProbe, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
     val cVecs = vectors.select(col("vec_id").as("c_id"),
       col("embedding").as("v_c"))
     val qVecs = vectors.select(col("vec_id").as("q_id"),
       col("embedding").as("v_q"))
-    val nnRaw = pairs.join(cVecs, "c_id").join(qVecs, "q_id")
+    val nnRaw = pairs.join(cVecs.hint("shuffle_hash"), "c_id")
+      .join(qVecs.hint("shuffle_hash"), "q_id")
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
         col("c_id"))
       .groupBy("q_id")
