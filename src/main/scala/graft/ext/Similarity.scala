@@ -220,16 +220,34 @@ object Similarity {
     // tables/probes scores identically, and TopKAggregator is idempotent
     // on identical (score, id) — duplicates die inside the partial
     // aggregation instead of costing a full exchange of the pair stream
-    // STRATEGY PINNED (r13): the banded join's sides and the two vector
-    // re-joins all scale with the corpus; a narrow-source input (range,
-    // localCheckpoint, fresh cache) estimates small and Catalyst
-    // auto-broadcast them — at the 1M crossover rung the probe side
-    // (n × tables × (bits+1) rows) planned as a ~5-8 GB HashedRelation
-    // build and OOM'd. Explicit shuffle-hash pins the scale-safe shape:
-    // the banded join builds the less-replicated cand side; the
-    // re-joins build the n-row vector side per partition (one bounded
-    // shuffle of the embedding column — at corpus scale broadcast is
-    // impossible and sort-merge would sort the far larger pair stream).
+    // STRATEGY PINNED (r13) — two different pins, for measured reasons:
+    //
+    // 1. The BANDED join's sides are lean (ids + bucket keys, no
+    //    payloads) but corpus-scale, and a narrow-source input (range,
+    //    localCheckpoint, fresh cache) estimates small, so Catalyst
+    //    auto-broadcast the probe side — n × tables × (bits+1) rows, a
+    //    ~5-8 GB HashedRelation build at the 1M crossover rung, OOM.
+    //    Explicit shuffle-hash pins it: both lean sides shuffle
+    //    (linear in n), the less-replicated cand side builds, and the
+    //    FAT pair stream the join emits stays fused in-stage.
+    //
+    // 2. The two vector RE-JOINS are explicit BROADCASTS — and must
+    //    be: the probe side of each is the pair stream (candidate
+    //    volume — n × tables × bucket population, the O(n·clusterSize)
+    //    term on clustered corpora), and any shuffle-based strategy
+    //    exchanges IT: measured 7.5× wall at 25k and a disk-filling
+    //    spill at 60k when these were shuffle-hash-pinned (the stream
+    //    re-shuffles once per vector side, the second time carrying
+    //    the first side's payloads). Broadcasting the n-row vector
+    //    projection keeps the pair stream fused from banded join
+    //    through scoring into the k-bounded partial aggregation —
+    //    nothing pair-shaped ever hits an exchange. ARCHITECTURAL
+    //    BOUND, now declared instead of estimate-accidental: the
+    //    broadcast is n × (4·dim + 8) bytes (~280 MB at 1M × 64-dim)
+    //    and must fit executor memory; past that regime the
+    //    exact-rerank banded shape is the wrong tool — route to
+    //    [[knnJoinIvf]] (vectors ride the cell join, no rejoin) or the
+    //    PQ family (rerank from ~12-byte codes).
     val pairs = cand.hint("shuffle_hash").join(qProbe, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
@@ -237,8 +255,8 @@ object Similarity {
       col("embedding").as("v_c"))
     val qVecs = vectors.select(col("vec_id").as("q_id"),
       col("embedding").as("v_q"))
-    val nnRaw = pairs.join(cVecs.hint("shuffle_hash"), "c_id")
-      .join(qVecs.hint("shuffle_hash"), "q_id")
+    val nnRaw = pairs.join(broadcast(cVecs), "c_id")
+      .join(broadcast(qVecs), "q_id")
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
         col("c_id"))
       .groupBy("q_id")
