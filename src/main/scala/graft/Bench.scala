@@ -169,6 +169,51 @@ object Bench {
     java.nio.file.Files.write(detailPath,
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val seqSum = seqResults.values.flatten.sum
+    // Successor gate (r14, BASELINE.md): the self-declared absolute rule
+    // (seq_sum <= the r5 139.9 s) stops being meaningful as the catalog
+    // grows, so the line now carries the two mechanical successors:
+    //  - `norm_sec_per_query` = seq_sum / #queries-with-a-latency; the
+    //    declared bar is the r5 baseline's 139.9/141 ~ 0.99 s/query, so
+    //    catalog growth is neither punished nor a place to hide.
+    //  - `common_subset_vs_prev` = this run's seq-min sum over EXACTLY
+    //    the queries present (non-null) in both this run and the banked
+    //    previous detail snapshot (`bench_prev_detail.json` at the repo
+    //    root, refreshed when a round banks a closing run; overridable
+    //    via SPARK_GRAFT_BENCH_PREV), vs the same sum from the snapshot
+    //    — a flat comparison no catalog delta can confound. `ratio` > 1
+    //    is a real same-query regression. null when no snapshot exists
+    //    or the run is sequential-mode (no seq pass to compare).
+    val seqOkCount = seqResults.values.flatten.size
+    val normSec = if (seqOkCount > 0) seqSum / seqOkCount else 0.0
+    val prevPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_PREV", "bench_prev_detail.json")
+    val commonJson: String = {
+      val p = java.nio.file.Paths.get(prevPath)
+      if (seqOkCount == 0 || !java.nio.file.Files.exists(p)) "null"
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val seqNode = mapper.readTree(p.toFile).get("sequential")
+        val prev = scala.collection.mutable.Map[String, Double]()
+        val it = seqNode.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) prev(e.getKey) = e.getValue.asDouble()
+        }
+        val common = seqResults.toSeq
+          .collect { case (k, Some(v)) if prev.contains(k) => (k, v, prev(k)) }
+        if (common.isEmpty) "null"
+        else {
+          val cur = common.map(_._2).sum
+          val prv = common.map(_._3).sum
+          s"""{"n":${common.size},"cur_sec":${f3(cur)},""" +
+            s""""prev_sec":${f3(prv)},"ratio":${f3(cur / prv)}}"""
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] WARNING: prev detail unreadable: $e")
+          "null"
+      }
+    }
     val hs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
     val runsJson = concRuns.map(r => f3(r._2)).mkString("[", ",", "]")
     // Honesty flag: when the box was contended enough that the three
@@ -181,7 +226,7 @@ object Bench {
     val unstable =
       (concWalls.max > concWalls.min * 2.0) ||
         (seqSums.size == 2 && seqSums.max > seqSums.min * 1.5)
-    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"conc_runs":$runsJson,"unstable":$unstable,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"conc_runs":$runsJson,"unstable":$unstable,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"norm_sec_per_query":${f3(normSec)},"common_subset_vs_prev":$commonJson,"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

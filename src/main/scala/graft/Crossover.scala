@@ -207,6 +207,10 @@ object Crossover {
               .localCheckpoint(true)
             d.count(); d
           }
+          // the eager localCheckpoint above consumed the rescue-path
+          // persists; release them so rungs don't accumulate corpus-scale
+          // cache entries across the ladder (ADVICE r13)
+          Similarity.sweepAnnCaches()
           Some((df, s))
         }
       val ivfR = exact.map(e => recallOf(ivfDf, e._1))

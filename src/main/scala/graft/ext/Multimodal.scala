@@ -456,9 +456,12 @@ object Multimodal {
       // exact cosine 1.0 excluded from a 1200-deep shortlist that kept
       // only audio). Unit-normalizing is the standard pre-ANN embedding
       // contract (what a real encoder's pooled output gets too), leaves
-      // every pairwise cosine — and with it the ExtSpec planted-clone
-      // pins — bit-unchanged, and makes the codebooks resolve DIRECTION
-      // structure for all kinds at once.
+      // every pairwise cosine unchanged up to Float rounding in the last
+      // ULPs (cosine is scale-invariant mathematically, but re-rounding
+      // each component perturbs computed values slightly — so the ExtSpec
+      // planted-clone pins are THRESHOLD assertions, never exact-value
+      // ones), and makes the codebooks resolve DIRECTION structure for
+      // all kinds at once.
       var nrm2 = 0.0
       prof.foreach(x => nrm2 += x.toDouble * x.toDouble)
       val nrm = math.sqrt(nrm2)
@@ -533,7 +536,8 @@ object Multimodal {
     /** Planted-clone probe corpus for the oracle-backed `x_media_neardup`
       * entry (r13, verdict #4): the documents-derived media plus one
       * near-identical clone of each IMAGE/VIDEO medium with id below
-      * [[CloneIdBound]] (10 clones), re-keyed at `media_id + CloneBase`,
+      * [[CloneIdBound]] (10 clones), re-keyed at `media_id +
+      * cloneBase(max doc_id)` ([[cloneBaseFor]]),
       * payload perturbed by flipping the LAST byte's low bit — pixel
       * data in both container formats (the ExtSpec planted-clone
       * construction), so exactly one decoded unit moves by one and
@@ -555,17 +559,38 @@ object Multimodal {
       * near-dup behavior in that regime (the ExtSpec strict-separation
       * note); the per-kind audio twin contract stays pinned in ExtSpec
       * at a corpus size where the family is sparse. */
-    val CloneBase = 1000000L
+    /** Floor of the clone re-key offset. The offset itself is DERIVED
+      * from the corpus (r14, VERDICT r13 #6): `cloneBase(maxId) =
+      * max(floor, maxId + 1)`, so clone ids can never silently alias a
+      * real media id on a corpus whose doc_ids cross the floor (the old
+      * fixed 1e6 constant was a latent aliasing hazard there). At every
+      * driver SF max(doc_id) ≪ 1e6, so the derived base IS the floor and
+      * the registered entry + its SQL oracle (which mirrors the same
+      * GREATEST(1000000, MAX(doc_id)+1) rule) are unchanged. */
+    val CloneBaseFloor = 1000000L
     val CloneIdBound = 15L
-    def mediaWithClones(s: SparkSession, d: String): Dataset[MediaRow] = {
+    def cloneBase(maxId: Long): Long = math.max(CloneBaseFloor, maxId + 1)
+    private val cloneBaseCache =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        java.lang.Long]()
+    /** Memoized per (session, dir) — one MAX(doc_id) scan, shared by the
+      * probe-corpus build and the twin predicate of the registered entry
+      * (both MUST see the same base or the contract flags go false). */
+    def cloneBaseFor(s: SparkSession, d: String): Long =
+      cloneBaseCache.computeIfAbsent((s, d), _ =>
+        cloneBase(documents(s, d).agg(max(col("doc_id"))).collect()
+          .head.getLong(0)))
+    def mediaWithClones(s: SparkSession, d: String): Dataset[MediaRow] =
+      mediaWithClones(fromDocuments(s, d), cloneBaseFor(s, d))
+    def mediaWithClones(base: Dataset[MediaRow], cb: Long): Dataset[MediaRow] = {
+      val s = base.sparkSession
       import s.implicits._
-      val base = fromDocuments(s, d)
       val clones = base
         .filter(r => r.media_id < CloneIdBound && r.media_id % 3 != 1)
         .map { r =>
           val p = r.payload.clone()
           p(p.length - 1) = (p(p.length - 1) ^ 1).toByte
-          r.copy(media_id = r.media_id + CloneBase, payload = p)
+          r.copy(media_id = r.media_id + cb, payload = p)
         }
       base.union(clones)
     }
@@ -644,7 +669,7 @@ object Multimodal {
     // per-call retrain shape remains as MultimodalPipeline.mediaNearDups).
     "x_media_neardup" -> ((s, d) => {
       val P = MultimodalPipeline
-      val twin = col("c_id") === col("q_id") - lit(P.CloneBase)
+      val twin = col("c_id") === col("q_id") - lit(P.cloneBaseFor(s, d))
       // The asserted contract is TOP-K MEMBERSHIP at near-dup cosine,
       // deliberately not rank-1: the synthetic corpus plants quasi-
       // clones of its own at scale (video ids Δ apart with 31Δ ≡ ±1
@@ -655,7 +680,7 @@ object Multimodal {
       // here a detector that finds the whole near-dup family — planted
       // twin included — is behaving exactly as specified.
       P.mediaNearDupsWith(P.cloneProbeIndexFor(s, d),
-          col("vec_id") >= P.CloneBase)
+          col("vec_id") >= P.cloneBaseFor(s, d))
         .groupBy(col("q_id"))
         .agg(max(twin).as("twin_in_topk"),
           max(twin && col("cosine") > 0.999).as("twin_cos_hi"),
@@ -708,7 +733,9 @@ object Multimodal {
     // top-k. Sensitive to any quantizer-routing, ADC-shortlist, or
     // rerank regression — the flag flips and the hash compare fails.
     "x_media_neardup" ->
-      """SELECT CAST(doc_id + 1000000 AS BIGINT) AS q_id,
+      """SELECT CAST(doc_id +
+        |    (SELECT GREATEST(1000000, MAX(doc_id) + 1) FROM documents)
+        |  AS BIGINT) AS q_id,
         |  true AS twin_in_topk, true AS twin_cos_hi,
         |  CAST(5 AS BIGINT) AS n_rows
         |FROM documents WHERE doc_id < 15 AND doc_id % 3 <> 1

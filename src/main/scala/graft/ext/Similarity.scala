@@ -203,7 +203,38 @@ object Similarity {
     * short-query set makes it a zero-row union, not a driver probe). */
   def knnJoinLsh(vectors: DataFrame, k: Int = 3, tables: Int = 16,
       bits: Int = -1, rescueCap: Int = 1024): DataFrame = {
-    val nBits = resolveBits(bits, () => vectors.count(), targetBucket = 8)
+    // memoized: auto-bits and the broadcast-bound guard share one count
+    var counted = -1L
+    val nBits = resolveBits(bits,
+      () => { counted = vectors.count(); counted }, targetBucket = 8)
+    // ENFORCED BOUND (r14, VERDICT r13 #1): the two vector re-joins below
+    // broadcast the full n × (4·dim + 8)-byte vector projection — the one
+    // architectural memory bound in this operator. Past it the failure
+    // mode used to be a raw executor OOM / 8 GB-broadcast error with no
+    // hint of the remedy; now it is a loud contract error that routes the
+    // caller to the right tool. `spark.graft.ann.lsh.broadcastBound`
+    // (bytes, default 1 GiB ≈ 4M × 64-dim rows; -1 disables) is checked
+    // against the memoized auto-bits count, or — when explicit bits kept
+    // the plan lazy — a LIMIT-bounded probe that scans at most
+    // bound/rowBytes + 1 rows (the [[IvfIndex.train]] trainCap shape), so
+    // the guard never pays a full count it doesn't already have.
+    val bound = longConf(vectors.sparkSession,
+      "spark.graft.ann.lsh.broadcastBound", 1L << 30)
+    if (bound > 0) {
+      val rowBytes = 4L * 64 + 8
+      val maxRows = bound / rowBytes
+      val n =
+        if (counted >= 0) counted
+        else vectors.limit(
+          math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+      require(n <= maxRows,
+        s"knnJoinLsh: corpus has >= $n rows; the exact-rerank banded shape " +
+          s"broadcasts n x (4*dim+8) = ${n * rowBytes} bytes of vectors, over " +
+          s"spark.graft.ann.lsh.broadcastBound=$bound. Past this regime use " +
+          "knnJoinIvf (vectors ride the cell join, no re-join) or the PQ " +
+          "family (rerank from ~12-byte codes), or raise the bound / set it " +
+          "to -1 if executors can hold the broadcast.")
+    }
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val sigs = graft.functions.VectorFunctions.srpSignature(
       col("embedding"), bands = tables, bits = nBits, dim = 64, seed = 42)
@@ -292,6 +323,10 @@ object Similarity {
           .orderBy("q_id").limit(rescueCap)
           .join(qVecs, "q_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // registered for [[sweepAnnCaches]] — see the registry scaladoc;
+        // CacheManager would otherwise pin both for the session lifetime
+        annCacheRegistry.add(done)
+        annCacheRegistry.add(short)
         val rescued = cVecs
           .join(broadcast(short), col("q_id") =!= col("c_id"))
           .select(col("q_id"),
@@ -448,12 +483,28 @@ object Similarity {
     * run at cells=16, below the threshold, so their plans and results
     * are byte-identical to r12; the routed path is the scale rung,
     * measured in the r13 CROSSOVER ladder. */
-  private def probeCells(cents: Seq[(Int, Seq[Float])], probes: Int): Column = {
+  private def probeCells(cents: Seq[(Int, Seq[Float])], probes: Int): Column =
+    probeCellsWith(cents, probes, activeAssignMode())
+
+  /** The conf-resolved routing parameters that decide HOW a probe/assign
+    * expression scans the centroid matrix: (routedCells.threshold,
+    * superProbes). Captured ONCE at quantizer train time and persisted
+    * with the index (r14, ADVICE r13): an append that re-resolved these
+    * from the session at call time would silently mix flat- and
+    * routed-assigned rows in one table whenever the confs (or the
+    * defaults) changed between build and append. */
+  private[graft] def activeAssignMode(): (Int, Int) = {
+    val s = org.apache.spark.sql.SparkSession.active
+    (intConf(s, "spark.graft.ann.routedCells.threshold", 64),
+      intConf(s, "spark.graft.ann.superProbes", -1))
+  }
+
+  private[graft] def probeCellsWith(cents: Seq[(Int, Seq[Float])], probes: Int,
+      mode: (Int, Int)): Column = {
     // clamp: Lloyd steps can collapse emptied cells below the requested
     // probe count (the legacy slice() tolerated that silently)
     val p = math.min(probes, cents.size)
-    val threshold = intConf(org.apache.spark.sql.SparkSession.active,
-      "spark.graft.ann.routedCells.threshold", 64)
+    val threshold = mode._1
     // Routing must not silently break the COVERAGE contract: the auto
     // probe defaults request a FRACTION of cells (62.5-75% on isotropic
     // corpora, where recall is coverage-bound), but a routed scan
@@ -481,8 +532,7 @@ object Similarity {
       // 0.986/0.976 across the same S — near-flat — at a per-row scan
       // of S + cells/sqrt(S) = O(cells^0.75) under S=sqrt(cells),
       // keeping corpus-wide assignment sub-O(n·cells) asymptotically.
-      val conf = intConf(org.apache.spark.sql.SparkSession.active,
-        "spark.graft.ann.superProbes", -1)
+      val conf = mode._2
       val base =
         if (conf > 0) conf
         else math.ceil(math.sqrt(nGroups.toDouble)).toInt
@@ -559,8 +609,37 @@ object Similarity {
     val offs = groups.map(_._2.size).scanLeft(0)(_ + _)
     (ids, mat, superMat, offs)
   }
-  private def nearestCellCol(cents: Seq[(Int, Seq[Float])]): Column =
-    element_at(probeCells(cents, 1), 1)
+  private[graft] def nearestCellColWith(cents: Seq[(Int, Seq[Float])],
+      mode: (Int, Int)): Column =
+    element_at(probeCellsWith(cents, 1, mode), 1)
+
+  /** Assignment-mode sidecar of a persisted index (see
+    * [[activeAssignMode]]): KB-scale, written by both `save` variants,
+    * read back by `load`/`append` so a maintained table keeps ONE
+    * assignment semantics for its whole life regardless of session-conf
+    * drift between build and append. */
+  private def writeAssignMeta(spark: SparkSession, path: String,
+      mode: (Int, Int)): Unit = {
+    import spark.implicits._
+    Seq(mode).toDF("routed_threshold", "super_probes")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/assign_meta")
+  }
+  /** Missing sidecar (an index saved before r14) falls back to the
+    * CURRENT session confs with a loud warning — the documented caveat
+    * that appends to such an index can mix assignment modes if confs
+    * changed since it was built. */
+  private def readAssignMeta(spark: SparkSession, path: String): (Int, Int) =
+    try {
+      val r = spark.read.parquet(s"$path/assign_meta").collect().head
+      (r.getInt(0), r.getInt(1))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"WARN graft-ann: no assign_meta at $path " +
+          "(index saved before the sidecar existed); assignment falls " +
+          "back to current session confs — appends may mix routing modes " +
+          "if spark.graft.ann.* changed since the index was built")
+        activeAssignMode()
+    }
 
   /** A trained IVF index: driver-resident centroids (FAISS-style) plus the
     * cell-assigned vector table — build ONCE, [[IvfIndex.search]] many
@@ -576,7 +655,12 @@ object Similarity {
       val meanCentroidSim: Double = Double.NaN,
       /** "lsh" when the probe saw no cluster structure, "ivf" when
         * routing pays, "unknown" on a loaded index. */
-      val recommendation: String = "unknown") {
+      val recommendation: String = "unknown",
+      /** Routing parameters the assigned table was built under — frozen
+        * at train time (or read back from the persisted sidecar), used
+        * by every later assignment against this index so appends can
+        * never mix flat- and routed-assigned rows (ADVICE r13). */
+      private[Similarity] val assignMode: (Int, Int) = activeAssignMode()) {
     /** Persist the trained index: the cell-assigned vector table lands
       * as an EXTERNAL table bucketed by `cell` (one bucket per cell — a
       * loaded index's probe join prunes to matching buckets with no
@@ -592,6 +676,7 @@ object Similarity {
         s"${name}_assigned", s"$path/assigned", centroids.size, Seq("cell"))
       centroids.toDF("cell", "vec")
         .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      writeAssignMeta(spark, path, assignMode)
     }
 
     /** Top-k per query vector in `queryVecs` (`vec_id`, `embedding`):
@@ -628,7 +713,8 @@ object Similarity {
       val assigned = spark.table(s"${name}_assigned")
       val source = assigned.select(col("c_id").as("vec_id"),
         col("v_c").as("embedding"))
-      new IvfIndex(centroids, source, assigned)
+      new IvfIndex(centroids, source, assigned,
+        assignMode = readAssignMeta(spark, path))
     }
 
     /** Incremental maintenance for a saved full-vector IVF index — the
@@ -644,8 +730,11 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
       graft.sources.Layout.registerBucketedExternal(spark,
         s"${name}_assigned", s"$path/assigned", centroids.size, Seq("cell"))
+      // assignment under the PERSISTED mode, never the session confs —
+      // one table, one assignment semantics for its whole life
       val assigned = newVectors.select(col("vec_id"), col("embedding"))
-        .withColumn("cell", nearestCellCol(centroids))
+        .withColumn("cell",
+          nearestCellColWith(centroids, readAssignMeta(spark, path)))
         .select(col("vec_id").as("c_id"), col("cell"),
           col("embedding").as("v_c"))
       graft.sources.Layout.appendBucketedExternal(assigned,
@@ -699,8 +788,11 @@ object Similarity {
           .repartition(candidates0.sparkSession
             .sparkContext.defaultParallelism)
           .localCheckpoint(true)
+      // routing params frozen HERE: Lloyd steps, the final assignment,
+      // and every future append against this index share one semantics
+      val assignMode = activeAssignMode()
       def nearestCell(cents: Seq[(Int, Seq[Float])]): Column =
-        nearestCellCol(cents)
+        nearestCellColWith(cents, assignMode)
       def collectCentroids(df: DataFrame): Seq[(Int, Seq[Float])] =
         df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
 
@@ -760,7 +852,7 @@ object Similarity {
         .withColumn("cell", nearestCell(centroids))
         .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
       new IvfIndex(centroids, candidates, assigned,
-        meanCentroidSim, recommendation)
+        meanCentroidSim, recommendation, assignMode)
     }
   }
 
@@ -976,6 +1068,7 @@ object Similarity {
       Seq((pq.codebooks.toSeq, m, pqCodes, probes))
         .toDF("codebooks", "m", "pq_codes", "probes")
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeAssignMeta(spark, path, ivf.assignMode)
     }
     /** [[search]] with the queries drawn from the index's own vector
       * table by predicate — the self-lookup shape every `x_ann_*` entry
@@ -1041,18 +1134,19 @@ object Similarity {
       graft.sources.Layout.registerBucketedExternal(spark,
         s"${name}_codes", s"$path/codes", centroids.size, Seq("cell"))
       val source = vectors.select(col("vec_id"), col("embedding"))
+      val assignMode = readAssignMeta(spark, path)
       // assigned/enc are lazy projections off the loaded quantizers —
       // declared for API completeness (IvfIndex.search / PqIndex.search
       // on the loaded handle), never evaluated by IvfPqIndex.search
       val assigned = source
-        .withColumn("cell", nearestCellCol(centroids))
+        .withColumn("cell", nearestCellColWith(centroids, assignMode))
         .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       val enc = source.select(col("vec_id").as("c_id"),
         pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
         vecNorm(col("embedding")).as("norm_c"))
       new IvfPqIndex(
-        new IvfIndex(centroids, source, assigned),
+        new IvfIndex(centroids, source, assigned, assignMode = assignMode),
         new PqIndex(codebooks, m, pqCodes, source, enc),
         probes, m, pqCodes,
         spark.table(s"${name}_codes"))
@@ -1092,8 +1186,11 @@ object Similarity {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       graft.sources.Layout.registerBucketedExternal(spark, s"${name}_codes",
         s"$path/codes", centroids.size, Seq("cell"))
+      // assignment under the PERSISTED mode, never the session confs —
+      // one code table, one assignment semantics for its whole life
       val enc = newVectors.select(col("vec_id"), col("embedding"))
-        .withColumn("cell", nearestCellCol(centroids))
+        .withColumn("cell",
+          nearestCellColWith(centroids, readAssignMeta(spark, path)))
         .select(col("cell"), col("vec_id").as("c_id"),
           pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
           vecNorm(col("embedding")).as("norm_c"))
@@ -1112,7 +1209,7 @@ object Similarity {
       val ivf = IvfIndex.train(candidates0, cells)
       val pq = PqIndex.train(ivf.source, m, pqCodes)
       val codes = ivf.source
-        .withColumn("cell", nearestCellCol(ivf.centroids))
+        .withColumn("cell", nearestCellColWith(ivf.centroids, ivf.assignMode))
         .select(col("cell"), col("vec_id").as("c_id"),
           pqEncode(col("embedding"), pq.codebooks, m, pqCodes).as("pq"),
           vecNorm(col("embedding")).as("norm_c"))
@@ -1168,6 +1265,39 @@ object Similarity {
     require(v > 0 || v == -1,
       s"$key must be positive (or -1 = auto fraction-of-cells), got $v")
     v
+  }
+
+  private def longConf(s: SparkSession, key: String, dflt: Long): Long = {
+    val v = s.conf.get(key, dflt.toString).trim.toLong
+    require(v > 0 || v == -1,
+      s"$key must be positive (or -1 = disabled), got $v")
+    v
+  }
+
+  /** Intra-query persists registered by [[knnJoinLsh]]'s rescue path.
+    * Dataset.persist pins the plan in the session CacheManager until an
+    * explicit unpersist — and the returned frame is LAZY, so the operator
+    * cannot unpersist after use itself (there is no "after" at
+    * construction time). The registry holds each persisted intermediate
+    * so [[sweepAnnCaches]] can release them once the caller's action has
+    * run; without a sweep, every call over a DISTINCT input accumulates a
+    * corpus-scale cached aggregate for the session's lifetime (ADVICE
+    * r13). Harness loops (Crossover ladder rungs, Recall) sweep between
+    * iterations; long-lived library sessions should sweep after consuming
+    * each result. Unpersist is non-blocking and lineage stays
+    * recomputable, so sweeping "too early" costs recompute, never
+    * correctness. */
+  private val annCacheRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every cached intermediate registered by [[knnJoinLsh]] since
+    * the last sweep. Safe to call at any time (see [[annCacheRegistry]]). */
+  def sweepAnnCaches(): Unit = {
+    var df = annCacheRegistry.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = annCacheRegistry.poll()
+    }
   }
 
   val queries: Map[String, Q] = Map(

