@@ -162,8 +162,11 @@ object Crossover {
     md ++= "Clustered corpus (cluster size 256, cluster count scales with n;\n"
     md ++= "ivf: cells=sqrt(n) probes=4 → coverage shrinks as 4/sqrt(n),\n"
     md ++= "two-level routed assignment past 64 cells (r13);\n"
-    md ++= "lsh: 8 tables × AUTO bits = log2(n/8) (r13 — fixed bits=8/10\n"
-    md ++= "measured superlinear at 150k in the r12 ladder):\n\n"
+    md ++= "lsh: 8 tables × AUTO bits (r13: log2(n/8) — fixed bits=8/10\n"
+    md ++= "measured superlinear at 150k in the r12 ladder; r14: auto is\n"
+    md ++= "REGIME-AWARE — the neighbor-cosine probe keeps the full-rate\n"
+    md ++= "ramp here and routes isotropic corpora to the half-rate\n"
+    md ++= "anchored ramp, see the isotropic table):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
     // 1M is the r13 routed-assignment rung (ivf-only past the caps);
@@ -237,7 +240,10 @@ object Crossover {
       vecs.unpersist()
     }
     md ++= "\nIsotropic contrast (the testdata regime — no structure to\n"
-    md ++= "route by; approximate variants at the SAME knobs):\n\n"
+    md ++= "route by; approximate variants at the SAME knobs; since r14\n"
+    md ++= "the regime probe routes these corpora to the half-rate\n"
+    md ++= "anchored bits ramp — 9/10 bits at 10k/25k vs the full-rate\n"
+    md ++= "10/12 that traded recall down in the r13 table):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
     if (section("knn")) Seq(10000L, 25000L).foreach { n =>
@@ -309,7 +315,7 @@ object Crossover {
     // at the ladder's probes=4 operating point, over the FULL corpus —
     // the flat column is the O(n·cells) scan the router replaces, paid
     // here once as ground truth.
-    md ++= "\n## 4. Routed-assignment fidelity vs the flat scan (r13)\n\n"
+    md ++= "\n## 4. Routed-assignment fidelity vs the flat scan (r13; extended past S≈30 in r14)\n\n"
     md ++= "Clustered corpus, cells=sqrt(n), superProbes SWEPT over the\n"
     md ++= "group fan-out; `top1` = routed top-1 cell == flat top-1 cell\n"
     md ++= "(the assignment the index stores); `overlap@4` = |routed ∩\n"
@@ -318,7 +324,15 @@ object Crossover {
     md ++= "over cells — the cost the router exists to bound):\n\n"
     md ++= "| n | cells | S | superProbes | top1 agree | overlap@4 | scan |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
-    if (section("routing")) Seq(150000L, 400000L).foreach { n =>
+    // r14 (VERDICT r13 #4): the 1M/4M rungs (S=32/45) close the residual —
+    // the auto = ceil(sqrt(S)) near-flat-fidelity claim was measured only
+    // to S=26 and extrapolated past it. GRAFT_CROSSOVER_ROUTING_MIN skips
+    // rungs below a floor (merge fragments by hand, like KNN_MIN).
+    val routingMin = sys.env.get("GRAFT_CROSSOVER_ROUTING_MIN")
+      .map(_.toLong).getOrElse(0L)
+    val routingSizes = Seq(150000L, 400000L, 1000000L, 4000000L)
+      .filter(_ >= routingMin)
+    if (section("routing")) routingSizes.foreach { n =>
       import graft.functions.VectorFunctions.{nearestCells, nearestCellsRouted}
       val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
       val cells = math.max(16, math.sqrt(n.toDouble).toInt)
@@ -328,6 +342,13 @@ object Crossover {
       val nGroups = offs.length - 1
       def flat(p: Int) = nearestCells(col("embedding"),
         cents.map(_._1), cents.flatMap(_._2), math.min(p, cents.size))
+      // the flat ground truth is the O(n·cells) scan the router replaces —
+      // pay it ONCE per rung (it dominates the rung past 1M×1000 cells);
+      // each sweep point then scores only its routed column against the
+      // checkpointed flat answers
+      val flats = vecs.select(col("embedding"),
+          element_at(flat(1), 1).as("f1"), flat(4).as("f4"))
+        .localCheckpoint(true)
       val sweep = Seq(2, 4,
         math.ceil(math.sqrt(nGroups.toDouble)).toInt,
         (nGroups + 3) / 4, (nGroups + 1) / 2).distinct.sorted
@@ -335,10 +356,10 @@ object Crossover {
       sweep.foreach { sp =>
         def routed(p: Int) = nearestCellsRouted(col("embedding"), ids, mat,
           superMat, offs, math.min(p, cents.size), sp)
-        val m = vecs.select(
-            (element_at(flat(1), 1) === element_at(routed(1), 1))
+        val m = flats.select(
+            (col("f1") === element_at(routed(1), 1))
               .cast("double").as("agree"),
-            (size(array_intersect(flat(4), routed(4))) / lit(4.0)).as("ov"))
+            (size(array_intersect(col("f4"), routed(4))) / lit(4.0)).as("ov"))
           .agg(avg(col("agree")).as("a"), avg(col("ov")).as("o"))
           .collect().head
         val scan = (nGroups + sp.toDouble * cents.size / nGroups) / cents.size
@@ -348,6 +369,7 @@ object Crossover {
           s"top1=${f3(m.getDouble(0))} overlap4=${f3(m.getDouble(1))} " +
           s"scan=${f3(scan)}")
       }
+      flats.unpersist()
       vecs.unpersist()
     }
 

@@ -70,11 +70,17 @@ object Recall {
     val embAll = graft.Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
     val reranks = Seq(100, 200, 400)
-    val pqIdx = graft.ext.Similarity.PqIndex.train(embAll)
-    val pqSweep = reranks.map { r =>
-      val (mean, min) = meanMin(sets(
-        pqIdx.search(embAll.filter(col("vec_id") < 10), k, r)))
-      s"""{"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
+    // pqCodes joined the grid in r14 (VERDICT r13 #7: the registered
+    // point's min-recall tail) — 32 codes need the long-packed layout
+    // the expressions grew this round; training cost doubles per step
+    // (k-means over 2x centroids) but the ADC scan shape is unchanged.
+    val pqSweep = Seq(16, 32).flatMap { kc =>
+      val pqIdx = graft.ext.Similarity.PqIndex.train(embAll, pqCodes = kc)
+      reranks.map { r =>
+        val (mean, min) = meanMin(sets(
+          pqIdx.search(embAll.filter(col("vec_id") < 10), k, r)))
+        s"""{"pqCodes":$kc,"rerank":$r,"mean":${f3(mean)},"min":${f3(min)}}"""
+      }
     }
     val ivfpqSweep = for (p <- Seq(4, 8, 12); r <- reranks) yield {
       val idx = graft.ext.Similarity.IvfPqIndex.train(

@@ -190,10 +190,20 @@ object Similarity {
     * banded-join pair stream grows ~linearly in n. Recall holds because
     * flip-1 multi-probing widens with bits (bits+1 probes of 2^bits)
     * and the table count still drives the (1-p)^tables miss decay; the
-    * ladder re-measured at 150k-400k is committed in CROSSOVER.md. At
-    * the registered sf0.1 corpus (2000 vectors) auto resolves to the
-    * legacy 8, so the default operating point (and its RECALL block) is
-    * unchanged. AUTO RUNS ONE COUNT JOB at plan-construction time —
+    * ladder re-measured at 150k-400k is committed in CROSSOVER.md.
+    *
+    * REGIME-AWARE since r14 (VERDICT r13 #2): the full-rate ramp above
+    * is the CLUSTERED-regime formula — on isotropic corpora recall is
+    * collision-bound and the same ramp traded it DOWN (CROSSOVER §1:
+    * 0.536 → 0.312 at 25k), so auto mode first resolves the regime
+    * ([[resolveLshRegime]]: conf override or the measured
+    * [[neighborCosineProbe]]) and isotropic corpora take the half-rate
+    * anchored ramp instead (see [[resolveBits]]). At the registered
+    * sf0.1 corpus (2000 vectors ≈ the anchor) BOTH formulas resolve to
+    * the legacy 8, so the default operating point (and its RECALL
+    * block) is unchanged under the switch. AUTO RUNS UP TO THREE JOBS
+    * at plan-construction time (count, probe-query sample, one probe
+    * scan; conf `spark.graft.ann.lsh.regime` skips the last two) —
     * callers that need a fully lazy frame pass explicit bits.
     *
     * Since r13 the rescue pipeline is LAZY (ADVICE r12): the banded
@@ -206,7 +216,8 @@ object Similarity {
     // memoized: auto-bits and the broadcast-bound guard share one count
     var counted = -1L
     val nBits = resolveBits(bits,
-      () => { counted = vectors.count(); counted }, targetBucket = 8)
+      () => { counted = vectors.count(); counted }, targetBucket = 8,
+      regime = () => resolveLshRegime(vectors))
     // ENFORCED BOUND (r14, VERDICT r13 #1): the two vector re-joins below
     // broadcast the full n × (4·dim + 8)-byte vector projection — the one
     // architectural memory bound in this operator. Past it the failure
@@ -368,7 +379,8 @@ object Similarity {
     // query set, so candidate volume per query — not the symmetric pair
     // stream — is what the width controls. Auto resolves to the legacy
     // 6 at the registered sf0.1 corpus (2000 vectors).
-    val nBits = resolveBits(bits, () => candidates.count(), targetBucket = 32)
+    val nBits = resolveBits(bits, () => candidates.count(), targetBucket = 32,
+      regime = () => resolveLshRegime(candidates))
     val sigs = graft.functions.VectorFunctions.srpSignature(
       col("embedding"), bands = tables, bits = nBits, dim = 64, seed = 42)
     val all = candidates.withColumn("sigs", sigs)
@@ -443,13 +455,131 @@ object Similarity {
     * flip-1 probe fan-out (bits+1 probes/table) and keeps bucket ids
     * comfortably in int range. */
   def resolveBits(bits: Int, count: () => Long, targetBucket: Int): Int =
+    resolveBits(bits, count, targetBucket, () => "clustered")
+
+  /** The corpus-size scale at which the committed recall grids were
+    * measured (RECALL_r*.json's registered sf0.1 corpus: 2000 vectors;
+    * the CROSSOVER isotropic rungs anchor here too). The isotropic
+    * auto-bits ramp grows FROM this anchor — both regime formulas
+    * resolve to the same width at this n by construction, which is what
+    * keeps every registered operating point invariant under the regime
+    * switch. */
+  private[graft] val LshAnchorN = 2048L
+
+  /** Regime-aware auto width (r14, VERDICT r13 #2). The two regimes need
+    * opposite things from the signature:
+    *
+    *  - CLUSTERED (real corpora): true neighbors sit at near-dup cosine
+    *    (θ → 0), so per-plane collision probability 1 - θ/π ≈ 1 and
+    *    recall survives ANY width — the binding constraint is the pair
+    *    stream, so bits track the bucket-POPULATION target at full rate,
+    *    log2(n / targetBucket) (bucket population pinned ≈ targetBucket,
+    *    pair stream ~linear in n; the CROSSOVER §1 clustered ladder
+    *    holds recall 1.000 up it).
+    *  - ISOTROPIC (the adversarial floor): nearest neighbors sit at
+    *    moderate cosine (θ ≈ 50-60°), per-plane collision ≈ 0.65-0.7,
+    *    and recall decays ~p^bits per table — CROSSOVER §1 measured the
+    *    full-rate ramp TRADING recall DOWN (25k: 0.536 at the old fixed
+    *    10 bits → 0.312 at auto 12). Here bits grow at HALF rate from
+    *    the measured-recall anchor: log2(AnchorN/target) +
+    *    0.5·log2(n/AnchorN) — bucket population grows as sqrt(n)
+    *    (candidate volume O(n^1.5) total: the honest price of recall in
+    *    the regime where approximation has no structure to exploit),
+    *    capped by the full-rate width so small corpora are never made
+    *    WIDER than the population target.
+    *
+    * Which regime applies comes from `regime()` — resolved by
+    * [[resolveLshRegime]] (conf override or the measured
+    * [[neighborCosineProbe]]) and evaluated only in auto mode. */
+  def resolveBits(bits: Int, count: () => Long, targetBucket: Int,
+      regime: () => String): Int =
     if (bits > 0) bits
     else {
+      def log2(x: Double) = math.log(x) / math.log(2.0)
       val n = math.max(count(), 2L)
-      val raw = math.round(
-        math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
-      math.max(4, math.min(24, raw))
+      val full = math.round(log2(n.toDouble / targetBucket)).toInt
+      val r = regime()
+      val raw =
+        if (r == "isotropic") {
+          val anchored = math.round(log2(LshAnchorN.toDouble / targetBucket) +
+            0.5 * log2(n.toDouble / LshAnchorN)).toInt
+          math.min(full, anchored)
+        } else full
+      val resolved = math.max(4, math.min(24, raw))
+      System.err.println(s"INFO graft-ann: lsh auto-bits n=$n regime=$r" +
+        s" targetBucket=$targetBucket -> bits=$resolved")
+      resolved
     }
+
+  /** Measured LSH regime verdict for a `(vec_id, embedding)` corpus:
+    * mean top-1 neighbor cosine — the quantity that DIRECTLY decides
+    * whether wider signatures preserve recall (per-plane collision
+    * probability for a neighbor at angle θ is 1 - θ/π; clustered
+    * corpora hold neighbors at θ → 0 and tolerate any width, isotropic
+    * ones at θ ≈ 55° lose ~p^bits recall per table — the CROSSOVER §1
+    * isotropic table). A driver-side SAMPLE cannot see this (cluster
+    * count grows with n, so a bounded sample's same-cluster pair count
+    * decays to zero), so the probe is one distributed pass: `nQueries`
+    * hash-sampled query vectors re-enter as a literal matrix (the
+    * [[org.apache.spark.sql.graft.NearestCellSim]] machinery — queries
+    * play the centroid role), every non-query row scores its nearest
+    * query in one codegen'd scan, and per-query max cosine over the
+    * rows that chose it is a tight lower bound on that query's true
+    * top-1 neighbor. Cost: one corpus scan of nQueries fused cosines —
+    * the same order as the count auto mode already pays.
+    *
+    * `spark.graft.ann.lsh.regimeThreshold` (default 0.80) splits the
+    * verdicts: measured means are ~0.97+ on the clustered generator and
+    * ~0.5-0.7 on isotropic ones (testdata embeddings included), so the
+    * threshold sits in the gap. Returns the raw mean so callers can log
+    * or re-threshold. */
+  private[graft] def neighborCosineProbe(vectors: DataFrame,
+      nQueries: Int = 256): Double = {
+    import graft.functions.VectorFunctions.{nearestCellSim, nearestCells}
+    val qRows = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(nQueries)
+      .collect()
+    if (qRows.length < 2) return 0.0
+    val qVals: Seq[Any] = qRows.map(_.get(0)).toSeq
+    val flat: Seq[Float] = qRows.flatMap(_.getSeq[Float](1)).toSeq
+    val nq = qRows.length
+    val row = vectors
+      .filter(!col("vec_id").isin(qVals: _*))
+      .select(
+        element_at(nearestCells(col("embedding"), 0 until nq, flat, 1), 1)
+          .as("q"),
+        nearestCellSim(col("embedding"), flat, nq).as("s"))
+      .groupBy(col("q")).agg(max(col("s")).as("top1"))
+      .agg(avg(col("top1"))).collect().head
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Resolve the LSH regime for auto-bits: the conf override
+    * `spark.graft.ann.lsh.regime` ∈ {auto, clustered, isotropic}
+    * (default auto) short-circuits the probe for callers who know their
+    * corpus; auto runs [[neighborCosineProbe]] once and thresholds at
+    * `spark.graft.ann.lsh.regimeThreshold`. Logged at resolve time,
+    * like the IVF isotropy probe — the operating regime is visible
+    * exactly where the tuning decision is made. */
+  private[graft] def resolveLshRegime(vectors: DataFrame): String = {
+    val s = vectors.sparkSession
+    val conf = s.conf.get("spark.graft.ann.lsh.regime", "auto").trim
+    require(Seq("auto", "clustered", "isotropic").contains(conf),
+      s"spark.graft.ann.lsh.regime must be auto|clustered|isotropic, got $conf")
+    if (conf != "auto") conf
+    else {
+      val thr = s.conf.get("spark.graft.ann.lsh.regimeThreshold", "0.80")
+        .trim.toDouble
+      val mean = neighborCosineProbe(vectors)
+      val verdict = if (mean >= thr) "clustered" else "isotropic"
+      System.err.println(
+        f"INFO graft-ann: lsh regime probe meanTop1Cosine=$mean%.3f" +
+          f" threshold=$thr%.2f -> $verdict")
+      verdict
+    }
+  }
   private def ivfProbes(cells: Int, probes: Int): Int =
     resolveProbes(cells, probes, 5, 8)   // 62.5% coverage → 10 of 16
   private def ivfpqProbes(cells: Int, probes: Int): Int =
@@ -857,7 +987,8 @@ object Similarity {
   }
 
   /** Product-quantization ANN — the memory-bound scale path: vectors
-    * compress to `m` packed 4-bit codes + a norm (~12 bytes), the heavy
+    * compress to `m` packed ceil(log2(pqCodes))-bit codes + a norm
+    * (~12 bytes at the default 4-bit layout; 16 at a long-packed one), the heavy
     * query×candidate scan scores via `m` lookups into a per-query ADC
     * table, and only a `rerank`-deep shortlist ever touches the full
     * vectors again (via a join back to the vector table — the codes scan
@@ -867,9 +998,19 @@ object Similarity {
     * training just has to be uncorrelated with the queries). Shortlist
     * ranking = ADC-approximate
     * cosine (adc_dot / candidate norm; the query norm is constant within
-    * a query and cannot change its ranking). */
+    * a query and cannot change its ranking).
+    *
+    * `pqCodes` defaults to 32 since r14 (VERDICT r13 #7: the 16-code
+    * registered point carried a 0.4 min-recall tail for several rounds).
+    * The RECALL_r14 sweep at the registered rerank=200: 16 codes
+    * mean 0.82 / min 0.4 → 32 codes mean 0.90 / min 0.6 — codebook
+    * RESOLUTION was the binding constraint on this isotropic corpus, not
+    * shortlist depth (16 codes needed rerank=400 to reach min 0.6).
+    * Costs: codes pack 5-bit → a long (8 B/vector vs 4), LUT doubles to
+    * m×32 doubles per query, training Lloyd steps score 2× centroids —
+    * the ADC scan shape (the corpus-bound term) is unchanged. */
   def pqTopK(candidates: DataFrame, queryFilter: Column, k: Int = 5,
-      m: Int = 8, pqCodes: Int = 16, rerank: Int = 200): DataFrame = {
+      m: Int = 8, pqCodes: Int = 32, rerank: Int = 200): DataFrame = {
     val index = PqIndex.train(candidates, m, pqCodes)
     index.search(candidates.filter(queryFilter), k, rerank)
   }
@@ -945,14 +1086,17 @@ object Similarity {
       * first-k seeding correlated seeds with the registered queries and
       * flattered measured recall), then refined by `lloydIters`
       * per-subspace k-means steps and encode every vector to `m` packed
-      * 4-bit codes plus its norm. Each Lloyd step is fully distributed:
+      * ceil(log2(pqCodes))-bit codes plus its norm (int-packed at the
+      * default 16 codes — the historical layout, so saved indexes keep
+      * loading — long-packed past 32 bits, e.g. pqCodes=32).
+      * Each Lloyd step is fully distributed:
       * one pass encodes with the current codebooks and the
       * per-(subspace, code) mean subvectors come back through the typed
       * [[graft.functions.CentroidAggregator]] (≤ m×k tiny partials);
       * a code that captures no vectors keeps its previous centroid. The
       * k-means objective (total sub-quantization error) is monotone
       * non-increasing per step — property-tested in ExtSpec. */
-    def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 16,
+    def train(candidates: DataFrame, m: Int = 8, pqCodes: Int = 32,
         lloydIters: Int = 2): PqIndex = {
       import graft.functions.VectorFunctions.{pqEncode, vecNorm}
       // bounded training set, same discipline (and same hash order) as
@@ -989,6 +1133,8 @@ object Similarity {
       var codebooks = new Array[Float](m * pqCodes * subDim)
       for (((_, v), ki) <- seedRows.zipWithIndex; mi <- 0 until m; d <- 0 until subDim)
         codebooks((mi * pqCodes + ki) * subDim + d) = v(mi * subDim + d)
+      val codeBits = org.apache.spark.sql.graft.PqLayout.bitsPerCode(pqCodes)
+      val codeMask = (1L << codeBits) - 1
       val centroidUdaf = udaf(graft.functions.CentroidAggregator.agg)
       for (_ <- 0 until lloydIters) {
         val means = trainSet
@@ -997,7 +1143,9 @@ object Similarity {
           .select(explode(sequence(lit(0), lit(m - 1))).as("mi"),
             col("pq"), col("embedding"))
           .select(col("mi"),
-            expr("shiftright(pq, mi * 4) & 15").as("code"),
+            // generic unpack matching PqLayout: bits fields, int or long
+            expr(s"int(shiftright(pq, mi * $codeBits) & $codeMask)")
+              .as("code"),
             slice(col("embedding"), col("mi") * subDim + 1, lit(subDim)).as("sub"))
           .groupBy(col("mi"), col("code"))
           .agg(centroidUdaf(col("sub")).as("mean_sub"))
@@ -1320,6 +1468,7 @@ object Similarity {
     // Product-quantization ANN (ADC shortlist + exact rerank).
     "x_ann_pq" -> ((s, d) =>
       pqTopK(emb(s, d), col("vec_id") < 10,
+        pqCodes = intConf(s, "spark.graft.ann.pq.codes", 32),
         rerank = intConf(s, "spark.graft.ann.pq.rerank", 200))
         .orderBy("q_id", "rank")),
     // IVF-PQ composite: cell-routed scan over PQ codes + exact rerank.

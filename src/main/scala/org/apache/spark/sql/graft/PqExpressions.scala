@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 
 /** Product-quantization primitives (SURVEY §2.11 [EXT]) — the memory-bound
   * ANN scale path: a 64-dim float vector (256 bytes) compresses to `m`
-  * 4-bit codes (one int), and query-candidate scoring becomes `m` lookups
-  * into a per-query table instead of a full dot product. At 100 TB the
-  * pair-scoring scan carries ~12 bytes per candidate instead of the
-  * embedding column — that compression, not FLOPs, is what PQ buys.
+  * ceil(log2(k))-bit codes in one packed word (an int for the default
+  * m=8/k=16 4-bit layout, a long past 32 bits — see [[PqLayout]]), and
+  * query-candidate scoring becomes `m` lookups into a per-query table
+  * instead of a full dot product. At 100 TB the pair-scoring scan carries
+  * ~12-16 bytes per candidate instead of the embedding column — that
+  * compression, not FLOPs, is what PQ buys.
   *
   * Codebooks ride inside the expression as a flat literal float array
   * (`m` subspaces × `k` codes × `subDim` floats — a few KB serialized with
@@ -19,14 +21,33 @@ import org.apache.spark.sql.types._
   * eval IS the tight loop; see SketchExpressions for the rationale).
   */
 
-/** Encode an array<float> vector as `m` packed 4-bit codes (k must be 16):
-  * per subspace, the code of the L2-nearest codebook centroid; strict `<`
-  * keeps the LOWEST minimal code — deterministic. */
+/** Shared code-packing layout: `k` codes per subspace pack as
+  * ceil(log2(k))-bit fields, subspace `mi` at bit offset bits·mi. The
+  * packed word is an INT when every field fits 32 bits (the legacy — and
+  * registered — m=8/k=16 4-bit shape is bit-identical to the historical
+  * int packing) and a LONG past that, which is what admits the r14
+  * codebook-resolution sweep (k=32 → 5-bit fields) without touching the
+  * k=16 layout or any saved index. */
+object PqLayout {
+  def bitsPerCode(k: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(k - 1))
+  def fitsInt(m: Int, k: Int): Boolean = m * bitsPerCode(k) <= 32
+  def validate(name: String, m: Int, k: Int): Unit = {
+    require(k >= 2 && k <= 256,
+      s"$name: codes per subspace must be in [2, 256], got k=$k")
+    require(m >= 1 && m * bitsPerCode(k) <= 64,
+      s"$name: m x ceil(log2(k)) bits must fit one packed long " +
+        s"(got m=$m x ${bitsPerCode(k)} bits)")
+  }
+}
+
+/** Encode an array<float> vector as `m` packed ceil(log2(k))-bit codes
+  * (see [[PqLayout]]): per subspace, the code of the L2-nearest codebook
+  * centroid; strict `<` keeps the LOWEST minimal code — deterministic. */
 case class PqEncode(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  require(k == 16, "4-bit packing requires exactly 16 codes per subspace")
-  require(m >= 1 && m <= 8,
-    "packed codes must fit one int (1..8 subspaces x 4 bits)")
+  PqLayout.validate("pq_encode", m, k)
+  private val bits = PqLayout.bitsPerCode(k)
   // a truncating layout division would silently ignore trailing floats
   // (or degenerate to subDim = 0 and accept only empty vectors)
   require(codebooks.nonEmpty && codebooks.length % (m * k) == 0,
@@ -38,7 +59,8 @@ case class PqEncode(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   @transient private lazy val cb: Array[Float] = codebooks.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType =
+    if (PqLayout.fitsInt(m, k)) IntegerType else LongType
   override def prettyName: String = "pq_encode"
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -48,7 +70,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
       throw new IllegalArgumentException(
         s"pq_encode: vector length ${v.numElements()} != m*subDim (${m * subDim}) " +
           "implied by the codebook layout")
-    var packed = 0
+    var packed = 0L
     var mi = 0
     while (mi < m) {
       var best = 0
@@ -66,10 +88,10 @@ case class PqEncode(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
         if (dist < bestDist) { bestDist = dist; best = ki }
         ki += 1
       }
-      packed |= best << (4 * mi)
+      packed |= best.toLong << (bits * mi)
       mi += 1
     }
-    packed
+    if (PqLayout.fitsInt(m, k)) packed.toInt else packed
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -81,8 +103,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   * it scores. */
 case class PqLut(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  require(k == 16 && m >= 1 && m <= 8,
-    s"pq_lut layout must match pq_encode's (1..8 subspaces x 16 codes), got m=$m k=$k")
+  PqLayout.validate("pq_lut", m, k)
   require(codebooks.nonEmpty && codebooks.length % (m * k) == 0,
     s"codebook length ${codebooks.length} is not a positive multiple of " +
       s"m*k (${m * k})")
@@ -131,25 +152,32 @@ case class PqLut(child: Expression, codebooks: Seq[Float], m: Int, k: Int)
   * the scoring stage and pay interpreted dispatch per pair). */
 case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
   extends BinaryExpression with ExpectsInputTypes {
-  // pq_adc is SQL-exposed with user-supplied m/k: for m > 8 the 4*mi
-  // shift distance wraps mod 32 on the JVM and silently RE-READS low
-  // nibbles (subspace 8 scoring with subspace 0's code); k != 16
-  // mis-strides the LUT. Reject at construction like pq_encode does.
-  require(k == 16 && m >= 1 && m <= 8,
-    s"pq_adc layout must match pq_encode's (1..8 subspaces x 16 codes), got m=$m k=$k")
+  // pq_adc is SQL-exposed with user-supplied m/k: a layout that doesn't
+  // fit the packed word would silently RE-READ low fields (shift wrap)
+  // and k mismatches mis-stride the LUT — reject at construction like
+  // pq_encode does. All shift arithmetic is LONG (no mod-32/64 wrap
+  // within the validated m x bits <= 64 envelope).
+  PqLayout.validate("pq_adc", m, k)
+  private val bits = PqLayout.bitsPerCode(k)
+  private val mask = (1L << bits) - 1
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(IntegerType, ArrayType(DoubleType))
+    Seq(if (PqLayout.fitsInt(m, k)) IntegerType else LongType,
+      ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
 
   override protected def nullSafeEval(codes: Any, lutAny: Any): Any = {
-    val packed = codes.asInstanceOf[Int]
+    val packed: Long = codes match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => other.asInstanceOf[Long]
+    }
     val lut = lutAny.asInstanceOf[ArrayData]
     var sum = 0.0
     var mi = 0
     while (mi < m) {
-      sum += lut.getDouble(mi * k + ((packed >>> (4 * mi)) & 15))
+      sum += lut.getDouble(mi * k + ((packed >>> (bits * mi)) & mask).toInt)
       mi += 1
     }
     sum
@@ -159,10 +187,14 @@ case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
     nullSafeCodeGen(ctx, ev, (codes, lut) => {
       val sum = ctx.freshName("sum")
       val mi = ctx.freshName("mi")
+      // (long) cast: for int-packed codes the sign extension only touches
+      // bits >= 32, and every field the loop reads sits below 32 within
+      // the validated layout, so int and long inputs share one body
       s"""
          |double $sum = 0.0;
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  $sum += $lut.getDouble($mi * $k + (($codes >>> (4 * $mi)) & 15));
+         |  $sum += $lut.getDouble($mi * $k +
+         |    (int) ((((long) $codes) >>> ($bits * $mi)) & ${mask}L));
          |}
          |${ev.value} = $sum;
        """.stripMargin

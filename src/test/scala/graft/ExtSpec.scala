@@ -695,10 +695,37 @@ class ExtSpec extends SparkSpec {
     val bf = Similarity.queries("x_ann_bruteforce")(spark, sf)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
     assert(pq.groupBy(_._1).forall(_._2.length === 5))
-    // 4-bit x 8-subspace codes + 50-deep exact rerank: most true neighbors
+    // 5-bit x 8-subspace codes (32/subspace since r14) + exact rerank:
+    // most true neighbors
     // must survive the ADC shortlist (exact threshold is data-dependent)
     val recall = pq.toSet.intersect(bf.toSet).size.toDouble / bf.length
     assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  // r14 (verdict r13 #7): 32-code codebooks ride the long-packed layout —
+  // end-to-end through train, the ADC scan, parquet save/load (the enc
+  // codes column lands as BIGINT and the loaded search must reproduce the
+  // trained handle exactly).
+  test("pq at 32 codes (long-packed): full top-5, contracts, save/load roundtrip") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idx = Similarity.PqIndex.train(emb, pqCodes = 32)
+    val out = idx.search(emb.filter(col("vec_id") < 10), 5, 200)
+    val rows = out.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    assert(rows.groupBy(_._1).forall(_._2.length === 5))
+    val bf = Similarity.queries("x_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    val recall = rows.toSet.intersect(bf.toSet).size.toDouble / bf.length
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // codes column is long-packed on disk, and a loaded index searches
+    // identically to the trained handle
+    val dir = graft.Scratch.dir("pq32_spec")
+    idx.save(dir)
+    val encType = spark.read.parquet(s"$dir/enc").schema("pq").dataType
+    assert(encType === org.apache.spark.sql.types.LongType, encType.toString)
+    val loaded = Similarity.PqIndex.load(spark, dir, emb)
+    val again = loaded.search(emb.filter(col("vec_id") < 10), 5, 200)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+    assert(again.sorted.toSeq === rows.sorted.toSeq)
   }
 
   test("ivfpq ann: full top-5 per query, decent recall, handle == per-call") {
@@ -937,11 +964,28 @@ class ExtSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("dimension mismatch")))
-    // pq_adc with m > 8 would wrap its shift distance mod 32 and
-    // silently re-read subspace 0's nibble — rejected at construction
+    // a layout past the packed-long envelope (r14: m x ceil(log2(k)) must
+    // fit 64 bits) would wrap its shift distance and silently re-read low
+    // fields — rejected at construction; m=9/k=16 (36 bits) is VALID now
+    // under the long packing
     intercept[IllegalArgumentException] {
-      org.apache.spark.sql.graft.PqAdc(null, null, 9, 16)
+      org.apache.spark.sql.graft.PqAdc(null, null, 17, 16) // 68 bits
     }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.PqAdc(null, null, 13, 32) // 65 bits
+    }
+    // k outside [2, 256] mis-strides the LUT / needs >8-bit fields
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.PqAdc(null, null, 4, 512)
+    }
+    // 9 x 4 = 36 bits -> the packed word widens to a long
+    assert(org.apache.spark.sql.graft
+      .PqEncode(null, Seq.fill(9 * 16 * 2)(0.0f), 9, 16)
+      .dataType === org.apache.spark.sql.types.LongType)
+    // the registered 8 x 4 = 32-bit layout stays int (bit-identical)
+    assert(org.apache.spark.sql.graft
+      .PqEncode(null, Seq.fill(8 * 16 * 2)(0.0f), 8, 16)
+      .dataType === org.apache.spark.sql.types.IntegerType)
     // a codebook whose length is not a positive multiple of m*k would
     // truncate to subDim 0 and accept only empty vectors
     intercept[IllegalArgumentException] {
@@ -1563,5 +1607,82 @@ class ExtSpec extends SparkSpec {
       spark.conf.unset(key)
       Similarity.sweepAnnCaches()
     }
+  }
+
+  // r14 (verdict r13 #2): auto-bits is REGIME-AWARE. The pure formula
+  // pins: both regimes coincide at the measured-recall anchor (which is
+  // what keeps the registered RECALL block invariant), the isotropic ramp
+  // reproduces the CROSSOVER-measured good widths (fixed 10 at 25k), and
+  // it can never exceed the clustered width.
+  test("regime-aware auto-bits: anchored half-rate ramp, never wider than clustered") {
+    def bitsAt(n: Long, regime: String): Int =
+      Similarity.resolveBits(-1, () => n, targetBucket = 8, () => regime)
+    // registered anchor: both formulas give the legacy 8 at corpus ~2000
+    assert(bitsAt(2000L, "isotropic") === 8)
+    assert(bitsAt(2000L, "clustered") === 8)
+    // the CROSSOVER §1 isotropic rungs: the r13 full-rate auto resolved
+    // 10/12 and traded recall down; the anchored ramp lands at 9/10
+    // (10 = the fixed width the r12 table measured recall 0.536 at 25k)
+    assert(bitsAt(10000L, "isotropic") === 9)
+    assert(bitsAt(25000L, "isotropic") === 10)
+    assert(bitsAt(10000L, "clustered") === 10)
+    assert(bitsAt(25000L, "clustered") === 12)
+    // clustered ladder rungs unchanged from r13 (the committed table)
+    assert(bitsAt(150000L, "clustered") === 14)
+    assert(bitsAt(400000L, "clustered") === 16)
+    assert(bitsAt(1000000L, "clustered") === 17)
+    // isotropic is capped by the clustered width at EVERY n (below the
+    // anchor the min() picks the population target, so a tiny corpus is
+    // never made wider by the regime switch)
+    (7 to 30).foreach { e =>
+      val n = 1L << e
+      assert(bitsAt(n, "isotropic") <= bitsAt(n, "clustered"),
+        s"iso wider than clustered at n=$n")
+    }
+    // explicit bits bypass regime resolution entirely (stays lazy)
+    assert(Similarity.resolveBits(11, () => fail("must not count"),
+      8, () => fail("must not probe")) === 11)
+  }
+
+  test("lsh regime probe: separates the generators, conf override wins") {
+    // the probe measures mean top-1 neighbor cosine — calibrated r14:
+    // clustered generator ~0.987 at every n (10k..1M), isotropic ~0.47-
+    // 0.56, real testdata embeddings ~0.36-0.40; threshold 0.80 sits in
+    // the gap
+    val cl = Crossover.clusteredEmbeddings(spark, 20000L)
+    val iso = Crossover.isotropicEmbeddings(spark, 20000L)
+    val mCl = Similarity.neighborCosineProbe(cl)
+    val mIso = Similarity.neighborCosineProbe(iso)
+    info(f"probe clustered=$mCl%.3f isotropic=$mIso%.3f")
+    assert(mCl > 0.9, s"clustered probe $mCl")
+    assert(mIso < 0.7, s"isotropic probe $mIso")
+    assert(Similarity.resolveLshRegime(cl) === "clustered")
+    assert(Similarity.resolveLshRegime(iso) === "isotropic")
+    // real testdata: the regime the RECALL grids are measured in
+    assert(Similarity.resolveLshRegime(
+      graft.Tables.embeddings(spark, sf)) === "isotropic")
+    val key = "spark.graft.ann.lsh.regime"
+    try {
+      spark.conf.set(key, "clustered")
+      assert(Similarity.resolveLshRegime(iso) === "clustered")
+      spark.conf.set(key, "bogus")
+      intercept[IllegalArgumentException](Similarity.resolveLshRegime(iso))
+    } finally spark.conf.unset(key)
+  }
+
+  // end-to-end registered-point invariance: on a corpus at the anchor
+  // scale auto must resolve the same width as the legacy explicit 8, so
+  // the default knnJoinLsh plan (and the RECALL block) cannot move under
+  // the regime switch.
+  test("knnJoinLsh auto == explicit 8 bits at the anchor-scale corpus") {
+    val vecs = Crossover.isotropicEmbeddings(spark, 2000L)
+      .localCheckpoint(true)
+    try {
+      val auto = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = -1)
+        .collect().toSet
+      val fixed = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 8)
+        .collect().toSet
+      assert(auto === fixed)
+    } finally Similarity.sweepAnnCaches()
   }
 }

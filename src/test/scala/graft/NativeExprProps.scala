@@ -126,6 +126,50 @@ object NativeExprProps extends Properties("graft.nativeexprs") {
       }
     }
 
+  // r14: the long-packed layout (m x ceil(log2(k)) > 32 bits — here
+  // 8 x 5 = 40) against the same Scala reference. k=16 stays int-packed
+  // and bit-identical to the historical layout (the two properties above
+  // pin it); this one proves the packing generalization is sound where
+  // the int would have wrapped.
+  property("pq long-packed codes (k=32): encode/lut/adc contracts hold") =
+    forAll(vecs) { base =>
+      import spark.implicits._
+      val m = 8
+      val k = 32
+      val dim = 16
+      val subDim = dim / m
+      val bits = 5
+      val rng = new scala.util.Random(13)
+      val codebooks = Array.fill(m * k * subDim)((rng.nextInt(200) - 100) / 10.0f)
+      val df = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+      val out = df.select(col("v"),
+          pqEncode(col("v"), codebooks, m, k).as("codes"),
+          pqLut(col("v"), codebooks, m, k).as("lut"))
+        .select(col("v"), col("codes"), col("lut"),
+          pqAdc(col("codes"), col("lut"), m, k).as("adc"))
+        .collect()
+      out.forall { r =>
+        val v = r.getSeq[Float](0)
+        val codes = r.getLong(1)  // LongType past 32 packed bits
+        val lut = r.getSeq[Double](2)
+        val adc = r.getDouble(3)
+        val manual = (0 until m)
+          .map(mi => lut(mi * k + ((codes >>> (bits * mi)) & 31).toInt)).sum
+        val codesOk = (0 until m).forall { mi =>
+          val dists = (0 until k).map { ki =>
+            (0 until subDim).map { d =>
+              val diff = v(mi * subDim + d).toDouble -
+                codebooks((mi * k + ki) * subDim + d)
+              diff * diff
+            }.sum
+          }
+          dists.indexOf(dists.min) == ((codes >>> (bits * mi)) & 31).toInt
+        }
+        math.abs(adc - manual) < 1e-12 && codesOk
+      }
+    }
+
   property("pq encode is deterministic and codes fit 4 bits per subspace") =
     forAll(vecs) { base =>
       import spark.implicits._
