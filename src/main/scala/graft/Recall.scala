@@ -262,7 +262,17 @@ object Recall {
       "bits default -1 = auto (log2(n/8) from a corpus count — resolves " +
       "to the legacy 8 at this sf0.1 corpus, so the registered block is " +
       "comparable r12->r13); the rescue pipeline went lazy (persist, " +
-      "unconditional union) with identical results"
+      "unconditional union) with identical results. r14: x_ann_pq's " +
+      "registered default moved to pqCodes=32 (the sweep's pqCodes axis " +
+      "is new this round: at the registered rerank=200, 16 codes read " +
+      "mean 0.82/min 0.4 vs 32 codes 0.90/0.6 at flat wall — codebook " +
+      "resolution, not shortlist depth, was the binding constraint; " +
+      "conf spark.graft.ann.pq.codes) — diff x_ann_pq within r14+ or " +
+      "against the pqCodes=16 sweep row. LSH auto-bits became " +
+      "regime-aware (neighbor-cosine probe; isotropic corpora take a " +
+      "half-rate anchored ramp) — NO effect at this corpus scale (both " +
+      "formulas resolve 8 at the ~2000-vector anchor), pinned by the " +
+      "unchanged lsh/knn_join_lsh blocks"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +

@@ -607,9 +607,11 @@ object Similarity {
     * k-means ([[superGroups]]) folds the KB-scale centroid matrix into
     * ~sqrt(cells) super-cells and each row scans only its
     * `spark.graft.ann.superProbes` nearest groups (default -1 = auto =
-    * ceil(sqrt(S)), the measured near-flat-fidelity shape — see the
-    * in-line note below and CROSSOVER.md §4) — O(cells^0.75) per row,
-    * sub-O(n^1.5) corpus-wide. Registered entries
+    * max(ceil(sqrt(S)), ceil(S/4)) since the r14 fidelity extension:
+    * sqrt fan-out is measured near-flat to S≈26 and DECAYING past it,
+    * the S/4 floor holds 0.96+ top-1 at every measured rung — see the
+    * in-line note below and CROSSOVER.md §4) — O(cells^0.75) per row up
+    * to S≈30 and a constant 4× per-row saving past it. Registered entries
     * run at cells=16, below the threshold, so their plans and results
     * are byte-identical to r12; the routed path is the scale rung,
     * measured in the r13 CROSSOVER ladder. */
@@ -654,18 +656,25 @@ object Similarity {
       val (ids, mat, superMat, offs) = superGroups(cents)
       val nGroups = offs.length - 1
       val needed = (p * nGroups + cents.size - 1) / cents.size + 1
-      // superProbes default -1 = AUTO = ceil(sqrt(S)) — the r13 fidelity
-      // sweep (CROSSOVER.md §4): a CONSTANT fan-out decays with S
-      // (top-1 agreement 0.978 at S=20 → 0.945 at S=26 under sp=4),
-      // a constant FRACTION of S holds fidelity but scans O(cells)
-      // again (just divided), while sp=ceil(sqrt(S)) measured
-      // 0.986/0.976 across the same S — near-flat — at a per-row scan
-      // of S + cells/sqrt(S) = O(cells^0.75) under S=sqrt(cells),
-      // keeping corpus-wide assignment sub-O(n·cells) asymptotically.
+      // superProbes default -1 = AUTO = max(ceil(sqrt(S)), ceil(S/4)).
+      // Two measured regimes (CROSSOVER.md §4, r13 sweep + r14 extension
+      // to S=32/45): below S≈30 ceil(sqrt(S)) is near-flat (top-1
+      // agreement 0.986/0.976 at S=20/26) at a per-row scan of
+      // S + cells/sqrt(S) = O(cells^0.75) under S=sqrt(cells); past it
+      // the sqrt fan-out DECAYS (0.941 at S=32, 0.894 at S=45 — the r13
+      // "near-flat" read was an extrapolation, now measured false),
+      // while a constant S/4 fraction holds 0.96-0.99 at every measured
+      // rung at a ~28% fine-cell scan. The S/4 floor caps the router's
+      // asymptotic win at a constant 4× per-row for very large cell
+      // counts (a 3-level router would recover asymptotics if a corpus
+      // ever needs cells >> 2000); both formulas coincide up to S≈20,
+      // so every registered plan and the swept flat regime are
+      // unchanged by the r14 re-tune.
       val conf = mode._2
       val base =
         if (conf > 0) conf
-        else math.ceil(math.sqrt(nGroups.toDouble)).toInt
+        else math.max(math.ceil(math.sqrt(nGroups.toDouble)).toInt,
+          (nGroups + 3) / 4)
       val superProbes = math.min(nGroups, math.max(needed, base))
       graft.functions.VectorFunctions.nearestCellsRouted(col("embedding"),
         ids, mat, superMat, offs, p, superProbes)
