@@ -242,11 +242,13 @@ object Crossover {
     md ++= "\nIsotropic contrast (the testdata regime — no structure to\n"
     md ++= "route by; approximate variants at the SAME knobs; since r14\n"
     md ++= "the regime probe routes these corpora to the half-rate\n"
-    md ++= "anchored bits ramp — 9/10 bits at 10k/25k vs the full-rate\n"
-    md ++= "10/12 that traded recall down in the r13 table):\n\n"
+    md ++= "anchored bits ramp — 9/10/10 bits at 10k/25k/60k vs the\n"
+    md ++= "full-rate 10/12/13 that traded recall down in the r13\n"
+    md ++= "table; the 60k rung is the r14 extension past the old\n"
+    md ++= "25k measurement ceiling):\n\n"
     md ++= "| n | exact s | ivf s | ivf recall | lsh s | lsh recall |\n"
     md ++= "|---|---|---|---|---|---|\n"
-    if (section("knn")) Seq(10000L, 25000L).foreach { n =>
+    if (section("knn")) Seq(10000L, 25000L, 60000L).foreach { n =>
       val vecs = isotropicEmbeddings(spark, n).localCheckpoint(true)
       val (row, log) = knnCell(vecs, n, exactToo = true, lshToo = true)
       md ++= row

@@ -534,14 +534,27 @@ object Similarity {
     * threshold sits in the gap. Returns the raw mean so callers can log
     * or re-threshold. */
   private[graft] def neighborCosineProbe(vectors: DataFrame,
-      nQueries: Int = 256): Double = {
+      nQueries: Int = 256): Double =
+    neighborCosineStats(vectors, nQueries)._1
+
+  /** The probe's full per-query distribution: (mean, p10, p90) of the
+    * per-query top-1 cosine. The regime verdict thresholds the MEAN; the
+    * percentiles exist to make MIXED corpora (clustered islands in an
+    * isotropic sea) visible — such a corpus reads between the regimes on
+    * the mean but shows a wide p10/p90 spread (spec-pinned on an even
+    * clustered+isotropic union: p90 near-dup-grade, p10 isotropic-grade),
+    * and currently takes ONE global bits choice; at the 0.80 threshold an
+    * even mix lands on the isotropic (collision-preserving, recall-safe)
+    * side. Per-partition regimes are a documented non-feature. */
+  private[graft] def neighborCosineStats(vectors: DataFrame,
+      nQueries: Int = 256): (Double, Double, Double) = {
     import graft.functions.VectorFunctions.{nearestCellSim, nearestCells}
     val qRows = vectors
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")))
       .limit(nQueries)
       .collect()
-    if (qRows.length < 2) return 0.0
+    if (qRows.length < 2) return (0.0, 0.0, 0.0)
     val qVals: Seq[Any] = qRows.map(_.get(0)).toSeq
     val flat: Seq[Float] = qRows.flatMap(_.getSeq[Float](1)).toSeq
     val nq = qRows.length
@@ -552,8 +565,11 @@ object Similarity {
           .as("q"),
         nearestCellSim(col("embedding"), flat, nq).as("s"))
       .groupBy(col("q")).agg(max(col("s")).as("top1"))
-      .agg(avg(col("top1"))).collect().head
-    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      .agg(avg(col("top1")),
+        expr("percentile_approx(top1, 0.1)"),
+        expr("percentile_approx(top1, 0.9)")).collect().head
+    if (row.isNullAt(0)) (0.0, 0.0, 0.0)
+    else (row.getDouble(0), row.getDouble(1), row.getDouble(2))
   }
 
   /** Resolve the LSH regime for auto-bits: the conf override
@@ -572,11 +588,13 @@ object Similarity {
     else {
       val thr = s.conf.get("spark.graft.ann.lsh.regimeThreshold", "0.80")
         .trim.toDouble
-      val mean = neighborCosineProbe(vectors)
+      val (mean, p10, p90) = neighborCosineStats(vectors)
       val verdict = if (mean >= thr) "clustered" else "isotropic"
+      // wide p10/p90 spread = a MIXED corpus: the verdict below is the
+      // mean's side; see [[neighborCosineStats]]
       System.err.println(
         f"INFO graft-ann: lsh regime probe meanTop1Cosine=$mean%.3f" +
-          f" threshold=$thr%.2f -> $verdict")
+          f" p10=$p10%.3f p90=$p90%.3f threshold=$thr%.2f -> $verdict")
       verdict
     }
   }

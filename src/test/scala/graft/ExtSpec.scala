@@ -1670,6 +1670,30 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  // r14: a MIXED corpus (clustered islands in an isotropic sea) reads
+  // BETWEEN the regimes on the probe's mean but is VISIBLE in the
+  // p10/p90 spread the probe logs — and at the 0.80 threshold an even
+  // mix lands on the isotropic (collision-preserving, recall-safe) side.
+  // Per-partition regime choice is a documented non-feature; this pin is
+  // the evidence for the documented behavior.
+  test("lsh regime probe on a mixed corpus: mean between regimes, spread visible, safe verdict") {
+    import org.apache.spark.sql.functions.col
+    val cl = Crossover.clusteredEmbeddings(spark, 10000L)
+    val iso = Crossover.isotropicEmbeddings(spark, 10000L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val mixed = cl.unionByName(iso).localCheckpoint(true)
+    val (mean, p10, p90) = Similarity.neighborCosineStats(mixed)
+    info(f"mixed probe mean=$mean%.3f p10=$p10%.3f p90=$p90%.3f")
+    // mean sits between the pure regimes (~0.99 clustered, ~0.47-0.56 iso)
+    assert(mean > 0.55 && mean < 0.90, s"mean $mean")
+    // the spread is the mixed-corpus signature: near-dup-grade p90 from
+    // the clustered half, isotropic-grade p10 from the other
+    assert(p90 > 0.9, s"p90 $p90")
+    assert(p10 < 0.7, s"p10 $p10")
+    // the even mix resolves to the recall-safe side at the 0.80 threshold
+    assert(Similarity.resolveLshRegime(mixed) === "isotropic")
+  }
+
   // end-to-end registered-point invariance: on a corpus at the anchor
   // scale auto must resolve the same width as the legacy explicit 8, so
   // the default knnJoinLsh plan (and the RECALL block) cannot move under
