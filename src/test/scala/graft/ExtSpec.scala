@@ -1668,6 +1668,19 @@ class ExtSpec extends SparkSpec {
       spark.conf.set(key, "bogus")
       intercept[IllegalArgumentException](Similarity.resolveLshRegime(iso))
     } finally spark.conf.unset(key)
+    // r14 late: the probe is MEMOIZED per (session, analyzed plan) — a
+    // repeated auto resolution on the same corpus runs no second probe
+    // (one memo entry per distinct corpus), and the sweep clears it
+    Similarity.sweepAnnCaches()
+    assert(Similarity.regimeMemo.isEmpty)
+    assert(Similarity.resolveLshRegime(cl) === "clustered")
+    assert(Similarity.regimeMemo.size === 1)
+    assert(Similarity.resolveLshRegime(cl) === "clustered")
+    assert(Similarity.regimeMemo.size === 1) // memo hit, no new probe
+    assert(Similarity.resolveLshRegime(iso) === "isotropic")
+    assert(Similarity.regimeMemo.size === 2)
+    Similarity.sweepAnnCaches()
+    assert(Similarity.regimeMemo.isEmpty)
   }
 
   // r14: a MIXED corpus (clustered islands in an isotropic sea) reads
