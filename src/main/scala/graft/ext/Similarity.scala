@@ -215,9 +215,6 @@ object Similarity {
       bits: Int = -1, rescueCap: Int = 1024): DataFrame = {
     // memoized: auto-bits and the broadcast-bound guard share one count
     var counted = -1L
-    val nBits = resolveBits(bits,
-      () => { counted = vectors.count(); counted }, targetBucket = 8,
-      regime = () => resolveLshRegime(vectors))
     // ENFORCED BOUND (r14, VERDICT r13 #1): the two vector re-joins below
     // broadcast the full n × (4·dim + 8)-byte vector projection — the one
     // architectural memory bound in this operator. Past it the failure
@@ -228,16 +225,15 @@ object Similarity {
     // against the memoized auto-bits count, or — when explicit bits kept
     // the plan lazy — a LIMIT-bounded probe that scans at most
     // bound/rowBytes + 1 rows (the [[IvfIndex.train]] trainCap shape), so
-    // the guard never pays a full count it doesn't already have.
+    // the guard never pays a full count it doesn't already have. In auto
+    // mode the check runs BETWEEN count and regime probe (review r14):
+    // an over-bound corpus is rejected before paying the probe's full
+    // corpus scan — the most expensive plan-construction job.
     val bound = longConf(vectors.sparkSession,
       "spark.graft.ann.lsh.broadcastBound", 1L << 30)
-    if (bound > 0) {
+    def checkBound(n: Long): Unit = if (bound > 0) {
       val rowBytes = 4L * 64 + 8
       val maxRows = bound / rowBytes
-      val n =
-        if (counted >= 0) counted
-        else vectors.limit(
-          math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
       require(n <= maxRows,
         s"knnJoinLsh: corpus has >= $n rows; the exact-rerank banded shape " +
           s"broadcasts n x (4*dim+8) = ${n * rowBytes} bytes of vectors, over " +
@@ -245,6 +241,16 @@ object Similarity {
           "knnJoinIvf (vectors ride the cell join, no re-join) or the PQ " +
           "family (rerank from ~12-byte codes), or raise the bound / set it " +
           "to -1 if executors can hold the broadcast.")
+    }
+    val nBits = resolveBits(bits,
+      () => { counted = vectors.count(); counted }, targetBucket = 8,
+      regime = () => { checkBound(counted); resolveLshRegime(vectors) })
+    if (counted < 0 && bound > 0) {
+      // explicit bits kept the plan lazy: LIMIT-bounded probe, never a
+      // full count the caller didn't ask for
+      val maxRows = bound / (4L * 64 + 8)
+      checkBound(vectors.limit(
+        math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count())
     }
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val sigs = graft.functions.VectorFunctions.srpSignature(
@@ -525,8 +531,10 @@ object Similarity {
     * play the centroid role), every non-query row scores its nearest
     * query in one codegen'd scan, and per-query max cosine over the
     * rows that chose it is a tight lower bound on that query's true
-    * top-1 neighbor. Cost: one corpus scan of nQueries fused cosines —
-    * the same order as the count auto mode already pays.
+    * top-1 neighbor. Cost: one corpus scan evaluating two fused
+    * nQueries-cosine loops per row (argmax id + max sim are separate
+    * native expressions) — ~2× the count job auto mode already pays,
+    * memoized per corpus by [[resolveLshRegime]].
     *
     * `spark.graft.ann.lsh.regimeThreshold` (default 0.80) splits the
     * verdicts: measured means are ~0.97+ on the clustered generator and
@@ -586,8 +594,7 @@ object Similarity {
       s"spark.graft.ann.lsh.regime must be auto|clustered|isotropic, got $conf")
     if (conf != "auto") conf
     else {
-      val thr = s.conf.get("spark.graft.ann.lsh.regimeThreshold", "0.80")
-        .trim.toDouble
+      val thr = doubleConf(s, "spark.graft.ann.lsh.regimeThreshold", 0.80)
       // MEMOIZED per (session, analyzed-plan): the probe is ~0.8-1.0 s of
       // fixed job/plan cost even warm (measured at the registered sf0.1
       // corpus), which is real money on a 2.5 s entry benched min-of-2 —
@@ -600,8 +607,19 @@ object Similarity {
       // the conf overrides). Regimes move slowly; the bound is fine.
       val key = (System.identityHashCode(s),
         vectors.queryExecution.analyzed.semanticHash())
-      val (mean, p10, p90) = regimeMemo.computeIfAbsent(key,
-        _ => neighborCosineStats(vectors))
+      // probe OUTSIDE the map (review r14): computeIfAbsent would run a
+      // multi-second Spark job under the bucket lock, serializing
+      // unrelated corpora that hash to the same bucket; a lost race
+      // costs one redundant (idempotent) probe instead
+      val (mean, p10, p90) = {
+        val cached = regimeMemo.get(key)
+        if (cached != null) cached
+        else {
+          val fresh = neighborCosineStats(vectors)
+          val prev = regimeMemo.putIfAbsent(key, fresh)
+          if (prev != null) prev else fresh
+        }
+      }
       val verdict = if (mean >= thr) "clustered" else "isotropic"
       // wide p10/p90 spread = a MIXED corpus: the verdict below is the
       // mean's side; see [[neighborCosineStats]]
@@ -783,11 +801,35 @@ object Similarity {
       mode: (Int, Int)): Column =
     element_at(probeCellsWith(cents, 1, mode), 1)
 
+  /** Freeze a FINAL quantizer's assignment mode: the conf pair with an
+    * auto (-1) superProbes replaced by its concrete resolution against
+    * the final centroid set. r14 (review finding): persisting the raw -1
+    * in the sidecar let a future auto-FORMULA re-tune — exactly this
+    * round's ceil(sqrt(S)) → S/4-floor change — silently alter
+    * appended-row assignment on an index saved under the old auto, the
+    * precise drift the sidecar exists to prevent. Resolution mirrors the
+    * call-time auto in [[probeCellsWith]] (same superGroups, same
+    * formula), so the frozen value assigns byte-identically to what auto
+    * resolved at train time. Routing-inactive quantizers keep -1: with
+    * the threshold and the frozen centroid count both persisted, flat
+    * assignment is formula-era-independent. */
+  private def freezeAssignMode(cents: Seq[(Int, Seq[Float])],
+      mode: (Int, Int)): (Int, Int) =
+    if (mode._2 > 0 || mode._1 == -1 || cents.size < mode._1) mode
+    else {
+      val (_, _, _, offs) = superGroups(cents)
+      val s = offs.length - 1
+      (mode._1, math.min(s, math.max(
+        math.ceil(math.sqrt(s.toDouble)).toInt, (s + 3) / 4)))
+    }
+
   /** Assignment-mode sidecar of a persisted index (see
     * [[activeAssignMode]]): KB-scale, written by both `save` variants,
     * read back by `load`/`append` so a maintained table keeps ONE
     * assignment semantics for its whole life regardless of session-conf
-    * drift between build and append. */
+    * drift between build and append. Since the r14 review pass the
+    * persisted super_probes is always CONCRETE for a routing-active
+    * quantizer (see [[freezeAssignMode]]). */
   private def writeAssignMeta(spark: SparkSession, path: String,
       mode: (Int, Int)): Unit = {
     import spark.implicits._
@@ -1018,11 +1060,15 @@ object Similarity {
           else
             "cluster structure detected: IVF cell routing is effective") +
           ")")
+      // the mode the index CARRIES (and persists) resolves auto against
+      // the final centroids — byte-identical assignment to the auto
+      // path today, immune to auto-formula re-tunes tomorrow
+      val frozenMode = freezeAssignMode(centroids, assignMode)
       val assigned = candidates
-        .withColumn("cell", nearestCell(centroids))
+        .withColumn("cell", nearestCellColWith(centroids, frozenMode))
         .select(col("vec_id").as("c_id"), col("cell"), col("embedding").as("v_c"))
       new IvfIndex(centroids, candidates, assigned,
-        meanCentroidSim, recommendation, assignMode)
+        meanCentroidSim, recommendation, frozenMode)
     }
   }
 
@@ -1126,9 +1172,10 @@ object Similarity {
       * first-k seeding correlated seeds with the registered queries and
       * flattered measured recall), then refined by `lloydIters`
       * per-subspace k-means steps and encode every vector to `m` packed
-      * ceil(log2(pqCodes))-bit codes plus its norm (int-packed at the
-      * default 16 codes — the historical layout, so saved indexes keep
-      * loading — long-packed past 32 bits, e.g. pqCodes=32).
+      * ceil(log2(pqCodes))-bit codes plus its norm (at pqCodes=16 — the
+      * historical layout — codes int-pack bit-identically to pre-r14, so
+      * old saved indexes keep loading; the r14 DEFAULT 32 long-packs at
+      * 5 bits/field into a BIGINT column).
       * Each Lloyd step is fully distributed:
       * one pass encodes with the current codebooks and the
       * per-(subspace, code) mean subvectors come back through the typed
@@ -1460,6 +1507,14 @@ object Similarity {
     require(v > 0 || v == -1,
       s"$key must be positive (or -1 = disabled), got $v")
     v
+  }
+
+  private def doubleConf(s: SparkSession, key: String, dflt: Double): Double = {
+    val raw = s.conf.get(key, dflt.toString).trim
+    try raw.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a decimal number (dot separator), got '$raw'")
+    }
   }
 
   /** Intra-query persists registered by [[knnJoinLsh]]'s rescue path.

@@ -1210,6 +1210,31 @@ class ExtSpec extends SparkSpec {
     assert(cells === 1L)
   }
 
+  // r14 review: a routing-active quantizer trained under AUTO superProbes
+  // must persist the RESOLVED fan-out, never the raw -1 — otherwise a
+  // future auto-formula re-tune (exactly r14's sqrt -> S/4-floor change)
+  // silently alters appended-row assignment on an old index, the drift
+  // the sidecar exists to prevent.
+  test("auto superProbes freezes to a concrete value in the persisted sidecar") {
+    import org.apache.spark.sql.functions.col
+    val keyT = "spark.graft.ann.routedCells.threshold"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_freeze_spec").toString
+    try {
+      spark.conf.set(keyT, "8") // routing active at cells=64; sp conf UNSET
+      val vecs = graft.Crossover.clusteredEmbeddings(spark, 500L)
+        .localCheckpoint(true)
+      Similarity.IvfIndex.train(vecs, cells = 64).save("freeze_spec", dir)
+      val r = spark.read.parquet(s"$dir/assign_meta").collect().head
+      assert(r.getInt(0) === 8)
+      assert(r.getInt(1) > 0,
+        s"sidecar must carry the RESOLVED fan-out, got ${r.getInt(1)}")
+    } finally {
+      spark.conf.unset(keyT)
+      spark.sql("DROP TABLE IF EXISTS freeze_spec_assigned")
+    }
+  }
+
   test("index append reuses PERSISTED assignment semantics across session-conf drift") {
     // r14 (ADVICE r13): save() writes an assign_meta sidecar carrying the
     // routing params (routedCells.threshold, superProbes) the assigned
