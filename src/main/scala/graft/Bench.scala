@@ -48,6 +48,13 @@ import org.apache.spark.sql.SparkSession
   *    mechanically: conc_runs spreading past 2× max/min, or the two
   *    sequential passes disagreeing past 1.5× on total. Gate readers
   *    discount the headline when set instead of relying on footnotes.
+  *  - `"calib_sec"` / `"box_factor_vs_prev"` (round 15): a fixed
+  *    code-independent calibration probe (see the in-line note) turns
+  *    the round-over-round box swap — r14 measured ~1.2× on untouched
+  *    queries after a VM change — into a mechanical divisor:
+  *    `common_subset_vs_prev.ratio_box_normalized` = ratio / box
+  *    factor is the same-query comparison with the machine factored
+  *    out. Null until the banked snapshot carries `calib_sec`.
   *  - The driver captures only the LAST ~2000 chars of stdout (rounds 1 AND
   *    2 both overflowed it and parsed as null), so the printed line carries
   *    per-query latencies for a fixed headline subset only (~0.7 KB total);
@@ -138,6 +145,32 @@ object Bench {
     val concRuns = (1 to (if (concurrency == 1) 1 else 3)).map(_ => runAll(concurrency))
     val (results, wall) = concRuns.minBy(_._2)
 
+    // BOX CALIBRATION (r15, VERDICT r14 #7): a fixed, CODE-INDEPENDENT
+    // probe workload — pure Spark built-ins over spark.range at constant
+    // sizes, no catalog code, no testdata — whose wall depends only on
+    // the machine. Its min-of-3 lands in the JSON line AND the banked
+    // detail snapshot, so the next round's read divides the same-query
+    // ratio by the box factor mechanically instead of appealing to a
+    // hand-run prev-HEAD A/B in prose (r14's VM swap measured ~1.2× on
+    // untouched queries; this makes that visible in the artifact).
+    // Runs AFTER the main passes (warm box — the post-idle frequency
+    // ramp measured ~1.5× on first touch) with a CPU leg (codegen'd
+    // hash over 1.5G longs) and a shuffle leg (50M rows → 1k groups),
+    // the two resources the catalog's queries spend.
+    val calibSec = {
+      import org.apache.spark.sql.functions.expr
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1500000000L, 1L, cpus.toInt)
+          .selectExpr("sum(xxhash64(id))").collect()
+        spark.range(0L, 50000000L, 1L, cpus.toInt)
+          .groupBy(expr("id % 1000")).count()
+          .selectExpr("sum(count)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => once()).min
+    }
+
     // Locale.ROOT: the f-interpolator formats under the default locale —
     // a comma-decimal JVM would emit invalid JSON
     def f3(v: Double): String =
@@ -165,7 +198,8 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     val seqSorted = seqResults.toSeq.sortBy(_._1)
     val detailJson =
-      s"""{"concurrent$concurrency":${jsonMap(sorted)},"sequential":${jsonMap(seqSorted)}}"""
+      s"""{"concurrent$concurrency":${jsonMap(sorted)},"sequential":${
+        jsonMap(seqSorted)},"calib_sec":${f3(calibSec)}}"""
     java.nio.file.Files.write(detailPath,
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val seqSum = seqResults.values.flatten.sum
@@ -187,31 +221,46 @@ object Bench {
     val normSec = if (seqOkCount > 0) seqSum / seqOkCount else 0.0
     val prevPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_PREV", "bench_prev_detail.json")
-    val commonJson: String = {
+    val (commonJson: String, boxFactorJson: String) = {
       val p = java.nio.file.Paths.get(prevPath)
-      if (seqOkCount == 0 || !java.nio.file.Files.exists(p)) "null"
+      if (seqOkCount == 0 || !java.nio.file.Files.exists(p)) ("null", "null")
       else try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val seqNode = mapper.readTree(p.toFile).get("sequential")
+        val root = mapper.readTree(p.toFile)
+        val seqNode = root.get("sequential")
         val prev = scala.collection.mutable.Map[String, Double]()
         val it = seqNode.fields()
         while (it.hasNext) {
           val e = it.next()
           if (e.getValue.isNumber) prev(e.getKey) = e.getValue.asDouble()
         }
+        // box factor: this box's calibration wall over the banked one —
+        // >1 means the current box is SLOWER on the code-independent
+        // probe and the same-query ratio carries that much machine, not
+        // code (null until a snapshot with calib_sec exists)
+        val calibNode = root.get("calib_sec")
+        val boxFactor =
+          if (calibNode != null && calibNode.isNumber && calibNode.asDouble() > 0)
+            Some(calibSec / calibNode.asDouble())
+          else None
         val common = seqResults.toSeq
           .collect { case (k, Some(v)) if prev.contains(k) => (k, v, prev(k)) }
-        if (common.isEmpty) "null"
-        else {
-          val cur = common.map(_._2).sum
-          val prv = common.map(_._3).sum
-          s"""{"n":${common.size},"cur_sec":${f3(cur)},""" +
-            s""""prev_sec":${f3(prv)},"ratio":${f3(cur / prv)}}"""
-        }
+        val cj =
+          if (common.isEmpty) "null"
+          else {
+            val cur = common.map(_._2).sum
+            val prv = common.map(_._3).sum
+            val ratio = cur / prv
+            s"""{"n":${common.size},"cur_sec":${f3(cur)},""" +
+              s""""prev_sec":${f3(prv)},"ratio":${f3(ratio)}""" +
+              boxFactor.fold("")(b =>
+                s""","ratio_box_normalized":${f3(ratio / b)}""") + "}"
+          }
+        (cj, boxFactor.fold("null")(f3))
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] WARNING: prev detail unreadable: $e")
-          "null"
+          ("null", "null")
       }
     }
     val hs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
@@ -226,7 +275,7 @@ object Bench {
     val unstable =
       (concWalls.max > concWalls.min * 2.0) ||
         (seqSums.size == 2 && seqSums.max > seqSums.min * 1.5)
-    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"conc_runs":$runsJson,"unstable":$unstable,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"norm_sec_per_query":${f3(normSec)},"common_subset_vs_prev":$commonJson,"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"conc_runs":$runsJson,"unstable":$unstable,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"norm_sec_per_query":${f3(normSec)},"calib_sec":${f3(calibSec)},"box_factor_vs_prev":$boxFactorJson,"common_subset_vs_prev":$commonJson,"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

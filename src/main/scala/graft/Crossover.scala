@@ -256,6 +256,65 @@ object Crossover {
       vecs.unpersist()
     }
 
+    // ------------------------- 1b. isotropic sampled-recall extension
+    // r15 (VERDICT r14 #4): the isotropic ladder stopped at 60k because
+    // the full exact baseline is n² (145 s at 60k). Ground truth here is
+    // SAMPLED instead — exact top-3 for a deterministic 1k-query sample
+    // via one knnJoinAgainst blocked pass (O(n·1k) pairs, not O(n²)) —
+    // which extends the recall evidence to the rungs where the
+    // half-rate anchored ramp's design intent (bucket population grows
+    // as sqrt(n); recall flat-to-up at slowly-growing bits) is actually
+    // under load. The LSH column is the FULL self-join (every vector
+    // queries; the honest O(n^1.5) candidate volume of the regime) with
+    // recall scored on the sample. GRAFT_CROSSOVER_ISOSCALE_MIN/MAX
+    // bound the rungs (default max = 250k: the 1M cell is a ~1 h
+    // one-off, committed from an env-raised run — the ADVICE r14
+    // default-cost rule).
+    md ++= "\nIsotropic sampled-recall extension (r15): exact ground truth\n"
+    md ++= "from a 1k-query sample (one blocked O(n·1k) pass), LSH runs\n"
+    md ++= "the full self-join at auto (regime-routed half-rate) bits,\n"
+    md ++= "ivf at cells=sqrt(n)/probes=4 for contrast:\n\n"
+    md ++= "| n | exact-sample s | ivf s | ivf recall | lsh s | lsh recall@3 |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    val isoMin = sys.env.get("GRAFT_CROSSOVER_ISOSCALE_MIN")
+      .map(_.toLong).getOrElse(0L)
+    val isoMax = sys.env.get("GRAFT_CROSSOVER_ISOSCALE_MAX")
+      .map(_.toLong).getOrElse(250000L)
+    if (section("isoscale"))
+      Seq(250000L, 1000000L)
+        .filter(n => n >= isoMin && n <= isoMax).foreach { n =>
+        val vecs = isotropicEmbeddings(spark, n).localCheckpoint(true)
+        val qEvery = math.max(1L, n / 1000L)
+        val sample = vecs.filter(pmod(col("vec_id"), lit(qEvery)) === 0)
+        val (exact, exS) = time {
+          val d = Similarity.knnJoinAgainst(vecs, sample, 3)
+            .localCheckpoint(true)
+          d.count(); d
+        }
+        val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+        val (ivfDf, ivfS) = time {
+          val d = Similarity
+            .knnJoinIvf(vecs, k = 3, cells = cells, probes = 4)
+            .localCheckpoint(true)
+          d.count(); d
+        }
+        val ivfR = recallOf(ivfDf, exact)
+        ivfDf.unpersist()
+        val (lshDf, lshS) = time {
+          val d = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = -1)
+            .localCheckpoint(true)
+          d.count(); d
+        }
+        Similarity.sweepAnnCaches()
+        val lshR = recallOf(lshDf, exact)
+        lshDf.unpersist()
+        md ++= s"| ${n / 1000}k | ${f1(exS)} | ${f1(ivfS)} | ${f3(ivfR)} " +
+          s"| ${f1(lshS)} | ${f3(lshR)} |\n"
+        println(s"[crossover] isoscale n=$n exact=${f1(exS)} " +
+          s"ivf=${f1(ivfS)}/${f3(ivfR)} lsh=${f1(lshS)}/${f3(lshR)}")
+        exact.unpersist(); vecs.unpersist()
+      }
+
     // ------------------------------------------------ 2. near-dup dedup
     md ++= "\n## 2. Near-dup dedup: exact all-pairs n-gram Jaccard vs MinHash+LSH\n\n"
     md ++= "Boilerplate-heavy docs (6-token shared prefix → 4 corpus-length\n"
@@ -329,11 +388,16 @@ object Crossover {
     // r14 (VERDICT r13 #4): the 1M/4M rungs (S=32/45) close the residual —
     // the auto = ceil(sqrt(S)) near-flat-fidelity claim was measured only
     // to S=26 and extrapolated past it. GRAFT_CROSSOVER_ROUTING_MIN skips
-    // rungs below a floor (merge fragments by hand, like KNN_MIN).
+    // rungs below a floor (merge fragments by hand, like KNN_MIN);
+    // GRAFT_CROSSOVER_ROUTING_MAX caps the top rung (ADVICE r14: each
+    // rung pays a flat O(n·cells) ground-truth scan — multi-minute at
+    // 4M×2000 — and local/CI reruns need the small rungs without it).
     val routingMin = sys.env.get("GRAFT_CROSSOVER_ROUTING_MIN")
       .map(_.toLong).getOrElse(0L)
+    val routingMax = sys.env.get("GRAFT_CROSSOVER_ROUTING_MAX")
+      .map(_.toLong).getOrElse(Long.MaxValue)
     val routingSizes = Seq(150000L, 400000L, 1000000L, 4000000L)
-      .filter(_ >= routingMin)
+      .filter(n => n >= routingMin && n <= routingMax)
     if (section("routing")) routingSizes.foreach { n =>
       import graft.functions.VectorFunctions.{nearestCells, nearestCellsRouted}
       val vecs = clusteredEmbeddings(spark, n).localCheckpoint(true)
@@ -373,6 +437,56 @@ object Crossover {
       }
       flats.unpersist()
       vecs.unpersist()
+    }
+
+    // ------------------------------------------ 5. mixed-regime strata
+    // r15 (VERDICT r14 #3): the even clustered+isotropic union that r14
+    // measured under the single global bits choice (1.000/0.503 per
+    // half) now stratifies — this section is the committed evidence:
+    // per-half recall@3 of knnJoinLsh under (a) the global choice
+    // (stratify=off, the r14 behavior) and (b) the stratified default,
+    // against the exact blocked join on a deterministic 1/16 query
+    // sample. Clustered half must hold ~1.0 under both; the isotropic
+    // half must recover its pure-regime recall under (b).
+    md ++= "\n## 5. Mixed-regime corpus: global vs per-stratum auto-bits (r15)\n\n"
+    md ++= "| n (per half) | variant | bits | iso recall@3 | clustered recall@3 | wall s |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    if (section("mixed")) Seq(10000L).foreach { half =>
+      val cl = clusteredEmbeddings(spark, half)
+      val iso = isotropicEmbeddings(spark, half)
+        .select((col("vec_id") + half).as("vec_id"), col("embedding"))
+      val mixed = cl.unionByName(iso).localCheckpoint(true)
+      val sample = mixed.filter(col("vec_id") % 16 === 0)
+      val exact = graft.ext.Similarity.knnJoinAgainst(mixed, sample, 3)
+        .localCheckpoint(true)
+      val exIso = exact.filter(col("q_id") >= half).localCheckpoint(true)
+      val exCl = exact.filter(col("q_id") < half).localCheckpoint(true)
+      Seq("off" -> "global", "auto" -> "stratified").foreach {
+        case (conf, label) =>
+          spark.conf.set("spark.graft.ann.lsh.stratify", conf)
+          try {
+            val t0 = System.nanoTime()
+            val ann = graft.ext.Similarity.knnJoinLsh(mixed, k = 3)
+              .localCheckpoint(true)
+            val wall = (System.nanoTime() - t0) / 1e9
+            val rIso = recallOf(ann.filter(col("q_id") >= half), exIso)
+            val rCl = recallOf(ann.filter(col("q_id") < half), exCl)
+            val bits =
+              if (conf == "off")
+                s"${graft.ext.Similarity.autoWidths(2 * half, 8)._2} (global iso)"
+              else
+                s"${graft.ext.Similarity.autoWidths(half, 8)._1}C/" +
+                  s"${graft.ext.Similarity.autoWidths(half, 8)._2}I (nominal)"
+            md ++= s"| $half | $label | $bits | ${f3(rIso)} | " +
+              s"${f3(rCl)} | ${f1(wall)} |\n"
+            ann.unpersist()
+          } finally {
+            spark.conf.unset("spark.graft.ann.lsh.stratify")
+            graft.ext.Similarity.sweepAnnCaches()
+          }
+      }
+      exact.unpersist(); exIso.unpersist(); exCl.unpersist()
+      mixed.unpersist()
     }
 
     md ++= "\n## Reading\n\n"

@@ -39,10 +39,12 @@ object Recall {
       df.select("q_id", "c_id").collect()
         .groupBy(_.getLong(0))
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the approximate variants' RAW top-k frames (the catalog entries of
+    // the same names return the oracle-backed recall contract since r15)
     def topSets(name: String): Map[Long, Set[Long]] =
-      sets(SparkEntry.queries(name)(spark, sfDir))
+      sets(graft.ext.Similarity.rawAnn(name)(spark, sfDir))
 
-    val exact = topSets("x_ann_bruteforce")
+    val exact = sets(SparkEntry.queries("x_ann_bruteforce")(spark, sfDir))
     val k = 5
     // Locale.ROOT: f-interpolation under a comma-decimal JVM locale
     // would make the committed artifact invalid JSON
@@ -160,7 +162,7 @@ object Recall {
     }
     val kjVariants = Seq("x_knn_join_ivf", "x_knn_join_lsh").map { name =>
       s""""$name":{${dist(kjPerQ(sets(
-        SparkEntry.queries(name)(spark, sfDir))))}}"""
+        graft.ext.Similarity.rawAnn(name)(spark, sfDir))))}}"""
     }
     val kjIvfSweep = Seq(2, 4, 8, 12).map { p =>
       val (mean, min) = kjRecall(sets(

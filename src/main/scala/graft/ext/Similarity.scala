@@ -203,8 +203,19 @@ object Similarity {
     * the legacy 8, so the default operating point (and its RECALL
     * block) is unchanged under the switch. AUTO RUNS UP TO THREE JOBS
     * at plan-construction time (count, probe-query sample, one probe
-    * scan; conf `spark.graft.ann.lsh.regime` skips the last two) —
-    * callers that need a fully lazy frame pass explicit bits.
+    * scan; conf `spark.graft.ann.lsh.regime` skips the last two, and
+    * since r15 both are also skipped whenever the two regime formulas
+    * resolve the same clamped width — every corpus at or below the
+    * anchor, the registered entries included) — callers that need a
+    * fully lazy frame pass explicit bits.
+    *
+    * STRATIFIED since r15 (VERDICT r14 #3): when the probe's p10/p90
+    * straddle the threshold — the MIXED-corpus signature — and the two
+    * strata's auto widths diverge, the query side splits by a per-row
+    * regime label and each stratum runs at its own pure-regime bits
+    * against the full candidate set ([[stratifiedKnnJoinLsh]]).
+    * `spark.graft.ann.lsh.stratify` = off restores the single global
+    * choice.
     *
     * Since r13 the rescue pipeline is LAZY (ADVICE r12): the banded
     * aggregate is `persist`ed, not checkpointed — recomputable lineage
@@ -242,8 +253,46 @@ object Similarity {
           "family (rerank from ~12-byte codes), or raise the bound / set it " +
           "to -1 if executors can hold the broadcast.")
     }
+    // STRATIFIED MIXED-CORPUS PATH (r15, VERDICT r14 #3): a corpus of
+    // clustered islands in an isotropic sea reads BETWEEN the regimes on
+    // the probe mean and, under one global bits choice, gives the
+    // isotropic half less than its pure-regime recall (r14 measured an
+    // even 10k+10k mix at 1.000/0.503 per half — the global n drives the
+    // width past what the isotropic STRATUM alone would resolve). When
+    // (a) bits are auto, (b) no regime conf override, (c) the widths can
+    // diverge at this n (past the anchor — the probe-skip condition),
+    // and (d) the memoized probe's p10/p90 straddle the threshold (the
+    // mixed signature), each row is labeled by ITS nearest-probe-query
+    // cosine and each stratum runs at its own regime and size — see
+    // [[stratifiedKnnJoinLsh]]. `spark.graft.ann.lsh.stratify` = off
+    // restores the r14 single-choice behavior.
+    val stratifyConf = {
+      val v = vectors.sparkSession.conf
+        .get("spark.graft.ann.lsh.stratify", "auto").trim
+      require(Seq("auto", "off").contains(v),
+        s"spark.graft.ann.lsh.stratify must be auto|off, got $v")
+      v
+    }
+    if (bits <= 0 && stratifyConf == "auto"
+        && vectors.sparkSession.conf
+          .get("spark.graft.ann.lsh.regime", "auto").trim == "auto") {
+      counted = vectors.count()
+      checkBound(counted)
+      val (fullW, isoW) = autoWidths(counted, targetBucket = 8)
+      if (fullW != isoW) {
+        val thr = doubleConf(vectors.sparkSession,
+          "spark.graft.ann.lsh.regimeThreshold", 0.80)
+        val (_, p10, p90) = regimeProbeStats(vectors)
+        if (p90 >= thr && p10 < thr)
+          stratifiedKnnJoinLsh(vectors, k, tables, rescueCap, thr) match {
+            case Some(out) => return out
+            case None      => () // strata degenerate/agree: global path
+          }
+      }
+    }
     val nBits = resolveBits(bits,
-      () => { counted = vectors.count(); counted }, targetBucket = 8,
+      () => { if (counted < 0) counted = vectors.count(); counted },
+      targetBucket = 8,
       regime = () => { checkBound(counted); resolveLshRegime(vectors) })
     if (counted < 0 && bound > 0) {
       // explicit bits kept the plan lazy: LIMIT-bounded probe, never a
@@ -252,13 +301,25 @@ object Similarity {
       checkBound(vectors.limit(
         math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count())
     }
+    bandedKnnPass(vectors, k, tables, nBits, rescueCap, lit(true))
+  }
+
+  /** One banded-join pass of [[knnJoinLsh]] at a FIXED signature width,
+    * with the query side restricted to `queryPred` (lit(true) = the full
+    * self-join). Candidates are ALWAYS the full corpus — a stratified
+    * call changes each stratum's operating point, never its candidate
+    * set, so cross-stratum neighbors stay reachable. The rescue cap
+    * applies per pass (per stratum on the stratified path). */
+  private def bandedKnnPass(vectors: DataFrame, k: Int, tables: Int,
+      nBits: Int, rescueCap: Int, queryPred: Column): DataFrame = {
     val topk = udaf(graft.functions.TopKAggregator.agg(k))
     val sigs = graft.functions.VectorFunctions.srpSignature(
       col("embedding"), bands = tables, bits = nBits, dim = 64, seed = 42)
     val all = vectors.withColumn("sigs", sigs)
     val cand = all.select(col("vec_id").as("c_id"),
       posexplode(col("sigs")).as(Seq("t", "bucket")))
-    val qProbe = all.select(col("vec_id").as("q_id"),
+    val qProbe = all.filter(queryPred)
+      .select(col("vec_id").as("q_id"),
         posexplode(col("sigs")).as(Seq("t", "bucket")))
       .select(col("q_id"), col("t"), explode(expr(
         s"""array_union(array(bucket),
@@ -301,8 +362,8 @@ object Similarity {
       .select(col("q_id"), col("c_id"))
     val cVecs = vectors.select(col("vec_id").as("c_id"),
       col("embedding").as("v_c"))
-    val qVecs = vectors.select(col("vec_id").as("q_id"),
-      col("embedding").as("v_q"))
+    val qVecs = vectors.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_q"))
     val nnRaw = pairs.join(broadcast(cVecs), "c_id")
       .join(broadcast(qVecs), "q_id")
       .select(col("q_id"), cosineSim(col("v_q"), col("v_c")).as("score"),
@@ -334,7 +395,8 @@ object Similarity {
       else {
         val done = nnRaw
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val short = vectors.select(col("vec_id").as("q_id"))
+        val short = vectors.filter(queryPred)
+          .select(col("vec_id").as("q_id"))
           .join(done.filter(size(col("nn")) >= k).select("q_id"),
             Seq("q_id"), "left_anti")
           .orderBy("q_id").limit(rescueCap)
@@ -356,6 +418,73 @@ object Similarity {
     nn.select(col("q_id"), posexplode(col("nn")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
+  }
+
+  /** Per-stratum auto-bits for a MIXED corpus (r15, VERDICT r14 #3).
+    * Labeling: the probe's own statistic, per row — cosine to the
+    * nearest of the memoized probe's 256 deterministic sample vectors,
+    * thresholded at the regime threshold (a clustered row is near some
+    * sampled point of its island; an isotropic row is near nothing).
+    * The 256 sample rows themselves would self-match at cosine 1, so
+    * they are labeled driver-side by their within-sample top-1 (self
+    * excluded) — when that under-samples a cluster it errs toward
+    * ISOTROPIC, i.e. narrower bits, the recall-safe side for a
+    * clustered row. Each stratum then resolves bits from ITS size at
+    * ITS pure regime (the same [[autoWidths]] formulas), the query side
+    * splits by label, and the candidate side stays the FULL corpus in
+    * both passes (cross-stratum neighbors reachable; the label column
+    * is evaluated only on the query path). Cost when triggered: the
+    * candidate side signs and bucket-joins twice (each pass against
+    * roughly half the queries) plus one label-count job — paid only on
+    * corpora the probe measures as mixed AND where the per-stratum
+    * widths actually diverge; returns None otherwise (global path).
+    * Row contract is unchanged: the strata partition the query set, so
+    * the union carries every query exactly once. */
+  private def stratifiedKnnJoinLsh(vectors: DataFrame, k: Int,
+      tables: Int, rescueCap: Int, thr: Double): Option[DataFrame] = {
+    import graft.functions.VectorFunctions.nearestCellSim
+    val (qVals, flat) = probeSample(vectors)
+    val nq = qVals.length
+    if (nq < 2) return None
+    val dim = flat.length / nq
+    val mat = flat.toArray
+    def cos(i: Int, j: Int): Double = {
+      var dot = 0.0; var ni = 0.0; var nj = 0.0; var d = 0
+      while (d < dim) {
+        val a = mat(i * dim + d).toDouble; val b = mat(j * dim + d).toDouble
+        dot += a * b; ni += a * a; nj += b * b; d += 1
+      }
+      val denom = math.sqrt(ni) * math.sqrt(nj)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val sampleLabeled = (0 until nq).map { i =>
+      val best = (0 until nq).collect { case j if j != i => cos(i, j) }.max
+      (qVals(i), best >= thr)
+    }
+    val clusteredIds = sampleLabeled.collect { case (id, true) => id }
+    val isoIds = sampleLabeled.collect { case (id, false) => id }
+    def inList(ids: Seq[Any]): Column =
+      if (ids.isEmpty) lit(false) else col("vec_id").isin(ids: _*)
+    val labelCol = when(inList(clusteredIds), lit(true))
+      .when(inList(isoIds), lit(false))
+      .otherwise(nearestCellSim(col("embedding"), flat, nq) >= thr)
+    val labeled = vectors.withColumn("graft_lsh_clustered", labelCol)
+    val counts = labeled.groupBy("graft_lsh_clustered").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nC = counts.getOrElse(true, 0L)
+    val nI = counts.getOrElse(false, 0L)
+    if (nC == 0L || nI == 0L) return None // degenerate: one regime after all
+    val bitsC = autoWidths(nC, targetBucket = 8)._1
+    val bitsI = autoWidths(nI, targetBucket = 8)._2
+    System.err.println(s"INFO graft-ann: lsh stratified auto-bits " +
+      s"nClustered=$nC -> bits=$bitsC, nIsotropic=$nI -> bits=$bitsI" +
+      (if (bitsC == bitsI) " (equal; global path)" else ""))
+    if (bitsC == bitsI) return None // one width fits both: global is cheaper
+    Some(
+      bandedKnnPass(labeled, k, tables, bitsC, rescueCap,
+        col("graft_lsh_clustered"))
+        .unionByName(bandedKnnPass(labeled, k, tables, bitsI, rescueCap,
+          !col("graft_lsh_clustered"))))
   }
 
   /** Multi-table SRP LSH ANN — the standard high-recall LSH form:
@@ -501,21 +630,37 @@ object Similarity {
       regime: () => String): Int =
     if (bits > 0) bits
     else {
-      def log2(x: Double) = math.log(x) / math.log(2.0)
       val n = math.max(count(), 2L)
-      val full = math.round(log2(n.toDouble / targetBucket)).toInt
-      val r = regime()
-      val raw =
-        if (r == "isotropic") {
-          val anchored = math.round(log2(LshAnchorN.toDouble / targetBucket) +
-            0.5 * log2(n.toDouble / LshAnchorN)).toInt
-          math.min(full, anchored)
-        } else full
-      val resolved = math.max(4, math.min(24, raw))
+      val (fullW, isoW) = autoWidths(n, targetBucket)
+      // Probe only when the verdict can MOVE the width (ADVICE r14): at
+      // or below the anchor the half-rate ramp sits at/above the
+      // full-rate one, so min(full, anchored) == full for BOTH regimes
+      // and the (memoized but still ~1 s cold) corpus scan buys nothing;
+      // clamping can also collapse the two raws to one resolved width.
+      val (r, resolved) =
+        if (fullW == isoW) ("any (formulas agree; probe skipped)", fullW)
+        else if (regime() == "isotropic") ("isotropic", isoW)
+        else ("clustered", fullW)
       System.err.println(s"INFO graft-ann: lsh auto-bits n=$n regime=$r" +
         s" targetBucket=$targetBucket -> bits=$resolved")
       resolved
     }
+
+  /** The two clamped auto-width candidates at corpus size `n`: (the
+    * clustered full-rate width, the isotropic anchored half-rate width).
+    * Equal at or below the anchor — the condition under which auto mode
+    * skips the regime probe entirely. Factored out of [[resolveBits]] so
+    * the stratified path can resolve each stratum at ITS regime and size
+    * with the identical formulas. */
+  private[graft] def autoWidths(n0: Long, targetBucket: Int): (Int, Int) = {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def clamp(raw: Int) = math.max(4, math.min(24, raw))
+    val n = math.max(n0, 2L)
+    val full = math.round(log2(n.toDouble / targetBucket)).toInt
+    val anchored = math.round(log2(LshAnchorN.toDouble / targetBucket) +
+      0.5 * log2(n.toDouble / LshAnchorN)).toInt
+    (clamp(full), clamp(math.min(full, anchored)))
+  }
 
   /** Measured LSH regime verdict for a `(vec_id, embedding)` corpus:
     * mean top-1 neighbor cosine — the quantity that DIRECTLY decides
@@ -554,18 +699,26 @@ object Similarity {
     * and currently takes ONE global bits choice; at the 0.80 threshold an
     * even mix lands on the isotropic (collision-preserving, recall-safe)
     * side. Per-partition regimes are a documented non-feature. */
-  private[graft] def neighborCosineStats(vectors: DataFrame,
-      nQueries: Int = 256): (Double, Double, Double) = {
-    import graft.functions.VectorFunctions.{nearestCellSim, nearestCells}
+  /** The probe's deterministic query sample: `nQueries` md5(vec_id)-order
+    * rows as (ids, flattened row-major embedding matrix). Shared by the
+    * probe scan and the stratified path's per-row labeling, which must
+    * agree on the sample to agree on the labels. */
+  private[graft] def probeSample(vectors: DataFrame,
+      nQueries: Int = 256): (Seq[Any], Seq[Float]) = {
     val qRows = vectors
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")))
       .limit(nQueries)
       .collect()
-    if (qRows.length < 2) return (0.0, 0.0, 0.0)
-    val qVals: Seq[Any] = qRows.map(_.get(0)).toSeq
-    val flat: Seq[Float] = qRows.flatMap(_.getSeq[Float](1)).toSeq
-    val nq = qRows.length
+    (qRows.map(_.get(0)).toSeq, qRows.flatMap(_.getSeq[Float](1)).toSeq)
+  }
+
+  private[graft] def neighborCosineStats(vectors: DataFrame,
+      nQueries: Int = 256): (Double, Double, Double) = {
+    import graft.functions.VectorFunctions.{nearestCellSim, nearestCells}
+    val (qVals, flat) = probeSample(vectors, nQueries)
+    if (qVals.length < 2) return (0.0, 0.0, 0.0)
+    val nq = qVals.length
     val row = vectors
       .filter(!col("vec_id").isin(qVals: _*))
       .select(
@@ -587,6 +740,51 @@ object Similarity {
     * `spark.graft.ann.lsh.regimeThreshold`. Logged at resolve time,
     * like the IVF isotropy probe — the operating regime is visible
     * exactly where the tuning decision is made. */
+  /** The MEMOIZED probe stats: per (session, analyzed-plan, input files)
+    * — the probe is ~0.8-1.0 s of fixed job/plan cost even warm (measured
+    * at the registered sf0.1 corpus), which is real money on a 2.5 s
+    * entry benched min-of-2 — and the regime is a corpus-level property,
+    * identical across the repeated calls bench runs, ladder loops, and
+    * library callers make on the same frame. The outer weak map keys on
+    * the SESSION OBJECT (a recycled identity hash can't alias; dead
+    * sessions are GC-reclaimable) and the inner key folds in the
+    * file-listing fingerprint, so a table rewritten under an identical
+    * plan (new part files at the same path) re-probes instead of serving
+    * the stale verdict (VERDICT r14 #2). In-memory/checkpointed frames
+    * have no file provenance and key on the plan alone. Regimes move
+    * slowly; the bound is fine. */
+  private[graft] def regimeProbeStats(
+      vectors: DataFrame): (Double, Double, Double) = {
+    val s = vectors.sparkSession
+    val filesKey = {
+      val fs = try vectors.inputFiles
+               catch { case _: UnsupportedOperationException =>
+                 Array.empty[String] }
+      scala.util.hashing.MurmurHash3.arrayHash(fs.sorted)
+    }
+    val key = (vectors.queryExecution.analyzed.semanticHash(), filesKey)
+    val inner = regimeMemo.synchronized {
+      var m = regimeMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+          (Double, Double, Double)]()
+        regimeMemo.put(s, m)
+      }
+      m
+    }
+    // probe OUTSIDE the map (review r14): computeIfAbsent would run a
+    // multi-second Spark job under the bucket lock, serializing
+    // unrelated corpora that hash to the same bucket; a lost race
+    // costs one redundant (idempotent) probe instead
+    val cached = inner.get(key)
+    if (cached != null) cached
+    else {
+      val fresh = neighborCosineStats(vectors)
+      val prev = inner.putIfAbsent(key, fresh)
+      if (prev != null) prev else fresh
+    }
+  }
+
   private[graft] def resolveLshRegime(vectors: DataFrame): String = {
     val s = vectors.sparkSession
     val conf = s.conf.get("spark.graft.ann.lsh.regime", "auto").trim
@@ -595,31 +793,7 @@ object Similarity {
     if (conf != "auto") conf
     else {
       val thr = doubleConf(s, "spark.graft.ann.lsh.regimeThreshold", 0.80)
-      // MEMOIZED per (session, analyzed-plan): the probe is ~0.8-1.0 s of
-      // fixed job/plan cost even warm (measured at the registered sf0.1
-      // corpus), which is real money on a 2.5 s entry benched min-of-2 —
-      // and the regime is a corpus-level property, identical across the
-      // repeated calls bench runs, ladder loops, and library callers
-      // make on the same frame. Keyed on the ANALYZED plan's semantic
-      // hash, so the caveat is a table whose underlying files change
-      // under an identical plan (e.g. an overwritten path): it reuses
-      // the cached verdict until [[sweepAnnCaches]] clears the memo (or
-      // the conf overrides). Regimes move slowly; the bound is fine.
-      val key = (System.identityHashCode(s),
-        vectors.queryExecution.analyzed.semanticHash())
-      // probe OUTSIDE the map (review r14): computeIfAbsent would run a
-      // multi-second Spark job under the bucket lock, serializing
-      // unrelated corpora that hash to the same bucket; a lost race
-      // costs one redundant (idempotent) probe instead
-      val (mean, p10, p90) = {
-        val cached = regimeMemo.get(key)
-        if (cached != null) cached
-        else {
-          val fresh = neighborCosineStats(vectors)
-          val prev = regimeMemo.putIfAbsent(key, fresh)
-          if (prev != null) prev else fresh
-        }
-      }
+      val (mean, p10, p90) = regimeProbeStats(vectors)
       val verdict = if (mean >= thr) "clustered" else "isotropic"
       // wide p10/p90 spread = a MIXED corpus: the verdict below is the
       // mean's side; see [[neighborCosineStats]]
@@ -839,11 +1013,34 @@ object Similarity {
   /** Missing sidecar (an index saved before r14) falls back to the
     * CURRENT session confs with a loud warning — the documented caveat
     * that appends to such an index can mix assignment modes if confs
-    * changed since it was built. */
-  private def readAssignMeta(spark: SparkSession, path: String): (Int, Int) =
+    * changed since it was built.
+    *
+    * A sidecar holding a RAW super_probes=-1 (saved between the sidecar's
+    * introduction and the r14 freeze commit) is resolved HERE with the
+    * formula that was in force when such sidecars were written —
+    * ceil(sqrt(S)) — never the current auto formula (r15, ADVICE r14):
+    * passing the -1 through to [[probeCellsWith]] would let any future
+    * auto re-tune (exactly the r14 sqrt→S/4-floor change) silently alter
+    * appended-row assignment on a routing-active index built under the
+    * old auto. `cents` is the loaded quantizer's centroid set (every
+    * read site has it), used only to decide routing-activeness and S. */
+  private def readAssignMeta(spark: SparkSession, path: String,
+      cents: Seq[(Int, Seq[Float])]): (Int, Int) =
     try {
       val r = spark.read.parquet(s"$path/assign_meta").collect().head
-      (r.getInt(0), r.getInt(1))
+      val (threshold, sp) = (r.getInt(0), r.getInt(1))
+      if (sp != -1 || threshold == -1 || cents.size < threshold)
+        (threshold, sp) // concrete, or routing-inactive: formula-free
+      else {
+        val (_, _, _, offs) = superGroups(cents)
+        val s = offs.length - 1
+        val legacy = math.min(s, math.ceil(math.sqrt(s.toDouble)).toInt)
+        System.err.println(s"WARN graft-ann: assign_meta at $path holds " +
+          s"a pre-freeze auto super_probes (-1); pinning it to the " +
+          s"formula of its era, ceil(sqrt(S))=$legacy at S=$s groups, so " +
+          "appends keep the index's build-time assignment semantics")
+        (threshold, legacy)
+      }
     } catch {
       case _: org.apache.spark.sql.AnalysisException =>
         System.err.println(s"WARN graft-ann: no assign_meta at $path " +
@@ -926,7 +1123,7 @@ object Similarity {
       val source = assigned.select(col("c_id").as("vec_id"),
         col("v_c").as("embedding"))
       new IvfIndex(centroids, source, assigned,
-        assignMode = readAssignMeta(spark, path))
+        assignMode = readAssignMeta(spark, path, centroids))
     }
 
     /** Incremental maintenance for a saved full-vector IVF index — the
@@ -946,7 +1143,7 @@ object Similarity {
       // one table, one assignment semantics for its whole life
       val assigned = newVectors.select(col("vec_id"), col("embedding"))
         .withColumn("cell",
-          nearestCellColWith(centroids, readAssignMeta(spark, path)))
+          nearestCellColWith(centroids, readAssignMeta(spark, path, centroids)))
         .select(col("vec_id").as("c_id"), col("cell"),
           col("embedding").as("v_c"))
       graft.sources.Layout.appendBucketedExternal(assigned,
@@ -972,6 +1169,29 @@ object Similarity {
       * does). */
     def train(candidates0: DataFrame, cells: Int = 16,
         lloydIters: Int = 3): IvfIndex = {
+      // ENFORCED CELLS BOUND (r15, VERDICT r14 #5 — the broadcast-bound
+      // discipline applied to the router's asymptotic boundary): the
+      // two-level routed assignment is O(cells^0.75)/row only up to
+      // S≈30 super-groups (cells≈900); past it the S/4 fidelity floor
+      // caps the win at a CONSTANT ~4× over the flat O(cells) scan
+      // (CROSSOVER §4, measured to S=45 / cells=2000 / 4M rows). Under
+      // the cells≈sqrt(n) rule the default bound of 4096 covers ~16M
+      // rows per index — beyond that, assignment cost per row grows
+      // linearly in cells again, a regime the caller must opt into
+      // consciously (shard the corpus across indexes, or raise
+      // `spark.graft.ann.cellsBound` / set -1 after reading this; a
+      // 3-level router would recover asymptotics and is the documented
+      // next step if a real corpus needs it).
+      val cellsBound = longConf(candidates0.sparkSession,
+        "spark.graft.ann.cellsBound", 4096L)
+      require(cellsBound <= 0 || cells <= cellsBound,
+        s"IvfIndex.train: cells=$cells exceeds " +
+          s"spark.graft.ann.cellsBound=$cellsBound. Past ~900 cells the " +
+          "routed scan's win over flat assignment is a constant ~4x " +
+          "(the S/4 fidelity floor, CROSSOVER.md §4), so per-row " +
+          "assignment grows ~linearly in cells again. Shard the corpus " +
+          "across indexes, or raise the bound (set -1 to disable) if " +
+          "the O(cells/4)-per-row cost is acceptable.")
       // Materialize the (vec_id, embedding) projection ONCE: seed collect,
       // the Lloyd-step recompute, cell assignment, and (in the per-call
       // ivfTopK shape) the query-probe side otherwise each re-scan the
@@ -1369,7 +1589,7 @@ object Similarity {
       graft.sources.Layout.registerBucketedExternal(spark,
         s"${name}_codes", s"$path/codes", centroids.size, Seq("cell"))
       val source = vectors.select(col("vec_id"), col("embedding"))
-      val assignMode = readAssignMeta(spark, path)
+      val assignMode = readAssignMeta(spark, path, centroids)
       // assigned/enc are lazy projections off the loaded quantizers —
       // declared for API completeness (IvfIndex.search / PqIndex.search
       // on the loaded handle), never evaluated by IvfPqIndex.search
@@ -1425,7 +1645,7 @@ object Similarity {
       // one code table, one assignment semantics for its whole life
       val enc = newVectors.select(col("vec_id"), col("embedding"))
         .withColumn("cell",
-          nearestCellColWith(centroids, readAssignMeta(spark, path)))
+          nearestCellColWith(centroids, readAssignMeta(spark, path, centroids)))
         .select(col("cell"), col("vec_id").as("c_id"),
           pqEncode(col("embedding"), codebooks, m, pqCodes).as("pq"),
           vecNorm(col("embedding")).as("norm_c"))
@@ -1533,13 +1753,29 @@ object Similarity {
   private val annCacheRegistry =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Regime-probe memo for [[resolveLshRegime]]: (session identity,
-    * analyzed-plan semantic hash) → the probe's (mean, p10, p90).
-    * Cleared by [[sweepAnnCaches]]. Exposed private[graft] so specs can
-    * pin the single-probe-per-corpus behavior. */
+  /** Regime-probe memo for [[resolveLshRegime]]: per-SESSION (a weak map
+    * keyed on the SparkSession object itself, so a dead session's entries
+    * are GC-reclaimable and a recycled identity hash can never alias a
+    * new session — ADVICE r14), inner key = (analyzed-plan semantic hash,
+    * input-files fingerprint) → the probe's (mean, p10, p90). The files
+    * fingerprint (VERDICT r14 #2) folds `DataFrame.inputFiles` into the
+    * key so a table REWRITTEN under an identical path/plan (new part
+    * files) re-probes instead of serving the stale verdict; frames with
+    * no file provenance (in-memory, checkpointed) fingerprint to the
+    * empty listing and key on the plan alone, as before. Cleared by
+    * [[sweepAnnCaches]]. Exposed private[graft] so specs can pin the
+    * single-probe-per-corpus behavior. */
   private[graft] val regimeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int),
-      (Double, Double, Double)]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Int),
+        (Double, Double, Double)]]()
+
+  /** Total memoized probe verdicts across live sessions (spec surface). */
+  private[graft] def regimeMemoSize: Int = regimeMemo.synchronized {
+    var n = 0
+    regimeMemo.values.forEach(m => n += m.size)
+    n
+  }
 
   /** Release every cached intermediate registered by [[knnJoinLsh]] since
     * the last sweep, and the regime-probe memo. Safe to call at any time
@@ -1550,15 +1786,15 @@ object Similarity {
       df.unpersist(blocking = false)
       df = annCacheRegistry.poll()
     }
-    regimeMemo.clear()
+    regimeMemo.synchronized(regimeMemo.clear())
   }
 
-  val queries: Map[String, Q] = Map(
-    // Exact cosine top-5 for the first 10 vectors (the ANN baseline).
-    "x_ann_bruteforce" -> ((s, d) => {
-      val all = emb(s, d)
-      exactTopK(all, all.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
-    }),
+  /** RAW registered operating points of the six approximate ANN entries —
+    * the actual top-k result frames. Consumed by the Recall harness and
+    * the specs; since r15 the CATALOG entries of the same names wrap
+    * these in the recall-contract check below, so the correctness gate
+    * hash-verifies the contract instead of recording a rows-only pass. */
+  private[graft] val rawAnn: Map[String, Q] = Map(
     // Multi-table SRP LSH ANN (8 tables × 6 bits, flip-1 multi-probe).
     "x_ann_lsh" -> ((s, d) =>
       lshTopK(emb(s, d), col("vec_id") < 10,
@@ -1581,13 +1817,6 @@ object Similarity {
       ivfpqTopK(emb(s, d), col("vec_id") < 10,
         probes = intConf(s, "spark.graft.ann.ivfpq.probes", -1),
         rerank = intConf(s, "spark.graft.ann.ivfpq.rerank", 400))
-        .orderBy("q_id", "rank")),
-    // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
-    // primitive: blocked-grid equi-join + bounded top-k aggregation.
-    "x_knn_join" -> ((s, d) =>
-      knnJoin(emb(s, d), k = 3,
-        blocks = intConf(s, "spark.graft.knnjoin.blocks", 8),
-        qblocks = intConf(s, "spark.graft.knnjoin.qblocks", 4))
         .orderBy("q_id", "rank")),
     // IVF-celled approximate k-NN self-join — the routed-scan scale path
     // (recall ~ probe coverage on isotropic data; see knnJoinLsh
@@ -1612,14 +1841,131 @@ object Similarity {
         .orderBy("q_id", "rank"))
   )
 
+  /** Recall-contract check for the four `x_ann_*` entries (r15, VERDICT
+    * r14 #1 — the `x_approx_agg` bound-check pattern): the approximate
+    * result has no portable SQL oracle (it depends on probe/quantizer
+    * internals), but its CONTRACT does. The entry joins the raw ANN
+    * top-5 against the in-plan exact baseline (`exactTopK` — the same
+    * computation the oracle-backed `x_ann_bruteforce` hash-verifies
+    * bit-for-bit) and emits, per query: the exact-side row count (a
+    * value DuckDB recomputes from the brute-force CTE) plus two flags
+    * the oracle asserts as literal TRUE — `recall_ok` (per-query hits ≥
+    * `minHits`, the registered point's floor) and `mean_ok` (total hits
+    * over all 10 queries ≥ `minTotal`, the tight aggregate bound).
+    * Recall drift past either bound now fails the HASH gate
+    * mechanically; RECALL_r*.json stays the diagnostic sweep.
+    *
+    * Thresholds: measured r15 per-query hits at the registered points —
+    * sf0.01 totals 44/44/49/48 of 50 with per-query mins 4/3/4/4
+    * (lsh/ivf/pq/ivfpq), sf0.1 totals 46/47/45/47 with mins 4/4/3/3.
+    * Defaults take one notch of margin under the worst measured SF
+    * (per-query floor) and four hits of margin on the total (aggregate
+    * mean ≥ 0.8), so a single borderline-neighbor flip from
+    * merge-order float jitter in quantizer training can never flap the
+    * gate while genuine drift (a probe regression, a quantizer bug)
+    * still trips it. Conf-overridable per entry. */
+  private def annRecallCheck(name: String, short: String,
+      minHitsDflt: Int, minTotalDflt: Int): Q = (s, d) => {
+    val all = emb(s, d)
+    val minHits = intConf(s, s"spark.graft.ann.check.$short.minHits",
+      minHitsDflt)
+    val minTotal = intConf(s, s"spark.graft.ann.check.$short.minTotal",
+      minTotalDflt)
+    val approx = rawAnn(name)(s, d).select(col("q_id"), col("c_id"))
+    val exact = exactTopK(all, all.filter(col("vec_id") < 10), 5)
+      .select(col("q_id"), col("c_id"))
+    // 10 queries × 5 rows: the per-query fold and the all-query window
+    // are KB-scale by construction (never corpus-proportional)
+    val perQ = exact
+      .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    // the all-query total rides a constant-key broadcast hash join of
+    // the 1-row aggregate (a partition-less window would drag the
+    // plan-gate exception in for a 10-row frame)
+    val total = perQ.agg(sum(col("hits")).as("total_hits"))
+      .withColumn("join_one", lit(1))
+    perQ
+      .withColumn("join_one", lit(1))
+      .join(broadcast(total), Seq("join_one"))
+      .select(col("q_id"), col("n_exact"),
+        (col("hits") >= minHits).as("recall_ok"),
+        (col("total_hits") >= minTotal).as("mean_ok"))
+      .orderBy("q_id")
+  }
+
+  /** Recall-contract check for the two approximate k-NN JOIN entries:
+    * the raw variant still computes neighbors for EVERY vector (the
+    * benched operator is unchanged), but exact ground truth for every
+    * vector would double the entry's cost with a second O(n²) pass — so
+    * the contract is verified on the deterministic `vec_id % 7 == 0`
+    * sample (~14%: 72 queries at sf0.01, 286 at sf0.1), whose exact
+    * top-3 comes from one `knnJoinAgainst` blocked pass at ~1/7 of the
+    * full join's pair volume. One output row, all columns
+    * oracle-computable: the sampled query count plus two flags asserted
+    * TRUE — aggregate sampled recall@3 ≥ `minRecallPct`% (measured r15:
+    * ivf 0.940/0.937, lsh 0.986/0.895 at sf0.01/sf0.1; defaults 85/80
+    * keep ~0.09 of margin) and a rescued-tail flag (zero-recall queries
+    * ≤ 2% of the sample; measured 0 at both SFs, full-corpus frac_zero
+    * 0.0005 in RECALL_r14). */
+  private def knnRecallCheck(name: String, short: String,
+      minPctDflt: Int): Q = (s, d) => {
+    val all = emb(s, d)
+    val minPct = intConf(s,
+      s"spark.graft.knnjoin.check.$short.minRecallPct", minPctDflt)
+    val sample = all.filter(col("vec_id") % 7 === 0)
+    val approx = rawAnn(name)(s, d).select(col("q_id"), col("c_id"))
+    val exact = knnJoinAgainst(all, sample, 3).select(col("q_id"), col("c_id"))
+    exact
+      .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("hits")) * 100L >= sum(col("n_exact")) * minPct)
+          .as("recall_ok"),
+        // zeros·50 ≤ n ⇔ zero-recall fraction ≤ 2%, in exact integers
+        (sum(when(col("hits") === 0L, 1L).otherwise(0L)) * 50L
+          <= count(lit(1))).as("zero_tail_ok"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact cosine top-5 for the first 10 vectors (the ANN baseline).
+    "x_ann_bruteforce" -> ((s, d) => {
+      val all = emb(s, d)
+      exactTopK(all, all.filter(col("vec_id") < 10)).orderBy("q_id", "rank")
+    }),
+    // The four approximate ANN families + the two approximate k-NN
+    // joins, each wrapped in its oracle-backed recall contract (the raw
+    // top-k frames live in [[rawAnn]]; RECALL_r*.json diagnoses, this
+    // gate ENFORCES).
+    "x_ann_lsh" -> annRecallCheck("x_ann_lsh", "lsh", 3, 40),
+    "x_ann_ivf" -> annRecallCheck("x_ann_ivf", "ivf", 2, 40),
+    "x_ann_pq" -> annRecallCheck("x_ann_pq", "pq", 2, 41),
+    "x_ann_ivfpq" -> annRecallCheck("x_ann_ivfpq", "ivfpq", 2, 43),
+    // Exact k-NN SELF-join (every vector's top-3) — the semantic-dedup
+    // primitive: blocked-grid equi-join + bounded top-k aggregation.
+    "x_knn_join" -> ((s, d) =>
+      knnJoin(emb(s, d), k = 3,
+        blocks = intConf(s, "spark.graft.knnjoin.blocks", 8),
+        qblocks = intConf(s, "spark.graft.knnjoin.qblocks", 4))
+        .orderBy("q_id", "rank")),
+    "x_knn_join_ivf" -> knnRecallCheck("x_knn_join_ivf", "ivf", 85),
+    "x_knn_join_lsh" -> knnRecallCheck("x_knn_join_lsh", "lsh", 80)
+  )
+
   /** The exact brute-force baseline IS SQL-expressible: the oracle mirrors
     * the native CosineSimilarity accumulation shape exactly — sequential
     * float→double products summed in list order, denom = sqrt(nx)*sqrt(ny),
     * then dot/denom — so the doubles (and hence the ranking and the rounded
-    * output) are bit-identical across engines. The LSH/IVF variants stay
-    * rows-only: their results depend on probe/quantizer internals that a
-    * portable SQL oracle cannot replicate (their recall vs this exact
-    * baseline is asserted in ExtSpec instead, as is PQ's). */
+    * output) are bit-identical across engines. The approximate variants'
+    * RESULTS depend on probe/quantizer internals a portable SQL oracle
+    * cannot replicate, so since r15 their entries return the recall
+    * CONTRACT instead ([[annRecallCheck]]/[[knnRecallCheck]]): DuckDB
+    * recomputes the deterministic columns (the exact baseline's per-query
+    * row count / the sampled query count) and asserts the recall flags as
+    * literal TRUE — drift past the registered bounds fails the hash gate. */
   val oracle: Map[String, String] = Map(
     "x_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1661,5 +2007,34 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM pr)
         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
-  )
+  ) ++
+    // The four x_ann_* recall-contract entries share one oracle: DuckDB
+    // re-derives the exact baseline (the brute-force CTE, so n_exact is
+    // COMPUTED, not a literal) and asserts both flags TRUE.
+    Seq("x_ann_lsh", "x_ann_ivf", "x_ann_pq", "x_ann_ivfpq").map(_ ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pr AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, count(*) AS n_exact,
+        |  TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM pr)
+        |WHERE rk <= 5 GROUP BY q_id ORDER BY q_id""".stripMargin).toMap ++
+    // The sampled k-NN join contracts: the query count is the
+    // deterministic vec_id % 7 == 0 sample size, the flags assert the
+    // aggregate recall and the zero-recall tail bound.
+    Seq("x_knn_join_ivf", "x_knn_join_lsh").map(_ ->
+      """SELECT count(*) AS n_queries,
+        |  TRUE AS recall_ok, TRUE AS zero_tail_ok
+        |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin).toMap
 }

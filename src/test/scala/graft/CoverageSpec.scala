@@ -18,22 +18,20 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: ${orphans.toList.sorted}")
   }
 
-  test("oracle coverage matches the documented 174/180 split") {
+  test("oracle coverage is total: every declared query is oracle-backed") {
     assert(SparkEntry.queries.size === 180)
-    assert(SparkEntry.oracleSql.size === 174)
+    // Since r15 there are NO rows-only entries left: the six approximate
+    // ANN operators (x_ann_{lsh,ivf,pq,ivfpq}, x_knn_join_{ivf,lsh}) —
+    // whose ranked output depends on quantizer/hash-table internals no
+    // portable SQL can replicate — register their recall CONTRACT
+    // instead, via the x_approx_agg bound-check pattern: the entry joins
+    // the raw top-k against the in-plan exact baseline and the oracle
+    // recomputes the deterministic columns and asserts the recall flags
+    // as literal TRUE. The raw top-k frames live in Similarity.rawAnn
+    // (Recall harness + specs); drift past the registered bounds now
+    // fails the hash gate mechanically.
+    assert(SparkEntry.oracleSql.size === 180)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the 6 intrinsically non-oracle-able operators (the ANN core: the
-    // x_ann_* family's ranked output depends on quantizer/hash-table
-    // internals no portable SQL can replicate, and the two approximate
-    // knn-join variants' candidate coverage likewise; their recall is
-    // measured against the ORACLE-BACKED x_knn_join in RECALL_r*.json),
-    // and only those — the multimodal feature pair became oracle-backed
-    // in round 5 when the codecs became real, x_approx_agg in round 12
-    // as a bound-check (exact side oracle-checked, sketch-within-ε
-    // flags asserted as literal TRUE), and x_media_neardup in round 13
-    // with the same pattern (planted-clone retrieval flags asserted
-    // TRUE; the clone construction was already ExtSpec-pinned)
-    assert(rowsOnly === Set("x_ann_lsh", "x_ann_ivf", "x_ann_pq",
-      "x_ann_ivfpq", "x_knn_join_ivf", "x_knn_join_lsh"))
+    assert(rowsOnly === Set.empty[String])
   }
 }

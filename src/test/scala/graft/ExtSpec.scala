@@ -637,7 +637,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("ivf ann returns full top-5 per query and agrees with brute force on rank-1 mostly") {
-    val ivf = Similarity.queries("x_ann_ivf")(spark, sf)
+    val ivf = Similarity.rawAnn("x_ann_ivf")(spark, sf)
     assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
   }
 
@@ -690,7 +690,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("pq ann returns full top-5 per query with decent recall vs brute force") {
-    val pq = Similarity.queries("x_ann_pq")(spark, sf)
+    val pq = Similarity.rawAnn("x_ann_pq")(spark, sf)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
     val bf = Similarity.queries("x_ann_bruteforce")(spark, sf)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
@@ -729,7 +729,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("ivfpq ann: full top-5 per query, decent recall, handle == per-call") {
-    val out = Similarity.queries("x_ann_ivfpq")(spark, sf)
+    val out = Similarity.rawAnn("x_ann_ivfpq")(spark, sf)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
     assert(out.groupBy(_._1).forall(_._2.length === 5))
     // the composite inherits BOTH approximations (cell routing + ADC);
@@ -855,7 +855,7 @@ class ExtSpec extends SparkSpec {
     // and that clearing it restores the benched default
     val key = "spark.graft.ann.ivfpq.rerank"
     def plan(): String =
-      explain(Similarity.queries("x_ann_ivfpq")(spark, sf))
+      explain(Similarity.rawAnn("x_ann_ivfpq")(spark, sf))
     try {
       spark.conf.set(key, "77")
       assert(plan().contains("<= 77"), "conf rerank must reach the plan")
@@ -864,6 +864,26 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset(key)
     // r11 default = the honest-seeding sweep winner (probes=12/rerank=400)
     assert(plan().contains("<= 400"), "unset conf must restore the default")
+  }
+
+  // r15 (VERDICT r14 #5): the router's asymptotic boundary is a loud
+  // contract like the LSH broadcast bound — past the cells bound,
+  // per-row assignment is only a constant ~4x better than flat (the S/4
+  // fidelity floor, CROSSOVER §4), and training refuses rather than
+  // silently degrading; the conf raises it consciously.
+  test("ivf cells bound: train past spark.graft.ann.cellsBound fails loudly; conf raises it") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val key = "spark.graft.ann.cellsBound"
+    try {
+      spark.conf.set(key, "32")
+      val e = intercept[IllegalArgumentException](
+        Similarity.IvfIndex.train(emb, cells = 48))
+      assert(e.getMessage.contains("cellsBound"), e.getMessage)
+      assert(e.getMessage.contains("constant ~4x"), e.getMessage)
+      spark.conf.set(key, "48")
+      assert(Similarity.IvfIndex.train(emb, cells = 48)
+        .centroids.nonEmpty)
+    } finally spark.conf.unset(key)
   }
 
   test("bounded quantizer training: a sub-corpus trainCap still yields a full index") {
@@ -1693,19 +1713,37 @@ class ExtSpec extends SparkSpec {
       spark.conf.set(key, "bogus")
       intercept[IllegalArgumentException](Similarity.resolveLshRegime(iso))
     } finally spark.conf.unset(key)
-    // r14 late: the probe is MEMOIZED per (session, analyzed plan) — a
-    // repeated auto resolution on the same corpus runs no second probe
-    // (one memo entry per distinct corpus), and the sweep clears it
+    // r14 late: the probe is MEMOIZED per (session, analyzed plan,
+    // input files) — a repeated auto resolution on the same corpus runs
+    // no second probe (one memo entry per distinct corpus), and the
+    // sweep clears it
     Similarity.sweepAnnCaches()
-    assert(Similarity.regimeMemo.isEmpty)
+    assert(Similarity.regimeMemoSize === 0)
     assert(Similarity.resolveLshRegime(cl) === "clustered")
-    assert(Similarity.regimeMemo.size === 1)
+    assert(Similarity.regimeMemoSize === 1)
     assert(Similarity.resolveLshRegime(cl) === "clustered")
-    assert(Similarity.regimeMemo.size === 1) // memo hit, no new probe
+    assert(Similarity.regimeMemoSize === 1) // memo hit, no new probe
     assert(Similarity.resolveLshRegime(iso) === "isotropic")
-    assert(Similarity.regimeMemo.size === 2)
+    assert(Similarity.regimeMemoSize === 2)
+    // r15 (VERDICT r14 #2): the inner key folds in the file listing —
+    // the SAME read plan over a REWRITTEN path must re-probe, not serve
+    // the stale verdict. Write an isotropic slice, probe, overwrite the
+    // path with a clustered corpus, re-read: verdict flips.
+    val dir = graft.Scratch.dir("graft_regime_fp")
+    iso.limit(5000).write.mode("overwrite").parquet(s"$dir/t")
+    assert(Similarity.resolveLshRegime(
+      spark.read.parquet(s"$dir/t")) === "isotropic")
+    val before = Similarity.regimeMemoSize
+    // memo hit on the identical listing: no new entry
+    assert(Similarity.resolveLshRegime(
+      spark.read.parquet(s"$dir/t")) === "isotropic")
+    assert(Similarity.regimeMemoSize === before)
+    cl.limit(5000).write.mode("overwrite").parquet(s"$dir/t")
+    assert(Similarity.resolveLshRegime(
+      spark.read.parquet(s"$dir/t")) === "clustered",
+      "rewritten files under the same path/plan must re-probe")
     Similarity.sweepAnnCaches()
-    assert(Similarity.regimeMemo.isEmpty)
+    assert(Similarity.regimeMemoSize === 0)
   }
 
   // r14: a MIXED corpus (clustered islands in an isotropic sea) reads
@@ -1746,5 +1784,58 @@ class ExtSpec extends SparkSpec {
         .collect().toSet
       assert(auto === fixed)
     } finally Similarity.sweepAnnCaches()
+  }
+
+  // r15 (VERDICT r14 #3): on a MIXED corpus past the anchor, auto mode
+  // stratifies — each half runs at its own pure-regime width instead of
+  // one global choice — and the isotropic half's recall must not be
+  // WORSE than under the global choice while the clustered half stays
+  // perfect. Recall is scored on a deterministic query sample against
+  // the exact blocked join (the full-ladder evidence lives in
+  // CROSSOVER.md; this pin is the trigger + contract).
+  test("knnJoinLsh stratifies a mixed corpus: per-stratum bits, no recall lost vs global") {
+    import org.apache.spark.sql.functions.col
+    val n = 4000L
+    val cl = Crossover.clusteredEmbeddings(spark, n)
+    val iso = Crossover.isotropicEmbeddings(spark, n)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    val mixed = cl.unionByName(iso).localCheckpoint(true)
+    // widths must diverge at 2n=8000 (full 10 vs anchored 9) and per
+    // stratum (clustered 4000 -> 9, isotropic 4000 -> 8): the trigger
+    assert(Similarity.autoWidths(2 * n, 8) === ((10, 9)))
+    assert(Similarity.autoWidths(n, 8) === ((9, 8)))
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    try {
+      val strat = sets(Similarity.knnJoinLsh(mixed, k = 3))
+      spark.conf.set("spark.graft.ann.lsh.stratify", "off")
+      val global = sets(Similarity.knnJoinLsh(mixed, k = 3))
+      // row contract unchanged: the strata partition the query set
+      assert(strat.keySet.size === (2 * n).toInt,
+        s"stratified output covers ${strat.keySet.size} of ${2 * n} queries")
+      assert(strat.values.forall(_.size <= 3))
+      // recall vs the exact top-3 of a 250-query deterministic sample
+      val sample = mixed.filter(col("vec_id") % 32 === 0)
+      val exact = sets(Similarity.knnJoinAgainst(mixed, sample, 3))
+      def recall(ann: Map[Long, Set[Long]], pred: Long => Boolean): Double = {
+        val qs = exact.keys.filter(pred).toSeq
+        qs.map(q => ann.getOrElse(q, Set.empty[Long])
+          .intersect(exact(q)).size.toDouble / 3).sum / qs.size
+      }
+      val stratIso = recall(strat, _ >= n); val globIso = recall(global, _ >= n)
+      val stratCl = recall(strat, _ < n); val globCl = recall(global, _ < n)
+      info(f"iso-half recall strat=$stratIso%.3f global=$globIso%.3f; " +
+        f"clustered-half strat=$stratCl%.3f global=$globCl%.3f")
+      assert(stratCl > 0.98, s"clustered half must stay ~perfect: $stratCl")
+      // the stratified isotropic half runs at ITS pure-regime width —
+      // never worse than the global choice (small slack: the sampled
+      // estimator)
+      assert(stratIso >= globIso - 0.02,
+        s"stratified iso-half $stratIso vs global $globIso")
+    } finally {
+      spark.conf.unset("spark.graft.ann.lsh.stratify")
+      Similarity.sweepAnnCaches()
+    }
   }
 }

@@ -158,6 +158,10 @@ class PlanSpec extends SparkSpec {
     val allowed = Set("j6_cross", "j7_theta_self", "tpch_q22",
       "e9_daily_anomaly", "x_ann_bruteforce", "x_ann_pq", "x_dedup_embed",
       "x_gapfill",
+      // r15: every x_ann_* recall-contract entry embeds the exact
+      // baseline (exactTopK — the bounded-query-set all-pairs scan,
+      // same class as x_ann_bruteforce) as its in-plan ground truth
+      "x_ann_lsh", "x_ann_ivf", "x_ann_ivfpq",
       // 1-row/class-dictionary broadcast sides: the mixture scalars
       // (s_total / the temperature normalizers) and the NB vocab×class
       // smoothing grid (C-row build)
@@ -451,7 +455,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("IVF assignment is a pure projection: hash joins only, no table shuffle for argmax") {
-    val p = explain(q("x_ann_ivf"))
+    // the RAW operator plan (the catalog entry wraps it in the recall
+    // contract since r15, whose exact baseline is an allowlisted NLJ)
+    val p = explain(graft.ext.Similarity.rawAnn("x_ann_ivf")(spark, sf))
     // driver-resident centroids enter as literals: cell assignment must not
     // plan as a join or an aggregation over the table
     assert(p.contains("BroadcastHashJoin"), p)
@@ -527,7 +533,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ivfpq: native ADC in plan, hash joins only, top-k lowers to WindowGroupLimit") {
-    val p = explain(q("x_ann_ivfpq"))
+    val p = explain(graft.ext.Similarity.rawAnn("x_ann_ivfpq")(spark, sf))
     assert(p.contains("pq_adc"), p) // codes scan scores via the native expr
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -82,6 +82,66 @@ class VersionedStreamSpec extends SparkSpec {
         "must be exact)")
   }
 
+  test("chaos: killed after the sink commit, before the checkpoint marker; foreign commits land between restarts") {
+    // The exactly-once matrix's missing cell (VERDICT r14 #8): a
+    // mid-batch crash in the window where the sink's dst commit is
+    // DURABLE but the checkpoint's commit marker is not. Structured
+    // Streaming writes offsets/N before running batch N and commits/N
+    // after — so deleting the newest commits/N reproduces exactly that
+    // kill point, and the restart MUST re-execute epoch N. Exactly-once
+    // then rests entirely on the ledger: the replayed appendOnce
+    // (same stream name, same epoch id) must no-op — including after a
+    // CONCURRENT WRITER has moved dst's manifest forward between the
+    // restarts (the ledger rides the manifest chain, not the file the
+    // original commit wrote).
+    val src = freshBase(); val dst = freshBase(); val ckpt = freshDir()
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), src)
+    def replicate(): StreamingQuery =
+      Versioned.commitStream(readVs(src), dst, "chaos",
+        Map("checkpointLocation" -> ckpt))
+    val q1 = replicate()
+    q1.processAllAvailable()
+    Versioned.commit(Seq((3L, 30L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+    drain(q1)
+    assert(Versioned.read(spark, dst).count() === 3, "pre-kill state")
+
+    // the kill: drop the newest checkpoint commit marker (the batch's
+    // dst commit already landed above)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), s"could not remove ${newest}")
+    // the local ChecksumFileSystem keeps a .crc sidecar next to the
+    // marker; a crash before the rename leaves NEITHER file, so the
+    // faithful simulation removes both (a stale sidecar would poison
+    // the restart's re-write of the same marker)
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+
+    // between the restarts: a foreign writer commits to BOTH tables —
+    // dst's ledger must survive its head moving on; src grows a new
+    // window the restart must ship exactly once alongside the replay
+    Versioned.commit(Seq((100L, 1000L)).toDF("id", "v"), dst,
+      org.apache.spark.sql.SaveMode.Append)
+    Versioned.commit(Seq((4L, 40L)).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)
+
+    val q2 = replicate()
+    drain(q2)
+    val rows = Versioned.read(spark, dst).as[(Long, Long)].collect().toSeq
+    assert(rows.size === 5,
+      s"replayed epoch must no-op via the ledger, got ${rows.sorted}")
+    assert(rows.toSet === Set((1L, 10L), (2L, 20L), (3L, 30L),
+      (4L, 40L), (100L, 1000L)))
+
+    // and the crashed run's read pins must not pin src retention
+    // forever: an ordinary vacuum after the recovery reclaims history
+    Versioned.vacuum(spark, src, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.versions(spark, src).size === 1,
+      "a crash-replayed stream must not leak leases")
+  }
+
   test("cdc mode: deletes arrive signed, net of the COW rewrite") {
     val src = freshBase()
     Versioned.commit((1L to 6L).map(i => (i, i * 10L)).toDF("id", "v"), src)
