@@ -155,15 +155,17 @@ object Bench {
     // untouched queries; this makes that visible in the artifact).
     // Runs AFTER the main passes (warm box — the post-idle frequency
     // ramp measured ~1.5× on first touch) with a CPU leg (codegen'd
-    // hash over 1.5G longs) and a shuffle leg (50M rows → 1k groups),
+    // hash over 3G longs) and a shuffle leg (100M rows → 1k groups),
     // the two resources the catalog's queries spend.
     val calibSec = {
       import org.apache.spark.sql.functions.expr
       def once(): Double = {
         val t0 = System.nanoTime()
-        spark.range(0L, 1500000000L, 1L, cpus.toInt)
-          .selectExpr("sum(xxhash64(id))").collect()
-        spark.range(0L, 50000000L, 1L, cpus.toInt)
+        // avg, not sum: summing 1.5G uniform 64-bit hashes overflows a
+        // long under the ANSI default and kills the run
+        spark.range(0L, 3000000000L, 1L, cpus.toInt)
+          .selectExpr("avg(xxhash64(id))").collect()
+        spark.range(0L, 100000000L, 1L, cpus.toInt)
           .groupBy(expr("id % 1000")).count()
           .selectExpr("sum(count)").collect()
         (System.nanoTime() - t0) / 1e9

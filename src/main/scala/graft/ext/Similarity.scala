@@ -274,15 +274,14 @@ object Similarity {
       v
     }
     if (bits <= 0 && stratifyConf == "auto"
-        && vectors.sparkSession.conf
-          .get("spark.graft.ann.lsh.regime", "auto").trim == "auto") {
+        && regimeConf(vectors.sparkSession) == "auto") {
       counted = vectors.count()
       checkBound(counted)
       val (fullW, isoW) = autoWidths(counted, targetBucket = 8)
       if (fullW != isoW) {
         val thr = doubleConf(vectors.sparkSession,
           "spark.graft.ann.lsh.regimeThreshold", 0.80)
-        val (_, p10, p90) = regimeProbeStats(vectors)
+        val ((_, p10, p90), _) = regimeProbeStats(vectors)
         if (p90 >= thr && p10 < thr)
           stratifiedKnnJoinLsh(vectors, k, tables, rescueCap, thr) match {
             case Some(out) => return out
@@ -443,7 +442,9 @@ object Similarity {
   private def stratifiedKnnJoinLsh(vectors: DataFrame, k: Int,
       tables: Int, rescueCap: Int, thr: Double): Option[DataFrame] = {
     import graft.functions.VectorFunctions.nearestCellSim
-    val (qVals, flat) = probeSample(vectors)
+    // the memoized probe's sample (the trigger just probed — memo hit):
+    // labels must be relative to the SAME vectors the stats measured
+    val (qVals, flat) = regimeProbeStats(vectors)._2
     val nq = qVals.length
     if (nq < 2) return None
     val dim = flat.length / nq
@@ -468,7 +469,14 @@ object Similarity {
     val labelCol = when(inList(clusteredIds), lit(true))
       .when(inList(isoIds), lit(false))
       .otherwise(nearestCellSim(col("embedding"), flat, nq) >= thr)
+    // persist: the label expression is a fused 256-cosine loop per row,
+    // and without materialization every consumer below (the count job,
+    // each pass's query filter, qVecs filter, and rescue anti-join)
+    // would re-evaluate it over the full corpus (review r15). Registered
+    // for [[sweepAnnCaches]] like the rescue-path persists.
     val labeled = vectors.withColumn("graft_lsh_clustered", labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    annCacheRegistry.add(labeled)
     val counts = labeled.groupBy("graft_lsh_clustered").count().collect()
       .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     val nC = counts.getOrElse(true, 0L)
@@ -637,9 +645,14 @@ object Similarity {
       // full-rate one, so min(full, anchored) == full for BOTH regimes
       // and the (memoized but still ~1 s cold) corpus scan buys nothing;
       // clamping can also collapse the two raws to one resolved width.
+      // The skip still VALIDATES the regime conf (review r15): a typo'd
+      // override must fail loudly at first use, not silently pass until
+      // the corpus grows past the anchor.
       val (r, resolved) =
-        if (fullW == isoW) ("any (formulas agree; probe skipped)", fullW)
-        else if (regime() == "isotropic") ("isotropic", isoW)
+        if (fullW == isoW) {
+          regimeConf(org.apache.spark.sql.SparkSession.active)
+          ("any (formulas agree; probe skipped)", fullW)
+        } else if (regime() == "isotropic") ("isotropic", isoW)
         else ("clustered", fullW)
       System.err.println(s"INFO graft-ann: lsh auto-bits n=$n regime=$r" +
         s" targetBucket=$targetBucket -> bits=$resolved")
@@ -714,9 +727,16 @@ object Similarity {
   }
 
   private[graft] def neighborCosineStats(vectors: DataFrame,
-      nQueries: Int = 256): (Double, Double, Double) = {
+      nQueries: Int = 256): (Double, Double, Double) =
+    neighborCosineStatsWith(vectors, probeSample(vectors, nQueries))
+
+  /** [[neighborCosineStats]] against an already-collected sample — so
+    * the memoized path ([[regimeProbeStats]]) collects the sample ONCE
+    * and shares it with the stratified labeler. */
+  private[graft] def neighborCosineStatsWith(vectors: DataFrame,
+      sample: (Seq[Any], Seq[Float])): (Double, Double, Double) = {
     import graft.functions.VectorFunctions.{nearestCellSim, nearestCells}
-    val (qVals, flat) = probeSample(vectors, nQueries)
+    val (qVals, flat) = sample
     if (qVals.length < 2) return (0.0, 0.0, 0.0)
     val nq = qVals.length
     val row = vectors
@@ -753,8 +773,8 @@ object Similarity {
     * the stale verdict (VERDICT r14 #2). In-memory/checkpointed frames
     * have no file provenance and key on the plan alone. Regimes move
     * slowly; the bound is fine. */
-  private[graft] def regimeProbeStats(
-      vectors: DataFrame): (Double, Double, Double) = {
+  private[graft] def regimeProbeStats(vectors: DataFrame)
+      : ((Double, Double, Double), (Seq[Any], Seq[Float])) = {
     val s = vectors.sparkSession
     val filesKey = {
       val fs = try vectors.inputFiles
@@ -767,7 +787,7 @@ object Similarity {
       var m = regimeMemo.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(Int, Int),
-          (Double, Double, Double)]()
+          ((Double, Double, Double), (Seq[Any], Seq[Float]))]()
         regimeMemo.put(s, m)
       }
       m
@@ -775,25 +795,38 @@ object Similarity {
     // probe OUTSIDE the map (review r14): computeIfAbsent would run a
     // multi-second Spark job under the bucket lock, serializing
     // unrelated corpora that hash to the same bucket; a lost race
-    // costs one redundant (idempotent) probe instead
+    // costs one redundant (idempotent) probe instead. The KB-scale
+    // query SAMPLE memoizes alongside the stats (review r15): the
+    // stratified labeler needs the identical sample, and re-collecting
+    // it would repeat the full-corpus TakeOrdered job per call.
     val cached = inner.get(key)
     if (cached != null) cached
     else {
-      val fresh = neighborCosineStats(vectors)
+      val sample = probeSample(vectors)
+      val fresh = (neighborCosineStatsWith(vectors, sample), sample)
       val prev = inner.putIfAbsent(key, fresh)
       if (prev != null) prev else fresh
     }
   }
 
-  private[graft] def resolveLshRegime(vectors: DataFrame): String = {
-    val s = vectors.sparkSession
+  /** The validated `spark.graft.ann.lsh.regime` conf value — the ONE
+    * read-and-require site, shared by every path that consults the
+    * override (including the probe-skip branch of [[resolveBits]] and
+    * the stratify trigger, so a typo'd value fails loudly everywhere). */
+  private[graft] def regimeConf(s: SparkSession): String = {
     val conf = s.conf.get("spark.graft.ann.lsh.regime", "auto").trim
     require(Seq("auto", "clustered", "isotropic").contains(conf),
       s"spark.graft.ann.lsh.regime must be auto|clustered|isotropic, got $conf")
+    conf
+  }
+
+  private[graft] def resolveLshRegime(vectors: DataFrame): String = {
+    val s = vectors.sparkSession
+    val conf = regimeConf(s)
     if (conf != "auto") conf
     else {
       val thr = doubleConf(s, "spark.graft.ann.lsh.regimeThreshold", 0.80)
-      val (mean, p10, p90) = regimeProbeStats(vectors)
+      val ((mean, p10, p90), _) = regimeProbeStats(vectors)
       val verdict = if (mean >= thr) "clustered" else "isotropic"
       // wide p10/p90 spread = a MIXED corpus: the verdict below is the
       // mean's side; see [[neighborCosineStats]]
@@ -1768,7 +1801,7 @@ object Similarity {
   private[graft] val regimeMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(Int, Int),
-        (Double, Double, Double)]]()
+        ((Double, Double, Double), (Seq[Any], Seq[Float]))]]()
 
   /** Total memoized probe verdicts across live sessions (spec surface). */
   private[graft] def regimeMemoSize: Int = regimeMemo.synchronized {
