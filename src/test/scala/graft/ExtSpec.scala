@@ -631,6 +631,34 @@ class ExtSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("srp_signature")))
   }
 
+  // r15: the oracle-backed recall contract must actually BITE — the
+  // flags are TRUE at the registered operating points (the correctness
+  // gate), and an unreachable threshold flips them FALSE (so a real
+  // recall regression fails the hash compare, not just this spec).
+  test("ann recall-contract entries: flags true at registered points, false past the bound") {
+    val lsh = Similarity.queries("x_ann_lsh")(spark, sf).collect()
+    assert(lsh.length === 10)
+    assert(lsh.forall(r => r.getAs[Boolean]("recall_ok")
+      && r.getAs[Boolean]("mean_ok") && r.getAs[Long]("n_exact") === 5L))
+    val kj = Similarity.queries("x_knn_join_ivf")(spark, sf).collect()
+    assert(kj.length === 1)
+    assert(kj.head.getAs[Boolean]("recall_ok")
+      && kj.head.getAs[Boolean]("zero_tail_ok"))
+    try {
+      spark.conf.set("spark.graft.ann.check.lsh.minTotal", "51") // > 10×5
+      spark.conf.set("spark.graft.knnjoin.check.ivf.minRecallPct", "101")
+      assert(Similarity.queries("x_ann_lsh")(spark, sf).collect()
+        .forall(!_.getAs[Boolean]("mean_ok")),
+        "an unreachable total bound must flip mean_ok")
+      assert(!Similarity.queries("x_knn_join_ivf")(spark, sf).collect()
+        .head.getAs[Boolean]("recall_ok"),
+        "an unreachable recall bound must flip recall_ok")
+    } finally {
+      spark.conf.unset("spark.graft.ann.check.lsh.minTotal")
+      spark.conf.unset("spark.graft.knnjoin.check.ivf.minRecallPct")
+    }
+  }
+
   test("ann brute force: perfect self-similarity when querying own vector") {
     val out = Similarity.queries("x_ann_bruteforce")(spark, sf)
     assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
