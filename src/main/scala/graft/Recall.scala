@@ -5,12 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Per-round ANN recall artifact (`RECALL_r*.json`): the committed,
   * diffable form of the recall assertions that otherwise live only in
   * transient ExtSpec runs. The four approximate ANN entries are the
-  * catalog's least-audited surface — rows-only in the correctness gate
-  * because no portable SQL oracle can replicate probe/quantizer
-  * internals — so this main scores each one against the exact
-  * brute-force baseline (`x_ann_bruteforce`, itself oracle-backed
-  * bit-for-bit) and emits one JSON file. A recall regression then shows
-  * up in review exactly like a latency regression in BENCH_r*.json.
+  * catalog's least-audited surface — no portable SQL oracle can
+  * replicate probe/quantizer internals, so until r15 the correctness
+  * gate recorded them rows-only; since r15 the catalog entries return
+  * oracle-ENFORCED recall contracts ([[graft.ext.Similarity]]'s
+  * annRecallCheck/knnRecallCheck) and this main stays the DIAGNOSTIC
+  * sweep: it scores each raw variant (Similarity.rawAnn) against the
+  * exact brute-force baseline (`x_ann_bruteforce`, itself oracle-backed
+  * bit-for-bit) and emits one JSON file. A recall regression shows up
+  * here as a number and in CORRECTNESS_r*.json as a failed hash.
   *
   * Determinism: every variant runs its registered query shape unchanged —
   * fixed seeds (SRP seed 42; IVF/PQ quantizers seed from the
