@@ -54,7 +54,11 @@ import org.apache.spark.sql.SparkSession
   *    queries after a VM change — into a mechanical divisor:
   *    `common_subset_vs_prev.ratio_box_normalized` = ratio / box
   *    factor is the same-query comparison with the machine factored
-  *    out. Null until the banked snapshot carries `calib_sec`.
+  *    out. Null until the banked snapshot carries `calib_sec`. Round 16
+  *    adds an I/O leg (`calib_io_sec`, fixed-size parquet write+scan)
+  *    blended into the factor once the snapshot carries it, and a
+  *    changed-entries exclusion list (`bench_changed_entries.txt`) so
+  *    shape-changed queries never pollute the same-query ratio.
   *  - The driver captures only the LAST ~2000 chars of stdout (rounds 1 AND
   *    2 both overflowed it and parsed as null), so the printed line carries
   *    per-query latencies for a fixed headline subset only (~0.7 KB total);
@@ -161,8 +165,9 @@ object Bench {
       import org.apache.spark.sql.functions.expr
       def once(): Double = {
         val t0 = System.nanoTime()
-        // avg, not sum: summing 1.5G uniform 64-bit hashes overflows a
-        // long under the ANSI default and kills the run
+        // avg, not sum: summing 3G uniform 64-bit hashes overflows a
+        // long under the ANSI default and kills the run (and any larger
+        // count a fortiori — avg's double accumulator can't overflow)
         spark.range(0L, 3000000000L, 1L, cpus.toInt)
           .selectExpr("avg(xxhash64(id))").collect()
         spark.range(0L, 100000000L, 1L, cpus.toInt)
@@ -171,6 +176,37 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       (1 to 3).map(_ => once()).min
+    }
+
+    // I/O CALIBRATION LEG (r16, VERDICT r15 #4): the CPU+shuffle probe
+    // above cannot see an I/O-bound box swap (parquet scan speed), so a
+    // third leg writes a fixed 50M-row two-column parquet table to local
+    // tmp and scans it back with an aggregate — the write+read round
+    // trip the catalog's versioned/sink entries spend. Min-of-3, each
+    // run against a fresh subdir (no page-cache reuse of the same
+    // inode); cleanup is OUTSIDE the timed window. Carried as
+    // `calib_io_sec` beside `calib_sec`; once the banked snapshot has
+    // both, the box factor blends them (total probe wall ratio) so an
+    // I/O-only box change normalizes too.
+    val calibIoSec = {
+      val base = java.nio.file.Files.createTempDirectory("graft_calib_io")
+      def once(i: Int): Double = {
+        val path = base.resolve(s"t$i").toString
+        val t0 = System.nanoTime()
+        spark.range(0L, 50000000L, 1L, cpus.toInt)
+          .selectExpr("id", "xxhash64(id) as h")
+          .write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).selectExpr("avg(h)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val v = (1 to 3).map(once).min
+      // untimed cleanup
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case _: Exception => ()
+        })
+      v
     }
 
     // Locale.ROOT: the f-interpolator formats under the default locale —
@@ -201,7 +237,8 @@ object Bench {
     val seqSorted = seqResults.toSeq.sortBy(_._1)
     val detailJson =
       s"""{"concurrent$concurrency":${jsonMap(sorted)},"sequential":${
-        jsonMap(seqSorted)},"calib_sec":${f3(calibSec)}}"""
+        jsonMap(seqSorted)},"calib_sec":${f3(calibSec)},"calib_io_sec":${
+        f3(calibIoSec)}}"""
     java.nio.file.Files.write(detailPath,
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val seqSum = seqResults.values.flatten.sum
@@ -239,14 +276,45 @@ object Bench {
         // box factor: this box's calibration wall over the banked one —
         // >1 means the current box is SLOWER on the code-independent
         // probe and the same-query ratio carries that much machine, not
-        // code (null until a snapshot with calib_sec exists)
+        // code (null until a snapshot with calib_sec exists). When the
+        // banked snapshot also carries calib_io_sec (r16+), the factor
+        // BLENDS the legs as a total-probe-wall ratio — CPU + shuffle +
+        // parquet I/O over the same — so an I/O-only box change (disk /
+        // page-cache swap the CPU probe can't see) normalizes too.
         val calibNode = root.get("calib_sec")
+        val calibIoNode = root.get("calib_io_sec")
         val boxFactor =
-          if (calibNode != null && calibNode.isNumber && calibNode.asDouble() > 0)
-            Some(calibSec / calibNode.asDouble())
-          else None
-        val common = seqResults.toSeq
+          if (calibNode != null && calibNode.isNumber && calibNode.asDouble() > 0) {
+            if (calibIoNode != null && calibIoNode.isNumber
+                && calibIoNode.asDouble() > 0)
+              Some((calibSec + calibIoSec) /
+                (calibNode.asDouble() + calibIoNode.asDouble()))
+            else Some(calibSec / calibNode.asDouble())
+          } else None
+        // CHANGED-ENTRIES EXCLUSION (r16, ADVICE r15): the common subset
+        // matches by NAME, so a query whose registered shape changed this
+        // round (e.g. r15's recall-contract wrapping of the six ANN
+        // entries) would mix a semantics change into the code-vs-code
+        // signal the box normalization keeps clean. The builder lists
+        // such names in `bench_changed_entries.txt` (one per line, #
+        // comments; refreshed each round alongside the banked snapshot,
+        // overridable via SPARK_GRAFT_BENCH_CHANGED); they are excluded
+        // from the ratio and surfaced as `excluded_changed`.
+        val changedPath = sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_CHANGED", "bench_changed_entries.txt")
+        val changed: Set[String] = {
+          val cp = java.nio.file.Paths.get(changedPath)
+          if (!java.nio.file.Files.exists(cp)) Set.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(cp).asScala
+              .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+              .toSet
+          }
+        }
+        val matched = seqResults.toSeq
           .collect { case (k, Some(v)) if prev.contains(k) => (k, v, prev(k)) }
+        val (excluded, common) = matched.partition(t => changed.contains(t._1))
         val cj =
           if (common.isEmpty) "null"
           else {
@@ -256,7 +324,8 @@ object Bench {
             s"""{"n":${common.size},"cur_sec":${f3(cur)},""" +
               s""""prev_sec":${f3(prv)},"ratio":${f3(ratio)}""" +
               boxFactor.fold("")(b =>
-                s""","ratio_box_normalized":${f3(ratio / b)}""") + "}"
+                s""","ratio_box_normalized":${f3(ratio / b)}""") +
+              s""","excluded_changed":${excluded.size}""" + "}"
           }
         (cj, boxFactor.fold("null")(f3))
       } catch {
@@ -277,7 +346,7 @@ object Bench {
     val unstable =
       (concWalls.max > concWalls.min * 2.0) ||
         (seqSums.size == 2 && seqSums.max > seqSums.min * 1.5)
-    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"conc_runs":$runsJson,"unstable":$unstable,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"norm_sec_per_query":${f3(normSec)},"calib_sec":${f3(calibSec)},"box_factor_vs_prev":$boxFactorJson,"common_subset_vs_prev":$commonJson,"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(wall)},"unit":"sec","mode":"concurrent$concurrency","warmup":1,"conc_runs":$runsJson,"unstable":$unstable,"n":${results.size},"failed":$failed,"sum_sec":${f3(sum)},"seq_wall_sec":${f3(seqWall)},"seq_sum_sec":${f3(seqSum)},"norm_sec_per_query":${f3(normSec)},"calib_sec":${f3(calibSec)},"calib_io_sec":${f3(calibIoSec)},"box_factor_vs_prev":$boxFactorJson,"common_subset_vs_prev":$commonJson,"queries":$hs,"detail":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

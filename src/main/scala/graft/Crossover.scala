@@ -57,6 +57,27 @@ object Crossover {
           .stripMargin))
       .select(col("vec_id"), col("embedding"))
 
+  /** LOOSE clusters at a CONTROLLED neighbor cosine (r16, the third
+    * population of the multi-strata cell): cluster signal in the first
+    * 32 coordinates, per-vector jitter at amplitude `alpha` in the
+    * other 32. Same-cluster pair cosine concentrates at ≈ 1/(1+α²)
+    * (±~0.03 at 32 signal dims) — additive full-coordinate noise (the
+    * [[clusteredEmbeddings]] `noise` knob) cannot hold a mid-range
+    * population TIGHT enough for gap clustering: its max-of-k
+    * within-sample top-1 tail reached ~0.85 at a 0.70 pair mean and
+    * merged into the tight bin. α = 0.65 ⇒ cosine ≈ 0.70, between the
+    * regimes. */
+  def looseClusteredEmbeddings(spark: SparkSession, n: Long,
+      clusterSize: Int = 256, alpha: Double = 0.65): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("cl", col("vec_id") % lit(math.max(1L, n / clusterSize)))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, 63), j ->
+           |  float(CASE WHEN j < 32 THEN sin(hash(cl, j))
+           |        ELSE $alpha * sin(hash(vec_id, j)) END))"""
+          .stripMargin))
+      .select(col("vec_id"), col("embedding"))
+
   /** Isotropic embeddings — the testdata regime: no structure to route by. */
   def isotropicEmbeddings(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).toDF("vec_id")
@@ -487,6 +508,85 @@ object Crossover {
       }
       exact.unpersist(); exIso.unpersist(); exCl.unpersist()
       mixed.unpersist()
+    }
+
+    // --------------------------------------- 5b. three-population strata
+    // r16 (VERDICT r15 #2): THREE neighbor-cosine populations — tight
+    // islands (~0.99), loose islands (~0.70, the concentration-controlled
+    // generator), isotropic sea (~0.47). Under the r15 TWO-way split the
+    // two sub-threshold populations resolved bits from their combined
+    // size (20k -> 10, vs 9 for each 10k third alone — and at these
+    // sizes the two-way widths degenerate to equal, falling back to the
+    // global choice entirely), so each read below its pure-regime
+    // recall. The r16 gap-clustered bins give one operating point per
+    // population; the done-bar is each third within ~0.05 of its
+    // PURE-regime recall (that population alone at its own auto point).
+    md ++= "\n### 5b. Three populations: per-population bins (r16)\n\n"
+    md ++= "| n (per third) | variant | iso r@3 | loose r@3 | tight r@3 | wall s |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    if (section("mixed3")) Seq(10000L).foreach { third =>
+      import graft.ext.Similarity
+      val tight = clusteredEmbeddings(spark, third)
+      val loose = looseClusteredEmbeddings(spark, third)
+        .select((col("vec_id") + third).as("vec_id"), col("embedding"))
+      val iso = isotropicEmbeddings(spark, third)
+        .select((col("vec_id") + 2 * third).as("vec_id"), col("embedding"))
+      // pure-regime reference: each population ALONE at its own auto point
+      def pure(vecs: DataFrame): (Double, Double) = {
+        val v = vecs.localCheckpoint(true)
+        val sample = v.filter(col("vec_id") % 16 === 0)
+        val exact = Similarity.knnJoinAgainst(v, sample, 3)
+          .localCheckpoint(true)
+        val (ann, wall) = time {
+          val a = Similarity.knnJoinLsh(v, k = 3).localCheckpoint(true)
+          a.count(); a
+        }
+        val r = recallOf(ann, exact)
+        ann.unpersist(); exact.unpersist(); v.unpersist()
+        Similarity.sweepAnnCaches()
+        (r, wall)
+      }
+      val (pTight, wTight) = pure(tight)
+      val (pLoose, wLoose) = pure(loose)
+      val (pIso, wIso) = pure(iso)
+      md ++= s"| $third | pure (each alone) | ${f3(pIso)} | ${f3(pLoose)} " +
+        s"| ${f3(pTight)} | ${f1(wIso)}/${f1(wLoose)}/${f1(wTight)} |\n"
+      println(s"[crossover] mixed3 pure iso=${f3(pIso)} " +
+        s"loose=${f3(pLoose)} tight=${f3(pTight)}")
+      val mixed = tight.unionByName(loose).unionByName(iso)
+        .localCheckpoint(true)
+      val sample = mixed.filter(col("vec_id") % 16 === 0)
+      val exact = Similarity.knnJoinAgainst(mixed, sample, 3)
+        .localCheckpoint(true)
+      val exIso = exact.filter(col("q_id") >= 2 * third).localCheckpoint(true)
+      val exLoose = exact.filter(col("q_id") >= third
+        && col("q_id") < 2 * third).localCheckpoint(true)
+      val exTight = exact.filter(col("q_id") < third).localCheckpoint(true)
+      Seq("off" -> "global", "auto" -> "stratified").foreach {
+        case (conf, label) =>
+          spark.conf.set("spark.graft.ann.lsh.stratify", conf)
+          try {
+            val (ann, wall) = time {
+              val a = Similarity.knnJoinLsh(mixed, k = 3)
+                .localCheckpoint(true)
+              a.count(); a
+            }
+            val rIso = recallOf(ann.filter(col("q_id") >= 2 * third), exIso)
+            val rLoose = recallOf(ann.filter(col("q_id") >= third
+              && col("q_id") < 2 * third), exLoose)
+            val rTight = recallOf(ann.filter(col("q_id") < third), exTight)
+            md ++= s"| $third | $label | ${f3(rIso)} | ${f3(rLoose)} " +
+              s"| ${f3(rTight)} | ${f1(wall)} |\n"
+            println(s"[crossover] mixed3 $label iso=${f3(rIso)} " +
+              s"loose=${f3(rLoose)} tight=${f3(rTight)} wall=${f1(wall)}")
+            ann.unpersist()
+          } finally {
+            spark.conf.unset("spark.graft.ann.lsh.stratify")
+            Similarity.sweepAnnCaches()
+          }
+      }
+      exact.unpersist(); exIso.unpersist(); exLoose.unpersist()
+      exTight.unpersist(); mixed.unpersist()
     }
 
     md ++= "\n## Reading\n\n"

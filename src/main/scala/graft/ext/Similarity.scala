@@ -237,9 +237,12 @@ object Similarity {
     // the plan lazy — a LIMIT-bounded probe that scans at most
     // bound/rowBytes + 1 rows (the [[IvfIndex.train]] trainCap shape), so
     // the guard never pays a full count it doesn't already have. In auto
-    // mode the check runs BETWEEN count and regime probe (review r14):
-    // an over-bound corpus is rejected before paying the probe's full
-    // corpus scan — the most expensive plan-construction job.
+    // mode the check runs INSIDE the count callback, right after counting
+    // (ADVICE r15): every auto resolution checks the bound — including
+    // the probe-skip branch where the two width formulas agree — and an
+    // over-bound corpus is still rejected before paying the regime
+    // probe's full corpus scan (the most expensive plan-construction
+    // job), because resolveBits counts before it probes.
     val bound = longConf(vectors.sparkSession,
       "spark.graft.ann.lsh.broadcastBound", 1L << 30)
     def checkBound(n: Long): Unit = if (bound > 0) {
@@ -290,9 +293,26 @@ object Similarity {
       }
     }
     val nBits = resolveBits(bits,
-      () => { if (counted < 0) counted = vectors.count(); counted },
+      () => {
+        if (counted < 0) counted = vectors.count()
+        checkBound(counted)
+        counted
+      },
       targetBucket = 8,
-      regime = () => { checkBound(counted); resolveLshRegime(vectors) })
+      regime = () => {
+        val r = resolveLshRegime(vectors)
+        // RECALL WALL (r16, VERDICT r15 #3): the broadcast bound rejects
+        // by MEMORY; this rejects (or warns, the default) by RECALL
+        // REGIME — the other way the banded exact-rerank shape becomes
+        // the wrong tool. Runs exactly when the isotropic verdict is
+        // about to pick the anchored width, so registered corpora (at or
+        // under the anchor: probe skipped, width < wall) never see it.
+        if (r == "isotropic")
+          checkRecallWall(vectors.sparkSession,
+            autoWidths(counted, targetBucket = 8)._2, counted)
+        r
+      },
+      session = () => vectors.sparkSession)
     if (counted < 0 && bound > 0) {
       // explicit bits kept the plan lazy: LIMIT-bounded probe, never a
       // full count the caller didn't ask for
@@ -419,29 +439,63 @@ object Similarity {
         col("col.id").as("c_id"), round(col("col.score"), 6).as("cosine"))
   }
 
-  /** Per-stratum auto-bits for a MIXED corpus (r15, VERDICT r14 #3).
+  /** Per-stratum auto-bits for a MIXED corpus (r15, VERDICT r14 #3;
+    * generalized past two strata in r16, VERDICT r15 #2).
+    *
     * Labeling: the probe's own statistic, per row — cosine to the
-    * nearest of the memoized probe's 256 deterministic sample vectors,
-    * thresholded at the regime threshold (a clustered row is near some
-    * sampled point of its island; an isotropic row is near nothing).
-    * The 256 sample rows themselves would self-match at cosine 1, so
-    * they are labeled driver-side by their within-sample top-1 (self
-    * excluded) — when that under-samples a cluster it errs toward
-    * ISOTROPIC, i.e. narrower bits, the recall-safe side for a
-    * clustered row. Each stratum then resolves bits from ITS size at
-    * ITS pure regime (the same [[autoWidths]] formulas), the query side
-    * splits by label, and the candidate side stays the FULL corpus in
-    * both passes (cross-stratum neighbors reachable; the label column
+    * nearest of the memoized probe's 256 deterministic sample vectors
+    * (a clustered row is near some sampled point of its island; an
+    * isotropic row is near nothing). The 256 sample rows themselves
+    * would self-match at cosine 1, so they are labeled driver-side by
+    * their within-sample top-1 (self excluded) — when that
+    * under-samples a cluster it errs toward the LOW-cosine side, i.e.
+    * narrower bits, the recall-safe direction for a clustered row.
+    *
+    * STRATA DISCOVERY (r16): instead of one split at the regime
+    * threshold, the 256 within-sample top-1 cosines are clustered
+    * driver-side by 1-D Lloyd k-means — the largest k ≤ `maxStrata`
+    * (default 4) whose clusters all hold ≥ ~6% of the sample and
+    * whose adjacent CENTERS sit ≥ `strataMinGap` apart (default
+    * 0.15, well under the ~0.3 separation between pure populations)
+    * wins; bin boundaries are the midpoints between adjacent
+    * centers. Center separation, not empty-gap detection: a 256
+    * sample of a multi-population corpus always carries stragglers —
+    * orphan samples alone in their cluster read their best
+    * CROSS-population cosine, and max-over-255 isotropic top-1s have
+    * a long upper tail — which fill any fixed gap window (measured:
+    * the 30k 3-population corpus reads as a continuum p0=0.24 /
+    * p50=0.71 / p100=0.98 with no adjacent-point gap ≥ 0.12, while
+    * its k-means centers sit at ~0.37/0.70/0.97). Stragglers simply
+    * join the nearest population. A corpus with THREE-plus
+    * neighbor-cosine populations (e.g. tight islands + loose islands
+    * + an isotropic sea) thus gets one operating point per
+    * population: under the r15 two-way split the two sub-threshold
+    * populations resolved bits from their COMBINED size — wider than
+    * either alone under the half-rate ramp — and each read below its
+    * pure-regime recall (CROSSOVER §5b). Over-splitting one true
+    * population is self-correcting: its halves resolve the same
+    * width and merge back into one pass.
+    *
+    * Each bin's regime is its sample-mean top-1 vs the regime
+    * threshold (clustered → full-rate width, isotropic → anchored
+    * half-rate width, both from [[autoWidths]] at the BIN's size).
+    * Bins resolving to the SAME width merge into one pass (their
+    * operating points are identical — the widths stay the per-bin
+    * resolutions, never re-resolved at the merged size). The query
+    * side splits by bin; the candidate side stays the FULL corpus in
+    * every pass (cross-stratum neighbors reachable; the label column
     * is evaluated only on the query path). Cost when triggered: the
-    * candidate side signs and bucket-joins twice (each pass against
-    * roughly half the queries) plus one label-count job — paid only on
-    * corpora the probe measures as mixed AND where the per-stratum
-    * widths actually diverge; returns None otherwise (global path).
-    * Row contract is unchanged: the strata partition the query set, so
-    * the union carries every query exactly once. */
+    * candidate side signs and bucket-joins once per DISTINCT width
+    * (each pass against that width's share of the queries) plus one
+    * label-count job — paid only on corpora the probe measures as
+    * mixed AND where the per-bin widths actually diverge; returns
+    * None otherwise (global path). Row contract is unchanged: the
+    * bins partition the query set, so the union carries every query
+    * exactly once. */
   private def stratifiedKnnJoinLsh(vectors: DataFrame, k: Int,
       tables: Int, rescueCap: Int, thr: Double): Option[DataFrame] = {
     import graft.functions.VectorFunctions.nearestCellSim
+    val session = vectors.sparkSession
     // the memoized probe's sample (the trigger just probed — memo hit):
     // labels must be relative to the SAME vectors the stats measured
     val (qVals, flat) = regimeProbeStats(vectors)._2
@@ -458,41 +512,135 @@ object Similarity {
       val denom = math.sqrt(ni) * math.sqrt(nj)
       if (denom == 0.0) 0.0 else dot / denom
     }
-    val sampleLabeled = (0 until nq).map { i =>
+    val sampleTop1 = (0 until nq).map { i =>
       val best = (0 until nq).collect { case j if j != i => cos(i, j) }.max
-      (qVals(i), best >= thr)
+      (qVals(i), best)
     }
-    val clusteredIds = sampleLabeled.collect { case (id, true) => id }
-    val isoIds = sampleLabeled.collect { case (id, false) => id }
+    // 1-D Lloyd k-means over the sample top-1 cosines: the largest
+    // valid k (all clusters >= minMass, adjacent centers >= minGap
+    // apart) up to maxStrata wins; none valid = one population
+    val maxStrata = math.max(2,
+      intConf(session, "spark.graft.ann.lsh.maxStrata", 4))
+    val minGap =
+      doubleConf(session, "spark.graft.ann.lsh.strataMinGap", 0.15)
+    val minMass = math.max(4, nq / 16)
+    val sorted = sampleTop1.map(_._2).sorted
+    def kmeans1d(k: Int): Option[Seq[Double]] = {
+      var centers = (0 until k)
+        .map(i => sorted(math.min(nq - 1, ((i + 0.5) / k * nq).toInt)))
+        .toArray
+      val counts = Array.fill(k)(0)
+      var iter = 0
+      var moved = true
+      while (moved && iter < 25) {
+        moved = false
+        val sums = Array.fill(k)(0.0)
+        java.util.Arrays.fill(counts, 0)
+        sorted.foreach { v =>
+          var best = 0; var bd = math.abs(v - centers(0)); var c = 1
+          while (c < k) {
+            val d = math.abs(v - centers(c))
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          sums(best) += v; counts(best) += 1
+        }
+        (0 until k).foreach { c =>
+          if (counts(c) > 0) {
+            val m = sums(c) / counts(c)
+            if (math.abs(m - centers(c)) > 1e-9) { moved = true; centers(c) = m }
+          }
+        }
+        iter += 1
+      }
+      val cs = centers.toSeq.sorted
+      val valid = counts.forall(_ >= minMass) &&
+        cs.sliding(2).forall(p => p.size < 2 || p(1) - p(0) >= minGap)
+      if (valid) Some(cs) else None
+    }
+    val centersOpt = (maxStrata to 2 by -1).view.flatMap(kmeans1d).headOption
+    if (centersOpt.isEmpty) { // one population after all
+      System.err.println("INFO graft-ann: lsh stratify probe found no " +
+        f"valid sample split (centers < $minGap%.2f apart or under " +
+        f"$minMass mass; top-1 spread p0=${sorted.head}%.2f " +
+        f"p50=${sorted(nq / 2)}%.2f p100=${sorted.last}%.2f); global path")
+      return None
+    }
+    // bin boundary = midpoint between adjacent centers; bin of cosine
+    // c = the number of boundaries at or below c (ascending)
+    val centers = centersOpt.get
+    val boundaries = centers.sliding(2).collect {
+      case Seq(a, b) => (a + b) / 2.0
+    }.toSeq
+    def binOfCos(c: Double): Int = boundaries.count(_ <= c)
+    val nBins = boundaries.size + 1
+    // per-bin regime from the bin's sample mean top-1 cosine
+    val binMeans = (0 until nBins).map { b =>
+      val vs = sampleTop1.map(_._2).filter(c => binOfCos(c) == b)
+      if (vs.isEmpty) thr else vs.sum / vs.size
+    }
+    // sample rows pinned driver-side to their within-sample bin
+    val sampleBins: Map[Int, Seq[Any]] = sampleTop1
+      .groupBy { case (_, c) => binOfCos(c) }
+      .view.mapValues(_.map(_._1)).toMap
     def inList(ids: Seq[Any]): Column =
       if (ids.isEmpty) lit(false) else col("vec_id").isin(ids: _*)
-    val labelCol = when(inList(clusteredIds), lit(true))
-      .when(inList(isoIds), lit(false))
-      .otherwise(nearestCellSim(col("embedding"), flat, nq) >= thr)
+    // null-embedding rows get a NULL cosine → coalesce to -1 (bin 0,
+    // the lowest-cosine/recall-safe stratum) so the label column is
+    // never null: a null label would NPE the getInt in the count job
+    // below (ADVICE r15), and such rows vanish from every pass anyway
+    // (null sigs explode to nothing) — exactly the global path's
+    // behavior.
+    val simCol = coalesce(
+      nearestCellSim(col("embedding"), flat, nq), lit(-1.0d))
+    val computedBin = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(simCol >= b, 1).otherwise(0)
+    }
+    val labelCol = sampleBins.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (b, ids)) => acc.when(inList(ids), lit(b))
+    }.otherwise(computedBin)
     // persist: the label expression is a fused 256-cosine loop per row,
     // and without materialization every consumer below (the count job,
     // each pass's query filter, qVecs filter, and rescue anti-join)
     // would re-evaluate it over the full corpus (review r15). Registered
     // for [[sweepAnnCaches]] like the rescue-path persists.
-    val labeled = vectors.withColumn("graft_lsh_clustered", labelCol)
+    val labeled = vectors.withColumn("graft_lsh_bin", labelCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     annCacheRegistry.add(labeled)
-    val counts = labeled.groupBy("graft_lsh_clustered").count().collect()
-      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val nC = counts.getOrElse(true, 0L)
-    val nI = counts.getOrElse(false, 0L)
-    if (nC == 0L || nI == 0L) return None // degenerate: one regime after all
-    val bitsC = autoWidths(nC, targetBucket = 8)._1
-    val bitsI = autoWidths(nI, targetBucket = 8)._2
-    System.err.println(s"INFO graft-ann: lsh stratified auto-bits " +
-      s"nClustered=$nC -> bits=$bitsC, nIsotropic=$nI -> bits=$bitsI" +
-      (if (bitsC == bitsI) " (equal; global path)" else ""))
-    if (bitsC == bitsI) return None // one width fits both: global is cheaper
-    Some(
-      bandedKnnPass(labeled, k, tables, bitsC, rescueCap,
-        col("graft_lsh_clustered"))
-        .unionByName(bandedKnnPass(labeled, k, tables, bitsI, rescueCap,
-          !col("graft_lsh_clustered"))))
+    val counts = labeled.groupBy("graft_lsh_bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // per-bin width at the bin's OWN size and regime
+    val binBits = (0 until nBins).map { b =>
+      val n = counts.getOrElse(b, 0L)
+      val w = autoWidths(math.max(n, 2L), targetBucket = 8)
+      b -> (if (binMeans(b) >= thr) w._1 else w._2)
+    }.toMap
+    System.err.println("INFO graft-ann: lsh stratified auto-bits " +
+      (0 until nBins).map { b =>
+        val regime = if (binMeans(b) >= thr) "clustered" else "isotropic"
+        f"bin$b[mean=${binMeans(b)}%.2f $regime n=${counts.getOrElse(b, 0L)}" +
+          s" -> bits=${binBits(b)}]"
+      }.mkString(" "))
+    // per-bin recall wall (r16): an isotropic bin large enough to
+    // resolve past the wall gets the same loud contract as the global
+    // path — the wall is a property of the operating width, not of how
+    // the corpus was partitioned
+    (0 until nBins).foreach { b =>
+      if (binMeans(b) < thr)
+        checkRecallWall(session, binBits(b), counts.getOrElse(b, 0L))
+    }
+    // merge bins sharing a resolved width into one pass at that width
+    val widthGroups = binBits.groupBy(_._2)
+      .view.mapValues(_.keys.toSeq.sorted).toSeq.sortBy(_._1)
+    if (widthGroups.size < 2) { // one width fits all: global is cheaper
+      System.err.println("INFO graft-ann: lsh stratify bins all resolve " +
+        s"bits=${widthGroups.head._1}; global path")
+      return None
+    }
+    Some(widthGroups.map { case (bits, bins) =>
+      bandedKnnPass(labeled, k, tables, bits, rescueCap,
+        col("graft_lsh_bin").isin(bins: _*))
+    }.reduce(_ unionByName _))
   }
 
   /** Multi-table SRP LSH ANN — the standard high-recall LSH form:
@@ -523,7 +671,8 @@ object Similarity {
     // stream — is what the width controls. Auto resolves to the legacy
     // 6 at the registered sf0.1 corpus (2000 vectors).
     val nBits = resolveBits(bits, () => candidates.count(), targetBucket = 32,
-      regime = () => resolveLshRegime(candidates))
+      regime = () => resolveLshRegime(candidates),
+      session = () => candidates.sparkSession)
     val sigs = graft.functions.VectorFunctions.srpSignature(
       col("embedding"), bands = tables, bits = nBits, dim = 64, seed = 42)
     val all = candidates.withColumn("sigs", sigs)
@@ -635,7 +784,9 @@ object Similarity {
     * [[resolveLshRegime]] (conf override or the measured
     * [[neighborCosineProbe]]) and evaluated only in auto mode. */
   def resolveBits(bits: Int, count: () => Long, targetBucket: Int,
-      regime: () => String): Int =
+      regime: () => String,
+      session: () => SparkSession = () =>
+        org.apache.spark.sql.SparkSession.active): Int =
     if (bits > 0) bits
     else {
       val n = math.max(count(), 2L)
@@ -647,10 +798,13 @@ object Similarity {
       // clamping can also collapse the two raws to one resolved width.
       // The skip still VALIDATES the regime conf (review r15): a typo'd
       // override must fail loudly at first use, not silently pass until
-      // the corpus grows past the anchor.
+      // the corpus grows past the anchor. The conf is read from the
+      // CALLER-threaded session (ADVICE r15) — operators pass their
+      // frame's own sparkSession, so a multi-session app validates the
+      // conf on the session actually in use, not SparkSession.active.
       val (r, resolved) =
         if (fullW == isoW) {
-          regimeConf(org.apache.spark.sql.SparkSession.active)
+          regimeConf(session())
           ("any (formulas agree; probe skipped)", fullW)
         } else if (regime() == "isotropic") ("isotropic", isoW)
         else ("clustered", fullW)
@@ -806,6 +960,44 @@ object Similarity {
       val fresh = (neighborCosineStatsWith(vectors, sample), sample)
       val prev = inner.putIfAbsent(key, fresh)
       if (prev != null) prev else fresh
+    }
+  }
+
+  /** Loud wrong-tool contract for isotropic LSH past the measured recall
+    * wall (r16, VERDICT r15 #3) — the [[knnJoinLsh]] broadcast-bound
+    * pattern applied to RECALL instead of memory. CROSSOVER §1b measured
+    * the anchored half-rate ramp's sampled recall@3 at 0.519 (250k rows,
+    * 11 bits) and 0.452 (1M rows, 12 bits) on isotropic corpora: past
+    * ~11-bit signatures in the structureless regime, the banded
+    * exact-rerank shape pays its O(n^1.5) candidate price for sub-0.55
+    * recall, and routed scans (IVF / IVF-PQ with exact rerank, ~110 s vs
+    * 3592 s at the 1M cell) are the right tool. Fires when the regime
+    * verdict (probe or conf override) is isotropic AND the resolved
+    * anchored width reaches `spark.graft.ann.lsh.recallWallBits`
+    * (default 11 — the first measured sub-0.55 rung).
+    * `spark.graft.ann.lsh.recallWallAction` = warn (default, stderr) |
+    * fail (contract error) | off. */
+  private[graft] def checkRecallWall(s: SparkSession, isoBits: Int,
+      n: Long): Unit = {
+    val action =
+      s.conf.get("spark.graft.ann.lsh.recallWallAction", "warn").trim
+    require(Seq("warn", "fail", "off").contains(action),
+      "spark.graft.ann.lsh.recallWallAction must be warn|fail|off, " +
+        s"got $action")
+    val wallBits = intConf(s, "spark.graft.ann.lsh.recallWallBits", 11)
+    if (action != "off" && isoBits >= wallBits) {
+      val msg = s"knnJoinLsh: the corpus resolved ISOTROPIC at n=$n and " +
+        s"the anchored auto ramp picks $isoBits-bit signatures — at/past " +
+        s"the measured recall wall ($wallBits bits; CROSSOVER §1b: " +
+        "sampled recall@3 0.519 at 250k/11 bits, 0.452 at 1M/12 bits). " +
+        "In this regime the banded exact-rerank join pays O(n^1.5) " +
+        "candidate volume for sub-0.55 recall@3. Route to knnJoinIvf / " +
+        "the IVF-PQ family (routed scan + exact rerank — the serving " +
+        "path at this scale), pass explicit narrower bits if the extra " +
+        "candidate volume is acceptable, or set " +
+        "spark.graft.ann.lsh.recallWallAction=off to proceed silently."
+      if (action == "fail") throw new IllegalArgumentException(msg)
+      else System.err.println(s"WARN graft-ann: $msg")
     }
   }
 
@@ -1811,8 +2003,8 @@ object Similarity {
   }
 
   /** Release every cached intermediate registered by [[knnJoinLsh]] since
-    * the last sweep, and the regime-probe memo. Safe to call at any time
-    * (see [[annCacheRegistry]]). */
+    * the last sweep, the regime-probe memo, and the exact-baseline memo.
+    * Safe to call at any time (see [[annCacheRegistry]]). */
   def sweepAnnCaches(): Unit = {
     var df = annCacheRegistry.poll()
     while (df != null) {
@@ -1820,6 +2012,61 @@ object Similarity {
       df = annCacheRegistry.poll()
     }
     regimeMemo.synchronized(regimeMemo.clear())
+    exactBaselineMemo.synchronized(exactBaselineMemo.clear())
+  }
+
+  /** Shared exact ground-truth memo for the recall-contract checks (r16,
+    * VERDICT r15 #1): the four [[annRecallCheck]] entries join against
+    * the IDENTICAL 10-query exact top-5, and the two [[knnRecallCheck]]
+    * entries against the identical sampled exact top-3 — yet each entry
+    * recomputed its baseline from scratch, a full corpus scan worth
+    * ~1.3 s at bench SF (measured: x_ann_bruteforce's whole wall) paid
+    * 4× + a blocked ~n/7-pair pass paid 2× per bench pass. The
+    * KB-scale (q_id, c_id) result memoizes per session + corpus
+    * identity + baseline tag (the [[regimeMemo]] key shape — analyzed
+    * plan semantic hash and input-files fingerprint — plus a tag
+    * separating the two baseline families) and re-enters later plans
+    * as a local relation. Determinism makes the swap hash-invisible:
+    * both baselines rank bit-reproducibly, so the memoized rows ARE
+    * what a recomputation would return. Cleared by [[sweepAnnCaches]];
+    * a rewritten corpus re-keys via the files fingerprint. */
+  private val exactBaselineMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+        Seq[(Long, Long)]]]()
+
+  private def memoizedBaseline(all: DataFrame, tag: String)(
+      compute: => DataFrame): DataFrame = {
+    val s = all.sparkSession
+    val filesKey = {
+      val fs = try all.inputFiles
+               catch { case _: UnsupportedOperationException =>
+                 Array.empty[String] }
+      scala.util.hashing.MurmurHash3.arrayHash(fs.sorted)
+    }
+    val key = (tag, all.queryExecution.analyzed.semanticHash(), filesKey)
+    val inner = exactBaselineMemo.synchronized {
+      var m = exactBaselineMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+          Seq[(Long, Long)]]()
+        exactBaselineMemo.put(s, m)
+      }
+      m
+    }
+    // compute OUTSIDE the map (the regimeProbeStats discipline): a lost
+    // race costs one redundant idempotent scan, never a lock convoy
+    val cached = inner.get(key)
+    val rows =
+      if (cached != null) cached
+      else {
+        val fresh = compute.select(col("q_id"), col("c_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val prev = inner.putIfAbsent(key, fresh)
+        if (prev != null) prev else fresh
+      }
+    import s.implicits._
+    rows.toDF("q_id", "c_id")
   }
 
   /** RAW registered operating points of the six approximate ANN entries —
@@ -1907,8 +2154,9 @@ object Similarity {
     val minTotal = intConf(s, s"spark.graft.ann.check.$short.minTotal",
       minTotalDflt)
     val approx = rawAnn(name)(s, d).select(col("q_id"), col("c_id"))
-    val exact = exactTopK(all, all.filter(col("vec_id") < 10), 5)
-      .select(col("q_id"), col("c_id"))
+    // shared across the four x_ann_* checks — see [[memoizedBaseline]]
+    val exact = memoizedBaseline(all, "ann_q10_k5")(
+      exactTopK(all, all.filter(col("vec_id") < 10), 5))
     // 10 queries × 5 rows: the per-query fold and the all-query window
     // are KB-scale by construction (never corpus-proportional)
     val perQ = exact
@@ -1951,7 +2199,9 @@ object Similarity {
       s"spark.graft.knnjoin.check.$short.minRecallPct", minPctDflt)
     val sample = all.filter(col("vec_id") % 7 === 0)
     val approx = rawAnn(name)(s, d).select(col("q_id"), col("c_id"))
-    val exact = knnJoinAgainst(all, sample, 3).select(col("q_id"), col("c_id"))
+    // shared across the two x_knn_join_* checks — see [[memoizedBaseline]]
+    val exact = memoizedBaseline(all, "knn_mod7_k3")(
+      knnJoinAgainst(all, sample, 3))
     exact
       .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
       .groupBy(col("q_id"))

@@ -174,15 +174,54 @@ object Versioned {
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
   }
 
+  /** Manifest framing (r16, VERDICT r15 #6): every manifest opens with
+    * `#graft=2` and closes with `#eof=<line count between them>`, both
+    * stripped before parsing. The trailer turns a TORN manifest — a
+    * store whose "rename" is a non-atomic copy (the S3A class) exposing
+    * a half-copied target after a writer crash — into a loud contract
+    * error instead of a silently shorter file list: a truncated tail
+    * loses the trailer while keeping the header, which is the
+    * detectable signature (a legacy pre-r16 manifest has neither and
+    * still parses; a tear inside the first header line is the one
+    * residual blind spot, ~a dozen bytes wide). The repair is manual by
+    * design — delete the torn head file and re-publish — because the
+    * reader cannot distinguish a crashed writer from a SLOW one
+    * mid-copy, so auto-ignoring (or auto-deleting) the torn head could
+    * drop a commit that was about to complete. Stores honoring the
+    * [[CommitStore]] visibility contract never produce this state. */
+  private val ManifestHeader = "#graft=2"
+
   private def manifestLines(spark: SparkSession, basePath: String,
       v: Long): Seq[String] = {
     val p = new Path(manifestDir(basePath), s"v$v")
     val f = fs(spark, p)
     require(f.exists(p), s"version $v does not exist under $basePath")
     val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    val framed = lines.headOption.contains(ManifestHeader)
+    if (framed || lines.isEmpty) {
+      val body = lines.drop(1)
+      val complete = framed && body.lastOption.exists { l =>
+        l.startsWith("#eof=") &&
+          scala.util.Try(l.drop("#eof=".length).toInt).toOption
+            .contains(body.size - 1)
+      }
+      // an EMPTY manifest is never legitimate either (every published
+      // manifest carries at least its #ts meta line) — same torn class
+      if (!complete) throw new IllegalStateException(
+        s"torn manifest v$v under $basePath: the #eof trailer is missing " +
+          "or disagrees with the line count. This means the commit store " +
+          "exposed a partially-copied manifest (a non-atomic rename — " +
+          "the CommitStore contract requires all-or-nothing target " +
+          "visibility). If the writing process is known dead, repair by " +
+          s"deleting ${new Path(manifestDir(basePath), s"v$v")} and " +
+          "re-publishing; do not delete it while a writer may still be " +
+          "mid-copy.")
+      body.dropRight(1)
+    } else lines
   }
 
   /** `path` alone, `path<TAB>parts=<url-enc>,<url-enc>` for a
@@ -448,6 +487,8 @@ object Versioned {
       s"#$AppliedKey is maintained by the protocol — pass batch_id instead")
     require(!meta.contains("ts"),
       "#ts (the commit timestamp) is stamped by the protocol")
+    require(!meta.contains("eof") && !meta.contains("graft"),
+      "#eof/#graft are the protocol's manifest framing — reserved")
     require(!meta.contains(ConstraintsKey),
       s"#$ConstraintsKey is maintained by the protocol — use addConstraint")
     require(!meta.contains(PolicyKey),
@@ -513,8 +554,11 @@ object Versioned {
         (AppliedKey -> ledger.map(enc).mkString(",")) ++
         consOut.map(ConstraintsKey -> _) ++
         polOut.map(PolicyKey -> _)
-      val lines = fullMeta.toSeq.sortBy(_._1)
+      // framed: header first, #eof=<body line count> last (see
+      // [[manifestLines]] — the torn-copy detector)
+      val body = fullMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" } ++ newEntries.map(encodeEntry)
+      val lines = (ManifestHeader +: body) :+ s"#eof=${body.size}"
       val tmp = new Path(mdir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

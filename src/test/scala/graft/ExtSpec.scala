@@ -1688,8 +1688,12 @@ class ExtSpec extends SparkSpec {
   // reproduces the CROSSOVER-measured good widths (fixed 10 at 25k), and
   // it can never exceed the clustered width.
   test("regime-aware auto-bits: anchored half-rate ramp, never wider than clustered") {
+    // session threaded explicitly (r16): the probe-skip branch validates
+    // the regime conf on the CALLER's session — without this the test
+    // depended on an earlier test having made some session active
     def bitsAt(n: Long, regime: String): Int =
-      Similarity.resolveBits(-1, () => n, targetBucket = 8, () => regime)
+      Similarity.resolveBits(-1, () => n, targetBucket = 8, () => regime,
+        session = () => spark)
     // registered anchor: both formulas give the legacy 8 at corpus ~2000
     assert(bitsAt(2000L, "isotropic") === 8)
     assert(bitsAt(2000L, "clustered") === 8)
@@ -1862,6 +1866,120 @@ class ExtSpec extends SparkSpec {
       assert(stratIso >= globIso - 0.02,
         s"stratified iso-half $stratIso vs global $globIso")
     } finally {
+      spark.conf.unset("spark.graft.ann.lsh.stratify")
+      Similarity.sweepAnnCaches()
+    }
+  }
+
+  // r16 (VERDICT r15 #3): past the measured isotropic recall wall
+  // (CROSSOVER §1b: sampled recall@3 0.519 at 250k/11 bits) knnJoinLsh
+  // must be LOUD about being the wrong tool — the broadcast-bound
+  // pattern applied to recall regime. Construction-time contract only
+  // (no join executes): wall lowered by conf so a 10k corpus (isotropic
+  // anchored width 9) reaches it.
+  test("knnJoinLsh recall wall: fail/warn/off contract on isotropic corpora") {
+    val vecs = Crossover.isotropicEmbeddings(spark, 10000L)
+      .localCheckpoint(true)
+    // regime override: the verdict is isotropic without paying the probe
+    spark.conf.set("spark.graft.ann.lsh.regime", "isotropic")
+    try {
+      assert(Similarity.autoWidths(10000L, 8)._2 === 9)
+      // default wall (11 bits): a 10k corpus resolves 9 — no trigger
+      Similarity.knnJoinLsh(vecs, k = 3)
+      // lowered wall + fail: loud contract error naming the route out
+      spark.conf.set("spark.graft.ann.lsh.recallWallBits", "9")
+      spark.conf.set("spark.graft.ann.lsh.recallWallAction", "fail")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.knnJoinLsh(vecs, k = 3)
+      }
+      assert(e.getMessage.contains("recall wall"))
+      assert(e.getMessage.contains("knnJoinIvf"))
+      // warn (the default action): plan constructs, message to stderr
+      spark.conf.set("spark.graft.ann.lsh.recallWallAction", "warn")
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val realErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      try Similarity.knnJoinLsh(vecs, k = 3)
+      finally System.setErr(realErr)
+      assert(errBuf.toString.contains("WARN graft-ann"),
+        s"expected a recall-wall warning, got: ${errBuf.toString.take(200)}")
+      // off: silent
+      spark.conf.set("spark.graft.ann.lsh.recallWallAction", "off")
+      Similarity.knnJoinLsh(vecs, k = 3)
+      // a typo'd action fails loudly
+      spark.conf.set("spark.graft.ann.lsh.recallWallAction", "silent")
+      intercept[IllegalArgumentException] {
+        Similarity.knnJoinLsh(vecs, k = 3)
+      }
+    } finally {
+      spark.conf.unset("spark.graft.ann.lsh.regime")
+      spark.conf.unset("spark.graft.ann.lsh.recallWallBits")
+      spark.conf.unset("spark.graft.ann.lsh.recallWallAction")
+      Similarity.sweepAnnCaches()
+    }
+  }
+
+  // r16 (VERDICT r15 #2): THREE neighbor-cosine populations — tight
+  // islands (~0.99), loose islands (~0.70), isotropic sea (~0.47) — get
+  // one operating point per population instead of the r15 two-way
+  // split. At 4000/third the r15 logic degenerates (clustered stratum
+  // 4000 -> 9, iso stratum 8000 -> 9, equal widths -> global), so ANY
+  // stratified behavior here is the new multi-bin path; the INFO line
+  // pins the 3-bin discovery and the sampled recalls pin that the two
+  // sub-threshold thirds run at their own (narrower) width with recall
+  // >= the global choice.
+  test("knnJoinLsh stratifies a 3-population corpus into per-population bins") {
+    import org.apache.spark.sql.functions.col
+    val n = 4000L
+    val tight = Crossover.clusteredEmbeddings(spark, n)
+    val loose = Crossover.looseClusteredEmbeddings(spark, n)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    val iso = Crossover.isotropicEmbeddings(spark, n)
+      .select((col("vec_id") + 2 * n).as("vec_id"), col("embedding"))
+    val mixed = tight.unionByName(loose).unionByName(iso)
+      .localCheckpoint(true)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val strat = try sets(Similarity.knnJoinLsh(mixed, k = 3))
+      finally System.setErr(realErr)
+      val infoLine = errBuf.toString.linesIterator
+        .find(_.contains("lsh stratified auto-bits")).getOrElse("")
+      assert(infoLine.contains("bin2"), s"expected 3 bins, got: $infoLine")
+      assert(!infoLine.contains("bin3"),
+        s"expected exactly 3 bins, got: $infoLine")
+      spark.conf.set("spark.graft.ann.lsh.stratify", "off")
+      val global = sets(Similarity.knnJoinLsh(mixed, k = 3))
+      // row contract: the bins partition the query set
+      assert(strat.keySet.size === (3 * n).toInt,
+        s"stratified output covers ${strat.keySet.size} of ${3 * n} queries")
+      // recall vs the exact top-3 of a deterministic query sample
+      val sample = mixed.filter(col("vec_id") % 32 === 0)
+      val exact = sets(Similarity.knnJoinAgainst(mixed, sample, 3))
+      def recall(ann: Map[Long, Set[Long]], pred: Long => Boolean): Double = {
+        val qs = exact.keys.filter(pred).toSeq
+        qs.map(q => ann.getOrElse(q, Set.empty[Long])
+          .intersect(exact(q)).size.toDouble / 3).sum / qs.size
+      }
+      val stratIso = recall(strat, _ >= 2 * n)
+      val globIso = recall(global, _ >= 2 * n)
+      val stratLoose = recall(strat, q => q >= n && q < 2 * n)
+      val globLoose = recall(global, q => q >= n && q < 2 * n)
+      val stratTight = recall(strat, _ < n)
+      info(f"iso third strat=$stratIso%.3f global=$globIso%.3f; " +
+        f"loose third strat=$stratLoose%.3f global=$globLoose%.3f; " +
+        f"tight third strat=$stratTight%.3f")
+      assert(stratTight > 0.98, s"tight third must stay ~perfect: $stratTight")
+      assert(stratIso >= globIso - 0.02,
+        s"iso third $stratIso vs global $globIso")
+      assert(stratLoose >= globLoose - 0.02,
+        s"loose third $stratLoose vs global $globLoose")
+    } finally {
+      System.setErr(realErr)
       spark.conf.unset("spark.graft.ann.lsh.stratify")
       Similarity.sweepAnnCaches()
     }

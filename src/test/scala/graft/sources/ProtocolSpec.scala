@@ -380,6 +380,85 @@ class ProtocolSpec extends SparkSpec {
     }
   }
 
+  // r16 (VERDICT r15 #6): the S3-class failure the CommitStore seam
+  // exists for — a store whose "rename" is a NON-atomic copy+delete,
+  // with a writer crash injected (a) before any target byte, (b)
+  // mid-copy (a torn target), (c) after the copy but before the tmp
+  // delete. The pin: a killed publish either fully appears or fully
+  // doesn't — (a) leaves the table untouched, (b) is DETECTED loudly by
+  // the #eof manifest framing instead of being served as a silently
+  // shorter file list, with the documented delete-the-torn-head repair
+  // restoring the table, and (c) is a completed commit whose
+  // appendOnce retry the applied-batch ledger makes a no-op.
+  test("non-atomic copy+delete store: a killed publish fully appears or fully doesn't") {
+    val base = freshBase()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base) // v1, real store
+    var mode = "none"
+    val store = new Versioned.CommitStore {
+      def putIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean = {
+        if (f.exists(target)) return false
+        if (mode == "before") throw new RuntimeException("KILL before copy")
+        val in = f.open(tmp)
+        val bytes = try {
+          val b = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { b.write(buf, 0, n); n = in.read(buf) }
+          b.toByteArray
+        } finally in.close()
+        val cut = if (mode == "mid") bytes.length / 2 else bytes.length
+        val out = f.create(target, false)
+        try out.write(bytes, 0, cut) finally out.close()
+        if (mode == "mid") throw new RuntimeException("KILL mid-copy")
+        if (mode == "after") throw new RuntimeException("KILL before tmp delete")
+        f.delete(tmp, false)
+        true
+      }
+    }
+    Versioned.withCommitStore(store) {
+      // (a) crash before any target byte: fully doesn't appear
+      mode = "before"
+      intercept[RuntimeException] {
+        Versioned.commit(Seq((2L, "b")).toDF("id", "s"), base)
+      }
+      assert(Versioned.versions(spark, base) === Seq(1L))
+      assert(Versioned.read(spark, base).count() === 1)
+
+      // (b) crash mid-copy: the torn head is refused loudly — never
+      // parsed as a (silently shorter) legacy manifest
+      mode = "mid"
+      intercept[RuntimeException] {
+        Versioned.commit(Seq((2L, "b")).toDF("id", "s"), base)
+      }
+      val torn = intercept[IllegalStateException] {
+        Versioned.read(spark, base)
+      }
+      assert(torn.getMessage.contains("torn manifest"))
+      intercept[IllegalStateException] { Versioned.entries(spark, base, 2L) }
+      // the documented repair (writer known dead): delete the torn head
+      val tornPath = new Path(base, "_manifests/v2")
+      FsUtil.fs(spark, tornPath).delete(tornPath, false)
+      assert(Versioned.read(spark, base).count() === 1,
+        "after repair the table reads at the pre-crash head")
+
+      // (c) crash after the copy, before the tmp delete: the commit IS
+      // complete (fully appears; the leftover .tmp is invisible to
+      // listing), and the ledger makes the caller's natural retry a
+      // no-op instead of a double-apply
+      mode = "after"
+      intercept[RuntimeException] {
+        Versioned.appendOnce(Seq((2L, "b")).toDF("id", "s"), base, "batch-2")
+      }
+      assert(Versioned.versions(spark, base) === Seq(1L, 2L))
+      assert(Versioned.read(spark, base).count() === 2)
+      mode = "none"
+      Versioned.appendOnce(Seq((2L, "b")).toDF("id", "s"), base, "batch-2")
+      assert(Versioned.versions(spark, base) === Seq(1L, 2L),
+        "crash-retry must not double-apply")
+      assert(Versioned.read(spark, base).count() === 2)
+    }
+  }
+
   test("durable lease: another process's lease file floors vacuum until it expires") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
