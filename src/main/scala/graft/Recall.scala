@@ -294,7 +294,15 @@ object Recall {
       "regime-aware (neighbor-cosine probe; isotropic corpora take a " +
       "half-rate anchored ramp) — NO effect at this corpus scale (both " +
       "formulas resolve 8 at the ~2000-vector anchor), pinned by the " +
-      "unchanged lsh/knn_join_lsh blocks"
+      "unchanged lsh/knn_join_lsh blocks. r16: append_decay widened " +
+      "from 10 to 50 queries (VERDICT r15 #5) — verdict: the r15 " +
+      "non-monotone curve (0.94->0.84->0.94) was 10-query noise; at 50 " +
+      "queries the curve is flat within +/-0.01 (0.872-0.892 across " +
+      "appended fractions 0->0.9), so frozen-quantizer appends show NO " +
+      "real recall dip at this operating point on this corpus and no " +
+      "retrain advisory is warranted. The f=0 anchor moves 0.94->0.876 " +
+      "because the query set changed (10->50) — diff decay curves " +
+      "within r16+ only"
     val json =
       s"""{"metric":"ann_recall@$k","queries":${exact.size},"k":$k,""" +
         s""""baseline":"x_ann_bruteforce","sf":"$sfDir",""" +
