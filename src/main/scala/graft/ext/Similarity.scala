@@ -2035,6 +2035,15 @@ object Similarity {
       java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
         Seq[(Long, Long)]]]()
 
+  /** Total memoized exact baselines across live sessions (spec surface,
+    * the [[regimeMemoSize]] pattern). */
+  private[graft] def exactBaselineMemoSize: Int =
+    exactBaselineMemo.synchronized {
+      var n = 0
+      exactBaselineMemo.values.forEach(m => n += m.size)
+      n
+    }
+
   private def memoizedBaseline(all: DataFrame, tag: String)(
       compute: => DataFrame): DataFrame = {
     val s = all.sparkSession

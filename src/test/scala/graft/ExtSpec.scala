@@ -659,6 +659,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  // r16 (VERDICT r15 #1): the four x_ann_* checks share ONE memoized
+  // 10-query exact baseline and the two knn-join checks another — each
+  // was a full corpus scan per entry (x_ann_bruteforce's whole 1.3 s
+  // wall at bench SF, paid 4×/2× per bench pass). The memo must (a)
+  // key both families apart, (b) serve repeat entries without growth,
+  // (c) leave results identical to a cold recompute, (d) clear on
+  // sweep.
+  test("recall checks share their exact baselines through the session memo") {
+    Similarity.sweepAnnCaches()
+    assert(Similarity.exactBaselineMemoSize === 0)
+    val lshCold = Similarity.queries("x_ann_lsh")(spark, sf).collect().toSeq
+    assert(Similarity.exactBaselineMemoSize === 1)
+    Similarity.queries("x_ann_pq")(spark, sf).collect()
+    assert(Similarity.exactBaselineMemoSize === 1,
+      "the four ann checks must share one baseline entry")
+    Similarity.queries("x_knn_join_ivf")(spark, sf).collect()
+    assert(Similarity.exactBaselineMemoSize === 2,
+      "the knn-join sample baseline keys separately")
+    Similarity.queries("x_knn_join_lsh")(spark, sf).collect()
+    assert(Similarity.exactBaselineMemoSize === 2)
+    // a memo-SERVED rerun (no sweep: the entry is a hit) is identical
+    // to the cold result, and serving adds no entries
+    val lshWarm = Similarity.queries("x_ann_lsh")(spark, sf).collect().toSeq
+    assert(Similarity.exactBaselineMemoSize === 2)
+    assert(lshCold === lshWarm)
+    Similarity.sweepAnnCaches()
+    assert(Similarity.exactBaselineMemoSize === 0)
+  }
+
   test("ann brute force: perfect self-similarity when querying own vector") {
     val out = Similarity.queries("x_ann_bruteforce")(spark, sf)
     assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))

@@ -459,6 +459,36 @@ class ProtocolSpec extends SparkSpec {
     }
   }
 
+  // back-compat pin for the r16 manifest framing: a pre-r16 manifest
+  // (no #graft header, no #eof trailer) must still parse — reads, meta
+  // (the replay ledger), and publishes on top of the legacy head.
+  test("legacy unframed manifests still parse and can be committed over") {
+    val base = freshBase()
+    Versioned.appendOnce(Seq((1L, "a")).toDF("id", "s"), base, "b1")
+    Versioned.appendOnce(Seq((2L, "b")).toDF("id", "s"), base, "b2")
+    // strip the framing from the head manifest — byte-identical to what
+    // a pre-r16 writer produced
+    val head = new Path(base, "_manifests/v2")
+    val f = FsUtil.fs(spark, head)
+    val in = f.open(head)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    assert(lines.head === "#graft=2" && lines.last.startsWith("#eof="))
+    val legacy = lines.drop(1).dropRight(1)
+    f.delete(head, false)
+    val out = f.create(head, false)
+    try out.write(legacy.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // reads, the ledger, and a new commit all work over the legacy head
+    assert(Versioned.read(spark, base).count() === 2)
+    assert(Versioned.appliedBatchIds(spark, base).toSet === Set("b1", "b2"))
+    Versioned.appendOnce(Seq((3L, "c")).toDF("id", "s"), base, "b3")
+    assert(Versioned.read(spark, base).count() === 3)
+    assert(Versioned.appliedBatchIds(spark, base).toSet
+      === Set("b1", "b2", "b3"))
+  }
+
   test("durable lease: another process's lease file floors vacuum until it expires") {
     val base = freshBase()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), base)
