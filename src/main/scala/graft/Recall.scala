@@ -185,8 +185,12 @@ object Recall {
     // (cells=16, probes=1, m=8, pqCodes=16, rerank=100), appends the
     // rest through the real save → append → load path, and scores the
     // registered 10 queries against the full-corpus exact baseline.
-    // f=0 must reproduce the registered x_ann_ivfpq recall (same
-    // algorithm, same knobs) — the curve's anchor.
+    // f=0 is the curve's anchor: the full corpus trains the quantizers
+    // (no appended fraction), the same algorithm and knobs as the
+    // registered x_ann_ivfpq entry but over THIS block's wider query
+    // set — so diff f=0 against this curve's own history, not against
+    // the registered 10-query recall (review r16: the old comment
+    // promised that equality and it stopped holding at the widening).
     //
     // WIDENED to 50 queries in r16 (VERDICT r15 #5): the 10-query r15
     // curve read non-monotone (0.94 → 0.88/0.88/0.84 → 0.94 at f=0.9),

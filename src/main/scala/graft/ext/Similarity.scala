@@ -264,8 +264,10 @@ object Similarity {
     // width past what the isotropic STRATUM alone would resolve). When
     // (a) bits are auto, (b) no regime conf override, (c) the widths can
     // diverge at this n (past the anchor — the probe-skip condition),
-    // and (d) the memoized probe's p10/p90 straddle the threshold (the
-    // mixed signature), each row is labeled by ITS nearest-probe-query
+    // and (d) the memoized probe's p10/p90 read mixed — straddling the
+    // threshold OR spread past strataMinGap (review r16: two
+    // sub-threshold populations never straddle but still deserve
+    // per-bin widths) — each row is labeled by ITS nearest-probe-query
     // cosine and each stratum runs at its own regime and size — see
     // [[stratifiedKnnJoinLsh]]. `spark.graft.ann.lsh.stratify` = off
     // restores the r14 single-choice behavior.
@@ -285,7 +287,16 @@ object Similarity {
         val thr = doubleConf(vectors.sparkSession,
           "spark.graft.ann.lsh.regimeThreshold", 0.80)
         val ((_, p10, p90), _) = regimeProbeStats(vectors)
-        if (p90 >= thr && p10 < thr)
+        // Mixed signature (review r16): EITHER the r15 threshold
+        // straddle OR a strataMinGap-wide p10/p90 spread — two
+        // sub-threshold populations (loose islands + isotropic sea)
+        // never straddle thr yet still deserve per-bin widths; pure
+        // populations measure ~0.1 of spread, under the 0.15 gap. A
+        // false trigger costs only the driver-side k-means on the
+        // memoized sample (no Spark job) before the global fallback.
+        val minGap = doubleConf(vectors.sparkSession,
+          "spark.graft.ann.lsh.strataMinGap", 0.15)
+        if ((p90 >= thr && p10 < thr) || p90 - p10 >= minGap)
           stratifiedKnnJoinLsh(vectors, k, tables, rescueCap, thr) match {
             case Some(out) => return out
             case None      => () // strata degenerate/agree: global path
@@ -529,13 +540,9 @@ object Similarity {
       var centers = (0 until k)
         .map(i => sorted(math.min(nq - 1, ((i + 0.5) / k * nq).toInt)))
         .toArray
-      val counts = Array.fill(k)(0)
-      var iter = 0
-      var moved = true
-      while (moved && iter < 25) {
-        moved = false
+      def assign(): (Array[Double], Array[Int]) = {
         val sums = Array.fill(k)(0.0)
-        java.util.Arrays.fill(counts, 0)
+        val counts = Array.fill(k)(0)
         sorted.foreach { v =>
           var best = 0; var bd = math.abs(v - centers(0)); var c = 1
           while (c < k) {
@@ -545,6 +552,13 @@ object Similarity {
           }
           sums(best) += v; counts(best) += 1
         }
+        (sums, counts)
+      }
+      var iter = 0
+      var moved = true
+      while (moved && iter < 25) {
+        moved = false
+        val (sums, counts) = assign()
         (0 until k).foreach { c =>
           if (counts(c) > 0) {
             val m = sums(c) / counts(c)
@@ -553,6 +567,10 @@ object Similarity {
         }
         iter += 1
       }
+      // validate mass against the FINAL centers (review r16): exiting
+      // at the iteration cap would otherwise judge one-update-stale
+      // assignments
+      val counts = assign()._2
       val cs = centers.toSeq.sorted
       val valid = counts.forall(_ >= minMass) &&
         cs.sliding(2).forall(p => p.size < 2 || p(1) - p(0) >= minGap)
@@ -621,14 +639,6 @@ object Similarity {
         f"bin$b[mean=${binMeans(b)}%.2f $regime n=${counts.getOrElse(b, 0L)}" +
           s" -> bits=${binBits(b)}]"
       }.mkString(" "))
-    // per-bin recall wall (r16): an isotropic bin large enough to
-    // resolve past the wall gets the same loud contract as the global
-    // path — the wall is a property of the operating width, not of how
-    // the corpus was partitioned
-    (0 until nBins).foreach { b =>
-      if (binMeans(b) < thr)
-        checkRecallWall(session, binBits(b), counts.getOrElse(b, 0L))
-    }
     // merge bins sharing a resolved width into one pass at that width
     val widthGroups = binBits.groupBy(_._2)
       .view.mapValues(_.keys.toSeq.sorted).toSeq.sortBy(_._1)
@@ -636,6 +646,16 @@ object Similarity {
       System.err.println("INFO graft-ann: lsh stratify bins all resolve " +
         s"bits=${widthGroups.head._1}; global path")
       return None
+    }
+    // per-bin recall wall (r16): an isotropic bin large enough to
+    // resolve past the wall gets the same loud contract as the global
+    // path — the wall is a property of the operating width, not of how
+    // the corpus was partitioned. Checked only AFTER the merge decision
+    // (review r16): a merged-to-global fallback warns once via the
+    // global path's regime callback, not twice.
+    (0 until nBins).foreach { b =>
+      if (binMeans(b) < thr)
+        checkRecallWall(session, binBits(b), counts.getOrElse(b, 0L))
     }
     Some(widthGroups.map { case (bits, bins) =>
       bandedKnnPass(labeled, k, tables, bits, rescueCap,
@@ -2028,8 +2048,16 @@ object Similarity {
     * separating the two baseline families) and re-enters later plans
     * as a local relation. Determinism makes the swap hash-invisible:
     * both baselines rank bit-reproducibly, so the memoized rows ARE
-    * what a recomputation would return. Cleared by [[sweepAnnCaches]];
-    * a rewritten corpus re-keys via the files fingerprint. */
+    * what a recomputation would return. Cleared by [[sweepAnnCaches]].
+    * Same staleness contract as [[regimeMemo]]: the files fingerprint
+    * re-keys a corpus rewritten into NEW part files (the Spark rewrite
+    * shape), not a same-name in-place overwrite, and in-memory frames
+    * key on the plan alone — call sweepAnnCaches after mutating a
+    * corpus out-of-band. Memory contract: these are GATE fixtures —
+    * the ann baseline is a fixed 50 rows, the knn-join baseline grows
+    * as ~3n/7 pairs and the check computes an O(n²/7) blocked pass
+    * eagerly at construction, so at non-gate corpus scale use the
+    * sampled RECALL harness, not the registered check entries. */
   private val exactBaselineMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, Int, Int),

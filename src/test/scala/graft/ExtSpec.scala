@@ -1900,6 +1900,61 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  // r16 review: a mixed corpus ENTIRELY below the regime threshold —
+  // loose islands (~0.70) + isotropic sea (~0.47) — never straddles
+  // thr, so the r15 trigger missed it and the combined size drove a
+  // too-wide global width; the spread trigger (p90-p10 >= strataMinGap)
+  // must stratify it. Sizes chosen so the per-bin widths diverge with
+  // margin for label spillover — the iso bin must stay under the 4096
+  // rounding boundary of the anchored ramp (loose ~15.5k -> 9, iso
+  // ~3.4k -> 8, vs global 19k -> 10).
+  test("knnJoinLsh stratifies an all-sub-threshold loose+iso corpus via the spread trigger") {
+    import org.apache.spark.sql.functions.col
+    val nLoose = 16000L; val nIso = 3000L
+    val loose = Crossover.looseClusteredEmbeddings(spark, nLoose)
+    val iso = Crossover.isotropicEmbeddings(spark, nIso)
+      .select((col("vec_id") + nLoose).as("vec_id"), col("embedding"))
+    val mixed = loose.unionByName(iso).localCheckpoint(true)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val strat = try sets(Similarity.knnJoinLsh(mixed, k = 3))
+      finally System.setErr(realErr)
+      assert(errBuf.toString.contains("lsh stratified auto-bits"),
+        s"spread trigger must stratify; stderr: ${errBuf.toString.take(300)}")
+      assert(!errBuf.toString.contains("bins all resolve"),
+        "the bins must actually diverge (not merge back to the global " +
+          s"path); stderr: ${errBuf.toString.take(300)}")
+      spark.conf.set("spark.graft.ann.lsh.stratify", "off")
+      val global = sets(Similarity.knnJoinLsh(mixed, k = 3))
+      assert(strat.keySet.size === (nLoose + nIso).toInt)
+      val sample = mixed.filter(col("vec_id") % 32 === 0)
+      val exact = sets(Similarity.knnJoinAgainst(mixed, sample, 3))
+      def recall(ann: Map[Long, Set[Long]], pred: Long => Boolean): Double = {
+        val qs = exact.keys.filter(pred).toSeq
+        qs.map(q => ann.getOrElse(q, Set.empty[Long])
+          .intersect(exact(q)).size.toDouble / 3).sum / qs.size
+      }
+      val stratIso = recall(strat, _ >= nLoose)
+      val globIso = recall(global, _ >= nLoose)
+      val stratLoose = recall(strat, _ < nLoose)
+      val globLoose = recall(global, _ < nLoose)
+      info(f"iso strat=$stratIso%.3f global=$globIso%.3f; " +
+        f"loose strat=$stratLoose%.3f global=$globLoose%.3f")
+      assert(stratIso >= globIso - 0.02, s"iso $stratIso vs $globIso")
+      assert(stratLoose >= globLoose - 0.02,
+        s"loose $stratLoose vs $globLoose")
+    } finally {
+      System.setErr(realErr)
+      spark.conf.unset("spark.graft.ann.lsh.stratify")
+      Similarity.sweepAnnCaches()
+    }
+  }
+
   // r16 (VERDICT r15 #3): past the measured isotropic recall wall
   // (CROSSOVER §1b: sampled recall@3 0.519 at 250k/11 bits) knnJoinLsh
   // must be LOUD about being the wrong tool — the broadcast-bound
