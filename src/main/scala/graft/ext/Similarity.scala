@@ -946,7 +946,19 @@ object Similarity {
     * plan (new part files at the same path) re-probes instead of serving
     * the stale verdict (VERDICT r14 #2). In-memory/checkpointed frames
     * have no file provenance and key on the plan alone. Regimes move
-    * slowly; the bound is fine. */
+    * slowly; the bound is fine.
+    *
+    * SAMPLE SIZE (r16): `spark.graft.ann.lsh.probeQueries` (default
+    * 256, clamped to [16, 4096]) — 256 deterministic samples are thin
+    * for a corpus with thousands of clusters (a cluster the sample
+    * misses labels its rows toward the recall-safe low-cosine side, at
+    * full-rate cost forgone — the documented residual), so large mixed
+    * corpora can widen the probe. Cost grows linearly: the probe scan
+    * and the stratified label column each evaluate one fused
+    * nQueries-cosine loop per row, and the literal sample matrix is
+    * nQueries × dim × 4 B (1 MB at the 4096 cap). The size is part of
+    * the memo key, so a mid-session conf change re-probes instead of
+    * serving a mismatched sample. */
   private[graft] def regimeProbeStats(vectors: DataFrame)
       : ((Double, Double, Double), (Seq[Any], Seq[Float])) = {
     val s = vectors.sparkSession
@@ -956,7 +968,10 @@ object Similarity {
                  Array.empty[String] }
       scala.util.hashing.MurmurHash3.arrayHash(fs.sorted)
     }
-    val key = (vectors.queryExecution.analyzed.semanticHash(), filesKey)
+    val nQueries = math.max(16, math.min(4096,
+      intConf(s, "spark.graft.ann.lsh.probeQueries", 256)))
+    val key = (vectors.queryExecution.analyzed.semanticHash(),
+      filesKey ^ nQueries)
     val inner = regimeMemo.synchronized {
       var m = regimeMemo.get(s)
       if (m == null) {
@@ -976,7 +991,7 @@ object Similarity {
     val cached = inner.get(key)
     if (cached != null) cached
     else {
-      val sample = probeSample(vectors)
+      val sample = probeSample(vectors, nQueries)
       val fresh = (neighborCosineStatsWith(vectors, sample), sample)
       val prev = inner.putIfAbsent(key, fresh)
       if (prev != null) prev else fresh

@@ -1807,6 +1807,36 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.regimeMemoSize === 0)
   }
 
+  // r16 late: the probe sample width is a conf — 256 deterministic
+  // samples are thin for a corpus with thousands of clusters, so large
+  // mixed corpora can widen (or tests shrink) the probe. The size folds
+  // into the memo key so a mid-session change re-probes instead of
+  // serving a mismatched sample; out-of-range values clamp to [16, 4096].
+  test("lsh regime probe: probeQueries conf sizes the sample and re-keys the memo") {
+    val key = "spark.graft.ann.lsh.probeQueries"
+    val cl = Crossover.clusteredEmbeddings(spark, 5000L).localCheckpoint(true)
+    Similarity.sweepAnnCaches()
+    try {
+      spark.conf.set(key, "32")
+      val (_, (ids32, flat32)) = Similarity.regimeProbeStats(cl)
+      assert(ids32.length === 32)
+      assert(flat32.length === 32 * 64) // nQueries x dim, row-major
+      val n0 = Similarity.regimeMemoSize
+      spark.conf.set(key, "64")
+      val (_, (ids64, _)) = Similarity.regimeProbeStats(cl)
+      assert(ids64.length === 64)
+      assert(Similarity.regimeMemoSize === n0 + 1,
+        "widened conf must be a new memo entry, not a stale 32-sample hit")
+      // same conf again: memo hit, no new entry
+      assert(Similarity.regimeProbeStats(cl)._2._1.length === 64)
+      assert(Similarity.regimeMemoSize === n0 + 1)
+      // below the floor clamps to 16 (a <2-query sample would zero the
+      // probe); the clamp is silent by design, like cellsBound
+      spark.conf.set(key, "4")
+      assert(Similarity.regimeProbeStats(cl)._2._1.length === 16)
+    } finally { spark.conf.unset(key); Similarity.sweepAnnCaches() }
+  }
+
   // r14: a MIXED corpus (clustered islands in an isotropic sea) reads
   // BETWEEN the regimes on the probe's mean but is VISIBLE in the
   // p10/p90 spread the probe logs — and at the 0.80 threshold an even
