@@ -262,15 +262,14 @@ object Similarity {
     // isotropic half less than its pure-regime recall (r14 measured an
     // even 10k+10k mix at 1.000/0.503 per half — the global n drives the
     // width past what the isotropic STRATUM alone would resolve). When
-    // (a) bits are auto, (b) no regime conf override, (c) the widths can
-    // diverge at this n (past the anchor — the probe-skip condition),
-    // and (d) the memoized probe's p10/p90 read mixed — straddling the
-    // threshold OR spread past strataMinGap (review r16: two
-    // sub-threshold populations never straddle but still deserve
-    // per-bin widths) — each row is labeled by ITS nearest-probe-query
-    // cosine and each stratum runs at its own regime and size — see
-    // [[stratifiedKnnJoinLsh]]. `spark.graft.ann.lsh.stratify` = off
-    // restores the r14 single-choice behavior.
+    // (a) bits are auto, (b) no regime conf override, and (c) the widths
+    // can diverge at this n (past the anchor — the probe-skip
+    // condition), the stratified path decides for itself (driver-side)
+    // whether distinct populations exist; when they do, each row is
+    // labeled by ITS nearest-probe-query cosine and each stratum runs
+    // at its own regime and size — see [[stratifiedKnnJoinLsh]].
+    // `spark.graft.ann.lsh.stratify` = off restores the r14
+    // single-choice behavior.
     val stratifyConf = {
       val v = vectors.sparkSession.conf
         .get("spark.graft.ann.lsh.stratify", "auto").trim
@@ -286,21 +285,27 @@ object Similarity {
       if (fullW != isoW) {
         val thr = doubleConf(vectors.sparkSession,
           "spark.graft.ann.lsh.regimeThreshold", 0.80)
-        val ((_, p10, p90), _) = regimeProbeStats(vectors)
-        // Mixed signature (review r16): EITHER the r15 threshold
-        // straddle OR a strataMinGap-wide p10/p90 spread — two
-        // sub-threshold populations (loose islands + isotropic sea)
-        // never straddle thr yet still deserve per-bin widths; pure
-        // populations measure ~0.1 of spread, under the 0.15 gap. A
-        // false trigger costs only the driver-side k-means on the
-        // memoized sample (no Spark job) before the global fallback.
-        val minGap = doubleConf(vectors.sparkSession,
-          "spark.graft.ann.lsh.strataMinGap", 0.15)
-        if ((p90 >= thr && p10 < thr) || p90 - p10 >= minGap)
-          stratifiedKnnJoinLsh(vectors, k, tables, rescueCap, thr) match {
-            case Some(out) => return out
-            case None      => () // strata degenerate/agree: global path
-          }
+        // The stratify attempt is UNCONDITIONAL past this point (r16
+        // late — the r15/r16 percentile pre-filter is gone): the
+        // distributed per-query percentiles structurally CANNOT see a
+        // small minority population, because minority rows mostly
+        // choose MAJORITY samples as their nearest (the max over ~248
+        // cross-population cosines beats the max over ~8 own-population
+        // ones), so minority samples never even form groups in the
+        // probe — no percentile read on the group values, however wide,
+        // catches them. Discovery authority lives in
+        // [[stratifiedKnnJoinLsh]]'s driver-side k-means over the
+        // per-sample score (distributed median chooser cosine where a
+        // sample had choosers, within-sample top-1 where not), which sees
+        // minorities AND is orphan-clean; its validity gates (center
+        // gap + mass floor) return None with ZERO additional Spark jobs
+        // on a pure corpus — the probe below was already paid on every
+        // widths-diverge path (and is memoized for the global path's
+        // regime resolution).
+        stratifiedKnnJoinLsh(vectors, k, tables, rescueCap, thr) match {
+          case Some(out) => return out
+          case None      => () // strata degenerate/agree: global path
+        }
       }
     }
     val nBits = resolveBits(bits,
@@ -454,30 +459,37 @@ object Similarity {
     * generalized past two strata in r16, VERDICT r15 #2).
     *
     * Labeling: the probe's own statistic, per row — cosine to the
-    * nearest of the memoized probe's 256 deterministic sample vectors
+    * nearest of the memoized probe's deterministic sample vectors
     * (a clustered row is near some sampled point of its island; an
-    * isotropic row is near nothing). The 256 sample rows themselves
-    * would self-match at cosine 1, so they are labeled driver-side by
-    * their within-sample top-1 (self excluded) — when that
-    * under-samples a cluster it errs toward the LOW-cosine side, i.e.
-    * narrower bits, the recall-safe direction for a clustered row.
+    * isotropic row is near nothing). The sample rows themselves
+    * would self-match at cosine 1, so they are pinned driver-side by
+    * their per-sample SCORE (below).
     *
-    * STRATA DISCOVERY (r16): instead of one split at the regime
-    * threshold, the 256 within-sample top-1 cosines are clustered
+    * STRATA DISCOVERY (r16; minority-clean scoring r16 late): each
+    * sample gets a score — its DISTRIBUTED median chooser cosine when
+    * any corpus row chose it as nearest (orphan-clean: a cluster's only
+    * sampled row still reads its population's pair cosine from its own
+    * cluster's choosers; the median, not the extreme-valued max — see
+    * [[ChooserStats]]),
+    * falling back to its WITHIN-SAMPLE top-1 when it had no choosers
+    * (the minority signature: a small population's rows choose
+    * majority samples, so its samples form no groups — the fallback
+    * reads their own low regime). The scores are clustered
     * driver-side by 1-D Lloyd k-means — the largest k ≤ `maxStrata`
-    * (default 4) whose clusters all hold ≥ ~6% of the sample and
-    * whose adjacent CENTERS sit ≥ `strataMinGap` apart (default
-    * 0.15, well under the ~0.3 separation between pure populations)
-    * wins; bin boundaries are the midpoints between adjacent
-    * centers. Center separation, not empty-gap detection: a 256
-    * sample of a multi-population corpus always carries stragglers —
-    * orphan samples alone in their cluster read their best
-    * CROSS-population cosine, and max-over-255 isotropic top-1s have
-    * a long upper tail — which fill any fixed gap window (measured:
-    * the 30k 3-population corpus reads as a continuum p0=0.24 /
-    * p50=0.71 / p100=0.98 with no adjacent-point gap ≥ 0.12, while
-    * its k-means centers sit at ~0.37/0.70/0.97). Stragglers simply
-    * join the nearest population. A corpus with THREE-plus
+    * (default 4) whose clusters all hold ≥ minMass samples (nq/16,
+    * capped at 24 absolute so widening
+    * `spark.graft.ann.lsh.probeQueries` lowers the discoverable
+    * population share below ~6%) and whose adjacent CENTERS sit ≥
+    * `strataMinGap` apart (default 0.15, well under the ~0.3
+    * separation between pure populations) wins; bin boundaries are
+    * the midpoints between adjacent centers. Center separation, not
+    * empty-gap detection: a 256 sample of a multi-population corpus
+    * always carries stragglers with mid-range scores that fill any
+    * fixed gap window (measured: the 30k 3-population corpus reads
+    * as a continuum p0=0.24 / p50=0.71 / p100=0.98 with no
+    * adjacent-point gap ≥ 0.12, while its k-means centers sit at
+    * ~0.37/0.70/0.97). Stragglers simply join the nearest
+    * population. A corpus with THREE-plus
     * neighbor-cosine populations (e.g. tight islands + loose islands
     * + an isotropic sea) thus gets one operating point per
     * population: under the r15 two-way split the two sub-threshold
@@ -507,9 +519,11 @@ object Similarity {
       tables: Int, rescueCap: Int, thr: Double): Option[DataFrame] = {
     import graft.functions.VectorFunctions.nearestCellSim
     val session = vectors.sparkSession
-    // the memoized probe's sample (the trigger just probed — memo hit):
-    // labels must be relative to the SAME vectors the stats measured
-    val (qVals, flat) = regimeProbeStats(vectors)._2
+    // the memoized probe (first probe on this corpus, or a memo hit):
+    // labels must be relative to the SAME sample the stats measured
+    val pr = regimeProbeStats(vectors)
+    val qVals = pr.ids
+    val flat = pr.flat
     val nq = qVals.length
     if (nq < 2) return None
     val dim = flat.length / nq
@@ -523,9 +537,27 @@ object Similarity {
       val denom = math.sqrt(ni) * math.sqrt(nj)
       if (denom == 0.0) 0.0 else dot / denom
     }
+    // Per-sample SCORE (r16 late): the DISTRIBUTED median chooser
+    // cosine where the sample had choosers, the WITHIN-SAMPLE top-1
+    // where it had none. The distributed value is orphan-clean — a
+    // sample that is its cluster's only sampled row still reads its
+    // own population's pair cosine (its own cluster's rows choose
+    // it), where its within-sample top-1 would read the cross-cluster
+    // cosine and fake a low-cosine population on a PURE clustered
+    // corpus. The MEDIAN, not the max: max-over-choosers is
+    // extreme-valued and drifts up with chooser count
+    // ([[ChooserStats]] — loose 0.70-islands read ~0.85 and merged
+    // into the tight bin). A genuine minority sample, by contrast,
+    // usually has NO choosers (its population's rows choose majority
+    // samples — the max over many cross-population cosines beats the
+    // max over few own-population ones), and its within-sample top-1
+    // correctly reads its own low regime. The within-sample fallback
+    // is computed only for the absent samples: O(#absent · nq · dim)
+    // driver flops, tiny at every probe width.
     val sampleTop1 = (0 until nq).map { i =>
-      val best = (0 until nq).collect { case j if j != i => cos(i, j) }.max
-      (qVals(i), best)
+      val score = pr.perQuery.get(i).map(_.median).getOrElse(
+        (0 until nq).collect { case j if j != i => cos(i, j) }.max)
+      (qVals(i), score)
     }
     // 1-D Lloyd k-means over the sample top-1 cosines: the largest
     // valid k (all clusters >= minMass, adjacent centers >= minGap
@@ -534,7 +566,16 @@ object Similarity {
       intConf(session, "spark.graft.ann.lsh.maxStrata", 4))
     val minGap =
       doubleConf(session, "spark.graft.ann.lsh.strataMinGap", 0.15)
-    val minMass = math.max(4, nq / 16)
+    // Mass floor: fractional (nq/16 ≈ 6%) at the default 256-sample
+    // probe — small enough that noise tails don't form a "population",
+    // large enough to estimate a bin mean — but CAPPED at 24 absolute
+    // samples (r16 late): what validates a population is an absolute
+    // count, not a corpus share, so widening the probe
+    // (`spark.graft.ann.lsh.probeQueries`) lowers the discoverable
+    // population share instead of freezing it at ~6% (24 of 1024
+    // samples ≈ a 2.3% population; at the default 256 the cap is
+    // inactive — min(16, 24) — and behavior is unchanged).
+    val minMass = math.max(4, math.min(nq / 16, 24))
     val sorted = sampleTop1.map(_._2).sorted
     def kmeans1d(k: Int): Option[Seq[Double]] = {
       var centers = (0 until k)
@@ -875,17 +916,26 @@ object Similarity {
     * or re-threshold. */
   private[graft] def neighborCosineProbe(vectors: DataFrame,
       nQueries: Int = 256): Double =
-    neighborCosineStats(vectors, nQueries)._1
+    neighborCosineStats(vectors, nQueries).mean
 
-  /** The probe's full per-query distribution: (mean, p10, p90) of the
-    * per-query top-1 cosine. The regime verdict thresholds the MEAN; the
-    * percentiles exist to make MIXED corpora (clustered islands in an
-    * isotropic sea) visible — such a corpus reads between the regimes on
-    * the mean but shows a wide p10/p90 spread (spec-pinned on an even
-    * clustered+isotropic union: p90 near-dup-grade, p10 isotropic-grade),
-    * and currently takes ONE global bits choice; at the 0.80 threshold an
-    * even mix lands on the isotropic (collision-preserving, recall-safe)
-    * side. Per-partition regimes are a documented non-feature. */
+  /** Summary of the probe's per-query top-1 cosine distribution. The
+    * regime verdict thresholds the MEAN; `p10`/`p90` make an even MIX
+    * (clustered islands in an isotropic sea) visible — such a corpus
+    * reads between the regimes on the mean but shows a wide p10/p90
+    * spread (spec-pinned on an even clustered+isotropic union: p90
+    * near-dup-grade, p10 isotropic-grade). The 2% tails (r16 late) are
+    * diagnostic only — logged at regime resolution so a heavy-tailed
+    * distribution is visible where the tuning decision is made. Note
+    * what this distribution structurally CANNOT show: a small MINORITY
+    * population. Its rows mostly choose MAJORITY samples as their
+    * nearest (the max over many cross-population cosines beats the max
+    * over few own-population ones), so minority samples never form
+    * groups here and no percentile of the group values catches them —
+    * minority discovery lives in [[stratifiedKnnJoinLsh]]'s per-sample
+    * score over the RAW `perQuery` map instead. Per-partition
+    * regimes remain a documented non-feature. */
+  private[graft] final case class ProbeStats(mean: Double, p02: Double,
+      p10: Double, p90: Double, p98: Double)
   /** The probe's deterministic query sample: `nQueries` md5(vec_id)-order
     * rows as (ids, flattened row-major embedding matrix). Shared by the
     * probe scan and the stratified path's per-row labeling, which must
@@ -901,30 +951,62 @@ object Similarity {
   }
 
   private[graft] def neighborCosineStats(vectors: DataFrame,
-      nQueries: Int = 256): (Double, Double, Double) =
-    neighborCosineStatsWith(vectors, probeSample(vectors, nQueries))
+      nQueries: Int = 256): ProbeStats =
+    neighborCosineDistWith(vectors, probeSample(vectors, nQueries))._1
 
-  /** [[neighborCosineStats]] against an already-collected sample — so
-    * the memoized path ([[regimeProbeStats]]) collects the sample ONCE
-    * and shares it with the stratified labeler. */
   private[graft] def neighborCosineStatsWith(vectors: DataFrame,
-      sample: (Seq[Any], Seq[Float])): (Double, Double, Double) = {
+      sample: (Seq[Any], Seq[Float])): ProbeStats =
+    neighborCosineDistWith(vectors, sample)._1
+
+  /** Per-chosen-sample distributed statistics over the rows that chose
+    * the sample as their nearest: `top1` = the MAX chooser cosine — an
+    * extreme-value statistic that drifts UP with chooser count (it
+    * feeds the regime summary, whose 0.80 threshold was calibrated on
+    * it), `median` = the MEDIAN chooser cosine — the population's
+    * characteristic operating cosine, which the stratified score uses
+    * instead: max-over-choosers measured ~0.85 on loose 0.70-islands
+    * (~50 choosers each), within the 0.15 center gap of tight islands
+    * and merging their bins, while the median stays at the pair-cosine
+    * level (~0.70). */
+  private[graft] final case class ChooserStats(top1: Double, median: Double)
+
+  /** The probe's FULL per-query result against an already-collected
+    * sample — so the memoized path ([[regimeProbeStats]]) collects the
+    * sample ONCE and shares it with the stratified labeler. Returns the
+    * summary stats plus the raw per-query map (sample index →
+    * [[ChooserStats]] over the non-sample rows that chose that sample
+    * as their nearest), collected driver-side: it is ≤ nQueries rows,
+    * the same single groupBy job the summary aggregation already ran,
+    * and the summary quantiles become exact instead of
+    * percentile_approx. A sample ABSENT from the map had NO choosers —
+    * for a minority-population sample that absence is itself the
+    * signal (see [[stratifiedKnnJoinLsh]]'s per-sample score). */
+  private[graft] def neighborCosineDistWith(vectors: DataFrame,
+      sample: (Seq[Any], Seq[Float])): (ProbeStats, Map[Int, ChooserStats]) = {
     import graft.functions.VectorFunctions.{nearestCellSim, nearestCells}
     val (qVals, flat) = sample
-    if (qVals.length < 2) return (0.0, 0.0, 0.0)
+    if (qVals.length < 2)
+      return (ProbeStats(0.0, 0.0, 0.0, 0.0, 0.0), Map.empty)
     val nq = qVals.length
-    val row = vectors
+    val rows = vectors
       .filter(!col("vec_id").isin(qVals: _*))
       .select(
         element_at(nearestCells(col("embedding"), 0 until nq, flat, 1), 1)
           .as("q"),
         nearestCellSim(col("embedding"), flat, nq).as("s"))
-      .groupBy(col("q")).agg(max(col("s")).as("top1"))
-      .agg(avg(col("top1")),
-        expr("percentile_approx(top1, 0.1)"),
-        expr("percentile_approx(top1, 0.9)")).collect().head
-    if (row.isNullAt(0)) (0.0, 0.0, 0.0)
-    else (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      .groupBy(col("q")).agg(max(col("s")).as("top1"),
+        expr("percentile_approx(s, 0.5)").as("med"))
+      .collect()
+    val per = rows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => r.getInt(0) -> ChooserStats(r.getDouble(1), r.getDouble(2)))
+      .toMap
+    if (per.isEmpty) return (ProbeStats(0.0, 0.0, 0.0, 0.0, 0.0), per)
+    val sorted = per.values.iterator.map(_.top1).toArray.sorted
+    def q(p: Double): Double =
+      sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    (ProbeStats(sorted.sum / sorted.length, q(0.02), q(0.1), q(0.9),
+      q(0.98)), per)
   }
 
   /** Resolve the LSH regime for auto-bits: the conf override
@@ -959,8 +1041,13 @@ object Similarity {
     * nQueries × dim × 4 B (1 MB at the 4096 cap). The size is part of
     * the memo key, so a mid-session conf change re-probes instead of
     * serving a mismatched sample. */
-  private[graft] def regimeProbeStats(vectors: DataFrame)
-      : ((Double, Double, Double), (Seq[Any], Seq[Float])) = {
+  /** One memoized probe of a corpus: summary stats, the deterministic
+    * query sample (ids + row-major matrix), and the per-query top-1 map
+    * ([[neighborCosineDistWith]]). */
+  private[graft] final case class ProbeResult(stats: ProbeStats,
+      ids: Seq[Any], flat: Seq[Float], perQuery: Map[Int, ChooserStats])
+
+  private[graft] def regimeProbeStats(vectors: DataFrame): ProbeResult = {
     val s = vectors.sparkSession
     val filesKey = {
       val fs = try vectors.inputFiles
@@ -976,7 +1063,7 @@ object Similarity {
       var m = regimeMemo.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(Int, Int),
-          ((Double, Double, Double), (Seq[Any], Seq[Float]))]()
+          ProbeResult]()
         regimeMemo.put(s, m)
       }
       m
@@ -992,7 +1079,8 @@ object Similarity {
     if (cached != null) cached
     else {
       val sample = probeSample(vectors, nQueries)
-      val fresh = (neighborCosineStatsWith(vectors, sample), sample)
+      val (stats, per) = neighborCosineDistWith(vectors, sample)
+      val fresh = ProbeResult(stats, sample._1, sample._2, per)
       val prev = inner.putIfAbsent(key, fresh)
       if (prev != null) prev else fresh
     }
@@ -1053,13 +1141,14 @@ object Similarity {
     if (conf != "auto") conf
     else {
       val thr = doubleConf(s, "spark.graft.ann.lsh.regimeThreshold", 0.80)
-      val ((mean, p10, p90), _) = regimeProbeStats(vectors)
-      val verdict = if (mean >= thr) "clustered" else "isotropic"
-      // wide p10/p90 spread = a MIXED corpus: the verdict below is the
-      // mean's side; see [[neighborCosineStats]]
+      val st = regimeProbeStats(vectors).stats
+      val verdict = if (st.mean >= thr) "clustered" else "isotropic"
+      // wide spread = a MIXED corpus (tails = minority populations):
+      // the verdict below is the mean's side; see [[ProbeStats]]
       System.err.println(
-        f"INFO graft-ann: lsh regime probe meanTop1Cosine=$mean%.3f" +
-          f" p10=$p10%.3f p90=$p90%.3f threshold=$thr%.2f -> $verdict")
+        f"INFO graft-ann: lsh regime probe meanTop1Cosine=${st.mean}%.3f" +
+          f" p02=${st.p02}%.3f p10=${st.p10}%.3f p90=${st.p90}%.3f" +
+          f" p98=${st.p98}%.3f threshold=$thr%.2f -> $verdict")
       verdict
     }
   }
@@ -2027,8 +2116,7 @@ object Similarity {
     * single-probe-per-corpus behavior. */
   private[graft] val regimeMemo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(Int, Int),
-        ((Double, Double, Double), (Seq[Any], Seq[Float]))]]()
+      java.util.concurrent.ConcurrentHashMap[(Int, Int), ProbeResult]]()
 
   /** Total memoized probe verdicts across live sessions (spec surface). */
   private[graft] def regimeMemoSize: Int = regimeMemo.synchronized {

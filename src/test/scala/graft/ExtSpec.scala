@@ -1818,22 +1818,22 @@ class ExtSpec extends SparkSpec {
     Similarity.sweepAnnCaches()
     try {
       spark.conf.set(key, "32")
-      val (_, (ids32, flat32)) = Similarity.regimeProbeStats(cl)
-      assert(ids32.length === 32)
-      assert(flat32.length === 32 * 64) // nQueries x dim, row-major
+      val pr32 = Similarity.regimeProbeStats(cl)
+      assert(pr32.ids.length === 32)
+      assert(pr32.flat.length === 32 * 64) // nQueries x dim, row-major
       val n0 = Similarity.regimeMemoSize
       spark.conf.set(key, "64")
-      val (_, (ids64, _)) = Similarity.regimeProbeStats(cl)
-      assert(ids64.length === 64)
+      val pr64 = Similarity.regimeProbeStats(cl)
+      assert(pr64.ids.length === 64)
       assert(Similarity.regimeMemoSize === n0 + 1,
         "widened conf must be a new memo entry, not a stale 32-sample hit")
       // same conf again: memo hit, no new entry
-      assert(Similarity.regimeProbeStats(cl)._2._1.length === 64)
+      assert(Similarity.regimeProbeStats(cl).ids.length === 64)
       assert(Similarity.regimeMemoSize === n0 + 1)
       // below the floor clamps to 16 (a <2-query sample would zero the
       // probe); the clamp is silent by design, like cellsBound
       spark.conf.set(key, "4")
-      assert(Similarity.regimeProbeStats(cl)._2._1.length === 16)
+      assert(Similarity.regimeProbeStats(cl).ids.length === 16)
     } finally { spark.conf.unset(key); Similarity.sweepAnnCaches() }
   }
 
@@ -1849,7 +1849,8 @@ class ExtSpec extends SparkSpec {
     val iso = Crossover.isotropicEmbeddings(spark, 10000L)
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
     val mixed = cl.unionByName(iso).localCheckpoint(true)
-    val (mean, p10, p90) = Similarity.neighborCosineStats(mixed)
+    val Similarity.ProbeStats(mean, _, p10, p90, _) =
+      Similarity.neighborCosineStats(mixed)
     info(f"mixed probe mean=$mean%.3f p10=$p10%.3f p90=$p90%.3f")
     // mean sits between the pure regimes (~0.99 clustered, ~0.47-0.56 iso)
     assert(mean > 0.55 && mean < 0.90, s"mean $mean")
@@ -1981,6 +1982,75 @@ class ExtSpec extends SparkSpec {
     } finally {
       System.setErr(realErr)
       spark.conf.unset("spark.graft.ann.lsh.stratify")
+      Similarity.sweepAnnCaches()
+    }
+  }
+
+  // r16 late: a MINORITY population (~3% of the corpus) was invisible
+  // twice over — the r15/r16 p10/p90 trigger read (its queries never
+  // reach the 10th percentile) and, at the default 256-sample probe,
+  // the k-means mass floor (~8 expected samples < 16). The 2%-tail
+  // trigger makes it VISIBLE at any probe width, and the absolute
+  // mass-floor cap (24) makes it DISCOVERABLE once the probe is wide
+  // enough to carry >= 24 of its samples: at probeQueries=1024 a 3.3%
+  // minority holds ~34 samples, gets its own bin, and runs at its own
+  // anchored width instead of the clustered majority's full-rate width.
+  test("knnJoinLsh discovers a ~3% minority population once the probe is widened") {
+    import org.apache.spark.sql.functions.col
+    val nCl = 29000L; val nIso = 1000L
+    val cl = Crossover.clusteredEmbeddings(spark, nCl, clusterSize = 1024)
+    val iso = Crossover.isotropicEmbeddings(spark, nIso)
+      .select((col("vec_id") + nCl).as("vec_id"), col("embedding"))
+    val mixed = cl.unionByName(iso).localCheckpoint(true)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val realErr = System.err
+    def captured(body: => Map[Long, Set[Long]]): (Map[Long, Set[Long]], String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      System.setErr(new java.io.PrintStream(buf, true))
+      val out = try body finally System.setErr(realErr)
+      (out, buf.toString)
+    }
+    try {
+      // default 256-sample probe: the tail trigger fires (the minority
+      // IS visible at p02) but its ~8 samples sit under the mass floor,
+      // so k-means finds no valid split and the global path runs
+      val (glob256, err256) = captured(sets(Similarity.knnJoinLsh(mixed, k = 3)))
+      assert(err256.contains("no valid sample split"),
+        s"expected trigger+merge at 256 samples; stderr: ${err256.take(400)}")
+      assert(!err256.contains("lsh stratified auto-bits"))
+      // widened probe: the minority carries ~34 >= 24 samples — its own
+      // bin, its own width
+      spark.conf.set("spark.graft.ann.lsh.probeQueries", "1024")
+      val (strat, errStrat) = captured(sets(Similarity.knnJoinLsh(mixed, k = 3)))
+      assert(errStrat.contains("lsh stratified auto-bits"),
+        s"expected stratification at 1024 samples; stderr: ${errStrat.take(400)}")
+      assert(!errStrat.contains("bins all resolve"),
+        s"bins must diverge; stderr: ${errStrat.take(400)}")
+      assert(strat.keySet.size === (nCl + nIso).toInt)
+      // recall vs the exact top-3 of a deterministic query sample
+      val sample = mixed.filter(col("vec_id") % 32 === 0)
+      val exact = sets(Similarity.knnJoinAgainst(mixed, sample, 3))
+      def recall(ann: Map[Long, Set[Long]], pred: Long => Boolean): Double = {
+        val qs = exact.keys.filter(pred).toSeq
+        qs.map(q => ann.getOrElse(q, Set.empty[Long])
+          .intersect(exact(q)).size.toDouble / 3).sum / qs.size
+      }
+      val stratIso = recall(strat, _ >= nCl)
+      val globIso = recall(glob256, _ >= nCl)
+      val stratCl = recall(strat, _ < nCl)
+      val globCl = recall(glob256, _ < nCl)
+      info(f"iso strat=$stratIso%.3f global=$globIso%.3f; " +
+        f"clustered strat=$stratCl%.3f global=$globCl%.3f")
+      assert(stratCl > 0.98, s"clustered majority must stay ~perfect: $stratCl")
+      // measured: global (full-rate width 12 over the whole corpus)
+      // 0.387 on the minority; stratified (its own anchored width) 0.968
+      assert(stratIso >= 0.9, s"minority recall at its own width: $stratIso")
+      assert(stratIso >= globIso + 0.3,
+        s"discovery must be a substantive win: $stratIso vs $globIso")
+    } finally {
+      spark.conf.unset("spark.graft.ann.lsh.probeQueries")
       Similarity.sweepAnnCaches()
     }
   }
