@@ -589,6 +589,65 @@ object Crossover {
       exTight.unpersist(); mixed.unpersist()
     }
 
+    // ------------------------------- 5c. minority-population discovery
+    // r16 late: a ~3% isotropic minority in a clustered corpus is
+    // invisible to the probe's summary percentiles (its rows choose
+    // majority samples, so its samples form no probe groups) and, at
+    // the default 256-sample probe, sits under the k-means mass floor
+    // (~8 expected samples < 16) — strata discovery merges and the
+    // minority runs at the majority's full-rate width. Widening
+    // spark.graft.ann.lsh.probeQueries to 1024 puts ~34 minority
+    // samples over the capped floor (24): the minority gets its own
+    // bin and anchored width. The cell's three rows are the old global
+    // behavior, the default probe (expected: merges, same width as
+    // global), and the widened probe (expected: discovered).
+    md ++= "\n### 5c. Minority population: probe width vs discovery (r16)\n\n"
+    md ++= "Clustered majority 29k (cluster size 1024) + isotropic\n"
+    md ++= "minority 1k (3.3%). Regenerate with\n"
+    md ++= "`GRAFT_CROSSOVER_ONLY=minority`:\n\n"
+    md ++= "| variant | probeQueries | iso r@3 | clustered r@3 | wall s |\n"
+    md ++= "|---|---|---|---|---|\n"
+    if (section("minority")) {
+      import graft.ext.Similarity
+      val nCl = 29000L; val nIso = 1000L
+      val cl = clusteredEmbeddings(spark, nCl, clusterSize = 1024)
+      val iso = isotropicEmbeddings(spark, nIso)
+        .select((col("vec_id") + nCl).as("vec_id"), col("embedding"))
+      val mixed = cl.unionByName(iso).localCheckpoint(true)
+      val sample = mixed.filter(col("vec_id") % 16 === 0)
+      val exact = Similarity.knnJoinAgainst(mixed, sample, 3)
+        .localCheckpoint(true)
+      val exIso = exact.filter(col("q_id") >= nCl).localCheckpoint(true)
+      val exCl = exact.filter(col("q_id") < nCl).localCheckpoint(true)
+      Seq(("off", None, "global"), ("auto", None, "default probe"),
+        ("auto", Some(1024), "widened probe")).foreach {
+        case (conf, pq, label) =>
+          spark.conf.set("spark.graft.ann.lsh.stratify", conf)
+          pq.foreach(v =>
+            spark.conf.set("spark.graft.ann.lsh.probeQueries", v.toString))
+          try {
+            val (ann, wall) = time {
+              val a = Similarity.knnJoinLsh(mixed, k = 3)
+                .localCheckpoint(true)
+              a.count(); a
+            }
+            val rIso = recallOf(ann.filter(col("q_id") >= nCl), exIso)
+            val rCl = recallOf(ann.filter(col("q_id") < nCl), exCl)
+            md ++= s"| $label | ${pq.getOrElse(256)} | ${f3(rIso)} | " +
+              s"${f3(rCl)} | ${f1(wall)} |\n"
+            println(s"[crossover] minority $label iso=${f3(rIso)} " +
+              s"cl=${f3(rCl)} wall=${f1(wall)}")
+            ann.unpersist()
+          } finally {
+            spark.conf.unset("spark.graft.ann.lsh.stratify")
+            spark.conf.unset("spark.graft.ann.lsh.probeQueries")
+            Similarity.sweepAnnCaches()
+          }
+      }
+      exact.unpersist(); exIso.unpersist(); exCl.unpersist()
+      mixed.unpersist()
+    }
+
     md ++= "\n## Reading\n\n"
     md ++= "Filled in by the committing round's notes after inspecting the\n"
     md ++= "numbers above: the break-even n per family, and which claims\n"
