@@ -577,6 +577,9 @@ object Similarity {
     // inactive — min(16, 24) — and behavior is unchanged).
     val minMass = math.max(4, math.min(nq / 16, 24))
     val sorted = sampleTop1.map(_._2).sorted
+    // smallest plausible-population cluster rejected on mass alone
+    // across the k ladder (see the near-miss tracking in kmeans1d)
+    var massOnlyMiss: Option[Int] = None
     def kmeans1d(k: Int): Option[Seq[Double]] = {
       var centers = (0 until k)
         .map(i => sorted(math.min(nq - 1, ((i + 0.5) / k * nq).toInt)))
@@ -613,16 +616,36 @@ object Similarity {
       // assignments
       val counts = assign()._2
       val cs = centers.toSeq.sorted
-      val valid = counts.forall(_ >= minMass) &&
+      val gapsOk =
         cs.sliding(2).forall(p => p.size < 2 || p(1) - p(0) >= minGap)
-      if (valid) Some(cs) else None
+      val massOk = counts.forall(_ >= minMass)
+      // near-miss tracking (r16 late): a split whose centers separate
+      // cleanly but whose smallest cluster is a PLAUSIBLE population
+      // (>= the hard floor of 4, < minMass) failed only on sample
+      // width — the caller can make it discoverable by widening the
+      // probe, and deserves to be told so (the loud-contract pattern).
+      // An empty/straggler cluster (< 4) is k-too-large, not a
+      // population; gap failures are genuinely one population.
+      if (gapsOk && !massOk && counts.min >= 4)
+        massOnlyMiss = Some(massOnlyMiss.fold(counts.min)(
+          math.min(_, counts.min)))
+      if (gapsOk && massOk) Some(cs) else None
     }
     val centersOpt = (maxStrata to 2 by -1).view.flatMap(kmeans1d).headOption
     if (centersOpt.isEmpty) { // one population after all
+      val widen = massOnlyMiss match {
+        case Some(m) if nq < 4096 =>
+          s"; a well-separated candidate population of ~$m samples sits " +
+            s"under the $minMass mass floor — widening " +
+            s"spark.graft.ann.lsh.probeQueries (currently $nq) may make " +
+            "it discoverable"
+        case _ => ""
+      }
       System.err.println("INFO graft-ann: lsh stratify probe found no " +
         f"valid sample split (centers < $minGap%.2f apart or under " +
         f"$minMass mass; top-1 spread p0=${sorted.head}%.2f " +
-        f"p50=${sorted(nq / 2)}%.2f p100=${sorted.last}%.2f); global path")
+        f"p50=${sorted(nq / 2)}%.2f p100=${sorted.last}%.2f); global path" +
+        widen)
       return None
     }
     // bin boundary = midpoint between adjacent centers; bin of cosine

@@ -2020,6 +2020,10 @@ class ExtSpec extends SparkSpec {
       assert(err256.contains("no valid sample split"),
         s"expected trigger+merge at 256 samples; stderr: ${err256.take(400)}")
       assert(!err256.contains("lsh stratified auto-bits"))
+      // the merge is a mass-only near-miss (centers separate cleanly),
+      // so the INFO line must carry the widen advisory
+      assert(err256.contains("widening spark.graft.ann.lsh.probeQueries"),
+        s"expected the widen advisory; stderr: ${err256.take(500)}")
       // widened probe: the minority carries ~34 >= 24 samples — its own
       // bin, its own width
       spark.conf.set("spark.graft.ann.lsh.probeQueries", "1024")
