@@ -181,10 +181,10 @@ object Recall {
     // decays as the untrained (appended) fraction of the corpus grows —
     // the honest scale contract for train-once/serve-many needs that
     // curve measured, not asserted. Each point trains on the first
-    // (1-f) of vec_ids at the registered ivfpq operating point
-    // (cells=16, probes=1, m=8, pqCodes=16, rerank=100), appends the
+    // (1-f) of vec_ids at the operating point the emitted JSON records
+    // (cells=16, probes=12, m=8, pqCodes=16, rerank=400), appends the
     // rest through the real save → append → load path, and scores the
-    // registered 10 queries against the full-corpus exact baseline.
+    // 50-query decay set against the full-corpus exact baseline.
     // f=0 is the curve's anchor: the full corpus trains the quantizers
     // (no appended fraction), the same algorithm and knobs as the
     // registered x_ann_ivfpq entry but over THIS block's wider query

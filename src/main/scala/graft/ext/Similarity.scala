@@ -209,13 +209,16 @@ object Similarity {
     * anchor, the registered entries included) — callers that need a
     * fully lazy frame pass explicit bits.
     *
-    * STRATIFIED since r15 (VERDICT r14 #3): when the probe's p10/p90
-    * straddle the threshold — the MIXED-corpus signature — and the two
-    * strata's auto widths diverge, the query side splits by a per-row
-    * regime label and each stratum runs at its own pure-regime bits
-    * against the full candidate set ([[stratifiedKnnJoinLsh]]).
-    * `spark.graft.ann.lsh.stratify` = off restores the single global
-    * choice.
+    * STRATIFIED since r15 (VERDICT r14 #3; discovery finalized late
+    * r16): whenever the auto widths CAN diverge (past the anchor, no
+    * regime override), [[stratifiedKnnJoinLsh]] decides driver-side
+    * whether distinct neighbor-cosine populations exist — 1-D k-means
+    * over per-sample chooser-median scores; pure corpora return to the
+    * global path with zero extra Spark jobs. When populations are
+    * found at diverging widths, the query side splits by a per-row
+    * population label and each stratum runs at its own bits against
+    * the full candidate set. `spark.graft.ann.lsh.stratify` = off
+    * restores the single global choice.
     *
     * Since r13 the rescue pipeline is LAZY (ADVICE r12): the banded
     * aggregate is `persist`ed, not checkpointed — recomputable lineage
@@ -641,7 +644,7 @@ object Similarity {
             "it discoverable"
         case _ => ""
       }
-      System.err.println("INFO graft-ann: lsh stratify probe found no " +
+      logOnce(session, "INFO graft-ann: lsh stratify probe found no " +
         f"valid sample split (centers < $minGap%.2f apart or under " +
         f"$minMass mass; top-1 spread p0=${sorted.head}%.2f " +
         f"p50=${sorted(nq / 2)}%.2f p100=${sorted.last}%.2f); global path" +
@@ -697,30 +700,45 @@ object Similarity {
       val w = autoWidths(math.max(n, 2L), targetBucket = 8)
       b -> (if (binMeans(b) >= thr) w._1 else w._2)
     }.toMap
-    System.err.println("INFO graft-ann: lsh stratified auto-bits " +
-      (0 until nBins).map { b =>
-        val regime = if (binMeans(b) >= thr) "clustered" else "isotropic"
-        f"bin$b[mean=${binMeans(b)}%.2f $regime n=${counts.getOrElse(b, 0L)}" +
-          s" -> bits=${binBits(b)}]"
-      }.mkString(" "))
+    val binsDesc = (0 until nBins).map { b =>
+      val regime = if (binMeans(b) >= thr) "clustered" else "isotropic"
+      f"bin$b[mean=${binMeans(b)}%.2f $regime n=${counts.getOrElse(b, 0L)}" +
+        s" -> bits=${binBits(b)}]"
+    }.mkString(" ")
+    logOnce(session, s"INFO graft-ann: lsh stratified auto-bits $binsDesc")
     // merge bins sharing a resolved width into one pass at that width
     val widthGroups = binBits.groupBy(_._2)
       .view.mapValues(_.keys.toSeq.sorted).toSeq.sortBy(_._1)
-    if (widthGroups.size < 2) { // one width fits all: global is cheaper
-      System.err.println("INFO graft-ann: lsh stratify bins all resolve " +
-        s"bits=${widthGroups.head._1}; global path")
-      return None
-    }
     // per-bin recall wall (r16): an isotropic bin large enough to
     // resolve past the wall gets the same loud contract as the global
     // path — the wall is a property of the operating width, not of how
-    // the corpus was partitioned. Checked only AFTER the merge decision
-    // (review r16): a merged-to-global fallback warns once via the
-    // global path's regime callback, not twice.
-    (0 until nBins).foreach { b =>
+    // the corpus was partitioned. Checked AFTER the merge decision
+    // (review r16) so a merged-to-global fallback whose MEAN reads
+    // isotropic warns once via the global path's regime callback, not
+    // twice — but a merged fallback whose mean reads CLUSTERED would
+    // skip the global check entirely (the wall only fires on the
+    // isotropic verdict), so for that case the per-bin check still
+    // runs here: a discovered isotropic bin past the wall must be
+    // loud even when a clustered majority drags the mean over the
+    // threshold (review r16 late).
+    def perBinWall(): Unit = (0 until nBins).foreach { b =>
       if (binMeans(b) < thr)
         checkRecallWall(session, binBits(b), counts.getOrElse(b, 0L))
     }
+    if (widthGroups.size < 2) { // one width fits all: global is cheaper
+      // the bin summary keeps this line corpus-specific, so the
+      // print-once dedup can never suppress one corpus's fallback
+      // because another corpus merged at the same width
+      logOnce(session, "INFO graft-ann: lsh stratify bins all resolve " +
+        s"bits=${widthGroups.head._1} ($binsDesc); global path")
+      if (pr.stats.mean >= thr) perBinWall()
+      // the labeled frame is dead on this path — release it instead of
+      // pinning a corpus-sized cache until the next sweep (review r16
+      // late; the unconditional attempt made this branch common)
+      labeled.unpersist(blocking = false)
+      return None
+    }
+    perBinWall()
     Some(widthGroups.map { case (bits, bins) =>
       bandedKnnPass(labeled, k, tables, bits, rescueCap,
         col("graft_lsh_bin").isin(bins: _*))
@@ -976,10 +994,6 @@ object Similarity {
   private[graft] def neighborCosineStats(vectors: DataFrame,
       nQueries: Int = 256): ProbeStats =
     neighborCosineDistWith(vectors, probeSample(vectors, nQueries))._1
-
-  private[graft] def neighborCosineStatsWith(vectors: DataFrame,
-      sample: (Seq[Any], Seq[Float])): ProbeStats =
-    neighborCosineDistWith(vectors, sample)._1
 
   /** Per-chosen-sample distributed statistics over the rows that chose
     * the sample as their nearest: `top1` = the MAX chooser cosine — an
@@ -2148,6 +2162,28 @@ object Similarity {
     n
   }
 
+  /** Session-scoped print-once for the stratify INFO lines (review r16
+    * late): the unconditional stratify attempt means a service issuing
+    * many knnJoinLsh calls over the same memoized corpus would re-run
+    * the (cheap) driver k-means AND re-print an identical verdict line
+    * per call — the k-means is noise-free to repeat, the log line is
+    * not. Keyed on the full message text (same corpus + confs → same
+    * text; the spread percentiles make distinct corpora distinct).
+    * Cleared by [[sweepAnnCaches]] so a swept session re-announces. */
+  private val loggedOnce =
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
+  private def logOnce(s: SparkSession, msg: String): Unit = {
+    val set = loggedOnce.synchronized {
+      var v = loggedOnce.get(s)
+      if (v == null) {
+        v = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        loggedOnce.put(s, v)
+      }
+      v
+    }
+    if (set.add(msg)) System.err.println(msg)
+  }
+
   /** Release every cached intermediate registered by [[knnJoinLsh]] since
     * the last sweep, the regime-probe memo, and the exact-baseline memo.
     * Safe to call at any time (see [[annCacheRegistry]]). */
@@ -2159,6 +2195,7 @@ object Similarity {
     }
     regimeMemo.synchronized(regimeMemo.clear())
     exactBaselineMemo.synchronized(exactBaselineMemo.clear())
+    loggedOnce.synchronized(loggedOnce.clear())
   }
 
   /** Shared exact ground-truth memo for the recall-contract checks (r16,

@@ -1933,13 +1933,15 @@ class ExtSpec extends SparkSpec {
 
   // r16 review: a mixed corpus ENTIRELY below the regime threshold —
   // loose islands (~0.70) + isotropic sea (~0.47) — never straddles
-  // thr, so the r15 trigger missed it and the combined size drove a
-  // too-wide global width; the spread trigger (p90-p10 >= strataMinGap)
-  // must stratify it. Sizes chosen so the per-bin widths diverge with
-  // margin for label spillover — the iso bin must stay under the 4096
-  // rounding boundary of the anchored ramp (loose ~15.5k -> 9, iso
-  // ~3.4k -> 8, vs global 19k -> 10).
-  test("knnJoinLsh stratifies an all-sub-threshold loose+iso corpus via the spread trigger") {
+  // thr, so the r15 straddle-only trigger missed it and the combined
+  // size drove a too-wide global width. (Historically caught by a
+  // p90-p10 spread trigger; since late r16 the attempt is
+  // unconditional and k-means discovery handles it directly.) Sizes
+  // chosen so the per-bin widths diverge with margin for label
+  // spillover — the iso bin must stay under the 4096 rounding boundary
+  // of the anchored ramp (loose ~15.5k -> 9, iso ~3.4k -> 8, vs global
+  // 19k -> 10).
+  test("knnJoinLsh stratifies an all-sub-threshold loose+iso corpus") {
     import org.apache.spark.sql.functions.col
     val nLoose = 16000L; val nIso = 3000L
     val loose = Crossover.looseClusteredEmbeddings(spark, nLoose)
@@ -1956,7 +1958,7 @@ class ExtSpec extends SparkSpec {
       val strat = try sets(Similarity.knnJoinLsh(mixed, k = 3))
       finally System.setErr(realErr)
       assert(errBuf.toString.contains("lsh stratified auto-bits"),
-        s"spread trigger must stratify; stderr: ${errBuf.toString.take(300)}")
+        s"discovery must stratify; stderr: ${errBuf.toString.take(300)}")
       assert(!errBuf.toString.contains("bins all resolve"),
         "the bins must actually diverge (not merge back to the global " +
           s"path); stderr: ${errBuf.toString.take(300)}")
@@ -1987,14 +1989,16 @@ class ExtSpec extends SparkSpec {
   }
 
   // r16 late: a MINORITY population (~3% of the corpus) was invisible
-  // twice over — the r15/r16 p10/p90 trigger read (its queries never
-  // reach the 10th percentile) and, at the default 256-sample probe,
-  // the k-means mass floor (~8 expected samples < 16). The 2%-tail
-  // trigger makes it VISIBLE at any probe width, and the absolute
-  // mass-floor cap (24) makes it DISCOVERABLE once the probe is wide
-  // enough to carry >= 24 of its samples: at probeQueries=1024 a 3.3%
-  // minority holds ~34 samples, gets its own bin, and runs at its own
-  // anchored width instead of the clustered majority's full-rate width.
+  // twice over — the r15/r16 percentile trigger read (its rows choose
+  // majority samples, so it never forms probe groups and no summary
+  // percentile sees it; that trigger is now deleted) and, at the
+  // default 256-sample probe, the k-means mass floor (~8 expected
+  // samples < 16). The chooserless-sample fallback score makes it
+  // VISIBLE to k-means at any probe width, and the absolute mass-floor
+  // cap (24) makes it DISCOVERABLE once the probe is wide enough to
+  // carry >= 24 of its samples: at probeQueries=1024 a 3.3% minority
+  // holds ~34 samples, gets its own bin, and runs at its own anchored
+  // width instead of the clustered majority's full-rate width.
   test("knnJoinLsh discovers a ~3% minority population once the probe is widened") {
     import org.apache.spark.sql.functions.col
     val nCl = 29000L; val nIso = 1000L
@@ -2013,9 +2017,10 @@ class ExtSpec extends SparkSpec {
       (out, buf.toString)
     }
     try {
-      // default 256-sample probe: the tail trigger fires (the minority
-      // IS visible at p02) but its ~8 samples sit under the mass floor,
-      // so k-means finds no valid split and the global path runs
+      // default 256-sample probe: the attempt runs (widths diverge)
+      // and k-means SEES the minority via the fallback scores, but its
+      // ~8 samples sit under the mass floor — no valid split, global
+      // path
       val (glob256, err256) = captured(sets(Similarity.knnJoinLsh(mixed, k = 3)))
       assert(err256.contains("no valid sample split"),
         s"expected trigger+merge at 256 samples; stderr: ${err256.take(400)}")
