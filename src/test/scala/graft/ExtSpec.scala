@@ -2058,6 +2058,16 @@ class ExtSpec extends SparkSpec {
       assert(stratIso >= 0.9, s"minority recall at its own width: $stratIso")
       assert(stratIso >= globIso + 0.3,
         s"discovery must be a substantive win: $stratIso vs $globIso")
+      // partitioning invariance — the 100 TB contract: discovery,
+      // labels, and the banded passes must not depend on cluster
+      // layout. A different partitioning is a different plan (new memo
+      // key → full re-probe), the md5-ordered sample is total-order
+      // deterministic, and the per-group chooser aggregates reduce the
+      // same groups — so the stratified result set must be identical.
+      val repart = sets(Similarity.knnJoinLsh(
+        mixed.repartition(7).localCheckpoint(true), k = 3))
+      assert(repart === strat,
+        "stratified result must be partitioning-invariant")
     } finally {
       spark.conf.unset("spark.graft.ann.lsh.probeQueries")
       Similarity.sweepAnnCaches()
