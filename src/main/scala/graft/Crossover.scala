@@ -46,11 +46,19 @@ object Crossover {
   /** Clustered embeddings: `n/clusterSize` tight bundles — cluster
     * center from `hash(cluster, j)`, per-vector jitter at `noise`
     * amplitude. Cluster count scales WITH n (fixed cluster size), the
-    * real-corpus shape. */
+    * real-corpus shape. `clusterTag` (default 0 — bit-identical to the
+    * historical corpora) offsets the cluster-id hash space so two
+    * generated populations can be DECORRELATED: without it, cluster c
+    * of every generator draws the same `hash(c, j)` signal, and a
+    * union of populations carries cross-population cosine ~0.5 between
+    * same-c clusters — an accidental correlation no real mixed corpus
+    * has. */
   def clusteredEmbeddings(spark: SparkSession, n: Long,
-      clusterSize: Int = 256, noise: Double = 0.15): DataFrame =
+      clusterSize: Int = 256, noise: Double = 0.15,
+      clusterTag: Long = 0L): DataFrame =
     spark.range(n).toDF("vec_id")
-      .withColumn("cl", col("vec_id") % lit(math.max(1L, n / clusterSize)))
+      .withColumn("cl", col("vec_id") % lit(math.max(1L, n / clusterSize))
+        + lit(clusterTag))
       .withColumn("embedding", expr(
         s"""transform(sequence(0, 63), j ->
            |  float(sin(hash(cl, j)) + $noise * sin(hash(vec_id, j))))"""
@@ -68,9 +76,11 @@ object Crossover {
     * merged into the tight bin. α = 0.65 ⇒ cosine ≈ 0.70, between the
     * regimes. */
   def looseClusteredEmbeddings(spark: SparkSession, n: Long,
-      clusterSize: Int = 256, alpha: Double = 0.65): DataFrame =
+      clusterSize: Int = 256, alpha: Double = 0.65,
+      clusterTag: Long = 0L): DataFrame =
     spark.range(n).toDF("vec_id")
-      .withColumn("cl", col("vec_id") % lit(math.max(1L, n / clusterSize)))
+      .withColumn("cl", col("vec_id") % lit(math.max(1L, n / clusterSize))
+        + lit(clusterTag))
       .withColumn("embedding", expr(
         s"""transform(sequence(0, 63), j ->
            |  float(CASE WHEN j < 32 THEN sin(hash(cl, j))

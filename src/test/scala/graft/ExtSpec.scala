@@ -2074,6 +2074,80 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  // r16 late: the maxStrata=4 bound is exercised at its limit — FOUR
+  // neighbor-cosine populations are discovered as four bins. Two
+  // spacing lessons are baked into the knobs (both measured via a
+  // throwaway per-population score diagnostic): (1) the chooser-median
+  // score drifts UP from the pair cosine (a chooser's cosine is its
+  // max over its cluster's sampled candidates), so alphas are spaced
+  // by MEASURED in-mix score — tight 0.98 / alpha=0.6 ~0.80 /
+  // alpha=1.0 ~0.57 / iso 0.33, adjacent gaps 0.18/0.22/0.24, all >=
+  // strataMinGap; (2) the populations must be DECORRELATED via
+  // clusterTag — the generators share the hash(cl, j) signal space, so
+  // without tags cluster c of every population is ~0.5-cosine
+  // correlated with cluster c of the others, rows leak to the wrong
+  // population's samples, and the middle populations' scores collapse
+  // into the isotropic floor (an artifact no real mixed corpus has).
+  // A population whose rows genuinely cannot out-cosine the
+  // cross-random floor (~0.42 at 256 samples) merges into the iso bin
+  // by design — that IS its correct operating regime.
+  // At 4k per population the tight bin resolves the full-rate width and
+  // the three sub-threshold bins the anchored width, so they merge into
+  // one pass — discovery is 4-way even when execution is 2-pass. The
+  // sampled recalls pin that no population loses vs the global choice.
+  test("knnJoinLsh discovers four populations at the maxStrata bound") {
+    import org.apache.spark.sql.functions.col
+    val n = 4000L
+    val tight = Crossover.clusteredEmbeddings(spark, n)
+    val loose = Crossover.looseClusteredEmbeddings(spark, n, alpha = 0.6,
+        clusterTag = 1000L)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    val looser = Crossover.looseClusteredEmbeddings(spark, n, alpha = 1.0,
+        clusterTag = 2000L)
+      .select((col("vec_id") + 2 * n).as("vec_id"), col("embedding"))
+    val iso = Crossover.isotropicEmbeddings(spark, n)
+      .select((col("vec_id") + 3 * n).as("vec_id"), col("embedding"))
+    val mixed = tight.unionByName(loose).unionByName(looser)
+      .unionByName(iso).localCheckpoint(true)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val strat = try sets(Similarity.knnJoinLsh(mixed, k = 3))
+      finally System.setErr(realErr)
+      val infoLine = errBuf.toString.linesIterator
+        .find(_.contains("lsh stratified auto-bits")).getOrElse("")
+      assert(infoLine.contains("bin3"), s"expected 4 bins, got: $infoLine")
+      spark.conf.set("spark.graft.ann.lsh.stratify", "off")
+      val global = sets(Similarity.knnJoinLsh(mixed, k = 3))
+      assert(strat.keySet.size === (4 * n).toInt)
+      val sample = mixed.filter(col("vec_id") % 32 === 0)
+      val exact = sets(Similarity.knnJoinAgainst(mixed, sample, 3))
+      def recall(ann: Map[Long, Set[Long]], pred: Long => Boolean): Double = {
+        val qs = exact.keys.filter(pred).toSeq
+        qs.map(q => ann.getOrElse(q, Set.empty[Long])
+          .intersect(exact(q)).size.toDouble / 3).sum / qs.size
+      }
+      val pops = Seq("tight" -> ((q: Long) => q < n),
+        "loose" -> ((q: Long) => q >= n && q < 2 * n),
+        "looser" -> ((q: Long) => q >= 2 * n && q < 3 * n),
+        "iso" -> ((q: Long) => q >= 3 * n))
+      val lines = pops.map { case (label, pred) =>
+        val rs = recall(strat, pred); val rg = recall(global, pred)
+        assert(rs >= rg - 0.02, s"$label strat $rs vs global $rg")
+        f"$label strat=$rs%.3f global=$rg%.3f"
+      }
+      info(lines.mkString("; "))
+    } finally {
+      System.setErr(realErr)
+      spark.conf.unset("spark.graft.ann.lsh.stratify")
+      Similarity.sweepAnnCaches()
+    }
+  }
+
   // r16 (VERDICT r15 #3): past the measured isotropic recall wall
   // (CROSSOVER §1b: sampled recall@3 0.519 at 250k/11 bits) knnJoinLsh
   // must be LOUD about being the wrong tool — the broadcast-bound
