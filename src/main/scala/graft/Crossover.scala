@@ -606,20 +606,27 @@ object Crossover {
     // the default 256-sample probe, sits under the k-means mass floor
     // (~8 expected samples < 16) — strata discovery merges and the
     // minority runs at the majority's full-rate width. Widening
-    // spark.graft.ann.lsh.probeQueries to 1024 puts ~34 minority
-    // samples over the capped floor (24): the minority gets its own
-    // bin and anchored width. The cell's three rows are the old global
-    // behavior, the default probe (expected: merges, same width as
-    // global), and the widened probe (expected: discovered).
+    // spark.graft.ann.lsh.probeQueries puts the minority's expected
+    // sample count over the capped floor (24): the minority gets its
+    // own bin and anchored width. The cell's rows per rung are the old
+    // global behavior, the default probe (expected: merges, same width
+    // as global), and the widened probe. The 97k rung measured the
+    // floor's SAMPLING GRANULARITY: at 1024 the deterministic md5
+    // sample draws 20 iso rows (expected ~31, z≈-2) — one short of
+    // nothing, four short of the floor — so the split fails on mass
+    // alone, the scores separating perfectly (iso ≤0.37 vs clustered
+    // ≥0.978). That is precisely the massOnlyMiss advisory's case
+    // ("widen the probe"); the rung's fourth variant FOLLOWS the
+    // advisory (2048 → 52 iso samples) and discovers.
     md ++= "\n### 5c. Minority population: probe width vs discovery (r16)\n\n"
-    md ++= "Clustered majority 29k (cluster size 1024) + isotropic\n"
-    md ++= "minority 1k (3.3%). Regenerate with\n"
+    md ++= "Clustered majority (cluster size 1024) + a ~3% isotropic\n"
+    md ++= "minority, two corpus rungs. Regenerate with\n"
     md ++= "`GRAFT_CROSSOVER_ONLY=minority`:\n\n"
-    md ++= "| variant | probeQueries | iso r@3 | clustered r@3 | wall s |\n"
-    md ++= "|---|---|---|---|---|\n"
-    if (section("minority")) {
+    md ++= "| n (maj+min) | variant | probeQueries | iso r@3 | clustered r@3 | wall s |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    if (section("minority")) Seq((29000L, 1000L), (97000L, 3000L)).foreach {
+      case (nCl, nIso) =>
       import graft.ext.Similarity
-      val nCl = 29000L; val nIso = 1000L
       val cl = clusteredEmbeddings(spark, nCl, clusterSize = 1024)
       val iso = isotropicEmbeddings(spark, nIso)
         .select((col("vec_id") + nCl).as("vec_id"), col("embedding"))
@@ -629,8 +636,12 @@ object Crossover {
         .localCheckpoint(true)
       val exIso = exact.filter(col("q_id") >= nCl).localCheckpoint(true)
       val exCl = exact.filter(col("q_id") < nCl).localCheckpoint(true)
-      Seq(("off", None, "global"), ("auto", None, "default probe"),
-        ("auto", Some(1024), "widened probe")).foreach {
+      val variants = Seq(("off", None, "global"),
+        ("auto", None, "default probe"),
+        ("auto", Some(1024), "widened probe")) ++
+        (if (nCl > 90000L) Seq(("auto", Some(2048), "advisory followed"))
+         else Nil)
+      variants.foreach {
         case (conf, pq, label) =>
           spark.conf.set("spark.graft.ann.lsh.stratify", conf)
           pq.foreach(v =>
@@ -643,10 +654,11 @@ object Crossover {
             }
             val rIso = recallOf(ann.filter(col("q_id") >= nCl), exIso)
             val rCl = recallOf(ann.filter(col("q_id") < nCl), exCl)
-            md ++= s"| $label | ${pq.getOrElse(256)} | ${f3(rIso)} | " +
-              s"${f3(rCl)} | ${f1(wall)} |\n"
-            println(s"[crossover] minority $label iso=${f3(rIso)} " +
-              s"cl=${f3(rCl)} wall=${f1(wall)}")
+            md ++= s"| ${nCl / 1000}k+${nIso / 1000}k | $label | " +
+              s"${pq.getOrElse(256)} | ${f3(rIso)} | ${f3(rCl)} | " +
+              s"${f1(wall)} |\n"
+            println(s"[crossover] minority ${nCl / 1000}k+${nIso / 1000}k " +
+              s"$label iso=${f3(rIso)} cl=${f3(rCl)} wall=${f1(wall)}")
             ann.unpersist()
           } finally {
             spark.conf.unset("spark.graft.ann.lsh.stratify")

@@ -638,10 +638,27 @@ object Similarity {
     if (centersOpt.isEmpty) { // one population after all
       val widen = massOnlyMiss match {
         case Some(m) if nq < 4096 =>
+          // Actionable width (r16 late, measured at the CROSSOVER §5c
+          // 97k rung where 1024 drew 20 samples of an expected ~31 and
+          // missed the 24 floor by four): at the OBSERVED share m/nq
+          // the suggested width's expected count must clear the capped
+          // floor with a one-sigma binomial margin — x − √x ≥ 24 ⇒
+          // x ≥ ~29.4 expected samples — rounded up to a power of two
+          // and clamped at the probe's 4096 cap. The suggestion leans
+          // CONSERVATIVE twice over: m is the min near-miss across the
+          // whole k ladder (a k>2 sub-split can undercount the k=2
+          // population — measured ~4 of 256 at the 29k rung, where the
+          // true minority held ~8), and a sub-floor count is itself a
+          // noisy share estimate; both errors over-widen, never
+          // under-widen, and the probe cost is linear in the width.
+          // m < minMass ≤ 24 guarantees the suggestion > nq.
+          val need = 29.4 * nq / m
+          val suggest = math.min(4096L,
+            math.pow(2, math.ceil(math.log(need) / math.log(2))).toLong)
           s"; a well-separated candidate population of ~$m samples sits " +
             s"under the $minMass mass floor — widening " +
-            s"spark.graft.ann.lsh.probeQueries (currently $nq) may make " +
-            "it discoverable"
+            s"spark.graft.ann.lsh.probeQueries (currently $nq, " +
+            s"try >= $suggest) may make it discoverable"
         case _ => ""
       }
       logOnce(session, "INFO graft-ann: lsh stratify probe found no " +

@@ -2029,6 +2029,15 @@ class ExtSpec extends SparkSpec {
       // so the INFO line must carry the widen advisory
       assert(err256.contains("widening spark.graft.ann.lsh.probeQueries"),
         s"expected the widen advisory; stderr: ${err256.take(500)}")
+      // the advisory names a concrete width to try (one-sigma-margin
+      // expected count over the floor at the observed — conservatively
+      // undercounted — share); a power of two above the current width,
+      // at most the 4096 cap
+      val suggested = "try >= (\\d+)".r.findFirstMatchIn(err256)
+        .map(_.group(1).toInt)
+      assert(suggested.exists(s => s > 256 && s <= 4096 &&
+        Integer.bitCount(s) == 1),
+        s"expected an actionable suggested width; stderr: ${err256.take(500)}")
       // widened probe: the minority carries ~34 >= 24 samples — its own
       // bin, its own width
       spark.conf.set("spark.graft.ann.lsh.probeQueries", "1024")
