@@ -346,6 +346,70 @@ object Crossover {
         exact.unpersist(); vecs.unpersist()
       }
 
+    // ------------------- 1c. Hamming-2 multi-probe at the recall wall
+    // r16 late: §1b measured the anchored ramp's recall wall (0.519 at
+    // 250k, bits=11) with the flip-1 probe shell the banded join has
+    // always used. The margin-aware Hamming-2 shell (SrpProbes;
+    // spark.graft.ann.lsh.probeHamming=2) probes pair flips within the
+    // probeMarginBits lowest-|margin| planes — where the remaining
+    // collision mass lives once per-table capture is collision-bound.
+    // This cell sweeps the (probe depth × width) grid at the wall rung:
+    // recall recovered per unit of candidate volume decides the
+    // advertised remedy (checkRecallWall's message) and whether the wall
+    // threshold itself should read probeHamming.
+    md ++= "\nHamming-2 multi-probe at the wall rung (r16 late): same\n"
+    md ++= "sampled ground truth as above; flip2 probes pair flips within\n"
+    md ++= "the mb lowest-|margin| planes on top of the full flip-1 shell\n"
+    md ++= "(probes/table 12 -> 40 at mb=8, 67 at mb=11; bits=13 trades\n"
+    md ++= "bucket population 4x down against the wider shell).\n"
+    md ++= "Regenerate with `GRAFT_CROSSOVER_ONLY=mprobe`:\n\n"
+    md ++= "| n | variant | bits | probes/table | lsh s | lsh recall@3 |\n"
+    md ++= "|---|---|---|---|---|---|\n"
+    if (section("mprobe")) Seq(250000L)
+      .filter(n => n >= isoMin && n <= isoMax).foreach { n =>
+      import graft.ext.Similarity
+      val vecs = isotropicEmbeddings(spark, n).localCheckpoint(true)
+      val qEvery = math.max(1L, n / 1000L)
+      val sample = vecs.filter(pmod(col("vec_id"), lit(qEvery)) === 0)
+      val (exact, exS) = time {
+        val d = Similarity.knnJoinAgainst(vecs, sample, 3)
+          .localCheckpoint(true)
+        d.count(); d
+      }
+      println(s"[crossover] mprobe n=$n exact=${f1(exS)}")
+      val variants = Seq(
+        ("flip1 (banked shape)", 1, 11, 8),
+        ("flip2", 2, 11, 8),
+        ("flip2 all-pairs", 2, 11, 11),
+        ("flip2 wider sig", 2, 13, 8))
+      variants.foreach { case (label, hamming, bits, mb) =>
+        spark.conf.set("spark.graft.ann.lsh.probeHamming", hamming.toString)
+        spark.conf.set("spark.graft.ann.lsh.probeMarginBits", mb.toString)
+        try {
+          val (lshDf, lshS) = time {
+            val d = Similarity
+              .knnJoinLsh(vecs, k = 3, tables = 8, bits = bits)
+              .localCheckpoint(true)
+            d.count(); d
+          }
+          Similarity.sweepAnnCaches()
+          val r = recallOf(lshDf, exact)
+          lshDf.unpersist()
+          val ppt =
+            if (hamming == 1) 1 + bits
+            else 1 + bits + math.min(mb, bits) * (math.min(mb, bits) - 1) / 2
+          md ++= s"| ${n / 1000}k | $label | $bits | $ppt | ${f1(lshS)} " +
+            s"| ${f3(r)} |\n"
+          println(s"[crossover] mprobe n=$n $label bits=$bits " +
+            s"lsh=${f1(lshS)}/${f3(r)}")
+        } finally {
+          spark.conf.unset("spark.graft.ann.lsh.probeHamming")
+          spark.conf.unset("spark.graft.ann.lsh.probeMarginBits")
+        }
+      }
+      exact.unpersist(); vecs.unpersist()
+    }
+
     // ------------------------------------------------ 2. near-dup dedup
     md ++= "\n## 2. Near-dup dedup: exact all-pairs n-gram Jaccard vs MinHash+LSH\n\n"
     md ++= "Boilerplate-heavy docs (6-token shared prefix → 4 corpus-length\n"

@@ -220,6 +220,19 @@ object Similarity {
     * the full candidate set. `spark.graft.ann.lsh.stratify` = off
     * restores the single global choice.
     *
+    * PROBE DEPTH (r16 late): the query side has probed the flip-1
+    * (Hamming-1) shell since r8; `spark.graft.ann.lsh.probeHamming=2`
+    * adds the margin-aware Hamming-2 shell — pair flips within the
+    * `spark.graft.ann.lsh.probeMarginBits` (default 8) lowest-|margin|
+    * planes, a strict superset of the flip-1 probe set over the same
+    * planes ([[org.apache.spark.sql.graft.SrpProbes]]). This is the
+    * in-family remedy for the isotropic recall wall: past the wall the
+    * per-table capture is collision-bound and most of the remaining
+    * collision mass sits in the H2 shell (CROSSOVER §1c — measured
+    * recall/volume grid at the 250k wall rung). Probe volume grows
+    * from `bits+1` to `1 + bits + mb(mb-1)/2` per table; default 1
+    * keeps the legacy probe set bit-identical.
+    *
     * Since r13 the rescue pipeline is LAZY (ADVICE r12): the banded
     * aggregate is `persist`ed, not checkpointed — recomputable lineage
     * (executor loss replays it) and no Spark job until an action —
@@ -356,13 +369,40 @@ object Similarity {
     val all = vectors.withColumn("sigs", sigs)
     val cand = all.select(col("vec_id").as("c_id"),
       posexplode(col("sigs")).as(Seq("t", "bucket")))
-    val qProbe = all.filter(queryPred)
-      .select(col("vec_id").as("q_id"),
-        posexplode(col("sigs")).as(Seq("t", "bucket")))
-      .select(col("q_id"), col("t"), explode(expr(
-        s"""array_union(array(bucket),
-           |  transform(sequence(0, ${nBits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
-          .stripMargin)).as("bucket"))
+    // MULTI-PROBE DEPTH (r16 late): the Hamming-1 shell below has been
+    // the probe set since r8; `spark.graft.ann.lsh.probeHamming` = 2
+    // adds the margin-aware Hamming-2 shell ([[SrpProbes]] — pair flips
+    // within the `probeMarginBits` lowest-|margin| planes, a strict
+    // SUPERSET of the flip-1 set) for the isotropic past-the-wall
+    // regime, where per-table capture is collision-bound and the H2
+    // shell is where the remaining collision mass lives (CROSSOVER
+    // §1c). Default 1 keeps the legacy probe set bit-identical.
+    val hamming = {
+      val h = intConf(vectors.sparkSession,
+        "spark.graft.ann.lsh.probeHamming", 1)
+      require(h == 1 || h == 2,
+        s"spark.graft.ann.lsh.probeHamming must be 1 or 2, got $h")
+      h
+    }
+    val qProbe =
+      if (hamming == 2) {
+        val mb = math.max(2, math.min(intConf(vectors.sparkSession,
+          "spark.graft.ann.lsh.probeMarginBits", 8), nBits))
+        val ppb = 1 + nBits + mb * (mb - 1) / 2
+        vectors.filter(queryPred)
+          .select(col("vec_id").as("q_id"),
+            posexplode(graft.functions.VectorFunctions.srpProbes(
+              col("embedding"), bands = tables, bits = nBits, dim = 64,
+              seed = 42, marginBits = mb)).as(Seq("pos", "bucket")))
+          .select(col("q_id"),
+            (col("pos") / lit(ppb)).cast("int").as("t"), col("bucket"))
+      } else all.filter(queryPred)
+        .select(col("vec_id").as("q_id"),
+          posexplode(col("sigs")).as(Seq("t", "bucket")))
+        .select(col("q_id"), col("t"), explode(expr(
+          s"""array_union(array(bucket),
+             |  transform(sequence(0, ${nBits - 1}), p -> int(bucket ^ shiftleft(1, p))))"""
+            .stripMargin)).as("bucket"))
     // no dropDuplicates pre-pass: the same pair surfacing via several
     // tables/probes scores identically, and TopKAggregator is idempotent
     // on identical (score, id) — duplicates die inside the partial
@@ -1151,7 +1191,12 @@ object Similarity {
     * 3592 s at the 1M cell) are the right tool. Fires when the regime
     * verdict (probe or conf override) is isotropic AND the resolved
     * anchored width reaches `spark.graft.ann.lsh.recallWallBits`
-    * (default 11 — the first measured sub-0.55 rung).
+    * (default 11 — the first measured sub-0.55 rung). PROBE-DEPTH-AWARE
+    * since late r16: under `probeHamming=2` the threshold shifts +3
+    * bits (CROSSOVER §1c — 0.858 measured at the flip1 wall rung,
+    * ≥ 0.632 at 13 bits at 4× sparser-than-ramp buckets, so 14 is the
+    * first unproven anchored rung), and the flip1 warn message names
+    * the Hamming-2 shell as the in-family remedy.
     * `spark.graft.ann.lsh.recallWallAction` = warn (default, stderr) |
     * fail (contract error) | off. */
   private[graft] def checkRecallWall(s: SparkSession, isoBits: Int,
@@ -1162,17 +1207,38 @@ object Similarity {
       "spark.graft.ann.lsh.recallWallAction must be warn|fail|off, " +
         s"got $action")
     val wallBits = intConf(s, "spark.graft.ann.lsh.recallWallBits", 11)
-    if (action != "off" && isoBits >= wallBits) {
+    // PROBE-DEPTH-AWARE (r16 late): the Hamming-2 shell moves the wall
+    // +3 bits — CROSSOVER §1c measured recall@3 0.858 at the flip1 wall
+    // rung (250k/11 bits) and >= 0.632 at 13 bits even at 4×
+    // sparser-than-ramp buckets, so under flip2 the first UNPROVEN
+    // anchored rung is wallBits+3 (~8M isotropic rows at the default).
+    val hamming = intConf(s, "spark.graft.ann.lsh.probeHamming", 1)
+    val effWall = if (hamming == 2) wallBits + 3 else wallBits
+    if (action != "off" && isoBits >= effWall) {
+      val remedy =
+        if (hamming == 2)
+          "Past the measured Hamming-2 evidence the remaining remedies " +
+            "are routing to knnJoinIvf / the IVF-PQ family (routed scan " +
+            "+ exact rerank — the serving path at this scale), passing " +
+            "explicit narrower bits if the extra candidate volume is " +
+            "acceptable, or setting " +
+            "spark.graft.ann.lsh.recallWallAction=off to proceed silently."
+        else
+          "Set spark.graft.ann.lsh.probeHamming=2 (margin-aware " +
+            "Hamming-2 multi-probe — measured 0.519 -> 0.858 recall@3 at " +
+            "the 250k wall rung for 2.2x wall, CROSSOVER §1c; moves the " +
+            "wall +3 bits), route to knnJoinIvf / the IVF-PQ family " +
+            "(routed scan + exact rerank — the serving path at this " +
+            "scale), pass explicit narrower bits if the extra candidate " +
+            "volume is acceptable, or set " +
+            "spark.graft.ann.lsh.recallWallAction=off to proceed silently."
       val msg = s"knnJoinLsh: the corpus resolved ISOTROPIC at n=$n and " +
         s"the anchored auto ramp picks $isoBits-bit signatures — at/past " +
-        s"the measured recall wall ($wallBits bits; CROSSOVER §1b: " +
-        "sampled recall@3 0.519 at 250k/11 bits, 0.452 at 1M/12 bits). " +
-        "In this regime the banded exact-rerank join pays O(n^1.5) " +
-        "candidate volume for sub-0.55 recall@3. Route to knnJoinIvf / " +
-        "the IVF-PQ family (routed scan + exact rerank — the serving " +
-        "path at this scale), pass explicit narrower bits if the extra " +
-        "candidate volume is acceptable, or set " +
-        "spark.graft.ann.lsh.recallWallAction=off to proceed silently."
+        s"the measured recall wall ($effWall bits; CROSSOVER §1b/§1c: " +
+        "flip-1 sampled recall@3 0.519 at 250k/11 bits, 0.452 at 1M/12 " +
+        "bits; flip-2 unmeasured past the +3 shift). In this regime the " +
+        "banded exact-rerank join pays O(n^1.5) candidate volume for " +
+        s"collision-bound recall. $remedy"
       if (action == "fail") throw new IllegalArgumentException(msg)
       else System.err.println(s"WARN graft-ann: $msg")
     }

@@ -73,6 +73,16 @@ object VectorFunctions {
     GraftBridge.column(org.apache.spark.sql.graft.SrpSignature(
       GraftBridge.expression(vec), bands, bits, dim, seed))
 
+  /** Hamming-2 margin-aware multi-probe sequence over the SAME planes as
+    * [[srpSignature]] — one flat `array<int>` of
+    * `bands * (1 + bits + marginBits*(marginBits-1)/2)` probe buckets,
+    * constant stride per band (see
+    * [[org.apache.spark.sql.graft.SrpProbes]]). */
+  def srpProbes(vec: Column, bands: Int, bits: Int, dim: Int = 64,
+      seed: Int = 4242, marginBits: Int = 8): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.SrpProbes(
+      GraftBridge.expression(vec), bands, bits, dim, seed, marginBits))
+
   /** L2 norm of an `array<float>` vector (see [[VecNorm]]). */
   def vecNorm(vec: Column): Column =
     GraftBridge.column(VecNorm(GraftBridge.expression(vec)))

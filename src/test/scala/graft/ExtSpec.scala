@@ -631,6 +631,97 @@ class ExtSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("srp_signature")))
   }
 
+  // r16 late: the Hamming-2 multi-probe shell (SrpProbes) must emit a
+  // strict SUPERSET of the legacy flip-1 probe set over the SAME planes —
+  // probe 0 is the srp_signature bucket bit-for-bit, the next `bits`
+  // probes are the complete blind H1 shell, and the margin-pool pairs
+  // are all at Hamming distance exactly 2 from the base.
+  test("srp_probes: probe 0 == srp_signature bucket; H1 shell complete; pairs at distance 2") {
+    val bands = 4; val bits = 9; val mb = 6
+    val ppb = 1 + bits + mb * (mb - 1) / 2
+    val emb = graft.Tables.embeddings(spark, sf).limit(50)
+    val rows = emb.select(
+      graft.functions.VectorFunctions.srpSignature(
+        col("embedding"), bands, bits, dim = 64, seed = 42).as("sig"),
+      graft.functions.VectorFunctions.srpProbes(
+        col("embedding"), bands, bits, dim = 64, seed = 42,
+        marginBits = mb).as("probes")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sig = r.getSeq[Int](0)
+      val probes = r.getSeq[Int](1)
+      assert(probes.length === bands * ppb)
+      (0 until bands).foreach { b =>
+        val base = sig(b)
+        val band = probes.slice(b * ppb, (b + 1) * ppb)
+        assert(band.head === base, s"probe 0 of band $b != signature bucket")
+        val h1 = band.slice(1, 1 + bits)
+        assert(h1.toSet === (0 until bits).map(p => base ^ (1 << p)).toSet,
+          s"band $b H1 shell incomplete")
+        band.drop(1 + bits).foreach { pr =>
+          assert(Integer.bitCount(pr ^ base) === 2,
+            s"band $b pair probe at Hamming ${Integer.bitCount(pr ^ base)}")
+        }
+      }
+    }
+  }
+
+  // The H2 shell's recall contract, measured where it matters: an
+  // isotropic corpus at a past-the-wall width (bits=11 at n=4000 — way
+  // over both auto ramps, per-table capture collision-bound). The flip-2
+  // candidate set is a superset of flip-1's, so per-query top-k can only
+  // improve; the measured gap at this operating point is large (the
+  // H2 shell holds most of the remaining collision mass). Deterministic:
+  // hash-generated corpus + fixed-seed planes.
+  test("probeHamming=2 dominates flip-1 at a past-the-wall isotropic width") {
+    val vecs = graft.Crossover.isotropicEmbeddings(spark, 4000L)
+      .localCheckpoint(true)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "c_id").collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recall(ann: Map[Long, Set[Long]], ex: Map[Long, Set[Long]]) = {
+      val rs = ex.toSeq.map { case (q, s) =>
+        ann.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+      rs.sum / rs.size
+    }
+    val exact = sets(Similarity.knnJoinAgainst(vecs, vecs, k = 3))
+    try {
+      val flip1 = sets(
+        Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 11))
+      spark.conf.set("spark.graft.ann.lsh.probeHamming", "2")
+      val flip2df = Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 11)
+      val flip2 = sets(flip2df)
+      val r1 = recall(flip1, exact); val r2 = recall(flip2, exact)
+      info(f"isotropic n=4000 bits=11: flip1 recall@3 $r1%.3f, flip2 $r2%.3f")
+      assert(r2 >= r1,
+        f"flip-2 candidates are a superset — recall cannot drop ($r2%.3f < $r1%.3f)")
+      // measured at this point: 0.333 -> 0.686 (mb=8; the sweep read
+      // 0.469/0.588/0.686/0.759/0.781 at mb=4/6/8/10/11 — margin
+      // truncation trades real recall for probe volume, the §1c knob)
+      assert(r2 >= r1 + 0.25 && r2 >= 0.6,
+        f"H2 shell should recover most of the wall at this point: $r1%.3f -> $r2%.3f")
+      // pure function of the data under the wider probe set too
+      val again = sets(Similarity.knnJoinLsh(
+        vecs.repartition(7), k = 3, tables = 8, bits = 11))
+      assert(again === flip2, "flip-2 result moved under repartition")
+    } finally {
+      spark.conf.unset("spark.graft.ann.lsh.probeHamming")
+      Similarity.sweepAnnCaches()
+      vecs.unpersist()
+    }
+  }
+
+  test("probeHamming conf rejects values outside {1, 2}") {
+    val vecs = graft.Crossover.isotropicEmbeddings(spark, 100L)
+    try {
+      spark.conf.set("spark.graft.ann.lsh.probeHamming", "3")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.knnJoinLsh(vecs, k = 3, tables = 8, bits = 6).collect()
+      }
+      assert(e.getMessage.contains("probeHamming"))
+    } finally spark.conf.unset("spark.graft.ann.lsh.probeHamming")
+  }
+
   // r15: the oracle-backed recall contract must actually BITE — the
   // flags are TRUE at the registered operating points (the correctness
   // gate), and an unreachable threshold flips them FALSE (so a real
@@ -2180,6 +2271,22 @@ class ExtSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("recall wall"))
       assert(e.getMessage.contains("knnJoinIvf"))
+      // the flip1 message names the in-family remedy first (r16 late)
+      assert(e.getMessage.contains("probeHamming=2"))
+      // under the Hamming-2 shell the wall shifts +3 bits (9 -> 12, over
+      // this corpus's anchored 9): same confs, no trigger
+      spark.conf.set("spark.graft.ann.lsh.probeHamming", "2")
+      Similarity.knnJoinLsh(vecs, k = 3)
+      // ... and a flip2 corpus past even the shifted wall still fails,
+      // with the remedy list no longer naming the shell it already uses
+      spark.conf.set("spark.graft.ann.lsh.recallWallBits", "6")
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.knnJoinLsh(vecs, k = 3)
+      }
+      assert(e2.getMessage.contains("knnJoinIvf") &&
+        !e2.getMessage.contains("Set spark.graft.ann.lsh.probeHamming=2"))
+      spark.conf.unset("spark.graft.ann.lsh.probeHamming")
+      spark.conf.set("spark.graft.ann.lsh.recallWallBits", "9")
       // warn (the default action): plan constructs, message to stderr
       spark.conf.set("spark.graft.ann.lsh.recallWallAction", "warn")
       val errBuf = new java.io.ByteArrayOutputStream()
@@ -2201,6 +2308,7 @@ class ExtSpec extends SparkSpec {
       spark.conf.unset("spark.graft.ann.lsh.regime")
       spark.conf.unset("spark.graft.ann.lsh.recallWallBits")
       spark.conf.unset("spark.graft.ann.lsh.recallWallAction")
+      spark.conf.unset("spark.graft.ann.lsh.probeHamming")
       Similarity.sweepAnnCaches()
     }
   }
