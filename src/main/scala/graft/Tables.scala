@@ -18,8 +18,51 @@ import org.apache.spark.sql.Column
   * (CAST(cents AS DOUBLE)/100.0) that both engines evaluate bit-identically.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) cache of each table's INFERRED parquet schema
+    * (r16 optimization, guide §1.2/§6): a bare `spark.read.parquet(path)`
+    * re-runs footer schema inference as a Spark job on EVERY call — at
+    * bench SF that is ~30-80 ms of fixed driver+scheduler cost per table
+    * read, times one-to-six reads per query across the 180-entry catalog
+    * (measured: tpch_q5 carried six `parquet at Tables.scala` jobs,
+    * ~0.3 s of its 1.0 s wall). A parquet file's schema is immutable, so
+    * infer once per (session, path) and hand later readers the explicit
+    * schema — the inference job disappears and the scan plan is
+    * byte-identical (same ReadSchema, same PushedFilters; this memoizes
+    * METADATA derived from the file footer, never rows or results, and
+    * it is scoped to the live session exactly like Spark's own
+    * FileStatusCache). WeakHashMap on the session: a stopped session's
+    * entries are GC-collectable, and a fresh session (whose confs — e.g.
+    * the events nanosAsLong vintage toggle — may change what inference
+    * produces) re-infers from the footer. */
+  private val inferredSchemas = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]]()
+
+  private def inferredSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val per = inferredSchemas.synchronized {
+      var m = inferredSchemas.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, org.apache.spark.sql.types.StructType]()
+        inferredSchemas.put(spark, m)
+      }
+      m
+    }
+    val hit = per.get(path)
+    if (hit != null) hit
+    else {
+      // two racing first reads both infer — benign (same answer)
+      val s = spark.read.parquet(path).schema
+      per.put(path, s)
+      s
+    }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(inferredSchema(spark, path)).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
