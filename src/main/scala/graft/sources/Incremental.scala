@@ -136,6 +136,15 @@ object Incremental {
     require(measures.nonEmpty, "upsertRollup needs at least one measure")
     dropZeroMeasure.foreach(m => require(measures.contains(m),
       s"dropZeroMeasure $m must be one of the measures"))
+    // Replay fast path (r16 optimization, [[Versioned.appendOnce]]'s
+    // exact pre-check pattern): a redelivered batch id used to pay the
+    // FULL batch pre-aggregation (partials cache + touched-partition
+    // collect — a scan of the raw batch) before the in-CAS ledger check
+    // no-opped it. One driver-side head-manifest read skips that work;
+    // the authoritative re-check inside the CAS stays, so a concurrent
+    // first delivery racing this probe still resolves exactly-once.
+    if (Versioned.appliedBatchIds(spark, basePath).contains(batchId))
+      return Versioned.versions(spark, basePath).last
     val keys = (partitionKey +: subKeys).map(col)
     def reAgg(df: DataFrame): DataFrame =
       df.groupBy(keys: _*).agg(
