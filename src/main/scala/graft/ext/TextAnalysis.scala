@@ -280,8 +280,14 @@ object TextAnalysis {
     * hash-identical in ExtSpec. */
   def lmScores(docs: DataFrame, rareThreshold: Double = 0.01): DataFrame = {
     val bg = docBigramPairs(docs)
+    // The unigram-context counts are an exact projection of the bigram
+    // grid (c1(w1) = Σ_w2 c2(w1,w2)), so deriving c1 from c2 — instead
+    // of a second independent corpus explode+aggregate — drops a full
+    // corpus pass (guide §2.3); the duplicated c2 subtree dedupes at
+    // runtime via ReusedExchange. Counts are identical by definition;
+    // the LM table is unchanged.
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val lm = c2.join(lmSide(c1), "w1")
       .select(col("w1"), col("w2"),
         round(log(col("c2").cast("double") / col("c1")) * 1e6)
@@ -404,12 +410,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("token"))
-    val clsStats = toks.groupBy(col("lang").as("cls"))
-      .agg(count(lit(1)).as("n_cls"))
-    val vocab = toks.select(col("token")).distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v_size"))
+    // Class totals and the vocab are exact projections of the
+    // (token, class) count grid, so deriving them from `cnt` — instead
+    // of three independent corpus explodes (clsStats, vocab, cnt) —
+    // drops two full passes over the corpus (guide §2.3); the
+    // duplicated cnt subtree dedupes at runtime via ReusedExchange.
+    // Numbers are identical: n_cls is the per-class token count either
+    // way, and the vocab is the same token set.
     val cnt = toks.groupBy(col("token"), col("lang").as("cls"))
       .agg(count(lit(1)).as("c_tc"))
+    val clsStats = cnt.groupBy(col("cls"))
+      .agg(sum(col("c_tc")).as("n_cls"))
+    val vocab = cnt.select(col("token")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v_size"))
     val lm = vocab.crossJoin(broadcast(clsStats))
       .join(lmSide(cnt), Seq("token", "cls"), "left")
       .na.fill(0L, Seq("c_tc"))
